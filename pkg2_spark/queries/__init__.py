@@ -1,0 +1,7 @@
+"""Importing this package populates the query registry (registry.QUERIES).
+
+One module per SURVEY.md §2 category; every module registers its queries via
+the @query decorator at import time.
+"""
+
+from pkg2_spark.queries import aggregates  # noqa: F401

@@ -1,0 +1,341 @@
+"""SURVEY.md §2.4 — aggregations.
+
+pkg2 analog [Tier C]: group-by statistics per repo/arch over package records.
+Scale notes: every groupBy here is a hash aggregate with automatic
+partial/final split (map-side combine), so the shuffle carries one row per
+(partition, group), not per input row. Low-cardinality group keys (returnflag
+× linestatus = 6 groups) make the final stage trivially small at any SF.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from pkg2_spark.catalog import load_tables
+from pkg2_spark.registry import query
+
+# Flagship: TPC-H Q1 shape — hash aggregate, 8 measures, 6 groups.
+# Validated cross-engine at sf0.1 by the survey session (SURVEY.md §2.4 ✅).
+_Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_extendedprice), 4) AS avg_price,
+  round(avg(l_discount), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q_agg_group", oracle=_Q1_ORACLE)
+def q_agg_group(spark, sf_dir):
+    l = load_tables(spark, sf_dir)["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_global",
+    oracle="""
+SELECT
+  count(*) AS n_rows,
+  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+  round(sum(o_totalprice), 2) AS sum_price,
+  round(avg(o_totalprice), 4) AS avg_price,
+  round(min(o_totalprice), 2) AS min_price,
+  round(max(o_totalprice), 2) AS max_price
+FROM orders
+""",
+)
+def q_agg_global(spark, sf_dir):
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+FROM customer
+GROUP BY c_mktsegment
+HAVING count(*) > 10 AND sum(c_acctbal) > 0
+""",
+)
+def q_agg_having(spark, sf_dir):
+    c = load_tables(spark, sf_dir)["customer"]
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.sum("c_acctbal").alias("_raw_bal"),
+        )
+        .filter((F.col("n") > 10) & (F.col("_raw_bal") > 0))
+        .drop("_raw_bal")
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+SELECT
+  o_orderstatus,
+  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+  count(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_agg_distinct(spark, sf_dir):
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_agg_filtered",
+    oracle="""
+SELECT
+  l_returnflag,
+  count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+  count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+  round(sum(l_extendedprice) FILTER (WHERE l_tax > 0.04), 2) AS taxed_price,
+  count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_filtered(spark, sf_dir):
+    l = load_tables(spark, sf_dir)["lineitem"]
+    return l.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_disc"),
+        F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+        F.round(
+            F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))), 2
+        ).alias("taxed_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+SELECT
+  l_returnflag,
+  round(stddev_samp(l_quantity), 4) AS sd_qty,
+  round(var_samp(l_extendedprice), 2) AS var_price,
+  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+  round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc,
+  count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_stats(spark, sf_dir):
+    l = load_tables(spark, sf_dir)["lineitem"]
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("cov_qty_disc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+SELECT
+  o_orderpriority,
+  round(median(o_totalprice), 4) AS med_price,
+  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+  round(quantile_cont(o_totalprice, 0.90), 4) AS p90,
+  count(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_agg_percentile(spark, sf_dir):
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 4).alias("med_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.90)), 4).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+  CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+  round(sum(l_quantity), 2) AS sum_qty,
+  count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_agg_rollup(spark, sf_dir):
+    l = load_tables(spark, sf_dir)["lineitem"]
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+  CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+  round(sum(o_totalprice), 2) AS sum_price,
+  count(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def q_agg_cube(spark, sf_dir):
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_agg_gsets",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
+  CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
+  round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def q_agg_gsets(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          CAST(grouping(l_returnflag) AS INT) AS g_flag,
+          CAST(grouping(l_linestatus) AS INT) AS g_status,
+          round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+SELECT n_regionkey, list_sort(list(n_name)) AS nations
+FROM nation
+GROUP BY n_regionkey
+""",
+)
+def q_agg_collect(spark, sf_dir):
+    n = load_tables(spark, sf_dir)["nation"]
+    # Bare collect_list is shuffle-order nondeterministic (SURVEY.md §2.13.5);
+    # always canonicalize with array_sort.
+    return n.groupBy("n_regionkey").agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations")
+    )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+WITH counted AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS cnt
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment
+), ranked AS (
+  SELECT c_nationkey, c_mktsegment, cnt,
+         row_number() OVER (
+           PARTITION BY c_nationkey
+           ORDER BY cnt DESC, c_mktsegment ASC NULLS LAST
+         ) AS rn
+  FROM counted
+)
+SELECT c_nationkey, c_mktsegment AS mode_segment, cnt
+FROM ranked WHERE rn = 1
+""",
+)
+def q_agg_mode(spark, sf_dir):
+    c = load_tables(spark, sf_dir)["customer"]
+    counted = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("cnt").desc(), F.col("c_mktsegment").asc_nulls_last()
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", F.col("c_mktsegment").alias("mode_segment"), "cnt")
+    )
+
+
+@query("q_agg_approx_cd")  # rows-only: HLL sketches can't hash-match across engines
+def q_agg_approx_cd(spark, sf_dir):
+    e = load_tables(spark, sf_dir)["events"]
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("q_agg_approx_pct")  # rows-only: approximate sketch, engine-specific
+def q_agg_approx_pct(spark, sf_dir):
+    e = load_tables(spark, sf_dir)["events"]
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+        F.count(F.lit(1)).alias("n"),
+    )
