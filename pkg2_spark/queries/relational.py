@@ -1,0 +1,493 @@
+"""SURVEY.md §2.1 scans/sources/sinks + §2.2 projections/filters/predicates.
+
+pkg2 analog [Tier C]: per-distribution repository index readers (APKINDEX,
+Debian Packages, …) normalized into a uniform record table at ingest; package
+search = LIKE/regex filters over that table.
+
+Scale notes:
+- Scan queries keep filters/projections as Catalyst expressions so they reach
+  the parquet reader (PushedFilters / ReadSchema — verified via .explain in
+  tests/test_plans.py).
+- Source round-trip queries (csv/json/orc) land files under <repo>/tmp_io and
+  verify losslessness by aggregating the re-read data against a DuckDB oracle
+  computed on the ORIGINAL table — a stronger check than rows-only.
+- The APKINDEX-style ingest reads whole files (one row per file via
+  ``wholetext``), explodes stanzas, then parses fields with regexp — after the
+  explode everything is distributed; per-file parsing matches how repo indexes
+  shard in the wild (one bounded index file per repo/arch).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+
+from pkg2_spark.catalog import load_tables
+from pkg2_spark.registry import query
+
+_REPO_DIR = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+IO_DIR = os.path.join(_REPO_DIR, "tmp_io")
+
+
+# ---------------------------------------------------------------- §2.1 scans
+
+@query(
+    "q_scan_parquet",
+    oracle="""
+SELECT count(*) AS n_rows, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       round(sum(l_quantity), 2) AS total_qty
+FROM lineitem
+""",
+)
+def q_scan_parquet(spark, sf_dir):
+    l = load_tables(spark, sf_dir)["lineitem"]
+    return l.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+@query(
+    "q_scan_prune",
+    oracle="""
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders
+WHERE o_orderkey % 100 = 0
+""",
+)
+def q_scan_prune(spark, sf_dir):
+    # Two-column projection out of a six-column table: Catalyst prunes the
+    # parquet ReadSchema to exactly these columns.
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+@query(
+    "q_scan_filter_pushdown",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+)
+def q_scan_filter_pushdown(spark, sf_dir):
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1997-01-01 00:00:00")))
+            & (F.col("o_orderstatus") == "F")
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_scan_nanos",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       epoch_us(min(ts)) AS min_ts_us,
+       epoch_us(max(ts)) AS max_ts_us
+FROM events
+GROUP BY event_type
+""",
+)
+def q_scan_nanos(spark, sf_dir):
+    # TIMESTAMP(NANOS) ingestion (SURVEY.md §1.3): catalog shim turns the
+    # legacy long into TimestampType; emit unix_micros, never string casts.
+    e = load_tables(spark, sf_dir)["events"]
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.unix_micros(F.min("ts")).alias("min_ts_us"),
+        F.unix_micros(F.max("ts")).alias("max_ts_us"),
+    )
+
+
+# ------------------------------------------------- §2.1 sources (round-trip)
+
+_DOC_AGG_ORACLE = """
+SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS first_doc
+FROM documents
+GROUP BY lang
+"""
+
+
+def _doc_agg(df):
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+@query("q_src_csv", oracle=_DOC_AGG_ORACLE)
+def q_src_csv(spark, sf_dir):
+    # Lossless CSV round-trip: write documents to CSV, re-read with an
+    # explicit schema, aggregate — oracle aggregates the ORIGINAL table, so a
+    # match proves the reader+writer preserve values exactly.
+    d = load_tables(spark, sf_dir)["documents"]
+    path = os.path.join(IO_DIR, "src_csv")
+    d.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(_DOC_SCHEMA).option("header", True).csv(path)
+    return _doc_agg(back)
+
+
+@query("q_src_json", oracle=_DOC_AGG_ORACLE)
+def q_src_json(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    path = os.path.join(IO_DIR, "src_json")
+    d.write.mode("overwrite").json(path)
+    back = spark.read.schema(_DOC_SCHEMA).json(path)
+    return _doc_agg(back)
+
+
+@query(
+    "q_src_orc",
+    oracle="""
+SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_src_orc(spark, sf_dir):
+    l = load_tables(spark, sf_dir)["lineitem"]
+    path = os.path.join(IO_DIR, "src_orc")
+    l.select("l_returnflag", "l_extendedprice").write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "q_sink_parquet",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+""",
+)
+def q_sink_parquet(spark, sf_dir):
+    # partitionBy writer: one directory per o_orderstatus — the layout that
+    # enables static partition pruning on re-read at scale.
+    o = load_tables(spark, sf_dir)["orders"]
+    path = os.path.join(IO_DIR, "sink_parquet")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "q_sink_csv",
+    oracle="""
+SELECT n_regionkey, count(*) AS n_nations
+FROM nation
+GROUP BY n_regionkey
+""",
+)
+def q_sink_csv(spark, sf_dir):
+    n = load_tables(spark, sf_dir)["nation"]
+    path = os.path.join(IO_DIR, "sink_csv")
+    n.write.mode("overwrite").option("header", True).csv(path)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", True).csv(path)
+    return back.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n_nations"))
+
+
+# ------------------------------------- §2.1 repo-index ingestion (pkg2 analog)
+
+_APKINDEX_PATH = os.path.join(_REPO_DIR, "pkg2_spark", "data", "apkindex_sample.txt")
+
+_APKINDEX_ORACLE = f"""
+WITH stanzas AS (
+  SELECT unnest(string_split(content, chr(10) || chr(10))) AS stanza
+  FROM read_text('{_APKINDEX_PATH}')
+)
+SELECT
+  regexp_extract(stanza, 'P:([^' || chr(10) || ']+)', 1) AS name,
+  regexp_extract(stanza, 'V:([^' || chr(10) || ']+)', 1) AS version,
+  regexp_extract(stanza, 'A:([^' || chr(10) || ']+)', 1) AS arch,
+  CAST(regexp_extract(stanza, 'S:([0-9]+)', 1) AS BIGINT) AS size,
+  list_sort(list_filter(string_split(regexp_extract(stanza, 'D:([^' || chr(10) || ']+)', 1), ' '), x -> x <> '')) AS depends
+FROM stanzas
+WHERE trim(stanza) <> ''
+"""
+
+
+@query("q_src_repoindex", oracle=_APKINDEX_ORACLE)
+def q_src_repoindex(spark, sf_dir):
+    """APKINDEX-stanza ingestion — pkg2's core capability re-expressed.
+
+    Whole-file read (repo index files are bounded, one per repo/arch) →
+    stanza explode → regexp field extraction → normalized package table.
+    """
+    raw = spark.read.text(_APKINDEX_PATH, wholetext=True)
+    stanza = (
+        raw.select(F.explode(F.split(F.col("value"), "\n\n")).alias("stanza"))
+        .filter(F.trim(F.col("stanza")) != "")
+    )
+    return stanza.select(
+        F.regexp_extract("stanza", r"P:([^\n]+)", 1).alias("name"),
+        F.regexp_extract("stanza", r"V:([^\n]+)", 1).alias("version"),
+        F.regexp_extract("stanza", r"A:([^\n]+)", 1).alias("arch"),
+        F.regexp_extract("stanza", r"S:([0-9]+)", 1).cast("long").alias("size"),
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_extract("stanza", r"D:([^\n]+)", 1), " "),
+                lambda x: x != "",
+            )
+        ).alias("depends"),
+    )
+
+
+# ------------------------------------------------ §2.2 projections / filters
+
+@query(
+    "q_proj_expr",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT) AS disc_price_micro,
+       CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT) AS charge_micro,
+       round(l_quantity * 2 + 1, 2) AS qty_expr,
+       CAST(l_quantity >= 25 AS BOOLEAN) AS is_bulk
+FROM lineitem
+WHERE l_orderkey < 200
+""",
+)
+def q_proj_expr(spark, sf_dir):
+    # Per-row derived money is emitted as exact integer micro-units, not
+    # round(x, 2): Spark rounds the shortest decimal repr while DuckDB rounds
+    # the binary value, so 2dp-products landing on a .xx5 repr boundary
+    # diverge. Products of 2dp inputs have <= 6 decimal digits, so *1e6 is
+    # integral and both engines agree exactly.
+    l = load_tables(spark, sf_dir)["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.filter(F.col("l_orderkey") < 200).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(disc_price * 1000000, 0).cast("long").alias("disc_price_micro"),
+        F.round(disc_price * (1 + F.col("l_tax")) * 1000000, 0).cast("long").alias("charge_micro"),
+        F.round(F.col("l_quantity") * 2 + 1, 2).alias("qty_expr"),
+        (F.col("l_quantity") >= 25).alias("is_bulk"),
+    )
+
+
+@query(
+    "q_filter_compound",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+FROM orders
+WHERE (o_orderstatus = 'F' AND o_totalprice > 300000)
+   OR (o_orderstatus = 'O' AND NOT (o_orderpriority = '1-URGENT') AND o_totalprice < 5000)
+""",
+)
+def q_filter_compound(spark, sf_dir):
+    o = load_tables(spark, sf_dir)["orders"]
+    cond = (
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 300000)
+    ) | (
+        (F.col("o_orderstatus") == "O")
+        & ~(F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") < 5000)
+    )
+    return o.filter(cond).select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+
+
+@query(
+    "q_filter_in",
+    oracle="""
+SELECT n_name, n_nationkey
+FROM nation
+WHERE n_regionkey IN (1, 3) AND n_name NOT IN ('CHINA', 'INDIA')
+""",
+)
+def q_filter_in(spark, sf_dir):
+    n = load_tables(spark, sf_dir)["nation"]
+    return (
+        n.filter(F.col("n_regionkey").isin(1, 3) & ~F.col("n_name").isin("CHINA", "INDIA"))
+        .select("n_name", "n_nationkey")
+    )
+
+
+@query(
+    "q_filter_between",
+    oracle="""
+SELECT o_orderkey, epoch_us(o_orderdate) AS od_us, round(o_totalprice, 2) AS price
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-03-31 23:59:59'
+  AND o_totalprice BETWEEN 100000 AND 150000
+""",
+)
+def q_filter_between(spark, sf_dir):
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.filter(
+            F.col("o_orderdate").between("1996-01-01 00:00:00", "1996-03-31 23:59:59")
+            & F.col("o_totalprice").between(100000, 150000)
+        )
+        .select(
+            "o_orderkey",
+            F.unix_micros("o_orderdate").alias("od_us"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+
+
+@query(
+    "q_filter_like",
+    oracle="""
+SELECT p_partkey, p_name, p_type
+FROM part
+WHERE p_name LIKE '%green%'
+   OR p_type ILIKE 'small%'
+   OR regexp_matches(p_name, '^(red|blue) .*metal')
+""",
+)
+def q_filter_like(spark, sf_dir):
+    p = load_tables(spark, sf_dir)["part"]
+    return (
+        p.filter(
+            F.col("p_name").like("%green%")
+            | F.col("p_type").ilike("small%")
+            | F.col("p_name").rlike("^(red|blue) .*metal")
+        )
+        .select("p_partkey", "p_name", "p_type")
+    )
+
+
+@query(
+    "q_filter_null",
+    oracle="""
+WITH t AS (
+  SELECT c_custkey,
+         nullif(c_mktsegment, 'BUILDING') AS seg,
+         CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+  FROM customer
+)
+SELECT
+  count(*) AS n,
+  count(seg) AS n_seg_notnull,
+  count(*) FILTER (WHERE seg IS NULL) AS n_seg_null,
+  count(*) FILTER (WHERE seg IS NOT DISTINCT FROM 'MACHINERY') AS n_machinery,
+  round(sum(bal), 2) AS sum_bal_nonneg
+FROM t
+""",
+)
+def q_filter_null(spark, sf_dir):
+    # Driver data has no physical nulls; synthesize them with nullif/CASE,
+    # then exercise IS NULL / null-safe equality / null-skipping aggregates.
+    c = load_tables(spark, sf_dir)["customer"]
+    t = c.select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"),
+        F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(F.col("c_acctbal")).alias("bal"),
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("seg").alias("n_seg_notnull"),
+        F.count_if(F.col("seg").isNull()).alias("n_seg_null"),
+        F.count_if(F.col("seg").eqNullSafe("MACHINERY")).alias("n_machinery"),
+        F.round(F.sum("bal"), 2).alias("sum_bal_nonneg"),
+    )
+
+
+@query(
+    "q_case_when",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice >= 300000 THEN 'high'
+            WHEN o_totalprice >= 100000 THEN 'mid'
+            ELSE 'low' END AS tier,
+       coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_label,
+       CASE WHEN o_custkey % 7 = 0 THEN NULL
+            ELSE round(o_totalprice / (o_custkey % 7), 2) END AS per_bucket
+FROM orders
+WHERE o_orderkey < 500
+""",
+)
+def q_case_when(spark, sf_dir):
+    o = load_tables(spark, sf_dir)["orders"]
+    bucket = F.col("o_custkey") % 7
+    return o.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_label"
+        ),
+        # try_divide returns NULL on /0 — same semantics as the oracle's CASE.
+        F.round(F.try_divide(F.col("o_totalprice"), bucket), 2).alias("per_bucket"),
+    )
+
+
+@query(
+    "q_cast",
+    oracle="""
+SELECT l_orderkey,
+       CAST(trunc(l_quantity) AS INTEGER) AS qty_int,
+       CAST(l_linenumber AS VARCHAR) AS line_str,
+       CAST(l_returnflag = 'R' AS BOOLEAN) AS returned,
+       TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+       CAST(l_extendedprice AS BIGINT) - CAST(trunc(l_extendedprice) AS BIGINT) AS cast_diff_probe,
+       epoch_us(CAST(l_shipdate AS DATE)) / 86400000000 AS ship_epoch_day
+FROM lineitem
+WHERE l_orderkey < 100
+""",
+)
+def q_cast(spark, sf_dir):
+    # Cross-engine cast gotcha: DuckDB double→int ROUNDS, Spark TRUNCATES —
+    # both sides go through trunc() so the semantics under test are explicit.
+    # (cast_diff_probe documents DuckDB's rounding: nonzero when frac ≥ .5 —
+    # oracle-compensated by comparing to Spark's floor+round reconstruction.)
+    l = load_tables(spark, sf_dir)["lineitem"]
+    return l.filter(F.col("l_orderkey") < 100).select(
+        "l_orderkey",
+        F.expr("CAST(trunc(l_quantity) AS INT)").alias("qty_int"),
+        F.col("l_linenumber").cast("string").alias("line_str"),
+        (F.col("l_returnflag") == "R").alias("returned"),
+        F.try_cast("l_returnflag", "int").alias("flag_as_int"),
+        (F.round("l_extendedprice", 0).cast("long") - F.expr("CAST(trunc(l_extendedprice) AS BIGINT)")).alias(
+            "cast_diff_probe"
+        ),
+        (F.unix_micros(F.col("l_shipdate").cast("date").cast("timestamp")) / F.lit(86400000000))
+        .alias("ship_epoch_day"),
+    )
