@@ -1,0 +1,107 @@
+"""Text operators: tokenization, MinHash, SimHash, fingerprinting.
+
+Shared by the §2.9 LLM-pipeline queries. Everything is built-in expressions
+(JVM-side); hashes are md5-based because md5 is bit-identical across engines
+(SURVEY.md §2.13.7) — which makes every signature portable to the DuckDB
+oracle, unlike xxhash64/murmur.
+
+Scale posture: tokenize → explode → hash-partition by token or doc; MinHash
+is one groupBy with K min() aggregates (map-side partial min makes the
+shuffle tiny); LSH banding turns the O(n²) near-dup pair search into an
+equi-join on band keys.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """Whitespace tokenizer with empty-token guard (both engines identical)."""
+    return F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+
+
+def tokenize(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per (doc, token occurrence)."""
+    return df.select(id_col, F.explode(tokens_col(text_col)).alias("token"))
+
+
+def tokenize_distinct(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per (doc, distinct token) — the MinHash/Jaccard input."""
+    return df.select(id_col, F.explode(F.array_distinct(tokens_col(text_col))).alias("token"))
+
+
+def minhash_signatures(
+    tok: DataFrame, num_hashes: int, id_col: str = "doc_id", token_col: str = "token"
+) -> DataFrame:
+    """K portable MinHashes per doc: mh_i = min(md5(token || ':' || i)).
+
+    Deterministic, engine-portable (md5), and a single hash-aggregate:
+    the shuffle carries K strings per doc, independent of doc length.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.col(token_col), F.lit(f":{i}")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return tok.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, num_hashes: int, rows_per_band: int, id_col: str = "doc_id") -> DataFrame:
+    """Band the signature: band_key = md5(concat of r consecutive hashes).
+    Docs sharing any band key are near-dup candidates (equi-join, no O(n²))."""
+    assert num_hashes % rows_per_band == 0
+    bands = []
+    for b in range(num_hashes // rows_per_band):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(F.md5(F.concat_ws("|", *cols)))
+    return sig.select(
+        id_col,
+        F.posexplode(F.array(*bands)).alias("band_id", "band_key"),
+    )
+
+
+# 16 SimHash dimensions: the high bit of each hex nibble of md5(token).
+_HEX = "0123456789abcdef"
+
+
+def simhash16(tok: DataFrame, id_col: str = "doc_id", token_col: str = "token") -> DataFrame:
+    """16-bit SimHash from distinct tokens — portable bit extraction via
+    md5 hex nibbles (no engine-specific int<->hex casts).
+
+    Per dimension i: weight +1 if nibble_i(md5(tok)) >= 8 else -1; sum over
+    tokens; fingerprint bit i set iff the sum is positive.
+    """
+    h = tok.select(id_col, F.md5(F.col(token_col)).alias("h"))
+    bits = h.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("i"),
+        F.col("h"),
+    ).select(
+        id_col,
+        "i",
+        F.when(
+            F.expr(f"instr('{_HEX}', substring(h, i + 1, 1)) - 1 >= 8"), F.lit(1)
+        ).otherwise(F.lit(-1)).alias("w"),
+    )
+    sums = bits.groupBy(id_col, "i").agg(F.sum("w").alias("s"))
+    return sums.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("i")).cast("long")).otherwise(F.lit(0))
+        ).cast("long").alias("simhash")
+    )
+
+
+def rolling_fingerprint(text_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Polynomial rolling hash over the token stream, mod 1e9+7.
+
+    step value per token: length(w)*7 + ascii(first char); acc = (acc*31 +
+    step) % p. Pure integer fold — bit-identical across engines.
+    """
+    toks = tokens_col()
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * 31 + F.length(w) * 7 + F.ascii(F.substring(w, 1, 1))) % 1000000007,
+    )
+    return text_df.select(id_col, fp.alias("fingerprint"))

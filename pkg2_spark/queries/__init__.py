@@ -5,7 +5,9 @@ the @query decorator at import time.
 """
 
 from pkg2_spark.queries import aggregates  # noqa: F401
+from pkg2_spark.queries import functions  # noqa: F401
 from pkg2_spark.queries import joins  # noqa: F401
+from pkg2_spark.queries import llm  # noqa: F401
 from pkg2_spark.queries import relational  # noqa: F401
 from pkg2_spark.queries import sorts_sets  # noqa: F401
 from pkg2_spark.queries import windows  # noqa: F401

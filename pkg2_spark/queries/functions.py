@@ -1,0 +1,295 @@
+"""SURVEY.md §2.8 — scalar function surface, one query per family.
+
+Each query projects a family of functions over a bounded deterministic slice.
+Dialect divergences are compensated in the ORACLE side (the Spark side stays
+idiomatic) and documented inline:
+- DuckDB lacks initcap/width_bucket/crc32/overlay → emulated or omitted.
+- DuckDB regexp_replace replaces FIRST match unless flag 'g'; Spark replaces all.
+- DuckDB ceil/mod return DECIMAL → cast to BIGINT/DOUBLE.
+- DuckDB date_trunc('month') returns DATE (Spark: TIMESTAMP) → cast.
+- dayofweek numbering: Spark 1=Sunday, DuckDB 0=Sunday → +1.
+- Timestamps emitted as unix_micros/epoch_us, never strings (§2.13.2).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pkg2_spark.catalog import load_tables
+from pkg2_spark.registry import query
+
+
+@query(
+    "q_fn_string",
+    oracle="""
+SELECT doc_id,
+       substring(text, 1, 5) AS sub5,
+       upper(substring(text, 1, 10)) AS up10,
+       upper(substring(split_part(text, ' ', 1), 1, 1)) || substring(split_part(text, ' ', 1), 2) AS cap_first,
+       CAST(length(text) AS INTEGER) AS tlen,
+       lpad(lang, 5, '_') AS lang_pad,
+       rpad(source, 8, '.') AS src_pad,
+       replace(substring(text, 1, 20), ' ', '_') AS repl,
+       CAST(levenshtein(lang, source) AS INTEGER) AS lev,
+       regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+       regexp_replace(substring(text, 1, 30), '[aeiou]', '*', 'g') AS devoweled,
+       reverse(lang) AS lang_rev,
+       CAST(instr(text, 'a') AS BIGINT) AS first_a,
+       split_part(text, ' ', 2) AS second_word,
+       translate(lang, 'aeiou', 'AEIOU') AS lang_tr,
+       concat_ws('-', lang, source) AS lang_src,
+       CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS first_ord,
+       trim(concat(' ', lang, ' ')) AS trimmed
+FROM documents
+WHERE doc_id < 100
+""",
+)
+def q_fn_string(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    first_tok = F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+    return d.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.substring("text", 1, 5).alias("sub5"),
+        F.upper(F.substring("text", 1, 10)).alias("up10"),
+        # initcap equivalent on one token (DuckDB has no initcap)
+        F.concat(F.upper(F.substring(first_tok, 1, 1)), F.expr("substring(split_part(text, ' ', 1), 2)")).alias("cap_first"),
+        F.length("text").alias("tlen"),
+        F.lpad("lang", 5, "_").alias("lang_pad"),
+        F.rpad("source", 8, ".").alias("src_pad"),
+        F.replace(F.substring("text", 1, 20), F.lit(" "), F.lit("_")).alias("repl"),
+        F.levenshtein("lang", "source").alias("lev"),
+        F.regexp_extract("text", "^([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace(F.substring("text", 1, 30), "[aeiou]", "*").alias("devoweled"),
+        F.reverse("lang").alias("lang_rev"),
+        F.instr("text", "a").cast("long").alias("first_a"),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.translate("lang", "aeiou", "AEIOU").alias("lang_tr"),
+        F.concat_ws("-", "lang", "source").alias("lang_src"),
+        F.ascii(F.substring("text", 1, 1)).alias("first_ord"),
+        F.trim(F.concat(F.lit(" "), F.col("lang"), F.lit(" "))).alias("trimmed"),
+    )
+
+
+@query(
+    "q_fn_date",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INTEGER) AS y,
+       CAST(month(o_orderdate) AS INTEGER) AS m,
+       CAST(day(o_orderdate) AS INTEGER) AS d,
+       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+       epoch_us(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)) AS month_start_us,
+       epoch_us(o_orderdate + INTERVAL 30 DAY) AS plus30_us,
+       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95,
+       epoch_us(CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)) AS month_end_us,
+       CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow,
+       CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS doy
+FROM orders
+WHERE o_orderkey < 500
+""",
+)
+def q_fn_date(spark, sf_dir):
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        F.unix_micros(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start_us"),
+        # ts + interval yields TIMESTAMP_NTZ in Spark 4 — cast back before unix_micros
+        F.unix_micros((F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).cast("timestamp")).alias("plus30_us"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias("days_since_95"),
+        F.unix_micros(F.last_day("o_orderdate").cast("timestamp")).alias("month_end_us"),
+        # Spark dayofweek: 1=Sunday; DuckDB: 0=Sunday (oracle compensates +1)
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+    )
+
+
+@query(
+    "q_fn_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(abs(l_quantity - 25), 2) AS dist25,
+       CAST(ceil(l_extendedprice / 100) AS BIGINT) AS price_ceil,
+       CAST(floor(l_extendedprice / 100) AS BIGINT) AS price_floor,
+       round(sqrt(l_extendedprice), 6) AS price_sqrt,
+       round(exp(l_discount), 6) AS disc_exp,
+       round(ln(l_extendedprice), 6) AS price_ln,
+       round(log10(l_extendedprice), 6) AS price_log10,
+       round(pow(l_quantity, 2), 2) AS qty_sq,
+       CAST(mod(CAST(l_quantity AS BIGINT), 7) AS BIGINT) AS qty_mod7,
+       CAST(sign(l_quantity - 25) AS INTEGER) AS qty_sign,
+       round(greatest(l_quantity, l_discount * 100, 10.0), 2) AS g,
+       round(least(l_quantity, l_tax * 100), 2) AS l,
+       CAST(CASE WHEN l_quantity < 0 THEN 0
+                 WHEN l_quantity >= 60 THEN 13
+                 ELSE floor(l_quantity / 5.0) + 1 END AS BIGINT) AS qty_bucket
+FROM lineitem
+WHERE l_orderkey < 300
+""",
+)
+def q_fn_math(spark, sf_dir):
+    l = load_tables(spark, sf_dir)["lineitem"]
+    return l.filter(F.col("l_orderkey") < 300).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_quantity") - 25), 2).alias("dist25"),
+        F.ceil(F.col("l_extendedprice") / 100).alias("price_ceil"),
+        F.floor(F.col("l_extendedprice") / 100).alias("price_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod7"),
+        F.signum(F.col("l_quantity") - 25).cast("int").alias("qty_sign"),
+        F.round(F.greatest("l_quantity", F.col("l_discount") * 100, F.lit(10.0)), 2).alias("g"),
+        F.round(F.least("l_quantity", F.col("l_tax") * 100), 2).alias("l"),
+        # width_bucket(qty, 0, 60, 12) — DuckDB lacks width_bucket; oracle
+        # spells the same bucketing arithmetic.
+        F.width_bucket(F.col("l_quantity"), F.lit(0.0), F.lit(60.0), F.lit(12)).alias("qty_bucket"),
+    )
+
+
+@query(
+    "q_fn_hash",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS text_md5,
+       sha256(text) AS text_sha256,
+       md5(concat(lang, ':', text)) AS keyed_md5,
+       substring(md5(text), 1, 8) AS md5_prefix
+FROM documents
+WHERE doc_id < 100
+""",
+)
+def q_fn_hash(spark, sf_dir):
+    # md5/sha256 are bit-identical across engines (portable content hashing —
+    # the basis of exact dedup and MinHash). xxhash64 is engine-specific and
+    # never appears in checked output (§2.13.7).
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.md5(F.concat(F.col("lang"), F.lit(":"), F.col("text"))).alias("keyed_md5"),
+        F.substring(F.md5("text"), 1, 8).alias("md5_prefix"),
+    )
+
+
+@query(
+    "q_fn_array",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+       CAST(len(tokens) AS INTEGER) AS n_tok,
+       tokens[1:3] AS first3,
+       list_contains(tokens, 'data') AS has_data,
+       CAST(len(list_distinct(tokens)) AS INTEGER) AS n_uniq,
+       list_sort(tokens)[1] AS first_sorted,
+       CAST(list_sum(list_transform(tokens, x -> length(x))) AS BIGINT) AS total_len,
+       CAST(len(list_filter(tokens, x -> length(x) > 5)) AS INTEGER) AS n_long,
+       flatten([tokens[1:2], tokens[3:4]]) AS first4,
+       list_transform([1, 2, 3], x -> CAST(x * 10 AS BIGINT)) AS tens
+FROM t
+""",
+)
+def q_fn_array(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    t = d.filter(F.col("doc_id") < 100).select("doc_id", toks.alias("tokens"))
+    return t.select(
+        "doc_id",
+        F.size("tokens").alias("n_tok"),
+        F.slice("tokens", 1, 3).alias("first3"),
+        F.array_contains("tokens", "data").alias("has_data"),
+        F.size(F.array_distinct("tokens")).alias("n_uniq"),
+        F.element_at(F.array_sort("tokens"), 1).alias("first_sorted"),
+        F.aggregate(
+            "tokens", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("total_len"),
+        F.size(F.filter("tokens", lambda x: F.length(x) > 5)).alias("n_long"),
+        F.flatten(F.array(F.slice("tokens", 1, 2), F.slice("tokens", 3, 2))).alias("first4"),
+        F.transform(F.sequence(F.lit(1), F.lit(3)), lambda x: (x * 10).cast("long")).alias("tens"),
+    )
+
+
+@query(
+    "q_fn_posexplode",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tokens
+  FROM documents WHERE doc_id < 20
+)
+, ex AS (
+  SELECT doc_id,
+         unnest(list_transform(tokens,
+                (x, i) -> struct_pack(pos := CAST(i - 1 AS INTEGER), tok := x))) AS u
+  FROM t
+)
+SELECT doc_id, u.pos AS pos, u.tok AS tok FROM ex
+""",
+)
+def q_fn_posexplode(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    return (
+        d.filter(F.col("doc_id") < 20)
+        .select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    )
+
+
+@query(
+    "q_fn_map_struct",
+    oracle="""
+SELECT doc_id,
+       struct_pack(lang := lang, n := n_chars).lang AS s_lang,
+       CAST(struct_pack(lang := lang, n := n_chars).n AS BIGINT) AS s_n,
+       map_extract(MAP {'lang': lang, 'src': source}, 'src')[1] AS m_src,
+       list_sort(map_keys(MAP {'lang': lang, 'src': source})) AS m_keys,
+       to_json(struct_pack(lang := lang, n := n_chars)) AS st_json
+FROM documents
+WHERE doc_id < 100
+""",
+)
+def q_fn_map_struct(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    st = F.named_struct(F.lit("lang"), F.col("lang"), F.lit("n"), F.col("n_chars"))
+    mp = F.map_from_arrays(
+        F.array(F.lit("lang"), F.lit("src")), F.array(F.col("lang"), F.col("source"))
+    )
+    return d.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        st.getField("lang").alias("s_lang"),
+        st.getField("n").alias("s_n"),
+        F.element_at(mp, F.lit("src")).alias("m_src"),
+        F.array_sort(F.map_keys(mp)).alias("m_keys"),
+        F.to_json(st).alias("st_json"),
+    )
+
+
+@query(
+    "q_fn_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       json_extract_string(props, '$.missing') IS NULL AS missing_is_null,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k_doubled
+FROM events
+WHERE event_id < 2000
+""",
+)
+def q_fn_json(spark, sf_dir):
+    e = load_tables(spark, sf_dir)["events"]
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.filter(F.col("event_id") < 2000).select(
+        "event_id",
+        k.alias("k"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+        (F.from_json("props", "k INT").getField("k") * 2).alias("k_doubled"),
+    )

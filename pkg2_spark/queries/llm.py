@@ -1,0 +1,650 @@
+"""SURVEY.md §2.9 — LLM-data-pipeline operators (required by BASELINE.json:6).
+
+Dedup (exact / MinHash+LSH / SimHash / Jaccard / embedding), similarity
+search (brute-force + IVF), text analysis (tokens, TF-IDF, n-grams, language
+ID, quality scoring, fingerprinting). All are shuffle-friendly DataFrame
+pipelines over built-in expressions — nothing materializes per-node state
+that grows with corpus size, so every operator survives a 100 TB corpus:
+
+- exact dedup / MinHash: one hash-aggregate per doc (map-side combine).
+- LSH banding: pair discovery via equi-join on band keys — O(candidates),
+  never O(n²).
+- brute-force ANN: probes × corpus linear scan (the correctness baseline);
+  IVF variant prunes to one centroid cell per probe.
+- TF-IDF / language-ID: token explode → hash partition by token; the heavy
+  join is token-keyed, the doc-count side is a broadcast scalar.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from pkg2_spark.catalog import load_tables
+from pkg2_spark.operators.similarity import cosine4, knn_bruteforce
+from pkg2_spark.operators.text import (
+    lsh_bands,
+    minhash_signatures,
+    rolling_fingerprint,
+    simhash16,
+    tokenize,
+    tokenize_distinct,
+    tokens_col,
+)
+from pkg2_spark.registry import query
+
+_K = 8  # MinHash signature length
+_BANDS_R = 4  # rows per LSH band (b=2, r=4: the synthetic corpus has a tiny
+# vocabulary, so looser bands collide on nearly every pair)
+
+_TOK_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+@query(
+    "q_llm_dedup_exact",
+    oracle="""
+SELECT md5(lower(trim(text))) AS content_hash,
+       min(doc_id) AS keeper_doc,
+       count(*) AS n_copies
+FROM documents
+GROUP BY content_hash
+""",
+)
+def q_llm_dedup_exact(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        d.select(F.md5(F.lower(F.trim(F.col("text")))).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _minhash_oracle() -> str:
+    mh = ",\n  ".join(
+        f"min(md5(token || ':{i}')) AS mh{i}" for i in range(_K)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOK_SQL})) AS token
+  FROM documents
+)
+SELECT doc_id,
+  {mh}
+FROM tok
+GROUP BY doc_id
+"""
+
+
+@query("q_llm_minhash", oracle=_minhash_oracle())
+def q_llm_minhash(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    return minhash_signatures(tokenize_distinct(d), _K)
+
+
+def _bands_cte() -> str:
+    band_exprs = ", ".join(
+        "md5({})".format(
+            " || '|' || ".join(f"mh{b * _BANDS_R + r}" for r in range(_BANDS_R))
+        )
+        for b in range(_K // _BANDS_R)
+    )
+    return f"""
+sig AS ({_minhash_oracle().strip()}),
+bands AS (
+  SELECT doc_id, u.band_id, u.band_key FROM (
+    SELECT doc_id,
+           unnest(list_transform([{band_exprs}],
+                  (x, i) -> struct_pack(band_id := CAST(i - 1 AS INTEGER), band_key := x))) AS u
+    FROM sig
+  )
+)"""
+
+
+@query(
+    "q_llm_neardup_pairs",
+    oracle=f"""
+WITH {_bands_cte()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, count(*) AS n_candidates, min(doc_b) AS min_cand, max(doc_b) AS max_cand
+FROM pairs GROUP BY doc_a
+""",
+)
+def q_llm_neardup_pairs(spark, sf_dir):
+    # LSH candidate discovery: docs sharing any (band_id, band_key) bucket.
+    # Output is the per-doc candidate degree (the raw pair set is quadratic
+    # on this tiny-vocab synthetic corpus; q_llm_jaccard emits raw pairs).
+    d = load_tables(spark, sf_dir)["documents"]
+    bands = lsh_bands(minhash_signatures(tokenize_distinct(d), _K), _K, _BANDS_R)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("band_id").alias("bid2"), F.col("band_key").alias("bkey2"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("band_id") == F.col("bid2"))
+            & (F.col("band_key") == F.col("bkey2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return pairs.groupBy("doc_a").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.min("doc_b").alias("min_cand"),
+        F.max("doc_b").alias("max_cand"),
+    )
+
+
+@query(
+    "q_llm_cossim",
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.3
+""",
+)
+def q_llm_cossim(spark, sf_dir):
+    # Label-banded pair space (coarse blocking) → cosine in double precision.
+    e = load_tables(spark, sf_dir)["embeddings"]
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+    return (
+        pairs.select("id_a", "id_b", cosine4(F.col("ea"), F.col("eb")).alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+    )
+
+
+@query(
+    "q_llm_knn",
+    oracle="""
+WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT probe_id, vec_id,
+         round(list_cosine_similarity(CAST(pe AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])), 4) AS cos
+  FROM probes CROSS JOIN embeddings
+  WHERE vec_id <> probe_id
+)
+SELECT probe_id, vec_id, cos, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY probe_id ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS LAST
+  ) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def q_llm_knn(spark, sf_dir):
+    e = load_tables(spark, sf_dir)["embeddings"]
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_embedding")
+    )
+    return knn_bruteforce(e.select("vec_id", "embedding"), probes, k=5)
+
+
+@query(
+    "q_llm_tokens",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS token FROM documents)
+SELECT token, count(*) AS tf, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM tok
+GROUP BY token
+HAVING count(*) >= 5
+""",
+)
+def q_llm_tokens(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        tokenize(d)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("tf") >= 5)
+    )
+
+
+@query(
+    "q_llm_tfidf",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf, df.df,
+       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n
+WHERE tf.doc_id < 50
+""",
+)
+def q_llm_tfidf(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = tokenize(d)
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.filter(F.col("doc_id") < 50)
+        .join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "q_llm_ngrams",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOK_SQL} AS toks FROM documents WHERE doc_id < 50
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)] || ' ' || toks[CAST(i + 2 AS INTEGER)])) AS ngram
+  FROM t WHERE len(toks) >= 3
+)
+SELECT ngram, count(*) AS n FROM g GROUP BY ngram
+""",
+)
+def q_llm_ngrams(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = tokens_col()
+    t = d.filter(F.col("doc_id") < 50).select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
+        ),
+    )
+    return (
+        t.select(F.explode(tri).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_llm_langstats",
+    oracle="""
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(n_chars), 4) AS avg_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY lang, source
+""",
+)
+def q_llm_langstats(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "on", "for"]
+
+
+@query(
+    "q_llm_quality",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, n_chars, {_TOK_SQL} AS toks
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks), 4) AS avg_tok_len,
+       round(CAST(list_sum(list_transform(toks,
+             x -> CASE WHEN x IN ({", ".join(repr(s) for s in _STOPWORDS)}) THEN 1 ELSE 0 END)) AS DOUBLE)
+             / len(toks), 4) AS stopword_ratio,
+       round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / n_chars, 4) AS alpha_ratio,
+       (len(toks) BETWEEN 5 AND 1000) AND
+         (CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / n_chars > 0.5) AS passes
+FROM t
+""",
+)
+def q_llm_quality(spark, sf_dir):
+    # Heuristic quality scoring: token stats, stopword ratio, character-class
+    # ratio, and a pass/fail gate — the standard pretraining-corpus filters.
+    d = load_tables(spark, sf_dir)["documents"]
+    t = d.filter(F.col("doc_id") < 200).select(
+        "doc_id", "text", "n_chars", tokens_col().alias("toks")
+    )
+    tok_lens = F.aggregate(
+        F.transform("toks", lambda x: F.length(x).cast("long")), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    n_stop = F.aggregate(
+        F.transform("toks", lambda x: F.when(x.isin(_STOPWORDS), 1).otherwise(0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    alpha = F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double") / F.col("n_chars")
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.round(tok_lens.cast("double") / F.size("toks"), 4).alias("avg_tok_len"),
+        F.round(n_stop.cast("double") / F.size("toks"), 4).alias("stopword_ratio"),
+        F.round(alpha, 4).alias("alpha_ratio"),
+        (F.size("toks").between(5, 1000) & (alpha > 0.5)).alias("passes"),
+    )
+
+
+@query(
+    "q_llm_embed_col",
+    oracle="""
+SELECT d.doc_id, d.lang, e.label,
+       CAST(len(e.embedding) AS INTEGER) AS dim,
+       round(sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                     CAST(e.embedding AS DOUBLE[]))), 4) AS l2_norm
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+)
+def q_llm_embed_col(spark, sf_dir):
+    # "Multimodal column" pattern: attach a vector column to a text table and
+    # compute over it with higher-order functions — no Python in the path.
+    from pkg2_spark.operators.similarity import norm
+
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .join(t["embeddings"], F.col("doc_id") == F.col("vec_id"))
+        .select(
+            "doc_id",
+            "lang",
+            "label",
+            F.size("embedding").alias("dim"),
+            F.round(norm(F.col("embedding")), 4).alias("l2_norm"),
+        )
+    )
+
+
+@query(
+    "q_llm_simhash",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOK_SQL})) AS token FROM documents
+),
+h AS (SELECT doc_id, md5(token) AS h FROM tok),
+bits AS (
+  SELECT doc_id, g.i,
+         CASE WHEN instr('0123456789abcdef', substring(h, g.i + 1, 1)) - 1 >= 8
+              THEN 1 ELSE -1 END AS w
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
+),
+s AS (SELECT doc_id, i, CAST(sum(w) AS BIGINT) AS s FROM bits GROUP BY doc_id, i)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM s GROUP BY doc_id
+""",
+)
+def q_llm_simhash(spark, sf_dir):
+    d = load_tables(spark, sf_dir)["documents"]
+    return simhash16(tokenize_distinct(d))
+
+
+@query(
+    "q_llm_jaccard",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, list_distinct({_TOK_SQL}) AS toks FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS INTEGER) AS n_common,
+       round(CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+             / (len(a.toks) + len(b.toks) - len(list_filter(a.toks, x -> list_contains(b.toks, x)))), 4) AS jaccard
+FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_filter(a.toks, x -> list_contains(b.toks, x))) > 0
+""",
+)
+def q_llm_jaccard(spark, sf_dir):
+    # Token-set Jaccard over source-blocked pairs (blocking keeps the pair
+    # space linear per block; full-corpus pairing at scale goes through LSH).
+    d = load_tables(spark, sf_dir)["documents"]
+    t = d.select("doc_id", "source", F.array_distinct(tokens_col()).alias("toks"))
+    a = t.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"), F.col("toks").alias("ta"))
+    b = t.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    uni = F.size("ta") + F.size("tb") - inter
+    return (
+        a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_common"),
+            F.round(inter.cast("double") / uni, 4).alias("jaccard"),
+        )
+        .filter(F.col("n_common") > 0)
+    )
+
+
+@query(
+    "q_llm_embed_neardup",
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY cos DESC NULLS LAST, id_a ASC NULLS LAST, id_b ASC NULLS LAST
+LIMIT 50
+""",
+)
+def q_llm_embed_neardup(spark, sf_dir):
+    # Brute-force near-dup baseline: top-50 most similar pairs overall.
+    # TakeOrderedAndProject keeps it a per-partition top-k, no global sort.
+    e = load_tables(spark, sf_dir)["embeddings"]
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine4(F.col("ea"), F.col("eb")).alias("cos"))
+        .orderBy(
+            F.col("cos").desc_nulls_last(),
+            F.col("id_a").asc_nulls_last(),
+            F.col("id_b").asc_nulls_last(),
+        )
+        .limit(50)
+    )
+
+
+@query(
+    "q_llm_ann_ivf",
+    oracle="""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % 50 = 0
+),
+assign AS (
+  SELECT vec_id, embedding, cid,
+         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                      CAST(cemb AS DOUBLE[])), 4) AS ccos
+  FROM embeddings CROSS JOIN cent
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY ccos DESC NULLS LAST, cid ASC NULLS LAST
+  ) = 1
+),
+probes AS (
+  SELECT vec_id AS probe_id, embedding AS pe, cid AS pcid FROM assign WHERE vec_id < 5
+)
+SELECT probe_id, pcid AS cell, vec_id,
+       round(list_cosine_similarity(CAST(pe AS DOUBLE[]),
+                                    CAST(embedding AS DOUBLE[])), 4) AS cos
+FROM probes JOIN assign ON assign.cid = probes.pcid AND assign.vec_id <> probes.probe_id
+QUALIFY row_number() OVER (
+  PARTITION BY probe_id ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS LAST
+) <= 5
+""",
+)
+def q_llm_ann_ivf(spark, sf_dir):
+    """IVF-style ANN: coarse-quantize to deterministic centroids (vec_id %
+    50 == 0), search only the probe's cell. The scale path for similarity
+    search: candidate set shrinks by the centroid fan-out and the ranking
+    join is centroid-keyed, not a cross join."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    cent = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        cosine4(F.col("embedding"), F.col("cemb")).alias("ccos"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc_nulls_last(), F.col("cid").asc_nulls_last()
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    probes = assign.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), F.col("cid").alias("pcid")
+    )
+    cands = probes.join(
+        assign, (F.col("cid") == F.col("pcid")) & (F.col("vec_id") != F.col("probe_id"))
+    ).select(
+        "probe_id",
+        F.col("pcid").alias("cell"),
+        "vec_id",
+        cosine4(F.col("pe"), F.col("embedding")).alias("cos"),
+    )
+    w_rank = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("vec_id").asc_nulls_last()
+    )
+    return cands.withColumn("rn", F.row_number().over(w_rank)).filter(F.col("rn") <= 5).drop("rn")
+
+
+@query(
+    "q_llm_langid",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, lang, unnest({_TOK_SQL}) AS token FROM documents),
+lang_top AS (
+  SELECT lang AS cand_lang, token FROM (
+    SELECT lang, token, count(*) AS cnt,
+           row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC NULLS LAST, token ASC NULLS LAST) AS rn
+    FROM tok GROUP BY lang, token
+  ) WHERE rn <= 5
+),
+doc_tok AS (SELECT DISTINCT doc_id, token FROM tok),
+scores AS (
+  SELECT doc_id, cand_lang, count(*) AS score
+  FROM doc_tok JOIN lang_top USING (token)
+  GROUP BY doc_id, cand_lang
+),
+best AS (
+  SELECT doc_id, cand_lang, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC NULLS LAST, cand_lang ASC NULLS LAST) AS rn
+    FROM scores
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, d.lang, coalesce(best.cand_lang, 'unknown') AS predicted,
+       coalesce(best.score, 0) AS score,
+       coalesce(best.cand_lang, 'unknown') = d.lang AS correct
+FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id
+""",
+)
+def q_llm_langid(spark, sf_dir):
+    """Corpus-trained language ID: top-5 most frequent tokens per language
+    are the markers; a doc is classified by which language's markers it
+    overlaps most. Deterministic ties (score desc, lang asc)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.select("doc_id", "lang", F.explode(tokens_col()).alias("token"))
+    w_top = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc_nulls_last(), F.col("token").asc_nulls_last()
+    )
+    lang_top = (
+        tok.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 5)
+        .select(F.col("lang").alias("cand_lang"), "token")
+    )
+    doc_tok = tok.select("doc_id", "token").distinct()
+    scores = (
+        doc_tok.join(F.broadcast(lang_top), "token")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc_nulls_last(), F.col("cand_lang").asc_nulls_last()
+    )
+    best = scores.withColumn("rn", F.row_number().over(w_best)).filter(F.col("rn") == 1)
+    return (
+        d.select("doc_id", "lang")
+        .join(best.select("doc_id", "cand_lang", "score"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("cand_lang"), F.lit("unknown")).alias("predicted"),
+            F.coalesce(F.col("score"), F.lit(0)).alias("score"),
+            (F.coalesce(F.col("cand_lang"), F.lit("unknown")) == F.col("lang")).alias("correct"),
+        )
+    )
+
+
+@query(
+    "q_llm_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_ish,
+       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_ws,
+       round(CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE)
+             / len(list_filter(string_split(text, ' '), x -> x <> '')), 4) AS ratio
+FROM documents
+WHERE doc_id < 200
+""",
+)
+def q_llm_token_count(spark, sf_dir):
+    # Two tokenizers: whitespace and a BPE-ish regex (letter runs / digit
+    # runs / single punctuation) — the standard pre-tokenization split.
+    d = load_tables(spark, sf_dir)["documents"]
+    bpe = F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    return d.filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_ish"),
+        F.size(ws).alias("n_ws"),
+        F.round(F.size(bpe).cast("double") / F.size(ws), 4).alias("ratio"),
+    )
+
+
+@query(
+    "q_llm_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       list_reduce(
+         [CAST(0 AS BIGINT)] || list_transform({_TOK_SQL},
+             w -> CAST(length(w) * 7 + ascii(substring(w, 1, 1)) AS BIGINT)),
+         (a, b) -> (a * 31 + b) % 1000000007
+       ) AS fingerprint
+FROM documents
+""",
+)
+def q_llm_fingerprint(spark, sf_dir):
+    # Rolling polynomial hash over the token stream — content fingerprint
+    # stable under whitespace normalization; pure integer fold, bit-identical
+    # across engines.
+    d = load_tables(spark, sf_dir)["documents"]
+    return rolling_fingerprint(d)
