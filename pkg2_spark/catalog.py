@@ -52,6 +52,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Integer DIV is load-bearing: float division corrupts epoch-nanos
         # beyond double's 53-bit mantissa (SURVEY.md §1.3 [V]).
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    # Spark 4 infers parquet timestamp[ms] (isAdjustedToUTC=false) as
+    # TIMESTAMP_NTZ, which unix_micros & friends reject. Session TZ is pinned
+    # to UTC, so casting NTZ -> TIMESTAMP preserves the instant and matches
+    # DuckDB's naive-timestamp reading exactly.
+    for fname, ftype in df.dtypes:
+        if ftype == "timestamp_ntz":
+            df = df.withColumn(fname, F.col(fname).cast("timestamp"))
     return df
 
 

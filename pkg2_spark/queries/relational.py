@@ -437,7 +437,7 @@ SELECT o_orderkey,
             ELSE 'low' END AS tier,
        coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_label,
        CASE WHEN o_custkey % 7 = 0 THEN NULL
-            ELSE round(o_totalprice / (o_custkey % 7), 2) END AS per_bucket
+            ELSE round(o_totalprice / (o_custkey % 7), 4) END AS per_bucket
 FROM orders
 WHERE o_orderkey < 500
 """,
@@ -455,7 +455,9 @@ def q_case_when(spark, sf_dir):
             "status_label"
         ),
         # try_divide returns NULL on /0 — same semantics as the oracle's CASE.
-        F.round(F.try_divide(F.col("o_totalprice"), bucket), 2).alias("per_bucket"),
+        # round at 4dp, not 2: price/2 has exactly 3 decimals, so 2dp rounding
+        # hits the cross-engine repr-boundary divergence (see q_proj_expr).
+        F.round(F.try_divide(F.col("o_totalprice"), bucket), 4).alias("per_bucket"),
     )
 
 
@@ -467,7 +469,7 @@ SELECT l_orderkey,
        CAST(l_linenumber AS VARCHAR) AS line_str,
        CAST(l_returnflag = 'R' AS BOOLEAN) AS returned,
        TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
-       CAST(l_extendedprice AS BIGINT) - CAST(trunc(l_extendedprice) AS BIGINT) AS cast_diff_probe,
+       CAST(floor(l_extendedprice + 0.5) AS BIGINT) - CAST(floor(l_extendedprice) AS BIGINT) AS cast_diff_probe,
        epoch_us(CAST(l_shipdate AS DATE)) / 86400000000 AS ship_epoch_day
 FROM lineitem
 WHERE l_orderkey < 100
@@ -481,11 +483,16 @@ def q_cast(spark, sf_dir):
     l = load_tables(spark, sf_dir)["lineitem"]
     return l.filter(F.col("l_orderkey") < 100).select(
         "l_orderkey",
-        F.expr("CAST(trunc(l_quantity) AS INT)").alias("qty_int"),
+        # Spark cast double->int truncates toward zero (DuckDB CAST rounds —
+        # oracle spells trunc explicitly); values are positive here.
+        F.col("l_quantity").cast("int").alias("qty_int"),
         F.col("l_linenumber").cast("string").alias("line_str"),
         (F.col("l_returnflag") == "R").alias("returned"),
-        F.try_cast("l_returnflag", "int").alias("flag_as_int"),
-        (F.round("l_extendedprice", 0).cast("long") - F.expr("CAST(trunc(l_extendedprice) AS BIGINT)")).alias(
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        # floor(x+0.5)-floor(x): round-to-nearest indicator that is exact in
+        # both engines (plain round() ties diverge: Spark half-up on the repr,
+        # DuckDB CAST half-to-even on the binary).
+        (F.floor(F.col("l_extendedprice") + 0.5) - F.floor("l_extendedprice")).alias(
             "cast_diff_probe"
         ),
         (F.unix_micros(F.col("l_shipdate").cast("date").cast("timestamp")) / F.lit(86400000000))

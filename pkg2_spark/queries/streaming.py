@@ -1,0 +1,152 @@
+"""SURVEY.md §2.10 — streaming-shaped queries over the events table.
+
+Window semantics are pure functions of the event timestamp, so every query
+here is batch-checkable against DuckDB; q_stream_rt_tumble additionally runs
+through REAL Structured Streaming (readStream → window agg → memory sink)
+and must produce the batch answer — the batch/stream parity contract.
+
+Scale posture: tumbling/sliding aggs shuffle once on (window, key); session
+windows shuffle on user_id with per-key ordered state — exactly the shapes
+Structured Streaming incrementalizes with the state store at scale.
+Determinism: window bounds emitted as unix_micros, never strings (§2.13.2).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pkg2_spark.catalog import load_tables
+from pkg2_spark.registry import query
+
+_TUMBLE_ORACLE = """
+SELECT epoch_us(date_trunc('hour', ts)) AS win_us,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("q_stream_tumble", oracle=_TUMBLE_ORACLE)
+def q_stream_tumble(spark, sf_dir):
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query("q_stream_rt_tumble", oracle=_TUMBLE_ORACLE)
+def q_stream_rt_tumble(spark, sf_dir):
+    """The same tumbling aggregation through REAL Structured Streaming:
+    readStream file source → window agg → complete-mode memory sink
+    (availableNow). Must equal the batch/DuckDB answer exactly."""
+    from pkg2_spark.streaming.harness import events_stream, run_to_memory
+
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, "rt_tumble")
+
+
+@query(
+    "q_stream_slide",
+    oracle="""
+WITH b AS (
+  SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS tb, value FROM events
+),
+w AS (
+  SELECT unnest([tb, tb - INTERVAL 5 MINUTE]) AS win_start, value FROM b
+)
+SELECT epoch_us(win_start) AS win_us, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM w GROUP BY 1
+""",
+)
+def q_stream_slide(spark, sf_dir):
+    # 10-minute windows sliding every 5 — each event lands in exactly two
+    # windows; the oracle materializes the same two bucket starts per event.
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.unix_micros(F.col("w.start")).alias("win_us"), "n", "sum_value")
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC NULLS LAST)
+),
+i AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS LAST
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM o
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM i GROUP BY user_id, island
+""",
+)
+def q_stream_session(spark, sf_dir):
+    # session_window(gap=30min) per user; the oracle reproduces the gaps-and-
+    # islands semantics (session end = last event + gap, Spark's definition).
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+SELECT event_type, count(*) AS n, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+""",
+)
+def q_stream_dedup(spark, sf_dir):
+    # Inject duplicates (every 10th event twice), dedup by event_id, verify
+    # the original table comes back. Duplicate rows are bit-identical, so
+    # dropDuplicates' arbitrary pick is still deterministic.
+    e = load_tables(spark, sf_dir)["events"]
+    dups = e.filter(F.col("event_id") % 10 == 0)
+    return (
+        e.unionAll(dups)
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
+    )

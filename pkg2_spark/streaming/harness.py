@@ -1,0 +1,65 @@
+"""Streaming harness: run the events table through real Structured Streaming.
+
+The events parquet is replayed through ``readStream`` (file source) with the
+same nanos→µs shim as the batch catalog, so every batch-validated window
+query has a streaming twin. ``availableNow`` + complete-mode memory sink
+makes the result deterministic and equal to the batch answer — the
+batch/stream parity contract (SURVEY.md §2.10).
+
+Watermark/late-data behavior (append mode, multi-batch replay) is exercised
+in tests/test_streaming.py, where file arrival order is controlled.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pkg2_spark.queries.relational import IO_DIR
+from pkg2_spark.session import ensure_runtime_confs
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events table (file source, availableNow-ready).
+
+    The file-source needs a directory; the single events.parquet is linked
+    into a scratch dir. Schema is taken from the batch reader (ts arrives as
+    bigint nanos under the legacy flag) and shimmed identically to batch.
+    """
+    ensure_runtime_confs(spark)
+    src_dir = os.path.join(IO_DIR, "stream_src", os.path.basename(os.path.normpath(sf_dir)))
+    os.makedirs(src_dir, exist_ok=True)
+    dst = os.path.join(src_dir, "events.parquet")
+    if not os.path.exists(dst):
+        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), dst)
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    raw = spark.readStream.schema(schema).parquet(src_dir)
+    if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return raw
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Execute a streaming aggregation to completion into a memory sink and
+    return the materialized table. availableNow processes all existing files
+    then stops — deterministic replay."""
+    spark = stream_df.sparkSession
+    # Unique sink/checkpoint per run: memory sinks are session-global.
+    qname = f"{name}_{uuid.uuid4().hex[:8]}"
+    ckpt = os.path.join(IO_DIR, "checkpoints", qname)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(qname)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
