@@ -152,14 +152,18 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 )
 def q_llm_cossim(spark, sf_dir):
     # Label-banded pair space (coarse blocking) → cosine in double precision.
+    # Wide (unpacked-column) form: the dot product runs in whole-stage
+    # codegen instead of interpreted lambda HOFs — same summation order, so
+    # results are bit-identical to the fold form and to DuckDB's loop.
+    from pkg2_spark.operators.similarity import cosine_pairs_wide
+
     e = load_tables(spark, sf_dir)["embeddings"]
     a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
-    return (
-        pairs.select("id_a", "id_b", cosine4(F.col("ea"), F.col("eb")).alias("cos"))
-        .filter(F.col("cos") >= 0.3)
+    pairs = cosine_pairs_wide(
+        a, b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")), dim=64
     )
+    return pairs.select("id_a", "id_b", "cos").filter(F.col("cos") >= 0.3)
 
 
 @query(

@@ -1,0 +1,153 @@
+"""Unit + property tests for the custom operators (SURVEY.md §5.2.3-4).
+
+Hand-built 5-10 row frames with nulls/ties/empty edges and golden values;
+algebraic invariants that need no oracle.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from pkg2_spark.catalog import load_tables
+from pkg2_spark.operators.asof import asof_join
+from pkg2_spark.operators.multimodal import (
+    decode_fake,
+    decode_features,
+    with_binary_payload,
+)
+from pkg2_spark.operators.similarity import cosine4
+from pkg2_spark.operators.text import minhash_signatures, tokenize_distinct
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-01 10:00:00")),  # after two clicks
+                (1, _ts("2024-01-01 08:00:00")),  # exactly at a click ts (tie)
+                (1, _ts("2024-01-01 07:00:00")),  # before any click -> null
+                (2, _ts("2024-01-01 12:00:00")),  # key with no right rows
+            ],
+            "user_id long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-01 08:00:00"), 100),
+                (1, _ts("2024-01-01 09:30:00"), 200),
+                (1, _ts("2024-01-01 09:30:00"), 201),  # same-ts duplicate: max payload wins
+            ],
+            "user_id long, c_ts timestamp, click_id long",
+        )
+        return left, right
+
+    def test_semantics_ties_nomatch_and_row_preservation(self, spark):
+        left, right = self._frames(spark)
+        out = asof_join(
+            left, right, on="user_id", left_ts="ts", right_ts="c_ts",
+            payload={"click_id": "last_click"},
+        )
+        rows = {(r.user_id, r.ts.isoformat()): r.last_click for r in out.collect()}
+        # LEFT semantics: every left row survives exactly once
+        assert len(rows) == left.count()
+        # latest right <= left.ts
+        assert rows[(1, "2024-01-01T10:00:00")] == 201
+        # tie at equal ts counts (<=), and same-ts right dup resolves to max
+        assert rows[(1, "2024-01-01T08:00:00")] == 100
+        # no earlier right row -> null
+        assert rows[(1, "2024-01-01T07:00:00")] is None
+        # key absent from right -> null, row preserved
+        assert rows[(2, "2024-01-01T12:00:00")] is None
+
+
+class TestMinHash:
+    def test_invariant_under_token_order_and_duplication(self, spark):
+        base = "alpha beta gamma delta"
+        shuffled_dup = "delta gamma beta alpha alpha beta"  # same token SET
+        df = spark.createDataFrame(
+            [(1, base), (2, shuffled_dup)], "doc_id long, text string"
+        )
+        sig = minhash_signatures(tokenize_distinct(df), 4).collect()
+        by_id = {r.doc_id: tuple(r[f"mh{i}"] for i in range(4)) for r in sig}
+        assert by_id[1] == by_id[2]
+
+    def test_disjoint_docs_differ(self, spark):
+        df = spark.createDataFrame(
+            [(1, "aaa bbb ccc"), (2, "xxx yyy zzz")], "doc_id long, text string"
+        )
+        sig = minhash_signatures(tokenize_distinct(df), 4).collect()
+        by_id = {r.doc_id: tuple(r[f"mh{i}"] for i in range(4)) for r in sig}
+        assert by_id[1] != by_id[2]
+
+
+class TestCosine:
+    def test_golden_values(self, spark):
+        df = spark.createDataFrame(
+            [([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [2.0, 4.0]), ([1.0, 0.0], [-1.0, 0.0])],
+            "a array<float>, b array<float>",
+        )
+        got = [r.c for r in df.select(cosine4(F.col("a"), F.col("b")).alias("c")).collect()]
+        assert got == [0.0, 1.0, -1.0]
+
+
+class TestMultimodal:
+    def test_decode_stub_schema_and_determinism(self, spark):
+        docs = spark.createDataFrame([(7, "hello world")], "doc_id long, text string")
+        out = decode_features(with_binary_payload(docs)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.n_bytes == 16  # md5 payload
+        assert 0 <= r.b0 <= 255 and 0 <= r.b1 <= 255
+        assert r.luma == (r.b0 + r.b1) / 2.0
+        # pure-python stub agrees with the Spark path
+        import hashlib
+
+        payload = hashlib.md5(b"hello world").digest()
+        assert decode_fake(payload) == (16, r.b0, r.b1, r.luma)
+
+
+class TestAlgebraicInvariants:
+    """Property-style spot checks from SURVEY.md §5.2.4 on real tables."""
+
+    def test_union_all_count_additivity(self, spark, sf_dir):
+        o = load_tables(spark, sf_dir)["orders"]
+        a = o.filter(F.col("o_orderstatus") == "F")
+        b = o.filter(F.col("o_orderstatus") != "F")
+        assert a.count() + b.count() == o.count()
+        assert a.unionAll(b).count() == o.count()
+
+    def test_semi_join_equals_inner_distinct(self, spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        semi = (
+            t["customer"]
+            .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+            .select("c_custkey")
+        )
+        inner = (
+            t["customer"]
+            .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+            .select("c_custkey")
+            .distinct()
+        )
+        assert semi.subtract(inner).count() == 0
+        assert inner.subtract(semi).count() == 0
+
+    def test_filter_pushdown_equivalence(self, spark, sf_dir):
+        # filter-then-project == project-then-filter
+        l = load_tables(spark, sf_dir)["lineitem"]
+        a = l.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+        b = l.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 30)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+    def test_anti_plus_semi_partition_left(self, spark, sf_dir):
+        t = load_tables(spark, sf_dir)
+        cond = F.col("c_custkey") == F.col("o_custkey")
+        semi = t["customer"].join(t["orders"], cond, "left_semi")
+        anti = t["customer"].join(t["orders"], cond, "left_anti")
+        assert semi.count() + anti.count() == t["customer"].count()

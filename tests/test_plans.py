@@ -1,0 +1,76 @@
+"""Physical-plan assertions (SURVEY.md §4, the 100 TB posture).
+
+Correct results are not enough: these tests pin the plan SHAPES that make the
+operators scale — pushdown reaching the parquet scan, pruned read schemas,
+broadcast joins for dims, no Python evaluation nodes outside the declared
+UDF queries, and whole-stage codegen on the hot paths.
+"""
+
+from __future__ import annotations
+
+from pkg2_spark.registry import all_queries
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = all_queries()[name](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_projection_pruned_to_read_schema(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_scan_prune")
+    # Only the two projected columns may reach the parquet reader.
+    assert "ReadSchema" in plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    assert "o_orderdate" not in read_schema and "o_custkey" not in read_schema
+
+
+def test_filter_pushed_to_parquet(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_scan_filter_pushdown")
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, "no PushedFilters in scan node"
+    assert any("o_orderstatus" in ln for ln in pushed)
+
+
+def test_multiway_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_multiway")
+    assert "BroadcastHashJoin" in plan
+    # the star join must not degenerate into nested loops
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_python_nodes_outside_udf_queries(spark, sf_dir):
+    # LLM ops must stay JVM-side: built-in expressions only.
+    for name in ["q_llm_minhash", "q_llm_cossim", "q_llm_tfidf", "q_llm_dedup_exact"]:
+        plan = _plan(spark, sf_dir, name)
+        for marker in ["BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"]:
+            assert marker not in plan, f"{name} has Python node {marker}"
+
+
+def test_udf_queries_do_use_arrow(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_udf_scalar")
+    assert "ArrowEvalPython" in plan
+
+
+def test_agg_has_partial_and_final(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_agg_group")
+    # partial/final split = map-side combine before the shuffle. (AQE prints
+    # isFinalPlan=false pre-execution, so WholeStageCodegen markers are not
+    # visible here; the split around the Exchange is the load-bearing shape.)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_asof_join_is_window_not_join_explosion(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_asof")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

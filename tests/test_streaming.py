@@ -1,0 +1,130 @@
+"""Streaming harness tests (SURVEY.md §2.10 harness rows — no DuckDB analog).
+
+Replays the events table through the file-stream source with controlled file
+arrival order to assert watermark/late-data behavior, streaming dedup within
+a watermark, and batch/stream parity on closed windows.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+
+from pkg2_spark.catalog import load_tables
+from pkg2_spark.queries.relational import IO_DIR
+
+
+def _events(spark, sf_dir):
+    return load_tables(spark, sf_dir)["events"]
+
+
+def _fresh_dir(name: str) -> str:
+    d = os.path.join(IO_DIR, name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    return d
+
+
+def test_batch_stream_parity_on_tumbling_windows(spark, sf_dir):
+    from pkg2_spark.streaming.harness import events_stream, run_to_memory
+
+    batch = (
+        _events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("w.start").alias("ws"), "n")
+    )
+    stream = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("w.start").alias("ws"), "n")
+    )
+    got = run_to_memory(stream, "parity_tumble")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark, sf_dir):
+    """Feed two micro-batches: first the bulk (advancing the watermark to
+    max(ts)-10min), then a shard 2 days older. With a 10-minute watermark the
+    late shard's windows are already closed — append mode must not emit or
+    count them."""
+    src = _fresh_dir("late_src")
+    ckpt = _fresh_dir("late_ckpt")
+    sink = _fresh_dir("late_sink")
+
+    e = _events(spark, sf_dir).select("event_id", "ts", "value")
+    # hour-aligned cutoff: no tumbling window straddles the late/on-time split
+    cutoff = e.agg(
+        F.expr("date_trunc('hour', max(ts) - INTERVAL 2 DAYS)").alias("c")
+    ).collect()[0]["c"]
+    on_time = e.filter(F.col("ts") >= cutoff)
+    late = e.filter(F.col("ts") < cutoff)
+    assert late.count() > 0 and on_time.count() > 0
+
+    on_time.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "batch0"))
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("w.start").alias("ws"), "n")
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # second arrival: the late shard, then drain again
+    late.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "batch1"))
+    q2 = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+
+    emitted = spark.read.parquet(sink)
+    late_windows = (
+        late.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_late"))
+        .select(F.unix_micros("w.start").alias("ws"), "n_late")
+    )
+    # No late-shard window may appear with its late counts: the watermark
+    # closed those windows during batch0. (They can't appear at all, since
+    # their state was never created before the watermark passed them.)
+    joined = emitted.join(late_windows, "ws", "inner")
+    assert joined.count() == 0, joined.collect()
+
+
+def test_drop_duplicates_within_watermark(spark, sf_dir):
+    from pkg2_spark.streaming.harness import run_to_memory
+
+    src = _fresh_dir("dedup_src")
+    e = _events(spark, sf_dir).select("event_id", "ts").limit(500)
+    doubled = e.unionAll(e)  # exact duplicate arrivals
+    doubled.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b0"))
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .parquet(src + "/*")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = run_to_memory(stream, "dedup_wm", mode="complete")
+    assert got.collect()[0]["n"] == 500
