@@ -1,0 +1,205 @@
+"""User-facing engine facade — pkg2's programmatic surface, Spark-native.
+
+pkg2 exposed a programmatic query/search API over normalized package records
+ingested from per-distribution repository indexes (SURVEY.md §1.1 [Tier C]).
+This facade reproduces that surface:
+
+    eng = Engine()                       # or Engine(existing_spark)
+    pkgs = eng.ingest_apkindex(path)     # normalized package table
+    pkgs = eng.ingest_debian_packages(path)
+    eng.search_packages("open%")         # name search
+    eng.whatprovides("so:libz.so.1")     # provides -> provider lookup
+    eng.resolve("python3")               # dependency closure (BFS)
+    eng.latest_versions()                # top-1 per package, version-ordered
+    eng.sql("SELECT ...")                # full Spark SQL over registered tables
+    eng.table("lineitem")                # driver tables by name
+
+Everything returns DataFrames — lazily planned, Catalyst-optimized; nothing
+here collects. Ingested package tables are ordinary tables: at 100 TB the
+same code runs over a directory of index files instead of one sample.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pkg2_spark.catalog import load_tables
+from pkg2_spark.session import ensure_runtime_confs, get_session
+
+#: portable numeric-aware version sort key: every integer run, zero-padded.
+#: '1.36.1-r2' -> '000001.000036.000001.000002' — lexicographic order ==
+#: component-wise numeric order (same expression exists in DuckDB for
+#: oracle parity: array_to_string(list_transform(regexp_extract_all(...)))).
+def version_key(col) -> F.Column:
+    return F.array_join(
+        F.transform(
+            F.regexp_extract_all(col, F.lit("[0-9]+"), 0),
+            lambda x: F.lpad(x, 6, "0"),
+        ),
+        ".",
+    )
+
+
+class Engine:
+    def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
+        self.spark = ensure_runtime_confs(spark) if spark else get_session()
+        self._packages: DataFrame | None = None
+        if sf_dir:
+            self.load_tables(sf_dir)
+
+    # ------------------------------------------------------------- catalog
+    def load_tables(self, sf_dir: str) -> dict[str, DataFrame]:
+        return load_tables(self.spark, sf_dir)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    def register(self, name: str, df: DataFrame) -> None:
+        df.createOrReplaceTempView(name)
+
+    # ------------------------------------------------------------- ingest
+    def _stanzas(self, path: str) -> DataFrame:
+        raw = self.spark.read.text(path, wholetext=True)
+        return (
+            raw.select(F.explode(F.split("value", "\n\n")).alias("stanza"))
+            .filter(F.trim("stanza") != "")
+        )
+
+    def ingest_apkindex(self, path: str) -> DataFrame:
+        """Alpine APKINDEX stanzas -> normalized package table.
+
+        Schema: name, version, arch, size, description, depends<array>,
+        provides<array>. Whole-file read per index (indexes are bounded,
+        one per repo/arch); everything after the stanza explode is
+        distributed."""
+        s = self._stanzas(path)
+        split_tokens = lambda c: F.array_sort(  # noqa: E731
+            F.filter(F.split(c, " "), lambda x: x != "")
+        )
+        pkgs = s.select(
+            F.regexp_extract("stanza", r"P:([^\n]+)", 1).alias("name"),
+            F.regexp_extract("stanza", r"V:([^\n]+)", 1).alias("version"),
+            F.regexp_extract("stanza", r"A:([^\n]+)", 1).alias("arch"),
+            F.regexp_extract("stanza", r"S:([0-9]+)", 1).cast("long").alias("size"),
+            F.regexp_extract("stanza", r"T:([^\n]+)", 1).alias("description"),
+            split_tokens(F.regexp_extract("stanza", r"\nD:([^\n]+)", 1)).alias("depends"),
+            split_tokens(F.regexp_extract("stanza", r"\np:([^\n]+)", 1)).alias("provides"),
+        )
+        self._packages = pkgs
+        self.register("packages", pkgs)
+        return pkgs
+
+    def ingest_debian_packages(self, path: str) -> DataFrame:
+        """Debian/Ubuntu Packages stanzas -> the same normalized schema.
+        Depends entries are comma-separated with optional version constraints
+        ('libc6 (>= 2.34)') — constraints are stripped into the bare name."""
+        s = self._stanzas(path)
+        deps_raw = F.regexp_extract("stanza", r"Depends: ([^\n]+)", 1)
+        deps = F.array_sort(
+            F.filter(
+                F.transform(
+                    F.split(deps_raw, ", "),
+                    lambda d: F.trim(F.regexp_replace(d, r"\s*\([^)]*\)", "")),
+                ),
+                lambda x: x != "",
+            )
+        )
+        pkgs = s.select(
+            F.regexp_extract("stanza", r"Package: ([^\n]+)", 1).alias("name"),
+            F.regexp_extract("stanza", r"Version: ([^\n]+)", 1).alias("version"),
+            F.regexp_extract("stanza", r"Architecture: ([^\n]+)", 1).alias("arch"),
+            F.regexp_extract("stanza", r"Installed-Size: ([0-9]+)", 1).cast("long").alias("size"),
+            F.regexp_extract("stanza", r"Description: ([^\n]+)", 1).alias("description"),
+            deps.alias("depends"),
+            F.array().cast("array<string>").alias("provides"),
+        )
+        self._packages = pkgs
+        self.register("packages", pkgs)
+        return pkgs
+
+    # ------------------------------------------------------------- queries
+    def _pkgs(self) -> DataFrame:
+        if self._packages is None:
+            raise ValueError("no package index ingested yet")
+        return self._packages
+
+    def search_packages(self, pattern: str) -> DataFrame:
+        """SQL-LIKE name search (pkg2's package search)."""
+        return self._pkgs().filter(F.col("name").like(pattern))
+
+    def whatprovides(self, capability: str) -> DataFrame:
+        """Which packages provide a capability (own name, or a provides
+        entry, version suffix ignored)."""
+        p = self._pkgs()
+        prov = p.select(
+            F.col("name").alias("provider"),
+            "version",
+            "arch",
+            F.explode(
+                F.array_union(
+                    F.array(F.col("name")),
+                    F.transform(F.col("provides"), lambda x: F.split_part(x, F.lit("="), F.lit(1))),
+                )
+            ).alias("capability"),
+        )
+        return prov.filter(F.col("capability") == capability)
+
+    def latest_versions(self) -> DataFrame:
+        """Top-1 per package name under numeric-aware version ordering —
+        pkg2's latest-version-per-package [Tier C analog]."""
+        p = self._pkgs()
+        w = Window.partitionBy("name").orderBy(
+            version_key(F.col("version")).desc_nulls_last(),
+            F.col("arch").asc_nulls_last(),
+        )
+        return (
+            p.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def resolve(self, package: str, max_depth: int = 10) -> DataFrame:
+        """Dependency closure (BFS over depends, so:* capabilities resolved
+        through provides). Returns (node, depth) with minimal depth."""
+        p = self._pkgs()
+        # capability -> provider map (name provides itself)
+        providers = p.select(
+            F.explode(
+                F.array_union(
+                    F.array(F.col("name")),
+                    F.transform(F.col("provides"), lambda x: F.split_part(x, F.lit("="), F.lit(1))),
+                )
+            ).alias("capability"),
+            F.col("name").alias("provider"),
+        ).distinct()
+        edges = (
+            p.select(F.col("name").alias("src"), F.explode("depends").alias("capability"))
+            .join(providers, "capability")
+            .select("src", F.col("provider").alias("dst"))
+            .distinct()
+            .persist()
+        )
+        frontier = (
+            edges.filter(F.col("src") == package)
+            .select(F.col("dst").alias("node"), F.lit(1).alias("depth"))
+            .distinct()
+            .persist()
+        )
+        closure = frontier
+        for depth in range(2, max_depth + 1):
+            expanded = (
+                frontier.join(edges, frontier["node"] == edges["src"])
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .withColumn("depth", F.lit(depth))
+            )
+            new = expanded.join(closure, ["node"], "left_anti").persist()
+            if new.isEmpty():
+                break
+            closure = closure.union(new).persist()
+            frontier = new
+        return closure

@@ -73,10 +73,10 @@ FROM reach GROUP BY root, node
 """,
 )
 def q_graph_closure(spark, sf_dir):
-    edges = _edges(spark).persist()
+    edges = _edges(spark).distinct().persist()
     closure = edges.select(
         F.col("name").alias("root"), F.col("dep").alias("node"), F.lit(1).alias("depth")
-    ).persist()
+    ).distinct().persist()
     frontier = closure
     for depth in range(2, _MAX_DEPTH + 1):
         # Semi-naïve step: expand only last round's frontier, keep first-seen

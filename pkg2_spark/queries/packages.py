@@ -1,0 +1,165 @@
+"""Package-domain queries — pkg2's own capability surface, end-to-end.
+
+These exercise the Engine facade (pkg2_spark/engine.py): Debian Packages
+ingestion (second index format), the provides→provider capability map,
+latest-version-per-package under numeric version ordering, and dependency
+resolution through provides. Each has a full DuckDB oracle reconstructing the
+same parse + query in SQL.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pkg2_spark.engine import Engine, version_key
+from pkg2_spark.queries.relational import _APKINDEX_PATH, _REPO_DIR
+from pkg2_spark.registry import query
+
+import os
+
+_PACKAGES_PATH = os.path.join(_REPO_DIR, "pkg2_spark", "data", "packages_sample.txt")
+
+# Debian Packages parse as DuckDB CTEs (mirrors Engine.ingest_debian_packages)
+_DEB_PKGS_CTE = f"""
+deb_stanzas AS (
+  SELECT unnest(string_split(content, chr(10) || chr(10))) AS stanza
+  FROM read_text('{_PACKAGES_PATH}')
+),
+deb_pkgs AS (
+  SELECT
+    regexp_extract(stanza, 'Package: ([^\\n]+)', 1) AS name,
+    regexp_extract(stanza, 'Version: ([^\\n]+)', 1) AS version,
+    regexp_extract(stanza, 'Architecture: ([^\\n]+)', 1) AS arch,
+    CAST(regexp_extract(stanza, 'Installed-Size: ([0-9]+)', 1) AS BIGINT) AS size,
+    list_sort(list_filter(
+      list_transform(string_split(regexp_extract(stanza, 'Depends: ([^\\n]+)', 1), ', '),
+                     d -> trim(regexp_replace(d, '\\s*\\([^)]*\\)', ''))),
+      x -> x <> '')) AS depends
+  FROM deb_stanzas WHERE trim(stanza) <> ''
+)
+"""
+
+# APKINDEX parse with provides, as DuckDB CTEs (mirrors Engine.ingest_apkindex)
+_APK_PKGS_CTE = f"""
+apk_stanzas AS (
+  SELECT unnest(string_split(content, chr(10) || chr(10))) AS stanza
+  FROM read_text('{_APKINDEX_PATH}')
+),
+apk_pkgs AS (
+  SELECT
+    regexp_extract(stanza, 'P:([^\\n]+)', 1) AS name,
+    regexp_extract(stanza, 'V:([^\\n]+)', 1) AS version,
+    regexp_extract(stanza, 'A:([^\\n]+)', 1) AS arch,
+    list_sort(list_filter(string_split(regexp_extract(stanza, '\\nD:([^\\n]+)', 1), ' '), x -> x <> '')) AS depends,
+    list_sort(list_filter(string_split(regexp_extract(stanza, '\\np:([^\\n]+)', 1), ' '), x -> x <> '')) AS provides
+  FROM apk_stanzas WHERE trim(stanza) <> ''
+)
+"""
+
+_VKEY_SQL = "array_to_string(list_transform(regexp_extract_all({c}, '[0-9]+'), x -> lpad(x, 6, '0')), '.')"
+
+
+@query(
+    "q_pkg_debindex",
+    oracle=f"""
+WITH {_DEB_PKGS_CTE.strip()}
+SELECT name, version, arch, size, depends FROM deb_pkgs
+""",
+)
+def q_pkg_debindex(spark, sf_dir):
+    eng = Engine(spark)
+    return eng.ingest_debian_packages(_PACKAGES_PATH).select(
+        "name", "version", "arch", "size", "depends"
+    )
+
+
+@query(
+    "q_pkg_provides",
+    oracle=f"""
+WITH {_APK_PKGS_CTE.strip()}
+SELECT DISTINCT
+  unnest(flatten([[name], list_transform(provides, x -> split_part(x, '=', 1))])) AS capability,
+  name AS provider
+FROM apk_pkgs
+""",
+)
+def q_pkg_provides(spark, sf_dir):
+    # The full capability→provider map ("which package provides X").
+    eng = Engine(spark)
+    p = eng.ingest_apkindex(_APKINDEX_PATH)
+    return (
+        p.select(
+            F.explode(
+                F.array_union(
+                    F.array(F.col("name")),
+                    F.transform(F.col("provides"), lambda x: F.split_part(x, F.lit("="), F.lit(1))),
+                )
+            ).alias("capability"),
+            F.col("name").alias("provider"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "q_pkg_latest",
+    oracle=f"""
+WITH {_APK_PKGS_CTE.strip()}
+SELECT name, version, arch FROM apk_pkgs
+QUALIFY row_number() OVER (
+  PARTITION BY name
+  ORDER BY {_VKEY_SQL.format(c="version")} DESC NULLS LAST, arch ASC NULLS LAST
+) = 1
+""",
+)
+def q_pkg_latest(spark, sf_dir):
+    # latest-version-per-package under numeric-aware version ordering —
+    # pkg2's windowed top-1 [Tier C analog]; the padded-components key makes
+    # '1.36.1' sort above '1.35.0' lexicographically in both engines.
+    eng = Engine(spark)
+    eng.ingest_apkindex(_APKINDEX_PATH)
+    return eng.latest_versions().select("name", "version", "arch")
+
+
+@query(
+    "q_pkg_resolve",
+    oracle=f"""
+WITH RECURSIVE {_DEB_PKGS_CTE.strip()},
+dep_rows AS (SELECT name AS src, unnest(depends) AS capability FROM deb_pkgs),
+providers AS (SELECT DISTINCT name AS capability, name AS provider FROM deb_pkgs),
+edges AS (
+  SELECT DISTINCT d.src, p.provider AS dst
+  FROM dep_rows d JOIN providers p USING (capability)
+),
+reach(node, depth) AS (
+  SELECT dst, 1 FROM edges WHERE src = 'python3.11'
+  UNION
+  SELECT e.dst, r.depth + 1
+  FROM reach r JOIN edges e ON r.node = e.src
+  WHERE r.depth < 10
+)
+SELECT node, CAST(min(depth) AS INTEGER) AS depth FROM reach GROUP BY node
+""",
+)
+def q_pkg_resolve(spark, sf_dir):
+    # Dependency resolution through the provider map (Engine.resolve):
+    # BFS closure of python3.11 over the Debian sample.
+    eng = Engine(spark)
+    eng.ingest_debian_packages(_PACKAGES_PATH)
+    return eng.resolve("python3.11").groupBy("node").agg(
+        F.min("depth").cast("int").alias("depth")
+    )
+
+
+@query(
+    "q_pkg_version_order",
+    oracle=f"""
+WITH {_APK_PKGS_CTE.strip()}
+SELECT name, version, {_VKEY_SQL.format(c="version")} AS vkey
+FROM apk_pkgs
+""",
+)
+def q_pkg_version_order(spark, sf_dir):
+    eng = Engine(spark)
+    p = eng.ingest_apkindex(_APKINDEX_PATH)
+    return p.select("name", "version", version_key(F.col("version")).alias("vkey"))

@@ -1,0 +1,90 @@
+"""Engine facade tests — pkg2's programmatic surface (pkg2_spark/engine.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from pkg2_spark.engine import Engine
+from pkg2_spark.queries.packages import _APKINDEX_PATH, _PACKAGES_PATH
+
+
+@pytest.fixture(scope="module")
+def apk(spark):
+    eng = Engine(spark)
+    eng.ingest_apkindex(_APKINDEX_PATH)
+    return eng
+
+
+@pytest.fixture(scope="module")
+def deb(spark):
+    eng = Engine(spark)
+    eng.ingest_debian_packages(_PACKAGES_PATH)
+    return eng
+
+
+def test_search_packages(apk):
+    names = {r.name for r in apk.search_packages("b%").collect()}
+    assert names == {"busybox"}
+    assert apk.search_packages("%ssl%").count() == 1
+
+
+def test_whatprovides_capability_and_self(apk):
+    # capability provided via a p: entry
+    prov = {r.provider for r in apk.whatprovides("so:libz.so.1").collect()}
+    assert prov == {"zlib"}
+    # every package provides its own name
+    assert {r.provider for r in apk.whatprovides("musl").collect()} == {"musl"}
+
+
+def test_latest_versions_numeric_ordering(apk):
+    latest = {r.name: r.version for r in apk.latest_versions().collect()}
+    # 1.36.1-r2 > 1.35.0-r17 numerically (lexicographic would also pass) and
+    # 3.11.4 > 3.10.13 numerically (lexicographic would NOT: '10' < '11'
+    # textually is true, but '3.9' vs '3.10' style inversions are the trap)
+    assert latest["busybox"] == "1.36.1-r2"
+    assert latest["python3"] == "3.11.4-r1"
+
+
+def test_latest_versions_handles_dotted_inversion(spark):
+    eng = Engine(spark)
+    df = spark.createDataFrame(
+        [("p", "3.9.1", "x", 0, "d", [], []), ("p", "3.10.0", "x", 0, "d", [], [])],
+        "name string, version string, arch string, size long, description string, "
+        "depends array<string>, provides array<string>",
+    )
+    eng._packages = df  # noqa: SLF001 — direct injection for the edge case
+    latest = eng.latest_versions().collect()
+    assert latest[0].version == "3.10.0"  # lexicographic would pick 3.9.1
+
+
+def test_resolve_closure_with_cycle(deb):
+    out = {r.node: r.depth for r in deb.resolve("python3.11").collect()}
+    # libc6 <-> libgcc-s1 is a cycle; BFS must terminate with minimal depths
+    assert out == {"libc6": 1, "libssl3": 1, "libgcc-s1": 2, "gcc-12-base": 3}
+
+
+def test_resolve_missing_deps_are_skipped(deb):
+    # coreutils depends on libacl1 which is not in the index -> not resolved
+    out = {r.node for r in deb.resolve("coreutils").collect()}
+    assert "libacl1" not in out
+    assert "libc6" in out
+
+
+def test_sql_and_table_surface(apk, sf_dir):
+    apk.load_tables(sf_dir)
+    n = apk.sql("SELECT count(*) AS n FROM region").collect()[0]["n"]
+    assert n == 5
+    assert apk.table("nation").count() == 25
+
+
+def test_ingested_table_registered_for_sql(deb):
+    got = deb.sql(
+        "SELECT name FROM packages WHERE arch = 'arm64'"
+    ).collect()
+    assert {r.name for r in got} == {"curl"}
+
+
+def test_depends_constraint_stripping(deb):
+    rows = {r.name: r.depends for r in deb._pkgs().collect()}  # noqa: SLF001
+    assert rows["coreutils"] == ["libacl1", "libc6"]  # sorted, constraints gone
