@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from pkg2_spark.catalog import load_tables
+from pkg2_spark.operators.skew import salted_agg
 from pkg2_spark.registry import query
 
 # Flagship: TPC-H Q1 shape — hash aggregate, 8 measures, 6 groups.
@@ -338,4 +339,41 @@ def q_agg_approx_pct(spark, sf_dir):
     return e.groupBy("event_type").agg(
         F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx_median"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_agg_salted",
+    oracle="""
+SELECT l_returnflag, count(*) AS n,
+       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
+       min(CAST(floor(l_extendedprice) AS BIGINT)) AS min_price_floor,
+       max(CAST(floor(l_extendedprice) AS BIGINT)) AS max_price_floor
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_agg_salted(spark, sf_dir):
+    # Skew-proof two-stage aggregate (operators/skew.py): 3 hot keys over
+    # the fact table is exactly the shape where a direct groupBy makes one
+    # reducer the straggler at 100 TB. Salting by hash(l_orderkey) spreads
+    # each key over 16 sub-groups; counts and integer sums recombine
+    # bit-exactly, so the result hash-matches the plain GROUP BY oracle.
+    li = load_tables(spark, sf_dir)["lineitem"]
+    pre = li.select(
+        "l_returnflag",
+        "l_orderkey",
+        F.floor("l_quantity").alias("qty_i"),
+        F.floor("l_extendedprice").alias("price_i"),
+    )
+    return salted_agg(
+        pre,
+        keys=["l_returnflag"],
+        aggs={
+            "n": ("count", "qty_i"),
+            "total_qty": ("sum", "qty_i"),
+            "min_price_floor": ("min", "price_i"),
+            "max_price_floor": ("max", "price_i"),
+        },
+        salt_from=["l_orderkey"],
     )

@@ -21,6 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from pkg2_spark.catalog import load_tables
+from pkg2_spark.operators.sampling import hash_sample, hash_split
 from pkg2_spark.operators.similarity import cosine4, knn_bruteforce
 from pkg2_spark.operators.text import (
     lsh_bands,
@@ -652,3 +653,47 @@ def q_llm_fingerprint(spark, sf_dir):
     # across engines.
     d = load_tables(spark, sf_dir)["documents"]
     return rolling_fingerprint(d)
+
+
+@query(
+    "q_llm_sample_hash",
+    oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccc'
+""",
+)
+def q_llm_sample_hash(spark, sf_dir):
+    # Deterministic ~5% corpus sample by content-hash bucket
+    # (operators/sampling.py): reproducible, key-stable, shuffle-free —
+    # the sampling primitive a 100 TB pipeline can re-run without moving
+    # rows in or out of the sample. 0x0ccc/0x10000 = 4.998%.
+    d = load_tables(spark, sf_dir)["documents"]
+    return hash_sample(d, "doc_id", 0.05).select("doc_id", "lang", "source")
+
+
+@query(
+    "q_llm_split",
+    oracle="""
+SELECT CASE
+         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+         ELSE 'test'
+       END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+""",
+)
+def q_llm_split(spark, sf_dir):
+    # Stable train/val/test assignment (80/10/10) by hash bucket: a doc's
+    # split never changes as the corpus grows — the property that prevents
+    # test-set leakage across dataset versions. Thresholds are exact:
+    # 0.8*65536 = 0xcccc, 0.9*65536 = 0xe666.
+    d = load_tables(spark, sf_dir)["documents"]
+    split = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

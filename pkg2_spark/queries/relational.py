@@ -498,3 +498,46 @@ def q_cast(spark, sf_dir):
         (F.unix_micros(F.col("l_shipdate").cast("date").cast("timestamp")) / F.lit(86400000000))
         .alias("ship_epoch_day"),
     )
+
+
+@query(
+    "q_sink_bucketed",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+)
+def q_sink_bucketed(spark, sf_dir):
+    # Bucketed tables: both sides pre-hash-partitioned into the same bucket
+    # count on the join key at WRITE time, so the fact-fact join needs NO
+    # exchange at read time — the co-location strategy for joins that repeat
+    # across a 100 TB workload (pay the shuffle once at ingest, never again).
+    # tests/test_plans.py pins the no-Exchange property of this join.
+    t = load_tables(spark, sf_dir)
+    # Idempotent re-create: the in-memory catalog forgets tables between
+    # sessions but the warehouse directory persists, so "overwrite" alone
+    # hits LOCATION_ALREADY_EXISTS on a fresh session.
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for name in ("pkg2_bucketed_orders", "pkg2_bucketed_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+    (t["orders"].write.mode("overwrite").format("parquet")
+     .bucketBy(8, "o_custkey").sortBy("o_custkey")
+     .saveAsTable("pkg2_bucketed_orders"))
+    (t["customer"].write.mode("overwrite").format("parquet")
+     .bucketBy(8, "c_custkey").sortBy("c_custkey")
+     .saveAsTable("pkg2_bucketed_customer"))
+    o = spark.table("pkg2_bucketed_orders")
+    c = spark.table("pkg2_bucketed_customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

@@ -151,3 +151,48 @@ class TestAlgebraicInvariants:
         semi = t["customer"].join(t["orders"], cond, "left_semi")
         anti = t["customer"].join(t["orders"], cond, "left_anti")
         assert semi.count() + anti.count() == t["customer"].count()
+
+
+class TestSamplingAndSkew:
+    def test_hash_split_total_and_stability(self, spark, sf_dir):
+        from pkg2_spark.catalog import load_tables
+        from pkg2_spark.operators.sampling import hash_split
+
+        d = load_tables(spark, sf_dir)["documents"]
+        s1 = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        counts = {r["split"]: r["n"] for r in s1.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert sum(counts.values()) == d.count()  # partition of the corpus
+        # stable under repartitioning: the assignment is content-derived
+        s2 = hash_split(d.repartition(7), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        assert sorted(map(tuple, s1.select("doc_id", "split").collect())) == sorted(
+            map(tuple, s2.select("doc_id", "split").collect())
+        )
+
+    def test_hash_sample_subset_semantics(self, spark, sf_dir):
+        from pkg2_spark.catalog import load_tables
+        from pkg2_spark.operators.sampling import hash_sample
+
+        d = load_tables(spark, sf_dir)["documents"]
+        small = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.05).select("doc_id").collect()}
+        large = {r["doc_id"] for r in hash_sample(d, "doc_id", 0.20).select("doc_id").collect()}
+        assert small <= large  # growing the rate only ADDS rows (key-stable)
+
+    def test_salted_agg_equals_direct(self, spark, sf_dir):
+        from pkg2_spark.catalog import load_tables
+        from pkg2_spark.operators.skew import salted_agg
+
+        o = load_tables(spark, sf_dir)["orders"]
+        pre = o.select("o_orderstatus", "o_orderkey")
+        salted = salted_agg(
+            pre, keys=["o_orderstatus"],
+            aggs={"n": ("count", "o_orderkey"),
+                  "min_k": ("min", "o_orderkey"),
+                  "max_k": ("max", "o_orderkey"),
+                  "sum_k": ("sum", "o_orderkey")},
+            salt_from=["o_orderkey"], salt_mod=13,
+        )
+        direct = pre.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("min_k"),
+            F.max("o_orderkey").alias("max_k"), F.sum("o_orderkey").alias("sum_k"),
+        )
+        assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, direct.collect()))

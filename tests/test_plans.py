@@ -74,3 +74,34 @@ def test_asof_join_is_window_not_join_explosion(spark, sf_dir):
     assert "Window" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    # q_sink_bucketed writes both sides bucketed on the join key; a join of
+    # the two must then be exchange-free (co-located). At test scale Spark
+    # correctly broadcasts the small side, which also avoids the shuffle but
+    # proves nothing about bucketing — so disable auto-broadcast to reveal
+    # the fact-fact shape the layout is designed for.
+    all_queries()["q_sink_bucketed"](spark, sf_dir).collect()  # write tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table("pkg2_bucketed_orders")
+        c = spark.table("pkg2_bucketed_customer")
+        df = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "c_name")
+        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert plan.count("SelectedBucketsCount: 8 out of 8") == 2
+    assert "Exchange" not in plan, "bucketed join inputs were re-shuffled"
+
+
+def test_salted_agg_two_stage_shape(spark, sf_dir):
+    # Salting must produce two aggregation rounds (key+salt, then key) —
+    # four HashAggregate nodes with partial/final splits — and the final
+    # combine shuffle carries only (key × salt) rows.
+    plan = _plan(spark, sf_dir, "q_agg_salted")
+    assert plan.count("HashAggregate") >= 4
