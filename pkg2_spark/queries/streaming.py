@@ -150,3 +150,26 @@ def q_stream_dedup(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@query(
+    "q_stream_stateful",
+    oracle="""
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+WHERE user_id < 100
+GROUP BY user_id
+""",
+)
+def q_stream_stateful(spark, sf_dir):
+    # Custom stateful operator (streaming/stateful.py) through REAL
+    # Structured Streaming: applyInPandasWithState keeps per-user running
+    # totals in the state store. availableNow replay touches every event
+    # exactly once, so the final emitted totals equal the batch GROUP BY —
+    # exact oracle check through the stateful execution path.
+    from pkg2_spark.streaming.harness import events_stream, run_to_memory
+    from pkg2_spark.streaming.stateful import user_running_counters
+
+    stream = events_stream(spark, sf_dir).filter(F.col("user_id") < 100)
+    out = run_to_memory(user_running_counters(stream), "stateful", mode="update")
+    return out

@@ -128,3 +128,64 @@ def test_drop_duplicates_within_watermark(spark, sf_dir):
     )
     got = run_to_memory(stream, "dedup_wm", mode="complete")
     assert got.collect()[0]["n"] == 500
+
+
+def test_stateful_counters_carry_state_across_batches(spark, sf_dir):
+    """Split events into two files and replay one per micro-batch: the
+    applyInPandasWithState operator must resume each user's state in batch 1
+    (not restart from zero), so its final emitted totals equal the whole-table
+    GROUP BY."""
+    from pkg2_spark.streaming.stateful import user_running_counters
+
+    src = _fresh_dir("stateful_src")
+    ckpt = _fresh_dir("stateful_ckpt")
+    sink = _fresh_dir("stateful_sink")
+
+    e = _events(spark, sf_dir).select("user_id", "ts", "value").filter(F.col("user_id") < 50)
+    # deterministic halves by timestamp order
+    mid = e.agg(F.expr("percentile(unix_micros(ts), 0.5)").alias("m")).collect()[0]["m"]
+    b0 = e.filter(F.unix_micros("ts") <= mid)
+    b1 = e.filter(F.unix_micros("ts") > mid)
+    assert b0.count() > 0 and b1.count() > 0
+    b0.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "batch0"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+
+        # parquet sink is append-only; route the update-mode output through
+        # foreachBatch, appending each micro-batch's updated rows
+        def write_batch(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(sink)
+
+        q = (
+            user_running_counters(stream)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    b1.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "batch1"))
+    drain()
+
+    emitted = spark.read.parquet(sink)
+    # the running maximum per user = the state after the last batch touching
+    # that user; it must equal the batch GROUP BY over ALL events
+    final = emitted.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+    )
+    expected = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in final.collect()}
+    want = {r["user_id"]: (r["n_events"], r["total_value"]) for r in expected.collect()}
+    assert got == want
