@@ -1,0 +1,109 @@
+"""Property-based spot checks (SURVEY.md §5.2.4) for the custom operators.
+
+Hypothesis generates adversarial small inputs (ties, duplicates, empty
+sides, boundary timestamps); each property is checked against an
+independent reference implementation (pandas.merge_asof, Python sort).
+Example counts are kept small — every example is a real Spark job — but
+hypothesis shrinks failures to minimal cases, which unit goldens can't.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pkg2_spark.engine import version_key
+from pkg2_spark.operators.asof import asof_join
+from pkg2_spark.operators.sampling import hash_split
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# (key, ts) pairs from tiny domains to force collisions and ties
+_row = st.tuples(st.integers(0, 2), st.integers(0, 20))
+_rows = st.lists(_row, min_size=0, max_size=12)
+
+
+@settings(**_SETTINGS)
+@given(left_rows=_rows, right_rows=_rows)
+def test_asof_join_matches_pandas_merge_asof(spark, left_rows, right_rows):
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)] or [(0, 0, 0)],
+        "k long, ts long, lid long",
+    )
+    # unique right values so ties on (k, ts) have a deterministic max
+    right = spark.createDataFrame(
+        [(k, t, i * 10) for i, (k, t) in enumerate(right_rows)] or [(0, -100, 0)],
+        "k long, ts long, rv long",
+    )
+    got = (
+        asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            payload={"rv": "rv"}, right_order=["rv"],
+        )
+        .select("k", "ts", "lid", "rv")
+        .toPandas()
+        .sort_values(["k", "ts", "lid"])
+        .reset_index(drop=True)
+    )
+
+    lp = left.toPandas().sort_values(["ts", "k"]).reset_index(drop=True)
+    # reference: merge_asof backward (rv <= ts); break right (k, ts) ties by
+    # max rv to mirror right_order
+    rp = (
+        right.toPandas()
+        .sort_values(["k", "ts", "rv"])
+        .groupby(["k", "ts"], as_index=False)
+        .last()
+        .sort_values(["ts", "k"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+        .sort_values(["k", "ts", "lid"])
+        .reset_index(drop=True)
+    )
+    got_t = [tuple(-1 if pd.isna(v) else int(v) for v in r) for r in got.itertuples(index=False)]
+    want_t = [tuple(-1 if pd.isna(v) else int(v) for v in r) for r in want.itertuples(index=False)]
+    assert got_t == want_t
+
+
+@settings(**_SETTINGS)
+@given(
+    versions=st.lists(
+        st.lists(st.integers(0, 999), min_size=1, max_size=4).map(
+            lambda parts: ".".join(map(str, parts))
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_version_key_orders_like_numeric_tuples(spark, versions):
+    df = spark.createDataFrame([(v,) for v in versions], "v string")
+    got = [r["v"] for r in df.select("v").orderBy(version_key(F.col("v")), "v").collect()]
+    want = sorted(versions, key=lambda v: (tuple(int(p) for p in v.split(".")), v))
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=30, unique=True))
+def test_hash_split_is_a_stable_partition(spark, ids):
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = out.collect()
+    assert len(rows) == len(ids)  # partition: every row labeled exactly once
+    assignment = {r["doc_id"]: r["split"] for r in rows}
+    # subset-stability: the assignment of an id is independent of which other
+    # ids are present (no RNG, no ordering dependence)
+    sub = ids[: max(1, len(ids) // 2)]
+    sub_rows = hash_split(
+        spark.createDataFrame([(i,) for i in sub], "doc_id long"),
+        "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).collect()
+    for r in sub_rows:
+        assert assignment[r["doc_id"]] == r["split"]
