@@ -64,3 +64,32 @@ def decode_features(with_payload: DataFrame) -> DataFrame:
     return with_payload.select("doc_id", "payload").mapInPandas(
         decode_batch, schema=DECODE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = "doc_id long, out_w int, out_h int, out_hex string"
+
+
+def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for the (stubbed) resize: halve the declared
+    dimensions and keep the first quarter of the payload bytes — a
+    deterministic stand-in with the real operator's batch shape (payload +
+    meta in, payload + meta out)."""
+    for pdf in batches:
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "out_w": (pdf["width"] // 2).astype("int32"),
+                "out_h": (pdf["height"] // 2).astype("int32"),
+                "out_hex": [p[: len(p) // 4].hex() for p in pdf["payload"]],
+            }
+        )
+        yield out
+
+
+def resize_features(with_payload: DataFrame) -> DataFrame:
+    flat = with_payload.select(
+        "doc_id", "payload",
+        F.col("media_meta.width").alias("width"),
+        F.col("media_meta.height").alias("height"),
+    )
+    return flat.mapInPandas(resize_batch, schema=RESIZE_SCHEMA)

@@ -91,3 +91,24 @@ def q_mm_frames(spark, sf_dir):
         F.col("frame_id").cast("int").alias("frame_id"),
         (F.col("frame_id").cast("long") * 40000).alias("frame_ts_us"),
     )
+
+
+@query(
+    "q_mm_resize",
+    oracle="""
+SELECT doc_id,
+       CAST(((doc_id % 16) * 64 + 64) // 2 AS INTEGER) AS out_w,
+       CAST(((doc_id % 9) * 64 + 64) // 2 AS INTEGER) AS out_h,
+       substring(md5(text), 1, 8) AS out_hex
+FROM documents
+""",
+)
+def q_mm_resize(spark, sf_dir):
+    # Resize stub through real mapInPandas plumbing: meta dims halved,
+    # payload truncated to a quarter (16-byte md5 payload -> 4 bytes -> 8 hex
+    # chars) — the oracle reconstructs both in pure SQL, so the Arrow
+    # round-trip is value-checked even though the codec is fake.
+    from pkg2_spark.operators.multimodal import resize_features
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return resize_features(with_binary_payload(d))

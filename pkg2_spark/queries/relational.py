@@ -20,6 +20,7 @@ Scale notes:
 from __future__ import annotations
 
 import os
+import shutil
 
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
@@ -540,4 +541,36 @@ def q_sink_bucketed(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
+    )
+
+
+@query(
+    "q_src_binary",
+    oracle="""
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS n_bytes,
+       md5(text) AS content_hex
+FROM documents
+WHERE doc_id < 50
+""",
+)
+def q_src_binary(spark, sf_dir):
+    # binaryFile source — the ingestion path for opaque media payloads
+    # (images/audio): one file per object, content as a binary column. The
+    # fixture files are generated from the documents table (payload =
+    # md5(text) bytes; driver-side loop is fixture creation, not dataflow),
+    # then read back distributed; the oracle recomputes the digests from the
+    # original table, so reader fidelity is value-checked end to end.
+    d = load_tables(spark, sf_dir)["documents"]
+    path = os.path.join(IO_DIR, "src_binary")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    for r in d.filter(F.col("doc_id") < 50).select("doc_id", F.md5("text").alias("h")).collect():
+        with open(os.path.join(path, f"{r['doc_id']:05d}.bin"), "wb") as f:
+            f.write(bytes.fromhex(r["h"]))
+    back = spark.read.format("binaryFile").load(path)
+    return back.select(
+        F.regexp_extract(F.col("path"), r"([0-9]+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.lower(F.hex("content")).alias("content_hex"),
     )
