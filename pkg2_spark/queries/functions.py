@@ -293,3 +293,69 @@ def q_fn_json(spark, sf_dir):
         F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
         (F.from_json("props", "k INT").getField("k") * 2).alias("k_doubled"),
     )
+
+
+@query(
+    "q_fn_bitwise",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS b_and,
+       o_orderkey | 4096 AS b_or,
+       xor(o_orderkey, 1365) AS b_xor,
+       CAST(o_orderkey % 16 AS BIGINT) << 2 AS b_shl,
+       o_orderkey >> 3 AS b_shr,
+       CAST(bit_count(o_orderkey) AS INTEGER) AS b_pop
+FROM orders
+WHERE o_orderkey < 5000
+""",
+)
+def q_fn_bitwise(spark, sf_dir):
+    # Bitwise family — flag fields, bucket masks, bloom/bitmap building
+    # blocks. Spark `^` is pyspark bitwiseXOR; DuckDB spells it xor()
+    # (its ^ is exponentiation) — a dialect trap worth pinning.
+    o = load_tables(spark, sf_dir)["orders"]
+    k = F.col("o_orderkey")
+    return o.filter(k < 5000).select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("b_and"),
+        k.bitwiseOR(F.lit(4096)).alias("b_or"),
+        k.bitwiseXOR(F.lit(1365)).alias("b_xor"),
+        F.shiftleft((k % 16).cast("bigint"), 2).alias("b_shl"),
+        F.shiftright(k, 3).alias("b_shr"),
+        F.bit_count(k).cast("int").alias("b_pop"),
+    )
+
+
+@query(
+    "q_fn_url",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+           || '?lang=' || lang AS url
+  FROM documents WHERE doc_id < 500
+)
+SELECT doc_id,
+       regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+       regexp_extract(url, '://([^/]+)/', 1) AS host,
+       regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '\\?(.*)$', 1) AS query
+FROM urls
+""",
+)
+def q_fn_url(spark, sf_dir):
+    # URL decomposition via Spark's native parse_url (JVM, codegen); the
+    # oracle reconstructs the parts with POSIX-simple regexes since DuckDB
+    # 1.0 has no parse_url. Synthetic URLs derive from the documents table.
+    d = load_tables(spark, sf_dir)["documents"]
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+    )
+    return d.filter(F.col("doc_id") < 500).select(
+        "doc_id",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+    )
