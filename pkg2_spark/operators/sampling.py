@@ -70,3 +70,17 @@ def hash_split(df: DataFrame, key: str, weights: dict[str, float],
         expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
     expr = (F.lit(labels[-1]) if expr is None else expr.otherwise(F.lit(labels[-1])))
     return df.withColumn(split_col, expr)
+
+
+def stratified_sample(df: DataFrame, strata: str, key: str, k: int) -> DataFrame:
+    """Deterministic k-per-stratum sample: rank rows within each stratum by
+    md5(key) (a stable pseudo-random order, no RNG) and keep the first k.
+    One window shuffle on the stratum key; the balanced-quota primitive for
+    building evaluation sets from skewed corpora (every language/source gets
+    k docs regardless of its share of the corpus)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata).orderBy(
+        F.md5(F.col(key).cast("string")).asc_nulls_last(), F.col(key).asc_nulls_last()
+    )
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")

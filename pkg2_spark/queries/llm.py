@@ -22,7 +22,7 @@ from pyspark.sql import Window
 
 from pkg2_spark.catalog import load_tables
 from pkg2_spark.operators.sampling import hash_sample, hash_split
-from pkg2_spark.operators.similarity import cosine4, knn_bruteforce
+from pkg2_spark.operators.similarity import cosine4, cosine_pairs_wide, knn_bruteforce
 from pkg2_spark.operators.text import (
     lsh_bands,
     minhash_signatures,
@@ -696,4 +696,74 @@ def q_llm_split(spark, sf_dir):
     return split.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "q_llm_dedup_resolve",
+    oracle="""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS x, b.vec_id AS y
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 4) >= 0.3
+),
+edges AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
+reach(v, u) AS (
+  SELECT x AS v, x AS u FROM edges
+  UNION
+  SELECT r.v, e.y FROM reach r JOIN edges e ON r.u = e.x
+),
+comp AS (SELECT v AS node, min(u) AS component FROM reach GROUP BY v)
+SELECT component,
+       count(*) AS n_members,
+       max(node) AS max_member
+FROM comp
+GROUP BY component
+""",
+)
+def q_llm_dedup_resolve(spark, sf_dir):
+    # Near-dup RESOLUTION: candidate pairs (banded cosine >= 0.3) are edges;
+    # transitive clusters come from min-label propagation
+    # (operators/dedup.py); canonical doc per cluster = min id. The oracle
+    # computes the same components with a recursive closure — feasible at
+    # sf0.01, while the Spark path stays iterative-join shaped for scale.
+    from pkg2_spark.operators.dedup import resolve_components
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb"))
+    pairs = cosine_pairs_wide(
+        a, b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")), dim=64
+    ).filter(F.col("cos") >= 0.3)
+    comp = resolve_components(pairs, src="id_a", dst="id_b")
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("node").alias("max_member"),
+    )
+
+
+@query(
+    "q_llm_sample_stratified",
+    oracle="""
+SELECT lang, doc_id, source FROM (
+  SELECT lang, doc_id, source,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC NULLS LAST, doc_id ASC NULLS LAST
+         ) AS rn
+  FROM documents
+) WHERE rn <= 20
+""",
+)
+def q_llm_sample_stratified(spark, sf_dir):
+    # Balanced per-language quota (20 docs/lang) in a deterministic
+    # hash-derived order — evaluation-set construction for skewed corpora
+    # without RNG state (operators/sampling.py::stratified_sample).
+    from pkg2_spark.operators.sampling import stratified_sample
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return stratified_sample(d, strata="lang", key="doc_id", k=20).select(
+        "lang", "doc_id", "source"
     )
