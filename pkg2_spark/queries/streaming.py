@@ -173,3 +173,48 @@ def q_stream_stateful(spark, sf_dir):
     stream = events_stream(spark, sf_dir).filter(F.col("user_id") < 100)
     out = run_to_memory(user_running_counters(stream), "stateful", mode="update")
     return out
+
+
+@query(
+    "q_stream_rt_session",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS LAST)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS LAST) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events WHERE user_id < 40
+),
+islands AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS LAST
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM islands GROUP BY user_id, sid
+""",
+)
+def q_stream_rt_session(spark, sf_dir):
+    # session_window through REAL Structured Streaming: per-user 30-minute
+    # gap sessions are merged in the state store; availableNow replay of a
+    # static file closes every session, so the result equals the batch
+    # gaps-and-islands oracle. (Streaming session_window requires
+    # watermark + update/complete mode; complete needs an aggregation.)
+    from pkg2_spark.streaming.harness import events_stream, run_to_memory
+
+    stream = events_stream(spark, sf_dir).filter(F.col("user_id") < 40)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, "rt_session", mode="complete")

@@ -8,6 +8,8 @@ UDF queries, and whole-stage codegen on the hot paths.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from pkg2_spark.registry import all_queries
 
 
@@ -105,3 +107,30 @@ def test_salted_agg_two_stage_shape(spark, sf_dir):
     # combine shuffle carries only (key × salt) rows.
     plan = _plan(spark, sf_dir, "q_agg_salted")
     assert plan.count("HashAggregate") >= 4
+
+
+def test_cosine_pair_stage_is_parallel_broadcast(spark, sf_dir):
+    # The quadratic pair stage must not run as one task: probe side
+    # round-robin repartitioned, candidate side broadcast (similarity.py).
+    plan = _plan(spark, sf_dir, "q_llm_cossim")
+    assert "RoundRobinPartitioning" in plan
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_partitioned_write_prunes_on_reread(spark, sf_dir):
+    # q_sink_parquet lays out one directory per o_orderstatus; a filtered
+    # re-read must prune to that partition (PartitionFilters, not a full scan).
+    import os
+
+    from pkg2_spark.queries.relational import IO_DIR
+
+    all_queries()["q_sink_parquet"](spark, sf_dir).collect()  # ensure layout
+    df = spark.read.parquet(os.path.join(IO_DIR, "sink_parquet")).filter(
+        F.col("o_orderstatus") == "F"
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part and any("o_orderstatus" in ln for ln in part)
