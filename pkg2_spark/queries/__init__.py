@@ -12,6 +12,7 @@ from pkg2_spark.queries import llm  # noqa: F401
 from pkg2_spark.queries import multimodal  # noqa: F401
 from pkg2_spark.queries import packages  # noqa: F401
 from pkg2_spark.queries import streaming  # noqa: F401
+from pkg2_spark.queries import timeseries  # noqa: F401
 from pkg2_spark.queries import udfs  # noqa: F401
 from pkg2_spark.queries import relational  # noqa: F401
 from pkg2_spark.queries import sorts_sets  # noqa: F401

@@ -1,0 +1,130 @@
+"""Time-series reshaping: pivot / unpivot / gap-fill (hypertable-rollup
+style operations over the events table).
+
+Scale notes: pivot is a single hash aggregate with a CASE per pivot value
+(bounded, declared value list — never `pivot()` without values at scale,
+which triggers a distinct-scan planning query); unpivot is a generator
+expression (rows × measures, no shuffle); gap-fill joins a generated time
+spine (tiny — hours × categories) against the aggregated facts and
+forward-fills with an ignore-nulls window, one shuffle on the category key.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from pkg2_spark.catalog import load_tables
+from pkg2_spark.registry import query
+
+
+@query(
+    "q_agg_pivot",
+    oracle="""
+SELECT o_orderpriority,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS f_price,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS o_price,
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS p_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_agg_pivot(spark, sf_dir):
+    # Pivot with a DECLARED value list — one hash aggregate, no pre-scan for
+    # distinct pivot values (the scale trap of pivot(col) without values).
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .withColumnsRenamed({"F": "f_price", "O": "o_price", "P": "p_price"})
+    )
+
+
+@query(
+    "q_agg_unpivot",
+    oracle="""
+SELECT c_custkey, 'acctbal' AS metric, round(c_acctbal, 2) AS val
+FROM customer WHERE c_custkey < 100
+UNION ALL
+SELECT c_custkey, 'nationkey' AS metric, round(CAST(c_nationkey AS DOUBLE), 2) AS val
+FROM customer WHERE c_custkey < 100
+""",
+)
+def q_agg_unpivot(spark, sf_dir):
+    # unpivot/melt: wide measures -> (id, metric, value) long form — the
+    # reshape feeding per-metric pipelines; generator expression, no shuffle.
+    c = load_tables(spark, sf_dir)["customer"]
+    pre = c.filter(F.col("c_custkey") < 100).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+        F.round(F.col("c_nationkey").cast("double"), 2).alias("nationkey"),
+    )
+    return pre.unpivot(
+        ids=["c_custkey"],
+        values=["acctbal", "nationkey"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@query(
+    "q_ts_gapfill",
+    oracle="""
+WITH hours AS (
+  SELECT unnest(generate_series((SELECT date_trunc('hour', min(ts)) FROM events),
+                                (SELECT date_trunc('hour', max(ts)) FROM events),
+                                INTERVAL 1 HOUR)) AS hour_ts
+),
+spine AS (
+  SELECT h.hour_ts, et.event_type
+  FROM hours h, (SELECT DISTINCT event_type FROM events) et
+),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT epoch_us(s.hour_ts) AS hour_us, s.event_type,
+       coalesce(h.n, 0) AS n,
+       last_value(h.sum_value IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.hour_ts ASC NULLS LAST
+         ROWS UNBOUNDED PRECEDING
+       ) AS filled_value
+FROM spine s LEFT JOIN hourly h
+  ON s.hour_ts = h.hour_ts AND s.event_type = h.event_type
+""",
+)
+def q_ts_gapfill(spark, sf_dir):
+    # Hypertable-style rollup with gap filling: a generated hourly spine ×
+    # category, left-joined to the hourly aggregate, missing hours filled by
+    # carrying the last observed value forward (ignore-nulls window). The
+    # spine is tiny (hours × categories) and broadcast; the only real
+    # shuffle is the hourly aggregate itself.
+    e = load_tables(spark, sf_dir)["events"]
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    spine = (
+        bounds.select(
+            F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))).alias("hour_ts")
+        )
+        .crossJoin(e.select("event_type").distinct())
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("hour_ts").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = spine.join(hourly, ["hour_ts", "event_type"], "left")
+    return joined.select(
+        F.unix_micros("hour_ts").alias("hour_us"),
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
