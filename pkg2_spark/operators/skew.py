@@ -62,3 +62,39 @@ def salted_agg(
         finals.append(combine(F.col(f"__p_{out}")).alias(out))
     stage1 = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partials)
     return stage1.groupBy(*keys).agg(*finals)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt_from: Sequence[str],
+    salt_mod: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: spray the skewed LEFT side across salt_mod
+    sub-keys, REPLICATE the right side once per salt value, join on
+    (key, salt). A hot key's rows land on salt_mod reducers instead of one.
+
+    Semantics-preserving for INNER and LEFT joins only: each left row meets
+    every matching right row exactly once (under its one salt value), and
+    an unmatched left row null-extends once. Right/full outer would emit
+    each unmatched right row salt_mod times — rejected. Cost: right side
+    × salt_mod — use
+    when the right side is the smaller input but too big to broadcast
+    (broadcast already avoids the shuffle entirely). AQE's skew-join
+    handles most cases at runtime; this is the explicit variant for
+    deterministic plans and for engines/stages where AQE can't split
+    (e.g. a skewed key feeding a window right after the join).
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join preserves semantics only for inner/left joins, got {how!r}"
+        )
+    salt = F.pmod(F.hash(*[F.col(c) for c in salt_from]), F.lit(salt_mod))
+    lt = left.withColumn("__salt", salt)
+    rt = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_mod - 1)))
+    )
+    out = lt.join(rt, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -377,3 +377,33 @@ def q_join_multiway(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority
+""",
+)
+def q_join_salted(spark, sf_dir):
+    # Explicit salted join (operators/skew.py): the orders side is sprayed
+    # over 8 sub-keys, the customer side replicated 8x — a hot customer's
+    # orders land on 8 reducers instead of one. Result is identical to the
+    # plain join (each order meets its customer exactly once, under one
+    # salt), so it hash-matches the unsalted oracle.
+    from pkg2_spark.operators.skew import salted_join
+
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].withColumnRenamed("o_custkey", "custkey")
+    c = (
+        t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+        .withColumnRenamed("c_custkey", "custkey")
+    )
+    joined = salted_join(o, c, on="custkey", salt_from=["o_orderkey"], salt_mod=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )

@@ -196,3 +196,25 @@ class TestSamplingAndSkew:
             F.max("o_orderkey").alias("max_k"), F.sum("o_orderkey").alias("sum_k"),
         )
         assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, direct.collect()))
+
+
+class TestSaltedJoin:
+    def test_inner_and_left_equal_plain_join(self, spark, sf_dir):
+        from pkg2_spark.operators.skew import salted_join
+
+        t = load_tables(spark, sf_dir)
+        o = t["orders"].withColumnRenamed("o_custkey", "custkey").select("custkey", "o_orderkey")
+        c = t["customer"].withColumnRenamed("c_custkey", "custkey").select("custkey", "c_name")
+        for how in ["inner", "left"]:
+            got = salted_join(o, c, on="custkey", salt_from=["o_orderkey"], salt_mod=5, how=how)
+            want = o.join(c, "custkey", how)
+            assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect())), how
+
+    def test_rejects_right_outer(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from pkg2_spark.operators.skew import salted_join
+
+        t = load_tables(spark, sf_dir)
+        with _pytest.raises(ValueError):
+            salted_join(t["orders"], t["customer"], on="x", salt_from=["o_orderkey"], how="right")
