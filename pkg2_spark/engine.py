@@ -203,3 +203,48 @@ class Engine:
             closure = closure.union(new).persist()
             frontier = new
         return closure
+
+    # ---------------------------------------------- LLM-data-pipeline surface
+    # Thin delegations to the operator library — the corpus-level API a
+    # training-data pipeline scripts against. Every method returns a lazy
+    # DataFrame; nothing collects.
+
+    def dedup_exact(self, docs: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+        """One row per distinct normalized text; keeps the min key."""
+        h = F.md5(F.lower(F.trim(F.col(text))))
+        return (
+            docs.withColumn("__h", h)
+            .groupBy("__h")
+            .agg(F.min(key).alias(key))
+            .drop("__h")
+        )
+
+    def near_dup_components(self, pairs: DataFrame, src: str, dst: str) -> DataFrame:
+        from pkg2_spark.operators.dedup import resolve_components
+
+        return resolve_components(pairs, src=src, dst=dst)
+
+    def sample(self, df: DataFrame, key: str, frac: float) -> DataFrame:
+        from pkg2_spark.operators.sampling import hash_sample
+
+        return hash_sample(df, key, frac)
+
+    def split(self, df: DataFrame, key: str, weights: dict[str, float]) -> DataFrame:
+        from pkg2_spark.operators.sampling import hash_split
+
+        return hash_split(df, key, weights)
+
+    def stratified_sample(self, df: DataFrame, strata: str, key: str, k: int) -> DataFrame:
+        from pkg2_spark.operators.sampling import stratified_sample
+
+        return stratified_sample(df, strata, key, k)
+
+    def knn(self, vectors: DataFrame, probes: DataFrame, k: int, **kw) -> DataFrame:
+        from pkg2_spark.operators.similarity import knn_bruteforce
+
+        return knn_bruteforce(vectors, probes, k, **kw)
+
+    def asof_join(self, left: DataFrame, right: DataFrame, **kw) -> DataFrame:
+        from pkg2_spark.operators.asof import asof_join
+
+        return asof_join(left, right, **kw)

@@ -64,9 +64,7 @@ def q_stream_rt_tumble(spark, sf_dir):
     return run_to_memory(agg, "rt_tumble")
 
 
-@query(
-    "q_stream_slide",
-    oracle="""
+_SLIDE_ORACLE = """
 WITH b AS (
   SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS tb, value FROM events
 ),
@@ -75,8 +73,10 @@ w AS (
 )
 SELECT epoch_us(win_start) AS win_us, count(*) AS n, round(sum(value), 2) AS sum_value
 FROM w GROUP BY 1
-""",
-)
+"""
+
+
+@query("q_stream_slide", oracle=_SLIDE_ORACLE)
 def q_stream_slide(spark, sf_dir):
     # 10-minute windows sliding every 5 — each event lands in exactly two
     # windows; the oracle materializes the same two bucket starts per event.
@@ -218,3 +218,45 @@ def q_stream_rt_session(spark, sf_dir):
         )
     )
     return run_to_memory(agg, "rt_session", mode="complete")
+
+
+@query("q_stream_rt_slide", oracle=_SLIDE_ORACLE)
+def q_stream_rt_slide(spark, sf_dir):
+    # Sliding windows through REAL Structured Streaming — every event lands
+    # in two open windows in the state store; availableNow closes them all,
+    # so the result equals the batch/DuckDB answer.
+    from pkg2_spark.streaming.harness import events_stream, run_to_memory
+
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.unix_micros(F.col("w.start")).alias("win_us"), "n", "sum_value")
+    )
+    return run_to_memory(agg, "rt_slide")
+
+
+@query(
+    "q_stream_rt_dedup",
+    oracle="""
+SELECT event_type, count(*) AS n, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+""",
+)
+def q_stream_rt_dedup(spark, sf_dir):
+    # Streaming dropDuplicates: exactly-once per event_id through the keyed
+    # state store (the dedup path for at-least-once sources). Streaming
+    # forbids count(DISTINCT), so the stateful dedup streams to the sink in
+    # append mode and the (batch) aggregate runs on the materialized result
+    # — equal to the batch answer on the static file.
+    from pkg2_spark.streaming.harness import events_stream, run_to_memory
+
+    stream = events_stream(spark, sf_dir).dropDuplicates(["event_id"])
+    deduped = run_to_memory(
+        stream.select("event_id", "event_type", "user_id"), "rt_dedup", mode="append"
+    )
+    return deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

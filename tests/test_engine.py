@@ -88,3 +88,33 @@ def test_ingested_table_registered_for_sql(deb):
 def test_depends_constraint_stripping(deb):
     rows = {r.name: r.depends for r in deb._pkgs().collect()}  # noqa: SLF001
     assert rows["coreutils"] == ["libacl1", "libc6"]  # sorted, constraints gone
+
+
+def test_llm_pipeline_facade(spark, sf_dir):
+    from pkg2_spark.engine import Engine
+
+    eng = Engine(spark)
+    t = eng.load_tables(sf_dir)
+    docs = t["documents"]
+    n_docs = docs.count()
+
+    deduped = eng.dedup_exact(docs)
+    assert 0 < deduped.count() <= n_docs
+
+    split = eng.split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert split.count() == n_docs
+    assert set(r["split"] for r in split.select("split").distinct().collect()) <= {"train", "val", "test"}
+
+    samp = eng.sample(docs, "doc_id", 0.1)
+    assert samp.count() < n_docs
+
+    strat = eng.stratified_sample(docs, "lang", "doc_id", 3)
+    per_lang = {r["lang"]: r["n"] for r in strat.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(v <= 3 for v in per_lang.values())
+
+    e = t["embeddings"]
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_embedding")
+    )
+    knn = eng.knn(e.select("vec_id", "embedding"), probes, k=2)
+    assert knn.count() == probes.count() * 2
