@@ -1,0 +1,66 @@
+"""Composite SQL-entry-point queries (TPC-H-shaped; SURVEY.md §3.1).
+
+Every other query in the registry is built through the DataFrame API
+(§3.2); these two run the SAME engine through its SQL surface —
+``spark.sql`` over the registered views — including the analyzer features
+a SQL workload leans on (correlated EXISTS subqueries, CASE aggregation
+over a multi-join). Spark SQL and DuckDB SQL agree on this dialect subset
+verbatim, so the oracle is the identical string.
+
+Scale posture: Q4's EXISTS decorrelates to a left-semi hash join (no
+per-row subquery execution); Q7 is a star join over broadcast dims with
+one fact-fact shuffle — both all-Catalyst, nothing engine-specific.
+"""
+
+from __future__ import annotations
+
+from pkg2_spark.catalog import load_tables
+from pkg2_spark.registry import query
+
+# TPC-H Q4 shape: order-priority checking — correlated EXISTS against the
+# fact table. lineitem has no commitdate/receiptdate in this schema; the
+# lateness predicate is shipdate-after-orderdate + discount bound instead.
+_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      AND l_discount > 0.02
+  )
+GROUP BY o_orderpriority
+"""
+
+# TPC-H Q7-ish: bilateral shipping volume between a nation pair (synthetic names NATION_3/NATION_7) by year.
+_Q7 = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q_sql_tpch_q4", oracle=_Q4)
+def q_sql_tpch_q4(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q4)
+
+
+@query("q_sql_tpch_q7", oracle=_Q7)
+def q_sql_tpch_q7(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q7)
