@@ -574,3 +574,40 @@ def q_src_binary(spark, sf_dir):
         F.col("length").alias("n_bytes"),
         F.lower(F.hex("content")).alias("content_hex"),
     )
+
+
+@query(
+    "q_src_evolving",
+    oracle="""
+SELECT lang,
+       count(*) AS n,
+       CAST(sum(CASE WHEN quality IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_quality,
+       round(sum(coalesce(quality, 0.0)), 2) AS sum_quality
+FROM (
+  SELECT lang, NULL::DOUBLE AS quality FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT lang, round(n_chars / 1000.0, 4) AS quality FROM documents WHERE doc_id % 2 = 1
+)
+GROUP BY lang
+""",
+)
+def q_src_evolving(spark, sf_dir):
+    # Schema evolution at the source: two parquet generations in one
+    # directory (v2 adds a `quality` column), read with mergeSchema — v1
+    # rows surface NULL quality. The everyday data-lake shape: readers must
+    # tolerate columns appearing over time without rewriting old files.
+    d = load_tables(spark, sf_dir)["documents"]
+    path = os.path.join(IO_DIR, "src_evolving")
+    shutil.rmtree(path, ignore_errors=True)
+    v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    v2 = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", F.round(F.col("n_chars") / 1000.0, 4).alias("quality")
+    )
+    v1.write.parquet(os.path.join(path, "gen=1"))
+    v2.write.parquet(os.path.join(path, "gen=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("quality").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_with_quality"),
+        F.round(F.sum(F.coalesce("quality", F.lit(0.0))), 2).alias("sum_quality"),
+    )

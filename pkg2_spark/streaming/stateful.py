@@ -17,6 +17,14 @@ processes every row exactly once, so the final emitted totals equal the
 batch ``GROUP BY`` — which is how q_stream_stateful is oracle-checked
 (exact, not rows-only). Multi-batch state carry-over is pinned separately
 by tests/test_streaming.py with a controlled two-file replay.
+
+Spark 4's successor API ``transformWithStateInPandas`` was probed in this
+environment and crashes at Python-worker init (`ImportError: cannot import
+name 'descriptor' from 'google.protobuf'` — its runner needs the protobuf
+package, absent in this container and not installable here). The
+implementation below sticks to ``applyInPandasWithState``, which shares
+the same state-store execution path; swapping to the new API is a
+mechanical port once protobuf is available.
 """
 
 from __future__ import annotations
