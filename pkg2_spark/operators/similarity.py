@@ -127,20 +127,35 @@ def knn_bruteforce(
     cosine plus the candidate id — cross-engine deterministic even when raw
     doubles differ in the last ulp.
 
-    Shape: probes are broadcast (bounded probe set), the corpus side streams
-    — linear in corpus size, parallel in its partitioning; the corpus is
-    repartitioned to default parallelism when the scan arrives in fewer
-    partitions (small-file case) so the scoring stage uses every core."""
-    sc = vectors.sparkSession.sparkContext
-    if vectors.rdd.getNumPartitions() < sc.defaultParallelism:
-        vectors = vectors.repartition(sc.defaultParallelism)
-    joined = F.broadcast(probes).crossJoin(vectors).filter(F.col(probe_id) != F.col(id_col))
-    scored = joined.select(
-        probe_id,
-        id_col,
-        cosine4(F.col(probe_vec), F.col(vec_col)).alias("cos"),
+    Shape: probes are broadcast (bounded probe set), the corpus side
+    streams — linear in corpus size; the corpus is round-robin
+    repartitioned so the scoring stage uses every core even when the scan
+    arrives as one partition (small-file case). Scoring runs in wide
+    unpacked-column (codegen) form, bit-identical to the lambda-HOF fold
+    (cosine_pairs_wide docstring)."""
+    dim = vectors.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    vec_dim = dim[0]["d"] if dim else 0
+    if vec_dim <= 0:
+        return (
+            probes.select(probe_id)
+            .limit(0)
+            .withColumn(id_col, F.lit(None).cast("long"))
+            .withColumn("cos", F.lit(None).cast("double"))
+            .withColumn("rank", F.lit(None).cast("int"))
+        )
+    scored = cosine_pairs_wide(
+        vectors.select(id_col, F.col(vec_col).alias("__v")),
+        probes.select(probe_id, F.col(probe_vec).alias("__p")),
+        F.col(probe_id) != F.col(id_col),
+        dim=vec_dim,
+        left_vec="__v",
+        right_vec="__p",
     )
     w = Window.partitionBy(probe_id).orderBy(
         F.col("cos").desc_nulls_last(), F.col(id_col).asc_nulls_last()
     )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return (
+        scored.select(probe_id, id_col, "cos")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
