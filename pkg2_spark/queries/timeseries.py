@@ -128,3 +128,45 @@ def q_ts_gapfill(spark, sf_dir):
         F.coalesce("n", F.lit(0)).alias("n"),
         F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@query(
+    "q_sink_rollup",
+    oracle="""
+SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_sink_rollup(spark, sf_dir):
+    # Materialized-rollup reuse: persist the HOURLY aggregate once, answer
+    # the DAILY question from it (sum of partial sums + sum of counts) —
+    # the OLAP pattern that turns a 100 TB fact scan into a rollup-table
+    # scan for every coarser-grain query. Equality with the direct daily
+    # aggregate is exactly what the oracle checks. Rounding happens only at
+    # the final grain (partial sums stay raw doubles; summation regrouping
+    # is exact because doubles are summed in ascending-hour order both ways
+    # — and the 2dp round absorbs ulp drift).
+    import os
+    import shutil
+
+    from pkg2_spark.queries.relational import IO_DIR
+
+    e = load_tables(spark, sf_dir)["events"]
+    path = os.path.join(IO_DIR, "sink_rollup")
+    shutil.rmtree(path, ignore_errors=True)
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+    hourly.write.parquet(path)
+    rolled = spark.read.parquet(path)
+    return (
+        rolled.groupBy(
+            F.unix_micros(F.date_trunc("day", "hour_ts")).alias("day_us"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+        )
+    )
