@@ -1,0 +1,140 @@
+"""End-to-end training-data pipeline over the documents corpus.
+
+The composition a user of the engine scripts (every stage is a lazy
+DataFrame; ONE action at the write):
+
+    raw documents
+      → language filter           (keep declared languages)
+      → quality filter            (length bounds + alpha-ratio heuristic)
+      → exact dedup               (md5 content hash, keep min doc_id)
+      → near-dup candidate prune  (MinHash/LSH bands, drop non-canonical)
+      → train/val/test split      (stable md5-bucket assignment)
+      → partitioned parquet write (split/lang directories)
+
+Scale shape: two hash-aggregates (dedup, minhash), one band equi-join
+(LSH), everything else row-local projections/filters; the write is
+partitioned by (split, lang) for downstream partition pruning. No
+collect(), no RNG, no Python in the hot path.
+
+Usage: python scripts/pipeline_demo.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import pyspark.sql.functions as F  # noqa: E402
+from pyspark.sql import Window  # noqa: E402
+
+from pkg2_spark.catalog import load_tables  # noqa: E402
+from pkg2_spark.engine import Engine  # noqa: E402
+from pkg2_spark.operators.sampling import hash_split  # noqa: E402
+from pkg2_spark.operators.text import lsh_bands, minhash_signatures, tokenize_distinct  # noqa: E402
+
+KEEP_LANGS = ["en", "de", "fr", "es"]
+MIN_CHARS, MAX_CHARS = 20, 20_000
+
+
+def build_pipeline(spark, sf_dir: str):
+    """Return (stages dict, final DataFrame) — stages exposed for testing."""
+    docs = load_tables(spark, sf_dir)["documents"]
+
+    lang_ok = docs.filter(F.col("lang").isin(KEEP_LANGS))
+
+    alpha_ratio = F.length(F.regexp_replace("text", r"[^a-zA-Z ]", "")) / F.greatest(
+        F.length("text"), F.lit(1)
+    )
+    quality_ok = lang_ok.filter(
+        F.col("n_chars").between(MIN_CHARS, MAX_CHARS) & (alpha_ratio > 0.5)
+    )
+
+    # exact dedup: canonical row per content hash (min doc_id wins)
+    h = F.md5(F.lower(F.trim("text")))
+    canonical = (
+        quality_ok.withColumn("__h", h)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("__h").orderBy(F.col("doc_id").asc_nulls_last())
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+    # near-dup prune, three stages (candidates are NOT dups until verified —
+    # on a small vocabulary LSH buckets collide aggressively):
+    #   1. LSH bands -> candidate pairs (cheap, recall-oriented)
+    #   2. verify with token-set Jaccard >= 0.8 (precision)
+    #   3. resolve transitive clusters; keep the min doc_id per component
+    toks = tokenize_distinct(canonical).persist()
+    bands = lsh_bands(minhash_signatures(toks, 4), 4, 2)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    inter = (
+        cand.join(toks.select(F.col("doc_id").alias("doc_a"), "token"), "doc_a")
+        .join(toks.select(F.col("doc_id").alias("doc_b"), "token"), ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    verified = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb")), "doc_b")
+        .withColumn("jac", F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")))
+        .filter(F.col("jac") >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+    from pkg2_spark.operators.dedup import resolve_components
+
+    comp = resolve_components(verified, src="doc_a", dst="doc_b")
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    pruned = canonical.join(losers, "doc_id", "left_anti")
+    toks.unpersist()
+
+    final = hash_split(pruned, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return {
+        "raw": docs,
+        "lang": lang_ok,
+        "quality": quality_ok,
+        "dedup": canonical,
+        "neardup": pruned,
+        "final": final,
+    }, final
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        str(Path(__file__).resolve().parent.parent), "tmp_io", "pipeline_out"
+    )
+    eng = Engine()
+    eng.spark.sparkContext.setLogLevel("ERROR")
+    stages, final = build_pipeline(eng.spark, sf_dir)
+    shutil.rmtree(out, ignore_errors=True)
+    final.write.partitionBy("split", "lang").parquet(out)
+    back = eng.spark.read.parquet(out)
+    counts = {name: df.count() for name, df in stages.items()}
+    counts["written"] = back.count()
+    print(counts)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -118,3 +118,26 @@ def test_llm_pipeline_facade(spark, sf_dir):
     )
     knn = eng.knn(e.select("vec_id", "embedding"), probes, k=2)
     assert knn.count() == probes.count() * 2
+
+
+def test_pipeline_demo_stage_invariants(spark, sf_dir):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from pipeline_demo import build_pipeline
+
+    stages, final = build_pipeline(spark, sf_dir)
+    counts = {name: df.count() for name, df in stages.items()}
+    # every stage can only shrink the corpus
+    order = ["raw", "lang", "quality", "dedup", "neardup", "final"]
+    for a, b in zip(order, order[1:]):
+        assert counts[b] <= counts[a], (a, b, counts)
+    assert counts["final"] == counts["neardup"]  # split adds a column, not rows
+    # split labels form a partition of the survivors
+    split_counts = {
+        r["split"]: r["n"]
+        for r in final.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sum(split_counts.values()) == counts["final"]
+    assert set(split_counts) <= {"train", "val", "test"}
