@@ -96,11 +96,33 @@ class CompareResult:
         return f"[{flag}] {self.name}: spark={self.spark_rows} oracle={self.oracle_rows} {self.detail}"
 
 
+def _complex_cols(schema) -> list[str]:
+    """Column names whose type the driver's canonicalizer cannot hash.
+
+    The driver sorts the pandas frame by all columns; list/dict cells raise
+    ``TypeError: unhashable type`` (round-1 FAIL on 4 queries). Queries must
+    serialize Array/Map/Struct outputs (to_json) at the boundary."""
+    import pyspark.sql.types as T
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+
+
 def compare_query(spark, con, name: str, sf_dir: str) -> CompareResult:
     """Run one registered query both ways and diff the canonical forms."""
     queries, oracles = all_queries(), all_oracles()
     fn = queries[name]
     sdf = fn(spark, sf_dir)
+    bad = _complex_cols(sdf.schema)
+    if bad:
+        return CompareResult(
+            name, False,
+            detail=f"complex output columns (driver hasher would crash): {bad} — "
+                   "serialize with to_json at the output boundary",
+        )
     spark_pd = sdf.toPandas()
     if name not in oracles:
         return CompareResult(

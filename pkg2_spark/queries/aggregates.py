@@ -278,7 +278,7 @@ def q_agg_gsets(spark, sf_dir):
 @query(
     "q_agg_collect",
     oracle="""
-SELECT n_regionkey, list_sort(list(n_name)) AS nations
+SELECT n_regionkey, to_json(list_sort(list(n_name))) AS nations
 FROM nation
 GROUP BY n_regionkey
 """,
@@ -286,9 +286,12 @@ GROUP BY n_regionkey
 def q_agg_collect(spark, sf_dir):
     n = load_tables(spark, sf_dir)["nation"]
     # Bare collect_list is shuffle-order nondeterministic (SURVEY.md §2.13.5);
-    # always canonicalize with array_sort.
+    # always canonicalize with array_sort. The array is serialized to JSON at
+    # the output boundary: the driver's pandas canonicalizer cannot hash bare
+    # list cells (round-1 FAIL), and Spark/DuckDB to_json agree byte-for-byte
+    # on string arrays (no-space separators, same escaping).
     return n.groupBy("n_regionkey").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations")
+        F.to_json(F.array_sort(F.collect_list("n_name"))).alias("nations")
     )
 
 

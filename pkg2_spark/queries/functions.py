@@ -188,14 +188,14 @@ WITH t AS (
 )
 SELECT doc_id,
        CAST(len(tokens) AS INTEGER) AS n_tok,
-       tokens[1:3] AS first3,
+       to_json(tokens[1:3]) AS first3,
        list_contains(tokens, 'data') AS has_data,
        CAST(len(list_distinct(tokens)) AS INTEGER) AS n_uniq,
        list_sort(tokens)[1] AS first_sorted,
        CAST(list_sum(list_transform(tokens, x -> length(x))) AS BIGINT) AS total_len,
        CAST(len(list_filter(tokens, x -> length(x) > 5)) AS INTEGER) AS n_long,
-       flatten([tokens[1:2], tokens[3:4]]) AS first4,
-       list_transform([1, 2, 3], x -> CAST(x * 10 AS BIGINT)) AS tens
+       to_json(flatten([tokens[1:2], tokens[3:4]])) AS first4,
+       to_json(list_transform([1, 2, 3], x -> CAST(x * 10 AS BIGINT))) AS tens
 FROM t
 """,
 )
@@ -206,7 +206,10 @@ def q_fn_array(spark, sf_dir):
     return t.select(
         "doc_id",
         F.size("tokens").alias("n_tok"),
-        F.slice("tokens", 1, 3).alias("first3"),
+        # Array outputs serialize to JSON at the boundary (driver round-1 FAIL:
+        # its pandas canonicalizer cannot hash bare list cells). Spark and
+        # DuckDB to_json agree byte-for-byte on string/int arrays.
+        F.to_json(F.slice("tokens", 1, 3)).alias("first3"),
         F.array_contains("tokens", "data").alias("has_data"),
         F.size(F.array_distinct("tokens")).alias("n_uniq"),
         F.element_at(F.array_sort("tokens"), 1).alias("first_sorted"),
@@ -214,8 +217,12 @@ def q_fn_array(spark, sf_dir):
             "tokens", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
         ).alias("total_len"),
         F.size(F.filter("tokens", lambda x: F.length(x) > 5)).alias("n_long"),
-        F.flatten(F.array(F.slice("tokens", 1, 2), F.slice("tokens", 3, 2))).alias("first4"),
-        F.transform(F.sequence(F.lit(1), F.lit(3)), lambda x: (x * 10).cast("long")).alias("tens"),
+        F.to_json(
+            F.flatten(F.array(F.slice("tokens", 1, 2), F.slice("tokens", 3, 2)))
+        ).alias("first4"),
+        F.to_json(
+            F.transform(F.sequence(F.lit(1), F.lit(3)), lambda x: (x * 10).cast("long"))
+        ).alias("tens"),
     )
 
 
@@ -251,7 +258,7 @@ SELECT doc_id,
        struct_pack(lang := lang, n := n_chars).lang AS s_lang,
        CAST(struct_pack(lang := lang, n := n_chars).n AS BIGINT) AS s_n,
        map_extract(MAP {'lang': lang, 'src': source}, 'src')[1] AS m_src,
-       list_sort(map_keys(MAP {'lang': lang, 'src': source})) AS m_keys,
+       to_json(list_sort(map_keys(MAP {'lang': lang, 'src': source}))) AS m_keys,
        to_json(struct_pack(lang := lang, n := n_chars)) AS st_json
 FROM documents
 WHERE doc_id < 100
@@ -268,7 +275,8 @@ def q_fn_map_struct(spark, sf_dir):
         st.getField("lang").alias("s_lang"),
         st.getField("n").alias("s_n"),
         F.element_at(mp, F.lit("src")).alias("m_src"),
-        F.array_sort(F.map_keys(mp)).alias("m_keys"),
+        # JSON-serialized at the boundary (driver hasher rejects bare lists).
+        F.to_json(F.array_sort(F.map_keys(mp))).alias("m_keys"),
         F.to_json(st).alias("st_json"),
     )
 

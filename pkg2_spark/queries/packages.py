@@ -63,13 +63,15 @@ _VKEY_SQL = "array_to_string(list_transform(regexp_extract_all({c}, '[0-9]+'), x
     "q_pkg_debindex",
     oracle=f"""
 WITH {_DEB_PKGS_CTE.strip()}
-SELECT name, version, arch, size, depends FROM deb_pkgs
+SELECT name, version, arch, size, to_json(depends) AS depends FROM deb_pkgs
 """,
 )
 def q_pkg_debindex(spark, sf_dir):
+    # depends is JSON-serialized at the output boundary (driver hasher rejects
+    # bare lists); the array form lives on in Engine.ingest_debian_packages.
     eng = Engine(spark)
     return eng.ingest_debian_packages(_PACKAGES_PATH).select(
-        "name", "version", "arch", "size", "depends"
+        "name", "version", "arch", "size", F.to_json("depends").alias("depends")
     )
 
 

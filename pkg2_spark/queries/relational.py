@@ -244,7 +244,7 @@ SELECT
   regexp_extract(stanza, 'V:([^' || chr(10) || ']+)', 1) AS version,
   regexp_extract(stanza, 'A:([^' || chr(10) || ']+)', 1) AS arch,
   CAST(regexp_extract(stanza, 'S:([0-9]+)', 1) AS BIGINT) AS size,
-  list_sort(list_filter(string_split(regexp_extract(stanza, 'D:([^' || chr(10) || ']+)', 1), ' '), x -> x <> '')) AS depends
+  to_json(list_sort(list_filter(string_split(regexp_extract(stanza, 'D:([^' || chr(10) || ']+)', 1), ' '), x -> x <> ''))) AS depends
 FROM stanzas
 WHERE trim(stanza) <> ''
 """
@@ -267,10 +267,14 @@ def q_src_repoindex(spark, sf_dir):
         F.regexp_extract("stanza", r"V:([^\n]+)", 1).alias("version"),
         F.regexp_extract("stanza", r"A:([^\n]+)", 1).alias("arch"),
         F.regexp_extract("stanza", r"S:([0-9]+)", 1).cast("long").alias("size"),
-        F.array_sort(
-            F.filter(
-                F.split(F.regexp_extract("stanza", r"D:([^\n]+)", 1), " "),
-                lambda x: x != "",
+        # JSON-serialized at the boundary (driver hasher rejects bare lists);
+        # the normalized-array form lives on in Engine.ingest_apkindex.
+        F.to_json(
+            F.array_sort(
+                F.filter(
+                    F.split(F.regexp_extract("stanza", r"D:([^\n]+)", 1), " "),
+                    lambda x: x != "",
+                )
             )
         ).alias("depends"),
     )

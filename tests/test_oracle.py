@@ -19,3 +19,20 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     assert result.match, str(result) + "".join(
         f"\n  spark={a}\n  oracle={b}" for _, a, b in result.mismatches
     )
+
+
+def test_gate_rejects_bare_complex_columns(spark, duck, sf_dir):
+    """Local-green must imply driver-green: the driver's pandas canonicalizer
+    crashes on list/dict cells, so the gate must FAIL any query whose output
+    schema still contains Array/Map/Struct columns (round-1 regression)."""
+    from pkg2_spark.registry import ORACLES, QUERIES
+
+    name = "__test_bare_array__"
+    QUERIES[name] = lambda s, d: s.sql("SELECT array('a', 'b') AS xs")
+    ORACLES[name] = "SELECT ['a', 'b'] AS xs"
+    try:
+        result = compare_query(spark, duck, name, sf_dir)
+    finally:
+        del QUERIES[name], ORACLES[name]
+    assert not result.match
+    assert "complex output columns" in result.detail
