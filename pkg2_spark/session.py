@@ -22,6 +22,9 @@ RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
+    # Arrow-batched toPandas/createDataFrame — the verification driver
+    # round-trips every query result through pandas.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
 
@@ -33,6 +36,18 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
                 spark.conf.set(k, v)
         except Exception:
             spark.conf.set(k, v)
+    # A foreign session left at Spark's static default of 200 shuffle
+    # partitions pays ~200 task launches per exchange regardless of data
+    # size; AQE only coalesces down to advisoryPartitionSize targets. If the
+    # conf is the untouched default, right-size it to the session's core
+    # count (deliberate non-default settings are preserved; non-numeric
+    # values like Databricks' "auto" fall through untouched).
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            cores = spark.sparkContext.defaultParallelism
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(int(cores), 8)))
+    except Exception:
+        pass
     return spark
 
 
