@@ -72,6 +72,23 @@ def wide_norm(prefix: str, dim: int) -> Column:
     return F.sqrt(F.expr(" + ".join(f"{prefix}{i} * {prefix}{i}" for i in range(dim))))
 
 
+def _pair_stage_slices(sess) -> int:
+    """Task count for the quadratic pair stage.
+
+    Follows the deployment's tuned ``spark.sql.shuffle.partitions`` but is
+    robust to platforms that set it non-numerically (e.g. auto-optimized
+    shuffle reports 'auto') — fall back to defaultParallelism — and capped at
+    4× the core count so a foreign session left at the static default of 200
+    doesn't explode a small pair stage into 200 tiny tasks (an explicit
+    repartition is NOT coalesced by AQE)."""
+    par = max(int(sess.sparkContext.defaultParallelism), 1)
+    try:
+        slices = int(sess.conf.get("spark.sql.shuffle.partitions", str(par)))
+    except (ValueError, TypeError):
+        slices = par
+    return max(1, min(slices, par * 4))
+
+
 def cosine_pairs_wide(
     left: DataFrame,
     right: DataFrame,
@@ -109,13 +126,43 @@ def cosine_pairs_wide(
     ).withColumn("__nb", wide_norm("__b", dim))
     keep = [c for c in left.columns if c != left_vec] + [c for c in right.columns if c != right_vec]
     if broadcast_right:
-        sess = lw.sparkSession
-        slices = int(sess.conf.get("spark.sql.shuffle.partitions", str(sess.sparkContext.defaultParallelism)))
-        lw = lw.repartition(slices)
+        lw = lw.repartition(_pair_stage_slices(lw.sparkSession))
         rw = F.broadcast(rw)
     joined = lw.join(rw, join_cond)
     cos = F.round(wide_dot("__a", "__b", dim) / (F.col("__na") * F.col("__nb")), 4)
     return joined.select(*keep, cos.alias("cos"))
+
+
+def sign_lsh_bands(
+    df: DataFrame,
+    dim: int,
+    rows_per_band: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH banding for angular similarity: band b's key is the
+    concatenated sign pattern of ``rows_per_band`` consecutive coordinates
+    (axis-aligned random-hyperplane LSH — the standard-basis special case of
+    SRP-LSH). Vectors sharing any (band_id, band_key) are candidates; pair
+    discovery becomes an equi-join on the band key instead of all-pairs.
+
+    Exact comparisons (x > 0) on the stored floats, so band membership is
+    bit-identical across engines — the oracle can mirror it. ``rows_per_band``
+    trades recall for selectivity (2^r keys per band); at real corpus scale
+    raise r (32-64 with multiprobe) so per-bucket pair counts stay bounded."""
+    assert dim % rows_per_band == 0
+    keys = [
+        F.concat(
+            *[
+                F.expr(f"CAST(element_at({vec_col}, {b * rows_per_band + i + 1}) > 0 AS STRING)")
+                for i in range(rows_per_band)
+            ]
+        )
+        for b in range(dim // rows_per_band)
+    ]
+    return df.select(
+        id_col, F.posexplode(F.array(*keys)).alias("band_id", "band_key")
+    )
 
 
 def knn_bruteforce(
@@ -126,6 +173,7 @@ def knn_bruteforce(
     vec_col: str = "embedding",
     probe_id: str = "probe_id",
     probe_vec: str = "probe_embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k by cosine for each probe. Ranking key is the ROUNDED
     cosine plus the candidate id — cross-engine deterministic even when raw
@@ -134,27 +182,29 @@ def knn_bruteforce(
     Shape: probes are broadcast (bounded probe set), the corpus side
     streams — linear in corpus size; the corpus is round-robin
     repartitioned so the scoring stage uses every core even when the scan
-    arrives as one partition (small-file case). Scoring runs in wide
-    unpacked-column (codegen) form, bit-identical to the lambda-HOF fold
-    (cosine_pairs_wide docstring)."""
-    dim = vectors.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    vec_dim = dim[0]["d"] if dim else 0
-    if vec_dim <= 0:
-        return (
-            probes.select(probe_id)
-            .limit(0)
-            .withColumn(id_col, F.lit(None).cast("long"))
-            .withColumn("cos", F.lit(None).cast("double"))
-            .withColumn("rank", F.lit(None).cast("int"))
+    arrives as one partition (small-file case). With ``dim`` (the embedding
+    width, known to every real corpus) scoring runs in wide unpacked-column
+    (codegen) form; without it, the lambda-HOF fold — bit-identical results
+    either way (cosine_pairs_wide docstring), and no driver-side action in
+    the plan-construction path in either mode."""
+    if dim is not None:
+        scored = cosine_pairs_wide(
+            vectors.select(id_col, F.col(vec_col).alias("__v")),
+            probes.select(probe_id, F.col(probe_vec).alias("__p")),
+            F.col(probe_id) != F.col(id_col),
+            dim=dim,
+            left_vec="__v",
+            right_vec="__p",
         )
-    scored = cosine_pairs_wide(
-        vectors.select(id_col, F.col(vec_col).alias("__v")),
-        probes.select(probe_id, F.col(probe_vec).alias("__p")),
-        F.col(probe_id) != F.col(id_col),
-        dim=vec_dim,
-        left_vec="__v",
-        right_vec="__p",
-    )
+    else:
+        lw = vectors.select(id_col, F.col(vec_col).alias("__v")).repartition(
+            _pair_stage_slices(vectors.sparkSession)
+        )
+        rw = F.broadcast(probes.select(probe_id, F.col(probe_vec).alias("__p")))
+        scored = (
+            lw.join(rw, F.col(probe_id) != F.col(id_col))
+            .select(probe_id, id_col, cosine4(F.col("__v"), F.col("__p")).alias("cos"))
+        )
     w = Window.partitionBy(probe_id).orderBy(
         F.col("cos").desc_nulls_last(), F.col(id_col).asc_nulls_last()
     )

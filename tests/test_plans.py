@@ -118,6 +118,40 @@ def test_cosine_pair_stage_is_parallel_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_embed_neardup_pair_stage_is_equi_join(spark, sf_dir):
+    # Round 1 ran the exact top-50 as a BroadcastNestedLoopJoin over the full
+    # id-pair space. The block-sharded form must discover pairs through an
+    # equi-join on (bi, bj) — hash-joinable, shuffle-partitionable — never a
+    # nested loop or cartesian over all pairs.
+    plan = _plan(spark, sf_dir, "q_llm_embed_neardup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-50 stays a per-partition top-k
+
+
+def test_ann_ivf_assignment_broadcasts_fixed_centroids(spark, sf_dir):
+    # Centroid assignment is an O(n·k) cross join against a CONSTANT-k (16)
+    # broadcast side — the broadcast must appear, and the expensive cell
+    # ranking join must be an equi-join (centroid-keyed), not a cross join:
+    # exactly one cross-join pattern per scoring pass, both against the
+    # fixed-size centroid table.
+    plan = _plan(spark, sf_dir, "q_llm_ann_ivf")
+    assert "BroadcastExchange" in plan
+    assert any(j in plan for j in ("BroadcastNestedLoopJoin", "BroadcastHashJoin"))
+    assert "SortMergeJoin Inner" in plan or "ShuffledHashJoin" in plan or plan.count("BroadcastHashJoin") >= 1
+
+
+def test_lsh_pair_joins_are_band_keyed(spark, sf_dir):
+    # The scale-shaped pair discovery: candidates come from an equi-join on
+    # (band_id, band_key) — high-cardinality, data-derived keys — never a
+    # nested loop over the full pair space.
+    for name in ("q_llm_cossim_lsh", "q_llm_jaccard_lsh"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "band_key" in plan, name
+
+
 def test_partitioned_write_prunes_on_reread(spark, sf_dir):
     # q_sink_parquet lays out one directory per o_orderstatus; a filtered
     # re-read must prune to that partition (PartitionFilters, not a full scan).
