@@ -90,10 +90,33 @@ class CompareResult:
     oracle_rows: int = 0
     detail: str = ""
     mismatches: list = field(default_factory=list)
+    # driver-scoreboard fields (CORRECTNESS_r{N}.json shape): tri-state so
+    # rows-only and errored queries serialize exactly as the driver records
+    # them — None where the driver writes null.
+    rows_match: bool | None = None
+    schema_match: bool | None = None
+    hash_match: bool | None = None
+    err: str | None = None
+    seconds: float = 0.0
 
     def __str__(self) -> str:
         flag = "MATCH" if self.match else "FAIL "
-        return f"[{flag}] {self.name}: spark={self.spark_rows} oracle={self.oracle_rows} {self.detail}"
+        return (
+            f"[{flag}] {self.name}: spark={self.spark_rows} oracle={self.oracle_rows} "
+            f"({self.seconds:.2f}s) {self.detail}"
+        )
+
+    def driver_row(self) -> dict:
+        """This result in the driver's CORRECTNESS json shape, so builder
+        claims and driver facts diff mechanically (VERDICT.md r1 item 9)."""
+        return {
+            "rows_match": self.rows_match,
+            "schema_match": self.schema_match,
+            "hash_match": self.hash_match,
+            "spark_rows": self.spark_rows if self.spark_rows >= 0 else None,
+            "oracle_rows": self.oracle_rows if self.oracle_rows >= 0 else None,
+            "err": self.err,
+        }
 
 
 def _complex_cols(schema) -> list[str]:
@@ -119,14 +142,16 @@ def compare_query(spark, con, name: str, sf_dir: str) -> CompareResult:
     bad = _complex_cols(sdf.schema)
     if bad:
         return CompareResult(
-            name, False,
+            name, False, -1, -1,
             detail=f"complex output columns (driver hasher would crash): {bad} — "
                    "serialize with to_json at the output boundary",
+            err=f"unhashable complex output columns: {bad}",
         )
     spark_pd = sdf.toPandas()
     if name not in oracles:
         return CompareResult(
-            name, True, len(spark_pd), -1, detail="rows-only (no oracle declared)"
+            name, True, len(spark_pd), -1,
+            detail="rows-only (no oracle declared)", err="no_oracle",
         )
     oracle_pd = con.execute(oracles[name]).fetchdf()
 
@@ -135,14 +160,20 @@ def compare_query(spark, con, name: str, sf_dir: str) -> CompareResult:
         return CompareResult(
             name, False, len(spark_pd), len(oracle_pd),
             detail=f"column mismatch: spark={s_cols} oracle={o_cols}",
+            rows_match=len(spark_pd) == len(oracle_pd),
+            schema_match=False, hash_match=False,
         )
     if len(spark_pd) != len(oracle_pd):
         return CompareResult(
-            name, False, len(spark_pd), len(oracle_pd), detail="row-count mismatch"
+            name, False, len(spark_pd), len(oracle_pd), detail="row-count mismatch",
+            rows_match=False, schema_match=True, hash_match=False,
         )
     s_can, o_can = _canon(spark_pd), _canon(oracle_pd)
     if s_can == o_can:
-        return CompareResult(name, True, len(spark_pd), len(oracle_pd))
+        return CompareResult(
+            name, True, len(spark_pd), len(oracle_pd),
+            rows_match=True, schema_match=True, hash_match=True,
+        )
     diffs = [
         (i, a, b) for i, (a, b) in enumerate(zip(s_can, o_can)) if a != b
     ][:3]
@@ -150,6 +181,7 @@ def compare_query(spark, con, name: str, sf_dir: str) -> CompareResult:
         name, False, len(spark_pd), len(oracle_pd),
         detail=f"value mismatch on {sum(a != b for a, b in zip(s_can, o_can))} rows",
         mismatches=diffs,
+        rows_match=True, schema_match=True, hash_match=False,
     )
 
 
@@ -158,12 +190,21 @@ def compare_all(spark, sf_dir: str, names=None) -> list[CompareResult]:
     con = duckdb_connect(sf_dir)
     queries = all_queries()
     results = []
-    for name in names or sorted(queries):
+    # default iteration = registry emission order, exactly what the driver
+    # walks (and what SELFCHECK.json must mirror)
+    import time
+
+    for name in names or queries:
+        t0 = time.monotonic()
         try:
-            results.append(compare_query(spark, con, name, sf_dir))
+            r = compare_query(spark, con, name, sf_dir)
         except Exception as e:  # noqa: BLE001 — harness must report, not die
-            results.append(
-                CompareResult(name, False, detail=f"{type(e).__name__}: {str(e)[:300]}")
+            r = CompareResult(
+                name, False, -1, -1,
+                detail=f"{type(e).__name__}: {str(e)[:300]}",
+                err=f"{type(e).__name__}: {str(e)[:500]}",
             )
+        r.seconds = time.monotonic() - t0
+        results.append(r)
     con.close()
     return results

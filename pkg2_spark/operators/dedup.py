@@ -9,13 +9,17 @@ scored). The canonical representative is the minimum id in the component.
 Algorithm: min-label propagation to fixpoint — each round every node takes
 the min label among itself and its neighbors. Converges in graph-diameter
 rounds; near-dup components are small and shallow in practice, so the
-round count stays low at any corpus size.
+round count stays low at any corpus size. (Pointer-jumping/path-compression
+variants were measured here and LOST: the extra self-join per round doubles
+lineage and job count, which dominates unless component diameters are
+large — revisit only with checkpointing if a real corpus shows deep chains.)
 
 Scale posture: each round is one equi-join (labels × symmetrized edges) +
 one groupBy min — both shuffle on node id, no pair explosion beyond the
 given edge set. `persist` truncates lineage per round (same discipline as
-the §2.11 closure); convergence is detected with a count of changed
-labels, which AQE executes as a cheap partial-agg job.
+the §2.11 closure); convergence is detected by the per-round sum of labels,
+which is strictly monotone decreasing until fixpoint — one
+map-side-combined agg per round, no old-vs-new join.
 """
 
 from __future__ import annotations
@@ -41,6 +45,7 @@ def resolve_components(
         .withColumn("component", F.col("node"))
         .persist()
     )
+    prev_sum = None
     try:
         for _ in range(max_iter):
             neighbor_min = (
@@ -58,16 +63,14 @@ def resolve_components(
                 )
                 .persist()
             )
-            changed = (
-                updated.alias("u")
-                .join(labels.alias("l"), "node")
-                .filter(F.col("u.component") != F.col("l.component"))
-                .count()
-            )
+            # labels are non-increasing, so their sum strictly decreases
+            # until fixpoint — a scalar convergence probe, no old/new join.
+            cur_sum = updated.agg(F.sum("component")).collect()[0][0]
             labels.unpersist()
             labels = updated
-            if changed == 0:
+            if prev_sum is not None and cur_sum == prev_sum:
                 break
+            prev_sum = cur_sum
         return labels.select("node", "component")
     finally:
         sym.unpersist()

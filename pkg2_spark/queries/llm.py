@@ -142,13 +142,13 @@ def q_llm_neardup_pairs(spark, sf_dir):
 @query(
     "q_llm_cossim",
     oracle="""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.3
+SELECT id_a, id_b, cos FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 4) AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cos >= 0.3
 """,
 )
 def q_llm_cossim(spark, sf_dir):
@@ -415,13 +415,16 @@ def q_llm_simhash(spark, sf_dir):
     oracle=f"""
 WITH t AS (
   SELECT doc_id, source, list_distinct({_TOK_SQL}) AS toks FROM documents
+),
+scored AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS ni,
+         len(a.toks) AS la, len(b.toks) AS lb
+  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS INTEGER) AS n_common,
-       round(CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
-             / (len(a.toks) + len(b.toks) - len(list_filter(a.toks, x -> list_contains(b.toks, x)))), 4) AS jaccard
-FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE len(list_filter(a.toks, x -> list_contains(b.toks, x))) > 0
+SELECT doc_a, doc_b, CAST(ni AS INTEGER) AS n_common,
+       round(CAST(ni AS DOUBLE) / (la + lb - ni), 4) AS jaccard
+FROM scored WHERE ni > 0
 """,
 )
 def q_llm_jaccard(spark, sf_dir):
@@ -604,14 +607,14 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
 )
-SELECT id_a, id_b,
-       round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-                                    CAST(eb.embedding AS DOUBLE[])), 4) AS cos
-FROM cand
-JOIN embeddings ea ON ea.vec_id = cand.id_a
-JOIN embeddings eb ON eb.vec_id = cand.id_b
-WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
-                                   CAST(eb.embedding AS DOUBLE[])), 4) >= 0.3
+SELECT id_a, id_b, cos FROM (
+  SELECT id_a, id_b,
+         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[])), 4) AS cos
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = cand.id_a
+  JOIN embeddings eb ON eb.vec_id = cand.id_b
+) WHERE cos >= 0.3
 """,
 )
 def q_llm_cossim_lsh(spark, sf_dir):
@@ -665,16 +668,19 @@ cand AS (
   FROM mbands a JOIN mbands b
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
-t AS (SELECT doc_id, list_distinct({_TOK_SQL}) AS toks FROM documents)
-SELECT doc_a, doc_b,
-       CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x))) AS INTEGER) AS n_common,
-       round(CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x))) AS DOUBLE)
-             / (len(ta.toks) + len(tb.toks) - len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))), 4) AS jaccard
-FROM cand
-JOIN t ta ON ta.doc_id = cand.doc_a
-JOIN t tb ON tb.doc_id = cand.doc_b
-WHERE round(CAST(len(list_filter(ta.toks, x -> list_contains(tb.toks, x))) AS DOUBLE)
-            / (len(ta.toks) + len(tb.toks) - len(list_filter(ta.toks, x -> list_contains(tb.toks, x)))), 4) >= 0.5
+t AS (SELECT doc_id, list_distinct({_TOK_SQL}) AS toks FROM documents),
+scored AS (
+  SELECT doc_a, doc_b,
+         len(list_filter(ta.toks, x -> list_contains(tb.toks, x))) AS ni,
+         len(ta.toks) AS la, len(tb.toks) AS lb
+  FROM cand
+  JOIN t ta ON ta.doc_id = cand.doc_a
+  JOIN t tb ON tb.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, CAST(ni AS INTEGER) AS n_common,
+       round(CAST(ni AS DOUBLE) / (la + lb - ni), 4) AS jaccard
+FROM scored
+WHERE round(CAST(ni AS DOUBLE) / (la + lb - ni), 4) >= 0.5
 """,
 )
 def q_llm_jaccard_lsh(spark, sf_dir):

@@ -32,6 +32,28 @@ _REPO_DIR = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__fi
 IO_DIR = os.path.join(_REPO_DIR, "tmp_io")
 
 
+def fixture_path(name: str, sf_dir: str) -> str:
+    """Per-sf fixture directory: <repo>/tmp_io/<sf-tag>/<name>.
+
+    Keyed by sf_dir so a fixture written at sf0.001 (tests) can never be
+    read back by a run at sf0.01 (driver) — round 1 shared one path across
+    scales and relied on mode('overwrite') rewriting every invocation."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(IO_DIR, tag, name)
+
+
+_BUCKETED_DONE: set[tuple[int, str]] = set()
+
+
+def fixture_ready(path: str) -> bool:
+    """True when a completed write already sits at ``path`` (_SUCCESS marker
+    for Spark writers). Fixture inputs are pure functions of (sf_dir, query),
+    so a finished write is reusable across invocations AND processes — the
+    driver's per-query loop then pays the write once per scale, not once per
+    call (VERDICT.md round 1, next-round item 3b)."""
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
 # ---------------------------------------------------------------- §2.1 scans
 
 @query(
@@ -151,8 +173,9 @@ def q_src_csv(spark, sf_dir):
     # explicit schema, aggregate — oracle aggregates the ORIGINAL table, so a
     # match proves the reader+writer preserve values exactly.
     d = load_tables(spark, sf_dir)["documents"]
-    path = os.path.join(IO_DIR, "src_csv")
-    d.write.mode("overwrite").option("header", True).csv(path)
+    path = fixture_path("src_csv", sf_dir)
+    if not fixture_ready(path):
+        d.write.mode("overwrite").option("header", True).csv(path)
     back = spark.read.schema(_DOC_SCHEMA).option("header", True).csv(path)
     return _doc_agg(back)
 
@@ -160,8 +183,9 @@ def q_src_csv(spark, sf_dir):
 @query("q_src_json", oracle=_DOC_AGG_ORACLE)
 def q_src_json(spark, sf_dir):
     d = load_tables(spark, sf_dir)["documents"]
-    path = os.path.join(IO_DIR, "src_json")
-    d.write.mode("overwrite").json(path)
+    path = fixture_path("src_json", sf_dir)
+    if not fixture_ready(path):
+        d.write.mode("overwrite").json(path)
     back = spark.read.schema(_DOC_SCHEMA).json(path)
     return _doc_agg(back)
 
@@ -176,8 +200,9 @@ GROUP BY l_returnflag
 )
 def q_src_orc(spark, sf_dir):
     l = load_tables(spark, sf_dir)["lineitem"]
-    path = os.path.join(IO_DIR, "src_orc")
-    l.select("l_returnflag", "l_extendedprice").write.mode("overwrite").orc(path)
+    path = fixture_path("src_orc", sf_dir)
+    if not fixture_ready(path):
+        l.select("l_returnflag", "l_extendedprice").write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
@@ -198,8 +223,9 @@ def q_sink_parquet(spark, sf_dir):
     # partitionBy writer: one directory per o_orderstatus — the layout that
     # enables static partition pruning on re-read at scale.
     o = load_tables(spark, sf_dir)["orders"]
-    path = os.path.join(IO_DIR, "sink_parquet")
-    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    path = fixture_path("sink_parquet", sf_dir)
+    if not fixture_ready(path):
+        o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
     back = spark.read.parquet(path)
     return back.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
@@ -217,8 +243,9 @@ GROUP BY n_regionkey
 )
 def q_sink_csv(spark, sf_dir):
     n = load_tables(spark, sf_dir)["nation"]
-    path = os.path.join(IO_DIR, "sink_csv")
-    n.write.mode("overwrite").option("header", True).csv(path)
+    path = fixture_path("sink_csv", sf_dir)
+    if not fixture_ready(path):
+        n.write.mode("overwrite").option("header", True).csv(path)
     schema = T.StructType(
         [
             T.StructField("n_nationkey", T.IntegerType()),
@@ -520,22 +547,27 @@ def q_sink_bucketed(spark, sf_dir):
     # across a 100 TB workload (pay the shuffle once at ingest, never again).
     # tests/test_plans.py pins the no-Exchange property of this join.
     t = load_tables(spark, sf_dir)
-    # Idempotent re-create: the in-memory catalog forgets tables between
-    # sessions but the warehouse directory persists, so "overwrite" alone
-    # hits LOCATION_ALREADY_EXISTS on a fresh session.
-    import shutil
-    from urllib.parse import urlparse
+    # Written once per (session, sf_dir): bucketing pays its shuffle at
+    # ingest precisely so repeated queries don't — re-creating the tables on
+    # every invocation would forfeit the pattern being demonstrated.
+    key = (id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark), sf_dir)
+    if key not in _BUCKETED_DONE:
+        # Idempotent re-create: the in-memory catalog forgets tables between
+        # sessions but the warehouse directory persists, so "overwrite" alone
+        # hits LOCATION_ALREADY_EXISTS on a fresh session.
+        from urllib.parse import urlparse
 
-    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    for name in ("pkg2_bucketed_orders", "pkg2_bucketed_customer"):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
-    (t["orders"].write.mode("overwrite").format("parquet")
-     .bucketBy(8, "o_custkey").sortBy("o_custkey")
-     .saveAsTable("pkg2_bucketed_orders"))
-    (t["customer"].write.mode("overwrite").format("parquet")
-     .bucketBy(8, "c_custkey").sortBy("c_custkey")
-     .saveAsTable("pkg2_bucketed_customer"))
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for name in ("pkg2_bucketed_orders", "pkg2_bucketed_customer"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+        (t["orders"].write.format("parquet")
+         .bucketBy(8, "o_custkey").sortBy("o_custkey")
+         .saveAsTable("pkg2_bucketed_orders"))
+        (t["customer"].write.format("parquet")
+         .bucketBy(8, "c_custkey").sortBy("c_custkey")
+         .saveAsTable("pkg2_bucketed_customer"))
+        _BUCKETED_DONE.add(key)
     o = spark.table("pkg2_bucketed_orders")
     c = spark.table("pkg2_bucketed_customer")
     return (
@@ -566,12 +598,15 @@ def q_src_binary(spark, sf_dir):
     # then read back distributed; the oracle recomputes the digests from the
     # original table, so reader fidelity is value-checked end to end.
     d = load_tables(spark, sf_dir)["documents"]
-    path = os.path.join(IO_DIR, "src_binary")
-    shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path, exist_ok=True)
-    for r in d.filter(F.col("doc_id") < 50).select("doc_id", F.md5("text").alias("h")).collect():
-        with open(os.path.join(path, f"{r['doc_id']:05d}.bin"), "wb") as f:
-            f.write(bytes.fromhex(r["h"]))
+    path = fixture_path("src_binary", sf_dir)
+    if not fixture_ready(path):
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        # bounded fixture creation (50 files), not a dataflow collect
+        for r in d.filter(F.col("doc_id") < 50).select("doc_id", F.md5("text").alias("h")).collect():
+            with open(os.path.join(path, f"{r['doc_id']:05d}.bin"), "wb") as f:
+                f.write(bytes.fromhex(r["h"]))
+        open(os.path.join(path, "_SUCCESS"), "w").close()
     back = spark.read.format("binaryFile").load(path)
     return back.select(
         F.regexp_extract(F.col("path"), r"([0-9]+)\.bin$", 1).cast("long").alias("doc_id"),
@@ -601,14 +636,15 @@ def q_src_evolving(spark, sf_dir):
     # rows surface NULL quality. The everyday data-lake shape: readers must
     # tolerate columns appearing over time without rewriting old files.
     d = load_tables(spark, sf_dir)["documents"]
-    path = os.path.join(IO_DIR, "src_evolving")
-    shutil.rmtree(path, ignore_errors=True)
-    v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
-    v2 = d.filter(F.col("doc_id") % 2 == 1).select(
-        "doc_id", "lang", F.round(F.col("n_chars") / 1000.0, 4).alias("quality")
-    )
-    v1.write.parquet(os.path.join(path, "gen=1"))
-    v2.write.parquet(os.path.join(path, "gen=2"))
+    path = fixture_path("src_evolving", sf_dir)
+    if not fixture_ready(os.path.join(path, "gen=2")):
+        shutil.rmtree(path, ignore_errors=True)
+        v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+        v2 = d.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", F.round(F.col("n_chars") / 1000.0, 4).alias("quality")
+        )
+        v1.write.parquet(os.path.join(path, "gen=1"))
+        v2.write.parquet(os.path.join(path, "gen=2"))
     back = spark.read.option("mergeSchema", "true").parquet(path)
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"),

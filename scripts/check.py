@@ -1,11 +1,14 @@
 """Local correctness gate: run every registered query vs its DuckDB oracle.
 
-Usage: python scripts/check.py [sf_dir] [query_name ...]
-Mirrors the driver's t2 comparison (SURVEY.md §0.1).
+Usage: python scripts/check.py [--json OUT.json] [sf_dir] [query_name ...]
+Mirrors the driver's t2 comparison (SURVEY.md §0.1). With --json, also
+writes the results in the driver's CORRECTNESS_r{N}.json shape (registry
+order) so builder claims diff mechanically against driver facts.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 from pathlib import Path
 
@@ -17,10 +20,19 @@ from pkg2_spark.session import get_session
 
 def main() -> int:
     args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     names = args[1:] or None
     spark = get_session()
     results = compare_all(spark, sf_dir, names=names)
+    if json_out:
+        Path(json_out).write_text(
+            json.dumps({r.name: r.driver_row() for r in results}, indent=2) + "\n"
+        )
     failed = 0
     for r in results:
         print(r)

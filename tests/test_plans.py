@@ -155,12 +155,10 @@ def test_lsh_pair_joins_are_band_keyed(spark, sf_dir):
 def test_partitioned_write_prunes_on_reread(spark, sf_dir):
     # q_sink_parquet lays out one directory per o_orderstatus; a filtered
     # re-read must prune to that partition (PartitionFilters, not a full scan).
-    import os
-
-    from pkg2_spark.queries.relational import IO_DIR
+    from pkg2_spark.queries.relational import fixture_path
 
     all_queries()["q_sink_parquet"](spark, sf_dir).collect()  # ensure layout
-    df = spark.read.parquet(os.path.join(IO_DIR, "sink_parquet")).filter(
+    df = spark.read.parquet(fixture_path("sink_parquet", sf_dir)).filter(
         F.col("o_orderstatus") == "F"
     )
     plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
