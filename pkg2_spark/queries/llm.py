@@ -553,6 +553,13 @@ def q_llm_ann_ivf(spark, sf_dir):
     made assignment quadratic), and the ranking join is centroid-keyed, not
     a cross join."""
     e = load_tables(spark, sf_dir)["embeddings"]
+    return _ivf_search(e)
+
+
+def _ivf_search(e, n_probes: int = 5, k: int = 5):
+    """The q_llm_ann_ivf pipeline as a reusable operator (also consumed by
+    q_llm_ann_recall): constant-16 hash-sampled centroids → broadcast
+    assignment → probe-cell ranking."""
     cent = (
         e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
         .orderBy(
@@ -575,7 +582,7 @@ def q_llm_ann_ivf(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "cid")
     )
-    probes = assign.filter(F.col("vec_id") < 5).select(
+    probes = assign.filter(F.col("vec_id") < n_probes).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), F.col("cid").alias("pcid")
     )
     cands = probes.join(
@@ -589,7 +596,7 @@ def q_llm_ann_ivf(spark, sf_dir):
     w_rank = Window.partitionBy("probe_id").orderBy(
         F.col("cos").desc_nulls_last(), F.col("vec_id").asc_nulls_last()
     )
-    return cands.withColumn("rn", F.row_number().over(w_rank)).filter(F.col("rn") <= 5).drop("rn")
+    return cands.withColumn("rn", F.row_number().over(w_rank)).filter(F.col("rn") <= k).drop("rn")
 
 
 @query(
@@ -956,4 +963,246 @@ def q_llm_sample_stratified(spark, sf_dir):
     d = load_tables(spark, sf_dir)["documents"]
     return stratified_sample(d, strata="lang", key="doc_id", k=20).select(
         "lang", "doc_id", "source"
+    )
+
+
+def _minhash_est_oracle() -> str:
+    agree = " + ".join(f"CAST(a.mh{i} = b.mh{i} AS INTEGER)" for i in range(_K))
+    return f"""
+WITH {_bands_cte()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 2 = 0
+),
+t AS (SELECT doc_id, list_distinct({_TOK_SQL}) AS toks FROM documents),
+scored AS (
+  SELECT doc_a, doc_b,
+         ({agree}) AS n_agree,
+         len(list_filter(ta.toks, x -> list_contains(tb.toks, x))) AS ni,
+         len(ta.toks) AS la, len(tb.toks) AS lb
+  FROM cand
+  JOIN sig a ON a.doc_id = cand.doc_a
+  JOIN sig b ON b.doc_id = cand.doc_b
+  JOIN t ta ON ta.doc_id = cand.doc_a
+  JOIN t tb ON tb.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, n_agree,
+       round(n_agree / 8.0, 4) AS est_jaccard,
+       round(CAST(ni AS DOUBLE) / (la + lb - ni), 4) AS jaccard
+FROM scored
+"""
+
+
+@query("q_llm_minhash_est", oracle=_minhash_est_oracle())
+def q_llm_minhash_est(spark, sf_dir):
+    """Sketch validation: MinHash-estimated Jaccard (fraction of agreeing
+    signature positions) against the exact token-set Jaccard, on a
+    deterministic ~10% sample of the LSH candidate pairs.
+
+    This is the QA harness a production dedup pipeline runs when tuning
+    (K, b, r): the estimate is computed purely from the K-hash signatures
+    (constant per-doc state), the exact value only on the sampled candidate
+    subset — the same estimate-cheap/verify-sampled split used at corpus
+    scale. All arithmetic is integer counts + one exact division, so both
+    engines agree bit-for-bit."""
+    d = load_tables(spark, sf_dir)["documents"]
+    sig = minhash_signatures(tokenize_distinct(d), _K)
+    bands = lsh_bands(sig, _K, _BANDS_R)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band_id").alias("bid2"),
+        F.col("band_key").alias("bkey2"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_id") == F.col("bid2"))
+            & (F.col("band_key") == F.col("bkey2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .filter((F.col("doc_a") % 5 == 0) & (F.col("doc_b") % 2 == 0))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    siga = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_K)])
+    sigb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_K)])
+    t = d.select("doc_id", F.array_distinct(tokens_col()).alias("toks"))
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    n_agree = sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(_K))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    uni = F.size("ta") + F.size("tb") - inter
+    return (
+        cand.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_agree.alias("n_agree"),
+            F.round(n_agree / F.lit(8.0), 4).alias("est_jaccard"),
+            F.round(inter.cast("double") / uni, 4).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "q_llm_ann_recall",
+    oracle="""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+  QUALIFY row_number() OVER (
+    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC NULLS LAST, vec_id ASC NULLS LAST
+  ) <= 16
+),
+assign AS (
+  SELECT vec_id, embedding, cid,
+         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                      CAST(cemb AS DOUBLE[])), 4) AS ccos
+  FROM embeddings CROSS JOIN cent
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id ORDER BY ccos DESC NULLS LAST, cid ASC NULLS LAST
+  ) = 1
+),
+iprobes AS (
+  SELECT vec_id AS probe_id, embedding AS pe, cid AS pcid FROM assign WHERE vec_id < 5
+),
+ivf AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, assign.vec_id,
+           round(list_cosine_similarity(CAST(pe AS DOUBLE[]),
+                                        CAST(assign.embedding AS DOUBLE[])), 4) AS cos
+    FROM iprobes JOIN assign ON assign.cid = iprobes.pcid AND assign.vec_id <> iprobes.probe_id
+    QUALIFY row_number() OVER (
+      PARTITION BY probe_id ORDER BY cos DESC NULLS LAST, assign.vec_id ASC NULLS LAST
+    ) <= 5
+  )
+),
+exact AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT p.probe_id, e.vec_id,
+           round(list_cosine_similarity(CAST(p.pe AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])), 4) AS cos
+    FROM (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5) p
+    CROSS JOIN embeddings e
+    WHERE e.vec_id <> p.probe_id
+    QUALIFY row_number() OVER (
+      PARTITION BY probe_id ORDER BY cos DESC NULLS LAST, e.vec_id ASC NULLS LAST
+    ) <= 5
+  )
+)
+SELECT exact.probe_id,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(sum(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 4) AS recall
+FROM exact
+LEFT JOIN ivf ON ivf.probe_id = exact.probe_id AND ivf.vec_id = exact.vec_id
+GROUP BY exact.probe_id
+""",
+)
+def q_llm_ann_recall(spark, sf_dir):
+    """ANN quality measurement: recall@5 of the IVF index against the exact
+    brute-force top-5, per probe — the evaluation loop every production ANN
+    deployment runs before trusting an index (tune k_centroids / n_probe
+    until recall clears the bar).
+
+    Both arms are the engine's own operators (knn_bruteforce and
+    _ivf_search), joined on (probe_id, vec_id); the oracle recomputes both
+    arms in SQL. Linear in corpus size per arm; the comparison itself is a
+    k-row-per-probe join."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_embedding")
+    )
+    exact = knn_bruteforce(e.select("vec_id", "embedding"), probes, k=5, dim=64).select(
+        "probe_id", "vec_id"
+    )
+    ivf = _ivf_search(e).select("probe_id", "vec_id").withColumn("__hit", F.lit(1))
+    return (
+        exact.join(ivf, ["probe_id", "vec_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+            F.round(F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.lit(5.0), 4).alias("recall"),
+        )
+    )
+
+
+@query(
+    "q_llm_decontam",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+t AS (SELECT doc_id, split, {_TOK_SQL} AS toks FROM s),
+g AS (
+  SELECT doc_id, split,
+         unnest(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i + 1 AS INTEGER)] || ' ' || toks[CAST(i + 2 AS INTEGER)]))) AS ngram
+  FROM t WHERE len(toks) >= 3
+),
+train_g AS (SELECT DISTINCT ngram FROM g WHERE split = 'train'),
+test_g AS (SELECT DISTINCT doc_id, ngram FROM g WHERE split = 'test'),
+tot AS (SELECT doc_id, count(*) AS n_tris FROM test_g GROUP BY doc_id),
+hit AS (
+  SELECT doc_id, count(*) AS n_contam FROM test_g
+  WHERE ngram IN (SELECT ngram FROM train_g)
+  GROUP BY doc_id
+)
+SELECT tot.doc_id,
+       CAST(tot.n_tris AS BIGINT) AS n_tris,
+       CAST(coalesce(hit.n_contam, 0) AS BIGINT) AS n_contam,
+       round(CAST(coalesce(hit.n_contam, 0) AS DOUBLE) / tot.n_tris, 4) AS contam_ratio
+FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+""",
+)
+def q_llm_decontam(spark, sf_dir):
+    """Train/test decontamination scan: for every TEST document, the number
+    and fraction of its distinct trigram shingles that also occur anywhere
+    in the TRAIN split — the n-gram-overlap contamination check run before
+    any benchmark evaluation (production uses the same pipeline with longer
+    shingles).
+
+    Scale shape: shingle explode → distinct → one semi-join keyed on the
+    shingle string (high-cardinality, shuffle-partitionable) + one groupBy
+    per side. The train-side shingle set is never collected or broadcast by
+    construction — at 100 TB it is itself a distributed table."""
+    d = load_tables(spark, sf_dir)["documents"]
+    s = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    toks = tokens_col()
+    t = s.select("doc_id", "split", toks.alias("toks")).filter(F.size("toks") >= 3)
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
+        ),
+    )
+    g = t.select("doc_id", "split", F.explode(F.array_distinct(tri)).alias("ngram"))
+    train_g = g.filter(F.col("split") == "train").select("ngram").distinct()
+    test_g = g.filter(F.col("split") == "test").select("doc_id", "ngram").distinct()
+    tot = test_g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tris"))
+    hit = (
+        test_g.join(train_g, "ngram", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contam"))
+    )
+    return tot.join(hit, "doc_id", "left").select(
+        "doc_id",
+        "n_tris",
+        F.coalesce("n_contam", F.lit(0)).alias("n_contam"),
+        F.round(F.coalesce("n_contam", F.lit(0)).cast("double") / F.col("n_tris"), 4).alias(
+            "contam_ratio"
+        ),
     )

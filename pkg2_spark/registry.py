@@ -60,8 +60,10 @@ _DRIVER_CHECK_HEAD = [
     "q_llm_ngrams", "q_llm_langstats", "q_llm_quality", "q_llm_embed_col",
     "q_llm_sample_hash", "q_llm_split",
     # §2.12b LLM addendum — unchecked r1 (dedup_resolve last: iterative, slowest)
-    # + the round-2 LSH-banded pair queries (never driver-checked)
+    # + the round-2 additions (never driver-checked): LSH-banded pair
+    # queries, sketch validation, ANN recall, decontamination
     "q_llm_cossim_lsh", "q_llm_jaccard_lsh",
+    "q_llm_minhash_est", "q_llm_ann_recall", "q_llm_decontam",
     "q_llm_simhash", "q_llm_jaccard", "q_llm_embed_neardup", "q_llm_ann_ivf",
     "q_llm_langid", "q_llm_token_count", "q_llm_fingerprint",
     "q_llm_sample_stratified", "q_llm_dedup_resolve",

@@ -51,7 +51,11 @@ def test_topk_uses_take_ordered(spark, sf_dir):
 
 def test_no_python_nodes_outside_udf_queries(spark, sf_dir):
     # LLM ops must stay JVM-side: built-in expressions only.
-    for name in ["q_llm_minhash", "q_llm_cossim", "q_llm_tfidf", "q_llm_dedup_exact"]:
+    for name in [
+        "q_llm_minhash", "q_llm_cossim", "q_llm_tfidf", "q_llm_dedup_exact",
+        "q_llm_cossim_lsh", "q_llm_jaccard_lsh", "q_llm_minhash_est",
+        "q_llm_ann_recall", "q_llm_decontam",
+    ]:
         plan = _plan(spark, sf_dir, name)
         for marker in ["BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"]:
             assert marker not in plan, f"{name} has Python node {marker}"
