@@ -156,6 +156,21 @@ def test_lsh_pair_joins_are_band_keyed(spark, sf_dir):
         assert "band_key" in plan, name
 
 
+def test_self_join_pipelines_reuse_exchanges(spark, sf_dir):
+    # The banded pair queries reference the MinHash/banding subplan on both
+    # sides of a self-join. Catalyst does not CSE this statically, but AQE
+    # must stitch in ReusedExchange at runtime — otherwise the tokenize +
+    # aggregate runs twice per query, which at 100 TB doubles the most
+    # expensive linear stage. Post-execution final plan is the evidence.
+    df = all_queries()["q_llm_jaccard_lsh"](spark, sf_dir)
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
+
+
 def test_partitioned_write_prunes_on_reread(spark, sf_dir):
     # q_sink_parquet lays out one directory per o_orderstatus; a filtered
     # re-read must prune to that partition (PartitionFilters, not a full scan).
