@@ -237,6 +237,68 @@ def q_stream_rt_slide(spark, sf_dir):
 
 
 @query(
+    "q_stream_rt_join",
+    oracle="""
+WITH pairs AS (
+  SELECT c.user_id, c.ts AS c_ts, p.ts AS p_ts, p.value AS p_value
+  FROM events c JOIN events p
+    ON c.user_id = p.user_id
+   AND c.event_type = 'click' AND p.event_type = 'purchase'
+   AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+)
+SELECT user_id,
+       count(*) AS n_pairs,
+       round(sum(p_value), 2) AS sum_purchase_value,
+       CAST(min(epoch_us(p_ts) - epoch_us(c_ts)) AS BIGINT) AS min_gap_us
+FROM pairs GROUP BY user_id
+""",
+)
+def q_stream_rt_join(spark, sf_dir):
+    """STREAM-STREAM interval join through real Structured Streaming:
+    click→purchase attribution (purchases joined to same-user clicks in the
+    preceding 30 minutes), both sides watermarked, append mode.
+
+    The state-store shape at scale: both streams shuffle on user_id, each
+    side buffers only rows younger than watermark + interval, and the join
+    emits as soon as matches land — the canonical funnel/attribution
+    topology. availableNow replay of the static file closes all state, so
+    the emitted pair set equals the batch interval join; the oracle checks
+    the per-user rollup of exactly those pairs."""
+    from pkg2_spark.streaming.harness import events_stream, run_to_memory
+
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    buys = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    pairs = run_to_memory(
+        joined.select("c_user", "c_ts", "p_ts", "p_value"), "rt_join", mode="append"
+    )
+    return pairs.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("p_value"), 2).alias("sum_purchase_value"),
+        F.min(F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("min_gap_us"),
+    )
+
+
+@query(
     "q_stream_rt_dedup",
     oracle="""
 SELECT event_type, count(*) AS n, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

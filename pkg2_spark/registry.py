@@ -70,7 +70,7 @@ _DRIVER_CHECK_HEAD = [
     # §2.10 streaming — unchecked r1 (real streaming jobs; batch twins first)
     "q_stream_tumble", "q_stream_slide", "q_stream_session", "q_stream_dedup",
     "q_stream_rt_tumble", "q_stream_rt_slide", "q_stream_rt_session",
-    "q_stream_rt_dedup", "q_stream_stateful",
+    "q_stream_rt_dedup", "q_stream_rt_join", "q_stream_stateful",
     # round-1 FAILs, output now JSON-serialized — need fresh driver rows
     "q_agg_collect", "q_fn_array", "q_fn_map_struct", "q_src_repoindex",
     # remaining unchecked: packages, udfs, sorts/sets, timeseries, sql, graph,

@@ -46,20 +46,33 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Execute a streaming aggregation to completion into a memory sink and
     return the materialized table. availableNow processes all existing files
-    then stops — deterministic replay."""
+    then stops — deterministic replay.
+
+    The number of state-store tasks per micro-batch is fixed by
+    ``spark.sql.shuffle.partitions`` at query start (it is baked into the
+    checkpoint). These replays are bounded single-file runs, so the conf is
+    temporarily lowered: 32 state partitions × several stateful operators
+    is pure task-launch overhead at this volume, while a real deployment
+    sizes it to cluster cores before the FIRST start of each query."""
     spark = stream_df.sparkSession
     # Unique sink/checkpoint per run: memory sinks are session-global.
     qname = f"{name}_{uuid.uuid4().hex[:8]}"
     ckpt = os.path.join(IO_DIR, "checkpoints", qname)
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     out = spark.table(qname)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
