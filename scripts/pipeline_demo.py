@@ -9,12 +9,14 @@ DataFrame; ONE action at the write):
       → exact dedup               (md5 content hash, keep min doc_id)
       → near-dup candidate prune  (MinHash/LSH bands, drop non-canonical)
       → train/val/test split      (stable md5-bucket assignment)
+      → decontamination audit     (test-split trigram overlap vs train)
       → partitioned parquet write (split/lang directories)
 
 Scale shape: two hash-aggregates (dedup, minhash), one band equi-join
-(LSH), everything else row-local projections/filters; the write is
-partitioned by (split, lang) for downstream partition pruning. No
-collect(), no RNG, no Python in the hot path.
+(LSH), one shingle-keyed semi-join (decontam), everything else row-local
+projections/filters; the write is partitioned by (split, lang) for
+downstream partition pruning. No collect(), no RNG, no Python in the hot
+path.
 
 Usage: python scripts/pipeline_demo.py [sf_dir] [out_dir]
 """
@@ -109,12 +111,39 @@ def build_pipeline(spark, sf_dir: str):
     toks.unpersist()
 
     final = hash_split(pruned, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+
+    # decontamination audit: test docs whose distinct-trigram overlap with
+    # the train split exceeds 80% are flagged (not silently dropped — the
+    # report is the deliverable; dropping is a policy decision downstream)
+    toks_all = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    t = final.select("doc_id", "split", toks_all.alias("toks")).filter(F.size("toks") >= 3)
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
+        ),
+    )
+    g = t.select("doc_id", "split", F.explode(F.array_distinct(tri)).alias("ngram"))
+    train_g = g.filter(F.col("split") == "train").select("ngram").distinct()
+    test_g = g.filter(F.col("split") == "test").select("doc_id", "ngram").distinct()
+    contaminated = (
+        test_g.join(train_g, "ngram", "leftsemi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contam"))
+        .join(test_g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tris")), "doc_id")
+        .filter(F.col("n_contam") / F.col("n_tris") > 0.8)
+        .select("doc_id")
+    )
     return {
         "raw": docs,
         "lang": lang_ok,
         "quality": quality_ok,
         "dedup": canonical,
         "neardup": pruned,
+        "contaminated": contaminated,
         "final": final,
     }, final
 
