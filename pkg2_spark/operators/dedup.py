@@ -45,24 +45,28 @@ def resolve_components(
         .withColumn("component", F.col("node"))
         .persist()
     )
+    def step(lab: DataFrame) -> DataFrame:
+        neighbor_min = (
+            sym.join(lab, sym.b == lab.node)
+            .groupBy(sym.a.alias("node"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        return lab.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+            ).alias("component"),
+        )
+
     prev_sum = None
     try:
         for _ in range(max_iter):
-            neighbor_min = (
-                sym.join(labels, sym.b == labels.node)
-                .groupBy(sym.a.alias("node"))
-                .agg(F.min("component").alias("nmin"))
-            )
-            updated = (
-                labels.join(neighbor_min, "node", "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                    ).alias("component"),
-                )
-                .persist()
-            )
+            # one propagation step per action. Batching two steps per action
+            # was measured (q_llm_dedup_resolve sf0.01): 27s vs 14s — the
+            # deeper per-action DAG (4 serial shuffle stages under AQE
+            # replanning) costs more than the saved round-trips, same
+            # conclusion as the pointer-jumping experiment above.
+            updated = step(labels).persist()
             # labels are non-increasing, so their sum strictly decreases
             # until fixpoint — a scalar convergence probe, no old/new join.
             cur_sum = updated.agg(F.sum("component")).collect()[0][0]
