@@ -90,6 +90,45 @@ def test_version_key_orders_like_numeric_tuples(spark, versions):
     assert got == want
 
 
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=1, max_size=15
+    )
+)
+def test_resolve_components_matches_union_find(spark, edges):
+    # adversarial tiny graphs: self-loops dropped, chains/cycles/duplicate
+    # edges kept — the reference is a plain union-find with min-id labels.
+    from pkg2_spark.operators.dedup import resolve_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["node"], r["component"]) for r in resolve_components(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    members: dict[int, set[int]] = {}
+    for n in parent:
+        members.setdefault(find(n), set()).add(n)
+    want = {(n, min(ms)) for ms in members.values() for n in ms}
+    assert got == want
+
+
 @settings(**_SETTINGS)
 @given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=30, unique=True))
 def test_hash_split_is_a_stable_partition(spark, ids):
