@@ -66,6 +66,35 @@ def decode_features(with_payload: DataFrame) -> DataFrame:
     )
 
 
+HIST_SCHEMA = "doc_id long, n_bytes int, hist string"
+
+
+def hist_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for feature extraction proper: a 16-bin high-nibble
+    byte histogram per payload — the vector-valued feature shape (image
+    embeddings, audio MFCCs) with a stub extractor. Emitted as compact JSON
+    (same text form as to_json) so the result is canonicalizer-hashable."""
+    import json
+
+    for pdf in batches:
+        n_bytes, hists = [], []
+        for p in pdf["payload"]:
+            h = [0] * 16
+            for byte in p:
+                h[byte >> 4] += 1
+            n_bytes.append(len(p))
+            hists.append(json.dumps(h, separators=(",", ":")))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].values, "n_bytes": n_bytes, "hist": hists}
+        )
+
+
+def histogram_features(with_payload: DataFrame) -> DataFrame:
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        hist_batch, schema=HIST_SCHEMA
+    )
+
+
 RESIZE_SCHEMA = "doc_id long, out_w int, out_h int, out_hex string"
 
 

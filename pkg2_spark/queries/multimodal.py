@@ -94,6 +94,30 @@ def q_mm_frames(spark, sf_dir):
 
 
 @query(
+    "q_mm_features",
+    oracle="""
+SELECT doc_id, CAST(16 AS INTEGER) AS n_bytes,
+       to_json(list_transform(generate_series(0, 15),
+         b -> len(list_filter(generate_series(0, 15),
+           i -> substring(md5(text), CAST(2 * i + 1 AS INTEGER), 1)
+                = substring('0123456789abcdef', CAST(b + 1 AS INTEGER), 1))))) AS hist
+FROM documents
+WHERE doc_id < 200
+""",
+)
+def q_mm_features(spark, sf_dir):
+    # Vector-valued feature extraction through real mapInPandas plumbing: a
+    # 16-bin byte histogram per payload (the embedding/MFCC shape with a stub
+    # extractor), JSON-serialized at the boundary. The oracle rebuilds the
+    # same histogram from md5 hex nibbles in pure SQL, so the Arrow
+    # round-trip of an array-shaped feature is value-checked end to end.
+    from pkg2_spark.operators.multimodal import histogram_features
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return histogram_features(with_binary_payload(d.filter(F.col("doc_id") < 200)))
+
+
+@query(
     "q_mm_resize",
     oracle="""
 SELECT doc_id,

@@ -85,7 +85,7 @@ _DRIVER_CHECK_HEAD = [
     "q_agg_pivot", "q_agg_unpivot", "q_ts_gapfill", "q_sink_rollup",
     "q_sql_tpch_q4", "q_sql_tpch_q7",
     "q_graph_closure",
-    "q_mm_meta", "q_mm_decode", "q_mm_frames", "q_mm_resize",
+    "q_mm_meta", "q_mm_decode", "q_mm_frames", "q_mm_resize", "q_mm_features",
     "q_filter_compound", "q_filter_in", "q_filter_between", "q_filter_like",
     "q_filter_null", "q_case_when", "q_cast",
     "q_sink_bucketed", "q_src_binary", "q_src_evolving",

@@ -45,6 +45,7 @@ NLJ_WHITELIST = {
 PYTHON_WHITELIST = {
     "q_udf_scalar", "q_udf_grouped_agg", "q_udf_grouped_map", "q_udtf",
     "q_udf_python", "q_mm_decode", "q_mm_frames", "q_mm_resize",
+    "q_mm_features",
 }
 
 # Plans built inside the streaming harness (writeStream), not visible here.
