@@ -410,6 +410,80 @@ def q_llm_simhash(spark, sf_dir):
     return simhash16(tokenize_distinct(d))
 
 
+def _simhash_cte() -> str:
+    return f"""
+tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOK_SQL})) AS token FROM documents
+),
+h AS (SELECT doc_id, md5(token) AS h FROM tok),
+bits AS (
+  SELECT doc_id, g.i,
+         CASE WHEN instr('0123456789abcdef', substring(h, g.i + 1, 1)) - 1 >= 8
+              THEN 1 ELSE -1 END AS w
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) g
+),
+sums AS (SELECT doc_id, i, CAST(sum(w) AS BIGINT) AS s FROM bits GROUP BY doc_id, i),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+  FROM sums GROUP BY doc_id
+)"""
+
+
+@query(
+    "q_llm_simhash_dup",
+    oracle=f"""
+WITH {_simhash_cte()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+""",
+)
+def q_llm_simhash_dup(spark, sf_dir):
+    """SimHash near-dup pairing: all pairs within Hamming distance 1 of the
+    16-bit signature — COMPLETE by construction: the signature is split
+    into two 8-bit halves and pairs are discovered through an equi-join on
+    (half_id, half_value); a pair differing in ≤1 bit differs in at most
+    one half, so it must share the other half exactly (pigeonhole). The
+    oracle brute-forces all pairs, so a hash-match proves the blocked scan
+    found every qualifying pair. At scale: k+1 chunks find distance ≤ k,
+    and the join stays chunk-keyed — never all-pairs."""
+    d = load_tables(spark, sf_dir)["documents"]
+    sig = simhash16(tokenize_distinct(d))
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(F.col("simhash") % 256, (F.col("simhash") / 256).cast("long"))
+        ).alias("half_id", "half_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"), "half_id", "half_val"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sb"),
+        F.col("half_id").alias("hid2"),
+        F.col("half_val").alias("hval2"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("half_id") == F.col("hid2"))
+            & (F.col("half_val") == F.col("hval2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 1)
+        .distinct()
+    )
+
+
 @query(
     "q_llm_jaccard",
     oracle=f"""
