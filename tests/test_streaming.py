@@ -130,6 +130,68 @@ def test_drop_duplicates_within_watermark(spark, sf_dir):
     assert got.collect()[0]["n"] == 500
 
 
+def test_stream_stream_join_buffers_across_batches(spark, sf_dir):
+    """Clicks arrive in micro-batch 0, purchases only in micro-batch 1: the
+    interval join must emit the cross-batch pairs from buffered click state
+    — exactly the batch interval-join answer, nothing dropped."""
+    src_c = _fresh_dir("ssj_clicks")
+    src_p = _fresh_dir("ssj_buys")
+    ckpt = _fresh_dir("ssj_ckpt")
+    sink = _fresh_dir("ssj_sink")
+
+    e = _events(spark, sf_dir)
+    clicks_b = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    buys_b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    expected = sorted(
+        (r["c_user"], r["c_ts"], r["p_ts"])
+        for r in clicks_b.join(buys_b, cond).collect()
+    )
+    assert expected, "fixture has no click->purchase pairs; widen the interval"
+
+    def drain():
+        cs = (
+            spark.readStream.schema(clicks_b.schema).parquet(src_c + "/*")
+            .withWatermark("c_ts", "1 hour")
+        )
+        ps = (
+            spark.readStream.schema(buys_b.schema).parquet(src_p + "/*")
+            .withWatermark("p_ts", "1 hour")
+        )
+        q = (
+            cs.join(ps, cond)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 0: clicks only — nothing can join yet, state must buffer
+    clicks_b.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_c, "b0"))
+    buys_b.limit(0).coalesce(1).write.mode("overwrite").parquet(os.path.join(src_p, "b0"))
+    drain()
+    # batch 1: purchases arrive — buffered clicks must now match
+    buys_b.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_p, "b1"))
+    drain()
+
+    got = sorted(
+        (r["c_user"], r["c_ts"], r["p_ts"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert got == expected
+
+
 def test_stateful_counters_carry_state_across_batches(spark, sf_dir):
     """Split events into two files and replay one per micro-batch: the
     applyInPandasWithState operator must resume each user's state in batch 1
