@@ -1208,6 +1208,66 @@ def q_llm_ann_recall(spark, sf_dir):
 
 
 @query(
+    "q_llm_export_shards",
+    oracle="""
+WITH train AS (
+  SELECT doc_id, n_chars,
+         instr('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1 AS shard_id
+  FROM documents
+  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+)
+SELECT CAST(shard_id AS INTEGER) AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS first_doc
+FROM train GROUP BY shard_id
+""",
+)
+def q_llm_export_shards(spark, sf_dir):
+    """Training-shard export: the train split written as 16 hash-assigned
+    shard directories (what a data loader consumes), then read back and
+    audited per shard. Shard id is a later md5 nibble of the doc key —
+    independent of the split-threshold prefix, key-stable, and balanced in
+    expectation; the oracle recomputes the same stats straight from the
+    source table, so writer+reader fidelity is value-checked.
+
+    Scale shape: one projection for the shard id, one partitionBy write
+    (files land pre-grouped for shard-parallel loading), no extra shuffle
+    beyond the writer's partitioning. Write-once per scale like the other
+    fixtures."""
+    import os
+
+    from pkg2_spark.queries.relational import fixture_path, fixture_ready
+
+    d = load_tables(spark, sf_dir)["documents"]
+    train = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).filter(
+        F.col("split") == "train"
+    )
+    shard = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 5, 1),
+        )
+        - 1
+    ).cast("int")
+    path = fixture_path("llm_shards", sf_dir)
+    if not fixture_ready(path):
+        (
+            train.withColumn("shard_id", shard)
+            .select("doc_id", "n_chars", "shard_id")
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(path)
+        )
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("shard_id").cast("int").alias("shard_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@query(
     "q_llm_decontam",
     oracle=f"""
 WITH s AS (
