@@ -1207,6 +1207,57 @@ def q_llm_ann_recall(spark, sf_dir):
     )
 
 
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+_PHONE_RE = "[+][0-9][0-9]{6,}"
+
+
+@query(
+    "q_llm_pii_scrub",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         '@example.com or +1' || CAST((doc_id * 7919) % 10000000 AS VARCHAR) AS txt
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(txt, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(txt, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+       md5(regexp_replace(regexp_replace(txt, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM t
+""",
+)
+def q_llm_pii_scrub(spark, sf_dir):
+    """PII scrubbing: regex redaction of emails and phone-shaped tokens —
+    the privacy pass every pretraining pipeline runs before export. The
+    corpus is synthetic, so deterministic contact strings are appended
+    first (keyed off doc_id) and the scrubber must find and redact exactly
+    those; the md5 of the scrubbed text proves byte-level equality of the
+    redaction across engines. Patterns stay in the ASCII subset shared by
+    Java regex and RE2 (DuckDB needs the 'g' flag — its regexp_replace is
+    first-match by default, Spark's is global). Pure projection: row-local,
+    shuffle-free, linear at any corpus size."""
+    d = load_tables(spark, sf_dir)["documents"]
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1"),
+        ((F.col("doc_id") * 7919) % 10000000).cast("string"),
+    )
+    t = d.filter(F.col("doc_id") < 300).select("doc_id", txt.alias("txt"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("txt"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("txt"), F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("txt"), F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
 @query(
     "q_llm_export_shards",
     oracle="""

@@ -64,7 +64,7 @@ _DRIVER_CHECK_HEAD = [
     # queries, sketch validation, ANN recall, decontamination
     "q_llm_cossim_lsh", "q_llm_jaccard_lsh",
     "q_llm_minhash_est", "q_llm_ann_recall", "q_llm_decontam",
-    "q_llm_simhash_dup", "q_llm_export_shards",
+    "q_llm_simhash_dup", "q_llm_export_shards", "q_llm_pii_scrub",
     "q_llm_simhash", "q_llm_jaccard", "q_llm_embed_neardup", "q_llm_ann_ivf",
     "q_llm_langid", "q_llm_token_count", "q_llm_fingerprint",
     "q_llm_sample_stratified", "q_llm_dedup_resolve",
