@@ -148,6 +148,29 @@ class Engine:
         )
         return prov.filter(F.col("capability") == capability)
 
+    def whatdepends(self, package: str) -> DataFrame:
+        """Reverse dependency lookup: packages whose depends resolve (through
+        provides) to ``package`` — the inverse of :meth:`whatprovides`."""
+        p = self._pkgs()
+        providers = p.select(
+            F.explode(
+                F.array_union(
+                    F.array(F.col("name")),
+                    F.transform(F.col("provides"), lambda x: F.split_part(x, F.lit("="), F.lit(1))),
+                )
+            ).alias("capability"),
+            F.col("name").alias("provider"),
+        ).distinct()
+        deps = p.select(
+            F.col("name").alias("dependent"), F.explode("depends").alias("capability")
+        )
+        return (
+            deps.join(providers, "capability")
+            .filter(F.col("provider") == package)
+            .select("dependent", "capability")
+            .distinct()
+        )
+
     def latest_versions(self) -> DataFrame:
         """Top-1 per package name under numeric-aware version ordering —
         pkg2's latest-version-per-package [Tier C analog]."""

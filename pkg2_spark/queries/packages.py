@@ -154,6 +154,55 @@ def q_pkg_resolve(spark, sf_dir):
 
 
 @query(
+    "q_pkg_revdeps",
+    oracle=f"""
+WITH {_APK_PKGS_CTE.strip()},
+providers AS (
+  SELECT DISTINCT capability, provider FROM (
+    SELECT name AS provider,
+           unnest(list_concat([name],
+             list_transform(provides, x -> string_split(x, '=')[1]))) AS capability
+    FROM apk_pkgs
+  )
+),
+deps AS (
+  SELECT name AS dependent, unnest(depends) AS capability FROM apk_pkgs
+),
+edges AS (
+  SELECT DISTINCT dependent, provider FROM deps JOIN providers USING (capability)
+)
+SELECT provider,
+       CAST(count(*) AS BIGINT) AS n_dependents,
+       min(dependent) AS first_dependent
+FROM edges GROUP BY provider
+""",
+)
+def q_pkg_revdeps(spark, sf_dir):
+    """Reverse-dependency degrees (whatdepends across the whole index): for
+    every provider, how many packages' depends resolve to it through the
+    provides map — pkg2's reverse lookup surface (Engine.whatdepends is the
+    single-package form). One explode per side + an equi-join on capability
+    + a hash aggregate; at a real repo scale every stage is key-partitioned."""
+    eng = Engine(spark)
+    p = eng.ingest_apkindex(_APKINDEX_PATH)
+    providers = p.select(
+        F.explode(
+            F.array_union(
+                F.array(F.col("name")),
+                F.transform(F.col("provides"), lambda x: F.split_part(x, F.lit("="), F.lit(1))),
+            )
+        ).alias("capability"),
+        F.col("name").alias("provider"),
+    ).distinct()
+    deps = p.select(F.col("name").alias("dependent"), F.explode("depends").alias("capability"))
+    edges = deps.join(providers, "capability").select("dependent", "provider").distinct()
+    return edges.groupBy("provider").agg(
+        F.count(F.lit(1)).alias("n_dependents"),
+        F.min("dependent").alias("first_dependent"),
+    )
+
+
+@query(
     "q_pkg_version_order",
     oracle=f"""
 WITH {_APK_PKGS_CTE.strip()}

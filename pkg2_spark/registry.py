@@ -77,7 +77,7 @@ _DRIVER_CHECK_HEAD = [
     # remaining unchecked: packages, udfs, sorts/sets, timeseries, sql, graph,
     # multimodal, relational leftovers
     "q_pkg_debindex", "q_pkg_provides", "q_pkg_latest", "q_pkg_resolve",
-    "q_pkg_version_order",
+    "q_pkg_version_order", "q_pkg_revdeps",
     "q_udf_scalar", "q_udf_grouped_agg", "q_udf_grouped_map", "q_udtf",
     "q_udf_python",
     "q_sort_multi", "q_limit_topk", "q_offset",
