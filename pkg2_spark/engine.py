@@ -210,7 +210,7 @@ class Engine:
             edges.filter(F.col("src") == package)
             .select(F.col("dst").alias("node"), F.lit(1).alias("depth"))
             .distinct()
-            .persist()
+            .localCheckpoint()
         )
         closure = frontier
         for depth in range(2, max_depth + 1):
@@ -220,10 +220,14 @@ class Engine:
                 .distinct()
                 .withColumn("depth", F.lit(depth))
             )
-            new = expanded.join(closure, ["node"], "left_anti").persist()
+            # localCheckpoint, not persist: `closure` is referenced twice per
+            # round (anti-join + union), so the LOGICAL plan doubles each
+            # depth even under persist — checkpointing truncates lineage
+            # (see operators/dedup.py for the OOM this prevents).
+            new = expanded.join(closure, ["node"], "left_anti").localCheckpoint()
             if new.isEmpty():
                 break
-            closure = closure.union(new).persist()
+            closure = closure.union(new).localCheckpoint()
             frontier = new
         return closure
 

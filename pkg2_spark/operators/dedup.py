@@ -43,8 +43,9 @@ def resolve_components(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
+
     def step(lab: DataFrame) -> DataFrame:
         neighbor_min = (
             sym.join(lab, sym.b == lab.node)
@@ -66,11 +67,18 @@ def resolve_components(
             # deeper per-action DAG (4 serial shuffle stages under AQE
             # replanning) costs more than the saved round-trips, same
             # conclusion as the pointer-jumping experiment above.
-            updated = step(labels).persist()
+            #
+            # localCheckpoint, NOT persist: the step references `labels`
+            # twice (join + groupBy input), so the LOGICAL plan doubles per
+            # round even though persist caches execution — at round ~20 the
+            # plan tree itself OOMs the driver (hit at sf0.1). Checkpointing
+            # materializes AND truncates lineage, the standard discipline
+            # for iterative DataFrame algorithms; on a fault-tolerant
+            # cluster swap for checkpoint() with a checkpoint dir.
+            updated = step(labels).localCheckpoint()
             # labels are non-increasing, so their sum strictly decreases
             # until fixpoint — a scalar convergence probe, no old/new join.
             cur_sum = updated.agg(F.sum("component")).collect()[0][0]
-            labels.unpersist()
             labels = updated
             if prev_sum is not None and cur_sum == prev_sum:
                 break

@@ -76,7 +76,7 @@ def q_graph_closure(spark, sf_dir):
     edges = _edges(spark).distinct().persist()
     closure = edges.select(
         F.col("name").alias("root"), F.col("dep").alias("node"), F.lit(1).alias("depth")
-    ).distinct().persist()
+    ).distinct().localCheckpoint()
     frontier = closure
     for depth in range(2, _MAX_DEPTH + 1):
         # Semi-naïve step: expand only last round's frontier, keep first-seen
@@ -87,9 +87,13 @@ def q_graph_closure(spark, sf_dir):
             .distinct()
             .select("root", F.col("new_node").alias("node"), F.lit(depth).alias("depth"))
         )
-        new = expanded.join(closure, ["root", "node"], "left_anti").persist()
+        # localCheckpoint, not persist: `closure` appears twice per round
+        # (anti-join + union) — under persist the LOGICAL plan doubles per
+        # depth; checkpointing truncates lineage (operators/dedup.py
+        # documents the driver OOM this prevents).
+        new = expanded.join(closure, ["root", "node"], "left_anti").localCheckpoint()
         if new.isEmpty():
             break
-        closure = closure.union(new).persist()
+        closure = closure.union(new).localCheckpoint()
         frontier = new
     return closure
