@@ -131,6 +131,76 @@ def q_ts_gapfill(spark, sf_dir):
 
 
 @query(
+    "q_events_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, min(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_click_after_view,
+       (SELECT count(*) FROM p) AS n_purchase_after_click,
+       round((SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM v), 4) AS conv_view_click,
+       round((SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM c), 4) AS conv_click_purchase
+""",
+)
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel analysis: users who viewed, then clicked AFTER their
+    first view, then purchased AFTER that click — strict event-order
+    conversion, not mere co-occurrence. Three stages, each one groupBy +
+    one user-keyed join: every shuffle is on user_id, so the funnel runs
+    key-partitioned end to end at any event volume (the standard product
+    analytics topology; q_stream_rt_join is its streaming sibling)."""
+    e = load_tables(spark, sf_dir)["events"]
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click_after_view"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view",
+            "n_click_after_view",
+            "n_purchase_after_click",
+            F.round(F.col("n_click_after_view") / F.col("n_view"), 4).alias("conv_view_click"),
+            F.round(
+                F.col("n_purchase_after_click") / F.col("n_click_after_view"), 4
+            ).alias("conv_click_purchase"),
+        )
+    )
+
+
+@query(
     "q_sink_rollup",
     oracle="""
 SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,

@@ -39,6 +39,8 @@ NLJ_WHITELIST = {
     "q_agg_mode": "1-row total cross join (broadcast)",
     "q_ts_gapfill": "spine construction: bounded hours x categories cross "
                     "(both sides aggregate-derived, O(hours*types) rows)",
+    "q_events_funnel": "three 1-row stage-count aggregates cross-joined into "
+                       "the summary row",
 }
 
 # Declared Python surface (SURVEY §2.12 + multimodal decode stubs).
