@@ -121,6 +121,42 @@ class Engine:
         self.register("packages", pkgs)
         return pkgs
 
+    def ingest_archdesc(self, path: str) -> DataFrame:
+        """Arch-style `desc` blocks (concatenated repo-db form) -> the same
+        normalized schema. Sections are %KEY% headers; multi-value sections
+        (DEPENDS/PROVIDES) run one entry per line until the next %KEY%."""
+        raw = self.spark.read.text(path, wholetext=True)
+        blocks = raw.select(
+            F.explode(F.split("value", "%FILENAME%")).alias("blk")
+        ).filter(F.trim("blk") != "")
+
+        def sect(s: str) -> F.Column:
+            return F.regexp_extract("blk", f"%{s}%\n([^\n]+)", 1)
+
+        def multi(s: str) -> F.Column:
+            return F.array_sort(
+                F.filter(
+                    F.transform(
+                        F.split(F.regexp_extract("blk", f"%{s}%\n([^%]*)", 1), "\n"),
+                        F.trim,
+                    ),
+                    lambda x: x != "",
+                )
+            )
+
+        pkgs = blocks.select(
+            sect("NAME").alias("name"),
+            sect("VERSION").alias("version"),
+            sect("ARCH").alias("arch"),
+            F.regexp_extract("blk", "%CSIZE%\n([0-9]+)", 1).cast("long").alias("size"),
+            sect("DESC").alias("description"),
+            multi("DEPENDS").alias("depends"),
+            multi("PROVIDES").alias("provides"),
+        )
+        self._packages = pkgs
+        self.register("packages", pkgs)
+        return pkgs
+
     # ------------------------------------------------------------- queries
     def _pkgs(self) -> DataFrame:
         if self._packages is None:

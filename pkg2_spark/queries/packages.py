@@ -58,6 +58,30 @@ apk_pkgs AS (
 
 _VKEY_SQL = "array_to_string(list_transform(regexp_extract_all({c}, '[0-9]+'), x -> lpad(x, 6, '0')), '.')"
 
+_ARCHDESC_PATH = os.path.join(_REPO_DIR, "pkg2_spark", "data", "archdesc_sample.txt")
+
+# Arch `desc` parse as DuckDB CTEs (mirrors Engine.ingest_archdesc)
+_ARCH_PKGS_CTE = f"""
+arch_blocks AS (
+  SELECT unnest(string_split(content, '%FILENAME%')) AS blk
+  FROM read_text('{_ARCHDESC_PATH}')
+),
+arch_pkgs AS (
+  SELECT
+    regexp_extract(blk, '%NAME%' || chr(10) || '([^' || chr(10) || ']+)', 1) AS name,
+    regexp_extract(blk, '%VERSION%' || chr(10) || '([^' || chr(10) || ']+)', 1) AS version,
+    regexp_extract(blk, '%ARCH%' || chr(10) || '([^' || chr(10) || ']+)', 1) AS arch,
+    CAST(regexp_extract(blk, '%CSIZE%' || chr(10) || '([0-9]+)', 1) AS BIGINT) AS size,
+    list_sort(list_filter(
+      list_transform(string_split(regexp_extract(blk, '%DEPENDS%' || chr(10) || '([^%]*)', 1), chr(10)), x -> trim(x)),
+      x -> x <> '')) AS depends,
+    list_sort(list_filter(
+      list_transform(string_split(regexp_extract(blk, '%PROVIDES%' || chr(10) || '([^%]*)', 1), chr(10)), x -> trim(x)),
+      x -> x <> '')) AS provides
+  FROM arch_blocks WHERE trim(blk) <> ''
+)
+"""
+
 
 @query(
     "q_pkg_debindex",
@@ -150,6 +174,33 @@ def q_pkg_resolve(spark, sf_dir):
     eng.ingest_debian_packages(_PACKAGES_PATH)
     return eng.resolve("python3.11").groupBy("node").agg(
         F.min("depth").cast("int").alias("depth")
+    )
+
+
+@query(
+    "q_pkg_archindex",
+    oracle=f"""
+WITH {_ARCH_PKGS_CTE.strip()}
+SELECT name, version, arch, size,
+       to_json(depends) AS depends, to_json(provides) AS provides
+FROM arch_pkgs
+""",
+)
+def q_pkg_archindex(spark, sf_dir):
+    """Third repo-index format: Arch-style `desc` blocks (%KEY% sections,
+    multi-line DEPENDS/PROVIDES) normalized into the same package schema as
+    APKINDEX and Debian Packages — the multi-distro ingestion surface that
+    was pkg2's core. Whole-file read → block explode → regexp sections;
+    array outputs JSON-serialized at the boundary."""
+    eng = Engine(spark)
+    p = eng.ingest_archdesc(_ARCHDESC_PATH)
+    return p.select(
+        "name",
+        "version",
+        "arch",
+        "size",
+        F.to_json("depends").alias("depends"),
+        F.to_json("provides").alias("provides"),
     )
 
 

@@ -257,6 +257,54 @@ def q_sink_csv(spark, sf_dir):
     return back.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n_nations"))
 
 
+@query(
+    "q_src_corrupt",
+    oracle="""
+SELECT CAST(count(*) FILTER (WHERE doc_id % 10 <> 0) AS BIGINT) AS n_good,
+       CAST(count(*) FILTER (WHERE doc_id % 10 = 0) AS BIGINT) AS n_corrupt,
+       CAST(sum(n_chars) FILTER (WHERE doc_id % 10 <> 0) AS BIGINT) AS sum_chars
+FROM documents
+""",
+)
+def q_src_corrupt(spark, sf_dir):
+    """Bad-record tolerance at the source: a JSON-lines fixture where every
+    10th record is malformed, read in PERMISSIVE mode with
+    columnNameOfCorruptRecord — good rows parse, bad rows land whole in the
+    corrupt column instead of failing the job (the at-scale ingestion
+    posture: quarantine, don't crash). The oracle recomputes good/corrupt
+    counts arithmetically from the source table, so the reader's
+    classification is value-checked."""
+    d = load_tables(spark, sf_dir)["documents"]
+    path = fixture_path("src_corrupt", sf_dir)
+    if not fixture_ready(path):
+        good = d.filter(F.col("doc_id") % 10 != 0).select(
+            F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("value")
+        )
+        bad = d.filter(F.col("doc_id") % 10 == 0).select(
+            F.concat(F.lit('{"doc_id": '), F.col("doc_id").cast("string"), F.lit(', "broken')).alias("value")
+        )
+        good.unionAll(bad).write.mode("overwrite").text(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return back.agg(
+        F.count_if(F.col("_corrupt_record").isNull()).alias("n_good"),
+        F.count_if(F.col("_corrupt_record").isNotNull()).alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_chars"))).alias("sum_chars"),
+    )
+
+
 # ------------------------------------- §2.1 repo-index ingestion (pkg2 analog)
 
 _APKINDEX_PATH = os.path.join(_REPO_DIR, "pkg2_spark", "data", "apkindex_sample.txt")

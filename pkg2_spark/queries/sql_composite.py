@@ -54,6 +54,30 @@ GROUP BY supp_nation, cust_nation, l_year
 """
 
 
+# TPC-H Q5: local supplier volume — the 6-table star+snowflake join with the
+# customer-and-supplier-in-the-same-nation condition that forces a join-order
+# decision (c_nationkey = s_nationkey ties two dimension branches together).
+_Q5 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@query("q_sql_tpch_q5", oracle=_Q5)
+def q_sql_tpch_q5(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q5)
+
+
 @query("q_sql_tpch_q4", oracle=_Q4)
 def q_sql_tpch_q4(spark, sf_dir):
     load_tables(spark, sf_dir)

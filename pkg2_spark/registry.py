@@ -77,7 +77,7 @@ _DRIVER_CHECK_HEAD = [
     # remaining unchecked: packages, udfs, sorts/sets, timeseries, sql, graph,
     # multimodal, relational leftovers
     "q_pkg_debindex", "q_pkg_provides", "q_pkg_latest", "q_pkg_resolve",
-    "q_pkg_version_order", "q_pkg_revdeps",
+    "q_pkg_version_order", "q_pkg_revdeps", "q_pkg_archindex",
     "q_udf_scalar", "q_udf_grouped_agg", "q_udf_grouped_map", "q_udtf",
     "q_udf_python",
     "q_sort_multi", "q_limit_topk", "q_offset",
@@ -85,12 +85,12 @@ _DRIVER_CHECK_HEAD = [
     "q_set_except_all",
     "q_agg_pivot", "q_agg_unpivot", "q_ts_gapfill", "q_sink_rollup",
     "q_events_funnel",
-    "q_sql_tpch_q4", "q_sql_tpch_q7",
+    "q_sql_tpch_q4", "q_sql_tpch_q5", "q_sql_tpch_q7",
     "q_graph_closure",
     "q_mm_meta", "q_mm_decode", "q_mm_frames", "q_mm_resize", "q_mm_features",
     "q_filter_compound", "q_filter_in", "q_filter_between", "q_filter_like",
     "q_filter_null", "q_case_when", "q_cast",
-    "q_sink_bucketed", "q_src_binary", "q_src_evolving",
+    "q_sink_bucketed", "q_src_binary", "q_src_evolving", "q_src_corrupt",
 ]
 
 

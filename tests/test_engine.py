@@ -23,6 +23,23 @@ def deb(spark):
     return eng
 
 
+def test_ingest_archdesc_normalizes_like_other_formats(spark):
+    from pkg2_spark.queries.packages import _ARCHDESC_PATH
+
+    eng = Engine(spark)
+    p = eng.ingest_archdesc(_ARCHDESC_PATH)
+    rows = {r["name"]: r for r in p.collect()}
+    assert set(rows) == {"zlib", "glibc", "openssl", "python", "filesystem", "expat"}
+    assert rows["glibc"]["depends"] == ["filesystem", "linux-api-headers", "tzdata"]
+    assert rows["filesystem"]["depends"] == []  # empty %DEPENDS% section
+    assert rows["openssl"]["provides"] == ["libcrypto.so=3-64", "libssl.so=3-64"]
+    assert rows["glibc"]["size"] == 10874880
+    # the normalized schema feeds the same downstream surface
+    assert {r["provider"] for r in eng.whatprovides("libssl.so").collect()} == {"openssl"}
+    deps = {r["dependent"] for r in eng.whatdepends("zlib").collect()}
+    assert deps == {"openssl", "python"}
+
+
 def test_search_packages(apk):
     names = {r.name for r in apk.search_packages("b%").collect()}
     assert names == {"busybox"}
