@@ -1,0 +1,94 @@
+"""Scale probe: time representative queries across sf0.001 / sf0.01 / sf0.1.
+
+Usage: python scripts/scale_probe.py [--out SCALE_PROBE.md]
+
+Spark-side execution only (no oracle): each query is planned fresh per
+scale, warmed once, then timed (median of 3). The interesting number is the
+scaling exponent column: time ratio per 10x data. Near 1x = fixed-cost
+dominated at these sizes; near 10x = linear in data; >>10x = superlinear
+red flag (the thing this probe exists to catch).
+
+Representative set: one query per family, biased toward the operators whose
+scale behavior is least obvious (banded pair joins, iterative components,
+window top-k).
+"""
+
+from __future__ import annotations
+
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+PROBES = [
+    "q_scan_filter_pushdown",
+    "q_agg_group",
+    "q_join_multiway",
+    "q_win_topk_group",
+    "q_llm_dedup_exact",
+    "q_llm_minhash",
+    "q_llm_cossim_lsh",
+    "q_llm_knn",
+    "q_llm_decontam",
+    "q_llm_dedup_resolve",
+    "q_events_funnel",
+]
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def main() -> int:
+    out_path = None
+    args = sys.argv[1:]
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+
+    from pkg2_spark.registry import all_queries
+    from pkg2_spark.session import get_session
+
+    spark = get_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    results: dict[str, dict[str, float]] = {}
+    for name in PROBES:
+        results[name] = {}
+        for sf in SFS:
+            fn = queries[name]
+            fn(spark, sf).count()  # warm: plan + fill caches
+            times = []
+            for _ in range(3):
+                t0 = time.monotonic()
+                fn(spark, sf).count()
+                times.append(time.monotonic() - t0)
+            results[name][sf] = statistics.median(times)
+
+    lines = [
+        "# SCALE_PROBE — Spark-side wall time across scale factors",
+        "",
+        "Median of 3 warm runs per (query, sf); plan construction included.",
+        "`x/10x` columns = time ratio per 10x data (≈1 means fixed-cost bound,",
+        "≈10 means linear; superlinear growth is the red flag).",
+        "",
+        "| query | sf0.001 | sf0.01 | sf0.1 | 0.01/0.001 | 0.1/0.01 |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, row in results.items():
+        t1, t2, t3 = (row[sf] for sf in SFS)
+        lines.append(
+            f"| {name} | {t1:.3f}s | {t2:.3f}s | {t3:.3f}s "
+            f"| {t2 / t1:.2f}x | {t3 / t2:.2f}x |"
+        )
+    lines.append("")
+    text = "\n".join(lines)
+    print(text)
+    if out_path:
+        Path(out_path).write_text(text + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
