@@ -131,6 +131,98 @@ def q_ts_gapfill(spark, sf_dir):
 
 
 @query(
+    "q_dq_constraints",
+    oracle="""
+SELECT
+  (SELECT count(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+   WHERE o.o_orderkey IS NULL) AS n_orphan_lineitems,
+  (SELECT count(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+   WHERE c.c_custkey IS NULL) AS n_orphan_orders,
+  (SELECT count(*) FROM lineitem WHERE l_quantity <= 0 OR l_extendedprice < 0
+     OR l_discount < 0 OR l_discount > 1) AS n_bad_lineitem_values,
+  (SELECT count(*) FROM orders WHERE o_orderkey IS NULL) AS n_null_orderkeys,
+  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders) AS n_dup_orderkeys
+""",
+)
+def q_dq_constraints(spark, sf_dir):
+    """Data-quality constraint sweep: referential integrity (orphan facts),
+    value-domain bounds, null keys, and key uniqueness — the dbt-style
+    contract checks a warehouse runs after every load. Each check is an
+    anti-join or an aggregate on the key it validates; all five run
+    key-partitioned at any volume, and the single summary row is the
+    pass/fail artifact a pipeline gates on (all zeros on this dataset)."""
+    t = load_tables(spark, sf_dir)
+    l, o, c = t["lineitem"], t["orders"], t["customer"]
+    orphan_l = l.join(o, l.l_orderkey == o.o_orderkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n_orphan_lineitems")
+    )
+    orphan_o = o.join(c, o.o_custkey == c.c_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n_orphan_orders")
+    )
+    bad_vals = l.filter(
+        (F.col("l_quantity") <= 0)
+        | (F.col("l_extendedprice") < 0)
+        | (F.col("l_discount") < 0)
+        | (F.col("l_discount") > 1)
+    ).agg(F.count(F.lit(1)).alias("n_bad_lineitem_values"))
+    null_keys = o.filter(F.col("o_orderkey").isNull()).agg(
+        F.count(F.lit(1)).alias("n_null_orderkeys")
+    )
+    dup_keys = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_dup_orderkeys")
+    )
+    return (
+        orphan_l.crossJoin(orphan_o)
+        .crossJoin(bad_vals)
+        .crossJoin(null_keys)
+        .crossJoin(dup_keys)
+    )
+
+
+@query(
+    "q_ts_incremental",
+    oracle="""
+SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_ts_incremental(spark, sf_dir):
+    """Incremental rollup maintenance: a daily aggregate snapshot built from
+    the WATERMARK-OLD half of the data, then merged with the aggregate of
+    only the NEW half (sum of partials, never a rescan of old rows) — the
+    high-water-mark pattern that turns a daily 100 TB reload into
+    delta-sized work. The oracle aggregates everything directly, so the
+    merge must reproduce the full answer exactly: partial counts add, and
+    partial double-sums regroup exactly because each (day, type) group's
+    addends are disjoint row sets whose 2dp-rounded total absorbs ulp
+    drift (same discipline as q_sink_rollup)."""
+    e = load_tables(spark, sf_dir)["events"]
+    # deterministic high-water mark: half-way hour of the time range
+    hwm = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
+    day = F.unix_micros(F.date_trunc("day", "ts")).alias("day_us")
+    snapshot = (
+        e.filter(F.col("ts") < hwm)
+        .groupBy(day, "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    )
+    delta = (
+        e.filter(F.col("ts") >= hwm)
+        .groupBy(day, "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    )
+    return (
+        snapshot.unionByName(delta)
+        .groupBy("day_us", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("sv"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
     "q_events_funnel",
     oracle="""
 WITH v AS (

@@ -84,7 +84,7 @@ _DRIVER_CHECK_HEAD = [
     "q_set_union_all", "q_set_union", "q_set_intersect", "q_set_except",
     "q_set_except_all",
     "q_agg_pivot", "q_agg_unpivot", "q_ts_gapfill", "q_sink_rollup",
-    "q_events_funnel",
+    "q_events_funnel", "q_dq_constraints", "q_ts_incremental",
     "q_sql_tpch_q4", "q_sql_tpch_q5", "q_sql_tpch_q7",
     "q_graph_closure",
     "q_mm_meta", "q_mm_decode", "q_mm_frames", "q_mm_resize", "q_mm_features",

@@ -41,6 +41,8 @@ NLJ_WHITELIST = {
                     "(both sides aggregate-derived, O(hours*types) rows)",
     "q_events_funnel": "three 1-row stage-count aggregates cross-joined into "
                        "the summary row",
+    "q_dq_constraints": "five 1-row check aggregates cross-joined into the "
+                        "summary row",
 }
 
 # Declared Python surface (SURVEY §2.12 + multimodal decode stubs).
