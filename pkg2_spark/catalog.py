@@ -55,10 +55,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Spark 4 infers parquet timestamp[ms] (isAdjustedToUTC=false) as
     # TIMESTAMP_NTZ, which unix_micros & friends reject. Session TZ is pinned
     # to UTC, so casting NTZ -> TIMESTAMP preserves the instant and matches
-    # DuckDB's naive-timestamp reading exactly.
+    # DuckDB's naive-timestamp reading exactly. TimestampType() — not the
+    # "timestamp" type string, which resolves through spark.sql.timestampType
+    # and would be a no-op in an NTZ-default session.
+    from pyspark.sql.types import TimestampType
+
     for fname, ftype in df.dtypes:
         if ftype == "timestamp_ntz":
-            df = df.withColumn(fname, F.col(fname).cast("timestamp"))
+            df = df.withColumn(fname, F.col(fname).cast(TimestampType()))
     return df
 
 

@@ -18,6 +18,7 @@ import uuid
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import TimestampType
 
 from pkg2_spark.queries.relational import IO_DIR
 from pkg2_spark.session import ensure_runtime_confs
@@ -31,15 +32,27 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigint nanos under the legacy flag) and shimmed identically to batch.
     """
     ensure_runtime_confs(spark)
+    src = os.path.join(sf_dir, "events.parquet")
     src_dir = os.path.join(IO_DIR, "stream_src", os.path.basename(os.path.normpath(sf_dir)))
     os.makedirs(src_dir, exist_ok=True)
     dst = os.path.join(src_dir, "events.parquet")
-    if not os.path.exists(dst):
-        shutil.copyfile(os.path.join(sf_dir, "events.parquet"), dst)
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # Re-copy when the source file changed (the driver regenerates testdata
+    # between rounds; a stale copy would diverge from the schema read below).
+    if not os.path.exists(dst) or os.path.getsize(dst) != os.path.getsize(src):
+        shutil.copyfile(src, dst)
+    schema = spark.read.parquet(src).schema
     raw = spark.readStream.schema(schema).parquet(src_dir)
-    if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get("ts") == "bigint":
+    dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+    if dtypes.get("ts") == "bigint":
         raw = raw.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    # parquet timestamp[us] with isAdjustedToUTC=false infers as TIMESTAMP_NTZ,
+    # which streaming window()/withWatermark/unix_micros reject. Session TZ is
+    # pinned UTC, so an explicit LTZ cast preserves the instant (same shim as
+    # catalog.read_table). TimestampType() — not the "timestamp" type string,
+    # which resolves through spark.sql.timestampType and could stay NTZ.
+    for fname, ftype in dtypes.items():
+        if ftype == "timestamp_ntz":
+            raw = raw.withColumn(fname, F.col(fname).cast(TimestampType()))
     return raw
 
 
