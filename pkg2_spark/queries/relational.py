@@ -20,6 +20,7 @@ Scale notes:
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 import pyspark.sql.functions as F
@@ -47,11 +48,29 @@ _BUCKETED_DONE: set[tuple[int, str]] = set()
 
 def fixture_ready(path: str) -> bool:
     """True when a completed write already sits at ``path`` (_SUCCESS marker
-    for Spark writers). Fixture inputs are pure functions of (sf_dir, query),
-    so a finished write is reusable across invocations AND processes — the
-    driver's per-query loop then pays the write once per scale, not once per
-    call (VERDICT.md round 1, next-round item 3b)."""
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+    for Spark writers) AND is newer than the source testdata. Fixture inputs
+    are pure functions of (sf_dir, query-version), so a finished write is
+    reusable across invocations AND processes — the driver's per-query loop
+    then pays the write once per scale, not once per call. The mtime guard
+    exists because the driver REGENERATES testdata between rounds (round 3:
+    events.ts changed parquet type); a fixture older than its source tables
+    would silently serve stale rows."""
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        return False
+    tags = [p for p in os.path.normpath(path).split(os.sep) if re.fullmatch(r"sf[\d.]+", p)]
+    if not tags:
+        return True  # non-testdata layout (unit-test scratch dirs): no guard
+    sf_dir = os.path.join("/root/testdata", tags[-1])
+    try:
+        newest_src = max(
+            os.path.getmtime(os.path.join(sf_dir, f))
+            for f in os.listdir(sf_dir)
+            if f.endswith(".parquet")
+        )
+    except (OSError, ValueError):
+        return True  # non-testdata layout (unit-test scratch dirs): no guard
+    return os.path.getmtime(marker) >= newest_src
 
 
 # ---------------------------------------------------------------- §2.1 scans

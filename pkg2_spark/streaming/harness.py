@@ -38,7 +38,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst = os.path.join(src_dir, "events.parquet")
     # Re-copy when the source file changed (the driver regenerates testdata
     # between rounds; a stale copy would diverge from the schema read below).
-    if not os.path.exists(dst) or os.path.getsize(dst) != os.path.getsize(src):
+    if (
+        not os.path.exists(dst)
+        or os.path.getsize(dst) != os.path.getsize(src)
+        or os.path.getmtime(dst) < os.path.getmtime(src)
+    ):
         shutil.copyfile(src, dst)
     schema = spark.read.parquet(src).schema
     raw = spark.readStream.schema(schema).parquet(src_dir)
