@@ -1,0 +1,188 @@
+"""Warehouse-maintenance operators: CDC merge (upsert), SCD-2 dimension
+history, and column profiling.
+
+The reference engine's package index was rebuilt by re-ingesting mutated
+upstream indexes (new versions replace old rows, removed packages
+disappear); MERGE is the same operation expressed as a dataflow, and SCD-2
+is its history-preserving variant. Profiling is the load-time statistics
+sweep a warehouse runs to validate a fresh ingest.
+
+Scale posture:
+- merge: ONE full-outer shuffle join on the merge key — the exact topology
+  Delta/Iceberg MERGE compiles to; both sides hash-partition on the key, so
+  the operator scales with the change volume, not the base size, once the
+  base is bucketed on the key.
+- scd2: two user-keyed windows (change detection, interval close) — one
+  shuffle on the dimension's natural key; key cardinality grows with data.
+- profile: global min/max (one tiny all-to-one agg, broadcast back) + one
+  hash-agg on the derived bucket id.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from pkg2_spark.catalog import load_tables
+from pkg2_spark.registry import query
+
+
+@query(
+    "q_cdc_merge",
+    oracle="""
+WITH changes AS (
+  SELECT o_orderkey AS key, 'U' AS op, round(o_totalprice + 100, 2) AS new_price
+  FROM orders WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey, 'D', NULL FROM orders WHERE o_orderkey % 10 = 7
+  UNION ALL
+  SELECT o_orderkey + 10000000, 'I', round(o_totalprice, 2)
+  FROM orders WHERE o_orderkey % 10 = 5
+),
+merged AS (
+  SELECT coalesce(c.key, b.o_orderkey) AS key,
+         CASE WHEN b.o_orderkey IS NULL THEN 'I'
+              WHEN c.op = 'U' THEN 'U'
+              ELSE 'K' END AS action,
+         CASE WHEN b.o_orderkey IS NULL OR c.op = 'U' THEN c.new_price
+              ELSE round(b.o_totalprice, 2) END AS price
+  FROM orders b FULL JOIN changes c ON b.o_orderkey = c.key
+  WHERE c.op IS NULL OR c.op <> 'D'
+)
+SELECT key AS o_orderkey, action, price FROM merged WHERE key % 4 = 3
+""",
+)
+def q_cdc_merge(spark, sf_dir):
+    # MERGE/upsert as a dataflow: a deterministic change set (10% updates,
+    # 10% deletes, 10% inserts keyed past the base range) applied to the
+    # base via ONE full-outer join on the key — matched+U rewrites, matched+D
+    # drops, unmatched-change inserts, unmatched-base keeps. The emitted 25%
+    # key sample is row-level evidence of all three actions. At 100 TB the
+    # base side is bucketed on the merge key, so only the (small) change
+    # side shuffles.
+    o = load_tables(spark, sf_dir)["orders"]
+    upd = o.filter(F.col("o_orderkey") % 10 == 3).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit("U").alias("op"),
+        F.round(F.col("o_totalprice") + 100, 2).alias("new_price"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 10 == 7).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("new_price"),
+    )
+    # Insert prices are the identity transform: /2 or *1.1 would land on
+    # exact half-cent boundaries where Spark's decimal HALF_UP and DuckDB's
+    # raw-double rounding diverge (SURVEY.md §2.13 rounding discipline).
+    ins = o.filter(F.col("o_orderkey") % 10 == 5).select(
+        (F.col("o_orderkey") + 10000000).alias("key"),
+        F.lit("I").alias("op"),
+        F.round(F.col("o_totalprice"), 2).alias("new_price"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    merged = (
+        o.join(changes, o.o_orderkey == changes.key, "full_outer")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce("key", "o_orderkey").alias("o_orderkey"),
+            F.when(F.col("o_orderkey").isNull(), "I")
+            .when(F.col("op") == "U", "U")
+            .otherwise("K")
+            .alias("action"),
+            F.when(
+                F.col("o_orderkey").isNull() | (F.col("op") == "U"), F.col("new_price")
+            )
+            .otherwise(F.round("o_totalprice", 2))
+            .alias("price"),
+        )
+    )
+    return merged.filter(F.col("o_orderkey") % 4 == 3)
+
+
+@query(
+    "q_dim_scd2",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST)
+           AS prev
+  FROM events
+),
+chg AS (
+  SELECT user_id, ts, event_type FROM o WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       coalesce(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS LAST)),
+                253402300799000000) AS valid_to_us,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts ASC NULLS LAST) AS BIGINT)
+         AS version
+FROM chg
+""",
+)
+def q_dim_scd2(spark, sf_dir):
+    # SCD-2 dimension build: collapse an event log into effective-dated
+    # attribute versions — change rows (attribute differs from its
+    # predecessor) open an interval, the successor's start closes it, the
+    # open version carries the 9999-12-31 sentinel (no NULLs at the output
+    # boundary). Two windows, both partitioned on the dimension key.
+    e = load_tables(spark, sf_dir)["events"]
+    w_ord = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
+    chg = (
+        e.withColumn("prev", F.lag("event_type").over(w_ord))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    w_chg = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last())
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.coalesce(
+            F.unix_micros(F.lead("ts").over(w_chg)),
+            F.lit(253402300799000000),
+        ).alias("valid_to_us"),
+        F.row_number().over(w_chg).cast("long").alias("version"),
+    )
+
+
+@query(
+    "q_profile_hist",
+    oracle="""
+WITH b AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+SELECT CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 10)), 9) AS INT) AS bucket_id,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders, b
+GROUP BY 1
+""",
+)
+def q_profile_hist(spark, sf_dir):
+    # Ingest-time column profiling: a 10-bucket equal-width histogram over
+    # a measure column. Global bounds are one all-to-one aggregate whose
+    # single row is broadcast back into the scan projection; the histogram
+    # itself is one hash-agg on the derived bucket id — two passes, both
+    # map-side-combinable, the plan you want for profiling a 100 TB load.
+    o = load_tables(spark, sf_dir)["orders"]
+    bounds = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    with_bucket = o.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("mn")) / ((F.col("mx") - F.col("mn")) / 10)
+            ),
+            F.lit(9),
+        )
+        .cast("int")
+        .alias("bucket_id"),
+        "o_totalprice",
+    )
+    return with_bucket.groupBy("bucket_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

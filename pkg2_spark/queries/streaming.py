@@ -322,3 +322,31 @@ def q_stream_rt_dedup(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "q_stream_rt_enrich",
+    oracle="""
+SELECT c.c_mktsegment AS segment, count(*) AS n, round(sum(e.value), 2) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+""",
+)
+def q_stream_rt_enrich(spark, sf_dir):
+    # STREAM-STATIC join through real Structured Streaming: each micro-batch
+    # of the event stream is enriched against the (static, broadcastable)
+    # customer dimension, then aggregated per segment. This is the lookup-
+    # enrichment topology every streaming pipeline runs — the static side is
+    # planned as a broadcast per micro-batch, so the stream never shuffles
+    # for the join, only for the windowless global aggregate that follows.
+    from pkg2_spark.streaming.harness import events_stream, run_to_memory
+
+    dims = load_tables(spark, sf_dir)["customer"].select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    stream = events_stream(spark, sf_dir)
+    enriched = stream.join(F.broadcast(dims), "user_id")
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    return run_to_memory(agg, "rt_enrich")

@@ -1,0 +1,311 @@
+"""Training-data preparation operators: chunking, sequence packing,
+boilerplate detection, embedding quantization, and a k-means step.
+
+These extend the LLM-pipeline family (SURVEY.md §2.9/§2.12b) with the
+dataset-shaping stages a pretraining pipeline runs between dedup and shard
+export: split documents into token-budget chunks, pack chunks into
+fixed-capacity training sequences, flag boilerplate n-grams shared across
+documents, compress embeddings to int8 codes, and run the per-iteration
+assign+recenter step of k-means (the builder of IVF centroid tables —
+q_llm_ann_ivf consumes exactly such a table).
+
+Scale posture, per operator:
+- chunk: per-row generator expression (sequence → slice), no shuffle.
+- pack: running token total per (source) shard — packing is inherently
+  sequential, so the shard key IS the parallelism unit; each shard's
+  window sorts locally after one hash partition. No global ordering.
+- boiler: explode distinct shingles → one hash-agg for doc-frequency →
+  shuffle-on-shingle join back; identical topology to the TF-IDF path.
+- quant: pure per-row projection (array_min/max + transform), no shuffle.
+- kmeans step: O(n·k) distance evaluation against a CONSTANT-k broadcast
+  centroid table, one shuffle on vec_id for the argmin, one hash-agg for
+  the recenter — the canonical Lloyd-iteration dataflow.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from pkg2_spark.catalog import load_tables
+from pkg2_spark.operators.text import tokens_col
+from pkg2_spark.registry import query
+
+_CHUNK = 30  # tokens per chunk
+_STRIDE = 25  # chunk start stride (5-token overlap)
+_CAPACITY = 512  # packing bin capacity in tokens
+
+
+@query(
+    "q_llm_chunk",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+k AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, CAST(ceil(len(toks) / {_STRIDE}.0) AS INT) - 1)) AS chunk_id
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(toks[chunk_id * {_STRIDE} + 1 : chunk_id * {_STRIDE} + {_CHUNK}]) AS INT)
+         AS n_chunk_tokens,
+       md5(array_to_string(toks[chunk_id * {_STRIDE} + 1 : chunk_id * {_STRIDE} + {_CHUNK}], ' '))
+         AS chunk_hash
+FROM k
+""",
+)
+def q_llm_chunk(spark, sf_dir):
+    # Overlapping token-budget chunking (30-token windows, 25-token stride):
+    # documents → training-sized pieces with 5 tokens of context overlap.
+    # One generator expression per row — sequence(0, n_chunks-1) exploded,
+    # slice() per chunk — so the operator is shuffle-free and streams
+    # through whole-stage codegen at any corpus size.
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select("doc_id", tokens_col("text").alias("toks")).filter(F.size("toks") > 0)
+    n_chunks = F.ceil(F.size("toks") / F.lit(float(_STRIDE))).cast("int")
+    chunked = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice("toks", F.col("chunk_id") * _STRIDE + 1, _CHUNK)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+@query(
+    "q_llm_pack",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id ASC NULLS LAST
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT source, CAST(floor((cum - n_tok) / {_CAPACITY}) AS INT) AS bin_id,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tokens, min(doc_id) AS first_doc,
+       round(sum(n_tok) / {_CAPACITY}.0, 4) AS fill_ratio
+FROM c GROUP BY 1, 2
+""",
+)
+def q_llm_pack(spark, sf_dir):
+    # Sequence packing: assign whole documents to fixed-capacity training
+    # bins (512 tokens) by running token total. Packing is order-dependent,
+    # so the scale design makes the SHARD the unit of parallelism: the
+    # running sum windows over (source) — each shard packs independently
+    # after one hash partition, and no global sort ever exists. The emitted
+    # fill_ratio per bin is the packing-efficiency audit a pipeline tracks.
+    d = load_tables(spark, sf_dir)["documents"]
+    t = d.select("source", "doc_id", F.size(tokens_col("text")).alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("doc_id").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        c.groupBy(
+            "source",
+            F.floor((F.col("cum") - F.col("n_tok")) / _CAPACITY).cast("int").alias("bin_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.round(F.sum("n_tok") / float(_CAPACITY), 4).alias("fill_ratio"),
+        )
+    )
+
+
+@query(
+    "q_llm_boiler",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(toks) - 4),
+           i -> array_to_string(toks[i : i + 4], ' ')))) AS shingle
+  FROM t WHERE len(toks) >= 5
+),
+df AS (
+  SELECT shingle, count(DISTINCT doc_id) AS doc_freq FROM s GROUP BY shingle
+)
+SELECT s.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN df.doc_freq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       round(sum(CASE WHEN df.doc_freq >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS boiler_ratio
+FROM s JOIN df USING (shingle)
+GROUP BY s.doc_id
+""",
+)
+def q_llm_boiler(spark, sf_dir):
+    # Cross-document boilerplate detection (the line-dedup analog for a
+    # corpus without line structure): 5-gram shingles shared by >= 2
+    # documents are boilerplate; each document reports its boilerplate
+    # ratio — the filter signal for template/nav-chrome removal at
+    # pretraining scale. Topology: explode distinct shingles, ONE hash-agg
+    # for global doc-frequency, shuffle-on-shingle join back, per-doc agg —
+    # all keys grow with the data (no fixed-cardinality blocking).
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select("doc_id", tokens_col("text").alias("toks")).filter(F.size("toks") >= 5)
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 4),
+                    lambda i: F.array_join(F.slice("toks", i, 5), " "),
+                )
+            )
+        ).alias("shingle"),
+    )
+    doc_freq = shingles.groupBy("shingle").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    flagged = shingles.join(doc_freq, "shingle")
+    is_boiler = (F.col("doc_freq") >= 2).cast("long")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(is_boiler).alias("n_boiler"),
+        F.round(F.sum(is_boiler) / F.count(F.lit(1)), 4).alias("boiler_ratio"),
+    )
+
+
+@query(
+    "q_vec_quant",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_aggregate(emb, 'min') AS mn,
+         list_aggregate(emb, 'max') AS mx,
+         emb
+  FROM e
+),
+c AS (
+  SELECT vec_id, mn, mx,
+         CASE WHEN mx = mn THEN list_transform(emb, x -> 0.0)
+              ELSE list_transform(emb, x -> round((x - mn) / ((mx - mn) / 255.0)))
+         END AS codes
+  FROM q
+)
+SELECT vec_id, round(mn, 6) AS qmin, round(mx, 6) AS qmax,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       CAST(list_dot_product(codes,
+              list_transform(generate_series(1, len(codes)), i -> CAST(i AS DOUBLE)))
+            AS BIGINT) AS code_wsum
+FROM c
+""",
+)
+def q_vec_quant(spark, sf_dir):
+    # Int8-range scalar quantization of the embedding column: per-vector
+    # [min, max] → 0..255 codes — the 4x memory compression applied before
+    # ANN serving or shipping embeddings to a training job. Pure per-row
+    # projection (array_min/max + transform lambdas), shuffle-free; the
+    # position-weighted checksum pins both code VALUES and ORDER without
+    # emitting an array column (driver canonicalizer is scalar-only).
+    e = load_tables(spark, sf_dir)["embeddings"]
+    emb = F.col("embedding").cast("array<double>")
+    q = e.select(
+        "vec_id",
+        emb.alias("emb"),
+        F.array_min(emb).alias("mn"),
+        F.array_max(emb).alias("mx"),
+    )
+    scale = (F.col("mx") - F.col("mn")) / 255.0
+    codes = F.when(
+        F.col("mx") == F.col("mn"),
+        F.transform(F.col("emb"), lambda x: F.lit(0.0)),
+    ).otherwise(F.transform(F.col("emb"), lambda x: F.round((x - F.col("mn")) / scale, 0)))
+    c = q.select("vec_id", "mn", "mx", codes.alias("codes"))
+    positions = F.transform(
+        F.sequence(F.lit(1), F.size("codes")), lambda i: i.cast("double")
+    )
+    wsum = F.aggregate(
+        F.zip_with("codes", positions, lambda c_, p: c_ * p),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return c.select(
+        "vec_id",
+        F.round("mn", 6).alias("qmin"),
+        F.round("mx", 6).alias("qmax"),
+        F.aggregate("codes", F.lit(0.0), lambda acc, v: acc + v).cast("long").alias("code_sum"),
+        wsum.cast("long").alias("code_wsum"),
+    )
+
+
+@query(
+    "q_kmeans_step",
+    oracle="""
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id < 8
+),
+d AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         list_distance(CAST(e.embedding AS DOUBLE[]), c.ce) AS dist
+  FROM embeddings e CROSS JOIN c
+),
+a AS (
+  SELECT vec_id, embedding, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+  FROM d
+)
+SELECT cid, count(*) AS n_assigned,
+       round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS new_c0,
+       round(avg(CAST(embedding[2] AS DOUBLE)), 4) AS new_c1
+FROM a WHERE rn = 1
+GROUP BY cid
+""",
+)
+def q_kmeans_step(spark, sf_dir):
+    # One Lloyd iteration (assign + recenter) with a deterministic seed set
+    # (centroids = vec_id < 8): the builder of the constant-k centroid
+    # tables q_llm_ann_ivf searches against. Scale shape: the k=8 centroid
+    # side is BROADCAST (O(n·k) distance work, no pair shuffle), argmin via
+    # a vec_id-partitioned window, recenter via one hash-agg — every round
+    # of a full k-means run is exactly this dataflow.
+    e = load_tables(spark, sf_dir)["embeddings"]
+    emb = F.col("embedding").cast("array<double>")
+    cents = (
+        e.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), emb.alias("ce"))
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(emb, F.col("ce"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    d = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "cid", dist.alias("dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc_nulls_last(), F.col("cid").asc_nulls_last()
+    )
+    a = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return a.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.round(F.avg(F.element_at("embedding", 1).cast("double")), 4).alias("new_c0"),
+        F.round(F.avg(F.element_at("embedding", 2).cast("double")), 4).alias("new_c1"),
+    )

@@ -43,6 +43,9 @@ NLJ_WHITELIST = {
                        "the summary row",
     "q_dq_constraints": "five 1-row check aggregates cross-joined into the "
                         "summary row",
+    "q_profile_hist": "1-row global min/max bounds cross join (broadcast)",
+    "q_kmeans_step": "O(n*k) assignment vs CONSTANT-8 broadcast seed "
+                     "centroid table (the Lloyd-iteration dataflow)",
 }
 
 # Declared Python surface (SURVEY §2.12 + multimodal decode stubs).

@@ -1,0 +1,181 @@
+"""Semantic and plan-shape tests for the round-3 operators: chunking,
+packing, boilerplate detection, quantization, k-means step, CDC merge,
+SCD-2, and profiling.
+
+The differential gate (test_oracle.py) already hash-matches each against
+DuckDB; these tests pin the SEMANTIC invariants the hash can't express
+(reconstructability, capacity bounds, interval contiguity, action
+partitioning) and the plan shapes that make them scale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from pkg2_spark.registry import all_queries
+
+
+def _q(spark, sf_dir, name):
+    return all_queries()[name](spark, sf_dir)
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = _q(spark, sf_dir, name)
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# ------------------------------------------------------------------ chunking
+
+def test_chunk_covers_every_token(spark, sf_dir):
+    # Chunks at stride 25 / size 30: starts tile the doc, so the last chunk
+    # must reach the final token and every chunk holds 1..30 tokens.
+    chunks = _q(spark, sf_dir, "q_llm_chunk")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.size(F.filter(F.split(F.lower("text"), " "), lambda x: x != "")).alias("n")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.max("chunk_id").alias("last_k"), F.count(F.lit(1)).alias("n_chunks")
+    )
+    j = per_doc.join(docs, "doc_id").collect()
+    assert j, "no chunks produced"
+    for r in j:
+        import math
+
+        assert r["n_chunks"] == math.ceil(r["n"] / 25)
+        # last chunk starts at last_k*25 < n, i.e. it contains real tokens
+        assert r["last_k"] * 25 < r["n"]
+    bounds = chunks.agg(F.min("n_chunk_tokens"), F.max("n_chunk_tokens")).first()
+    assert bounds[0] >= 1 and bounds[1] <= 30
+
+
+# ------------------------------------------------------------------- packing
+
+def test_pack_partitions_docs_exactly_once(spark, sf_dir):
+    packed = _q(spark, sf_dir, "q_llm_pack")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total_docs = docs.count()
+    total_tokens = docs.select(
+        F.sum(F.size(F.filter(F.split(F.lower("text"), " "), lambda x: x != "")))
+    ).first()[0]
+    agg = packed.agg(F.sum("n_docs"), F.sum("sum_tokens")).first()
+    assert agg[0] == total_docs and agg[1] == total_tokens
+
+
+def test_pack_bins_start_under_capacity(spark, sf_dir):
+    # A doc is assigned to the bin its cumulative START falls in, so every
+    # bin's token total is < capacity + max_doc_tokens (bounded overflow).
+    packed = _q(spark, sf_dir, "q_llm_pack").collect()
+    assert all(r["sum_tokens"] < 512 + 99 for r in packed)
+    # bins within a source are dense from 0
+    by_src = {}
+    for r in packed:
+        by_src.setdefault(r["source"], []).append(r["bin_id"])
+    for bins in by_src.values():
+        assert sorted(bins) == list(range(len(bins)))
+
+
+# ------------------------------------------------------------------- boiler
+
+def test_boiler_ratio_bounds_and_plan(spark, sf_dir):
+    rows = _q(spark, sf_dir, "q_llm_boiler").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_boiler"] <= r["n_shingles"]
+        assert 0.0 <= r["boiler_ratio"] <= 1.0
+    plan = _plan(spark, sf_dir, "q_llm_boiler")
+    for marker in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert marker not in plan  # JVM-side end to end
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------- quantization
+
+def test_vec_quant_reconstruction(spark, sf_dir):
+    # Reconstruct one vector driver-side: codes derived from (qmin, qmax)
+    # must dequantize back to within half a quantization step per element.
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row = e.orderBy("vec_id").first()
+    q = (
+        _q(spark, sf_dir, "q_vec_quant")
+        .filter(F.col("vec_id") == row["vec_id"])
+        .first()
+    )
+    emb = [float(x) for x in row["embedding"]]
+    mn, mx = min(emb), max(emb)
+    assert abs(q["qmin"] - round(mn, 6)) < 1e-9
+    assert abs(q["qmax"] - round(mx, 6)) < 1e-9
+    step = (mx - mn) / 255.0
+    codes = [round((x - mn) / step) for x in emb]
+    assert q["code_sum"] == sum(codes)
+    assert q["code_wsum"] == sum(c * (i + 1) for i, c in enumerate(codes))
+    assert all(0 <= c <= 255 for c in codes)
+
+
+# ------------------------------------------------------------------- kmeans
+
+def test_kmeans_step_partitions_all_vectors(spark, sf_dir):
+    out = _q(spark, sf_dir, "q_kmeans_step")
+    total = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    rows = out.collect()
+    assert sum(r["n_assigned"] for r in rows) == total
+    assert {r["cid"] for r in rows} <= set(range(8))
+    plan = _plan(spark, sf_dir, "q_kmeans_step")
+    # constant-k centroid side must be the broadcast side
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------- CDC merge
+
+def test_cdc_merge_action_semantics(spark, sf_dir):
+    merged = _q(spark, sf_dir, "q_cdc_merge")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = {
+        r["o_orderkey"]: r["o_totalprice"]
+        for r in o.filter(F.col("o_orderkey") % 4 == 3).collect()
+    }
+    rows = merged.collect()
+    seen = set()
+    for r in rows:
+        k, act, price = r["o_orderkey"], r["action"], r["price"]
+        seen.add(k)
+        if act == "I":
+            assert k >= 10000000 and (k - 10000000) % 10 == 5
+        elif act == "U":
+            assert k % 10 == 3
+            assert abs(price - round(base[k] + 100, 2)) < 1e-6
+        else:
+            assert k % 10 not in (3, 7)
+    # deletes really gone; kept keys really kept
+    for k in base:
+        if k % 10 == 7:
+            assert k not in seen
+        else:
+            assert k in seen
+
+
+# --------------------------------------------------------------------- SCD2
+
+def test_scd2_intervals_contiguous(spark, sf_dir):
+    rows = _q(spark, sf_dir, "q_dim_scd2").orderBy("user_id", "version").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for vs in by_user.values():
+        assert [v["version"] for v in vs] == list(range(1, len(vs) + 1))
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to_us"] == b["valid_from_us"]  # no gaps, no overlap
+            assert a["event_type"] != b["event_type"]  # real changes only
+        assert vs[-1]["valid_to_us"] == 253402300799000000  # open version
+
+
+# ---------------------------------------------------------------- profiling
+
+def test_profile_hist_covers_all_rows(spark, sf_dir):
+    out = _q(spark, sf_dir, "q_profile_hist").collect()
+    total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r["n"] for r in out) == total
+    assert {r["bucket_id"] for r in out} <= set(range(10))
+    for r in out:
+        assert r["lo"] <= r["hi"]
