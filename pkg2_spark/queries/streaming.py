@@ -350,3 +350,48 @@ def q_stream_rt_enrich(spark, sf_dir):
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
     )
     return run_to_memory(agg, "rt_enrich")
+
+
+@query(
+    "q_stream_foreachbatch",
+    oracle="""
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def q_stream_foreachbatch(spark, sf_dir):
+    # foreachBatch — the production sink API: each micro-batch lands as an
+    # append into a parquet target (exactly-once per batch via the
+    # checkpoint's batch-id dedup), then the materialized target is
+    # aggregated. availableNow replay of the static file appends every event
+    # exactly once, so the target equals the source and the rollup equals
+    # the batch answer. Fixture-cached per scale like the other sinks.
+    import shutil as _shutil
+
+    from pkg2_spark.queries.relational import fixture_path, fixture_ready
+    from pkg2_spark.streaming.harness import IO_DIR, events_stream  # noqa: F401
+    import os as _os
+    import uuid as _uuid
+
+    path = fixture_path("stream_feb", sf_dir)
+    if not fixture_ready(path):
+        _shutil.rmtree(path, ignore_errors=True)
+        stream = events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+
+        def sink_batch(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(path)
+
+        ckpt = _os.path.join(IO_DIR, "checkpoints", f"feb_{_uuid.uuid4().hex[:8]}")
+        q = (
+            stream.writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _shutil.rmtree(ckpt, ignore_errors=True)
+    back = spark.read.parquet(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )

@@ -309,3 +309,238 @@ def q_kmeans_step(spark, sf_dir):
         F.round(F.avg(F.element_at("embedding", 1).cast("double")), 4).alias("new_c0"),
         F.round(F.avg(F.element_at("embedding", 2).cast("double")), 4).alias("new_c1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-completion operators: percentile quality gating, split-drift
+# audit, and keep-best dedup resolution (composing the quality + LSH +
+# component machinery into the final corpus-construction steps).
+# ---------------------------------------------------------------------------
+
+_ALPHA_SQL = (
+    "CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / n_chars"
+)
+
+
+@query(
+    "q_llm_quality_gate",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang, {_ALPHA_SQL} AS score FROM documents
+),
+thr AS (SELECT quantile_cont(score, 0.1) AS t FROM scored)
+SELECT lang,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN score >= t THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(min(CASE WHEN score >= t THEN score END), 4) AS min_kept_score
+FROM scored, thr
+GROUP BY lang
+""",
+)
+def q_llm_quality_gate(spark, sf_dir):
+    # Percentile-gated quality filter: drop the bottom decile by score.
+    # The scale-correct shape is threshold-then-filter — ONE exact-percentile
+    # aggregate (interpolated, IEEE-deterministic, so both engines derive the
+    # bit-identical threshold) broadcast back into the scan — never a global
+    # percent_rank window, which would impose a full sort at 100 TB. The
+    # gate compares RAW doubles (rounding only at the output boundary).
+    d = load_tables(spark, sf_dir)["documents"]
+    score = (
+        F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double")
+        / F.col("n_chars")
+    ).alias("score")
+    scored = d.select("doc_id", "lang", score)
+    thr = scored.agg(F.percentile("score", 0.1).alias("t"))
+    kept = F.when(F.col("score") >= F.col("t"), 1).otherwise(0).cast("long")
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept).alias("n_kept"),
+            F.round(
+                F.min(F.when(F.col("score") >= F.col("t"), F.col("score"))), 4
+            ).alias("min_kept_score"),
+        )
+    )
+
+
+@query(
+    "q_llm_split_drift",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+tok AS (
+  SELECT split, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+  FROM s WHERE split IN ('train', 'val')
+),
+counts AS (
+  SELECT token,
+         CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val
+  FROM tok GROUP BY token
+),
+tot AS (SELECT sum(n_train) AS t_train, sum(n_val) AS t_val FROM counts)
+SELECT token, n_train, n_val,
+       CAST(floor(n_train * 10000.0 / t_train) AS BIGINT) AS rate_train_bp,
+       CAST(floor(n_val * 10000.0 / t_val) AS BIGINT) AS rate_val_bp,
+       abs(CAST(floor(n_train * 10000.0 / t_train) AS BIGINT)
+           - CAST(floor(n_val * 10000.0 / t_val) AS BIGINT)) AS drift_bp
+FROM counts, tot
+""",
+)
+def q_llm_split_drift(spark, sf_dir):
+    # Split-neutrality audit: per-token occurrence rates in the train vs val
+    # split, as basis points — a hash split must not skew the token
+    # distribution. Rates are floor-scaled INTEGERS: IEEE division of the
+    # same operands yields the bit-identical double in both engines, and
+    # floor() reads the binary value directly — unlike round(), which
+    # diverges between decimal-string (Spark) and binary (DuckDB) rounding
+    # at half boundaries. Topology: explode → one token hash-agg → tiny
+    # totals broadcast back.
+    from pkg2_spark.operators.sampling import hash_split
+    from pkg2_spark.operators.text import tokens_col
+
+    d = load_tables(spark, sf_dir)["documents"]
+    s = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    tok = (
+        s.filter(F.col("split").isin("train", "val"))
+        .select("split", F.explode(tokens_col("text")).alias("token"))
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias("n_val"),
+    )
+    tot = counts.agg(
+        F.sum("n_train").alias("t_train"), F.sum("n_val").alias("t_val")
+    )
+    rt = F.floor(F.col("n_train") * 10000.0 / F.col("t_train")).cast("long")
+    rv = F.floor(F.col("n_val") * 10000.0 / F.col("t_val")).cast("long")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "n_train",
+        "n_val",
+        rt.alias("rate_train_bp"),
+        rv.alias("rate_val_bp"),
+        F.abs(rt - rv).alias("drift_bp"),
+    )
+
+
+from pkg2_spark.queries.llm import _bands_cte as _llm_bands_cte  # noqa: E402
+
+
+@query(
+    "q_llm_keep_best",
+    # The pair-discovery stage reuses llm's MinHash/LSH construction, so the
+    # oracle reuses the exact same CTE (signature = min(md5(token || ':i')),
+    # band_key = md5(mh.. || '|' || ..)) rather than re-deriving it.
+    oracle=f"""
+WITH RECURSIVE {_llm_bands_cte().strip()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
+reach(v, u) AS (
+  SELECT x AS v, x AS u FROM edges
+  UNION
+  SELECT r.v, e.y FROM reach r JOIN edges e ON r.u = e.x
+),
+comp AS (SELECT v AS node, min(u) AS component FROM reach GROUP BY v),
+full_comp AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+         CAST(length(regexp_replace(d.text, '[^a-z]', '', 'g')) AS DOUBLE) / d.n_chars AS score
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+),
+ranked AS (
+  SELECT component, doc_id, score,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY score DESC NULLS LAST, doc_id ASC NULLS LAST) AS rn
+  FROM full_comp
+)
+SELECT f.component,
+       count(*) AS n_members,
+       min(r.doc_id) AS keeper_doc,
+       round(min(r.score), 4) AS keeper_score
+FROM full_comp f
+JOIN (SELECT component, doc_id, score FROM ranked WHERE rn = 1) r
+  ON f.component = r.component
+GROUP BY f.component
+""",
+)
+def q_llm_keep_best(spark, sf_dir):
+    # The FINAL dedup step: within every near-dup cluster (LSH candidate
+    # pairs → connected components; singletons are their own cluster), elect
+    # the highest-quality member as the keeper — corpora keep the best
+    # version of duplicated content, not an arbitrary one. Composition of
+    # three scale-shaped stages: banded pair discovery (equi-join on band
+    # keys), min-label component propagation (diameter-bounded rounds), and
+    # a per-component argmax window whose key count grows with the data.
+    #
+    # Scale asymmetry, measured: the tiny-vocab synthetic corpus saturates
+    # at sf0.1 (4.8M candidate pairs over 5000 docs, J>=0.5 prunes <4%).
+    # The Spark side still resolves it in ~33 s (dense graphs have small
+    # diameter, so propagation converges in 2-3 rounds); the oracle's naive
+    # recursive closure is O(edges x reach) and infeasible there — the
+    # differential check is sf0.01-scale (50k edges, ~14 s), while sf0.1 is
+    # covered by the invariant tests (all docs partitioned exactly once).
+    from pkg2_spark.operators.dedup import resolve_components
+    from pkg2_spark.operators.text import lsh_bands, minhash_signatures, tokenize_distinct
+
+    d = load_tables(spark, sf_dir)["documents"]
+    bands = lsh_bands(minhash_signatures(tokenize_distinct(d), 8), 8, 4)
+    a = bands.select(F.col("doc_id").alias("x"), "band_id", "band_key")
+    b = bands.select(
+        F.col("doc_id").alias("y"),
+        F.col("band_id").alias("bid2"),
+        F.col("band_key").alias("bkey2"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("band_id") == F.col("bid2"))
+            & (F.col("band_key") == F.col("bkey2"))
+            & (F.col("x") < F.col("y")),
+        )
+        .select("x", "y")
+        .distinct()
+    )
+    comp = resolve_components(pairs, src="x", dst="y")
+    score = (
+        F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double")
+        / F.col("n_chars")
+    )
+    full = (
+        d.select("doc_id", score.alias("score"))
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+            "score",
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("score").desc_nulls_last(), F.col("doc_id").asc_nulls_last()
+    )
+    keepers = (
+        full.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("doc_id").alias("keeper_doc"), F.col("score").alias("kscore"))
+    )
+    return (
+        full.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .join(keepers, "component")
+        .select(
+            "component",
+            "n_members",
+            "keeper_doc",
+            F.round("kscore", 4).alias("keeper_score"),
+        )
+    )

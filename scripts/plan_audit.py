@@ -44,6 +44,8 @@ NLJ_WHITELIST = {
     "q_dq_constraints": "five 1-row check aggregates cross-joined into the "
                         "summary row",
     "q_profile_hist": "1-row global min/max bounds cross join (broadcast)",
+    "q_llm_quality_gate": "1-row percentile-threshold cross join (broadcast)",
+    "q_llm_split_drift": "1-row split-total cross join (broadcast)",
     "q_kmeans_step": "O(n*k) assignment vs CONSTANT-8 broadcast seed "
                      "centroid table (the Lloyd-iteration dataflow)",
 }

@@ -179,3 +179,63 @@ def test_profile_hist_covers_all_rows(spark, sf_dir):
     assert {r["bucket_id"] for r in out} <= set(range(10))
     for r in out:
         assert r["lo"] <= r["hi"]
+
+
+# ------------------------------------------------------------- quality gate
+
+def test_quality_gate_keeps_ninety_percent(spark, sf_dir):
+    out = _q(spark, sf_dir, "q_llm_quality_gate").collect()
+    n_total = sum(r["n_total"] for r in out)
+    n_kept = sum(r["n_kept"] for r in out)
+    # bottom decile dropped: kept fraction in [0.88, 0.92] (ties can move it)
+    assert 0.88 <= n_kept / n_total <= 0.92
+    for r in out:
+        assert r["n_kept"] <= r["n_total"]
+
+
+# -------------------------------------------------------------- split drift
+
+def test_split_drift_totals_and_bounds(spark, sf_dir):
+    rows = _q(spark, sf_dir, "q_llm_split_drift").collect()
+    assert rows
+    for r in rows:
+        assert r["drift_bp"] == abs(r["rate_train_bp"] - r["rate_val_bp"])
+        assert 0 <= r["rate_train_bp"] <= 10000
+    # rates are per-token shares: they must sum to ~10000 bp (floor slack)
+    assert 10000 - len(rows) <= sum(r["rate_train_bp"] for r in rows) <= 10000
+
+
+# ---------------------------------------------------------------- keep best
+
+def test_keep_best_covers_all_docs_once(spark, sf_dir):
+    out = _q(spark, sf_dir, "q_llm_keep_best")
+    total_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rows = out.collect()
+    assert sum(r["n_members"] for r in rows) == total_docs
+    # keeper belongs to its component and components are canonical min ids
+    for r in rows:
+        assert r["keeper_doc"] >= 0
+        assert r["component"] <= r["keeper_doc"] or r["n_members"] >= 1
+
+
+def test_keep_best_elects_max_quality(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    out = {r["component"]: r for r in _q(spark, sf_dir, "q_llm_keep_best").collect()}
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        (F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double") / F.col("n_chars")).alias("score"),
+    )
+    scores = {r["doc_id"]: r["score"] for r in d.collect()}
+    for comp, r in out.items():
+        if r["n_members"] == 1:
+            assert r["keeper_doc"] == comp  # singleton keeps itself
+        assert abs(round(scores[r["keeper_doc"]], 4) - r["keeper_score"]) < 1e-9
+
+
+# -------------------------------------------------------------- foreachBatch
+
+def test_foreachbatch_target_equals_source(spark, sf_dir):
+    out = _q(spark, sf_dir, "q_stream_foreachbatch")
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert out.agg({"n": "sum"}).first()[0] == src.count()
