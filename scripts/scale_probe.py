@@ -34,6 +34,13 @@ PROBES = [
     "q_llm_decontam",
     "q_llm_dedup_resolve",
     "q_events_funnel",
+    # round-3 additions: generator chunking, shingle doc-freq join, shard-
+    # parallel packing window, full-outer merge, broadcast k-means step
+    "q_llm_chunk",
+    "q_llm_boiler",
+    "q_llm_pack",
+    "q_cdc_merge",
+    "q_kmeans_step",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
