@@ -186,3 +186,43 @@ def q_profile_hist(spark, sf_dir):
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@query(
+    "q_cdc_compact",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, ts, event_type, value, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM events
+)
+SELECT user_id, event_type AS last_type, round(value, 2) AS last_value,
+       epoch_us(ts) AS last_ts_us, CAST(n_changes AS BIGINT) AS n_changes
+FROM ranked WHERE rn = 1
+""",
+)
+def q_cdc_compact(spark, sf_dir):
+    # CDC compaction — the step BEFORE q_cdc_merge in a change-data pipeline:
+    # collapse a change log to the latest state per key (latest-by-timestamp,
+    # event_id tiebreak), carrying the change count for audit. One window
+    # over the key; at scale this is the standard pre-merge shrink that
+    # turns N change rows per key into one upsert row.
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc_nulls_last(), F.col("event_id").desc_nulls_last()
+    )
+    wc = Window.partitionBy("user_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_changes", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.round("value", 2).alias("last_value"),
+            F.unix_micros("ts").alias("last_ts_us"),
+            F.col("n_changes").cast("long").alias("n_changes"),
+        )
+    )

@@ -329,3 +329,42 @@ def q_sink_rollup(spark, sf_dir):
             F.round(F.sum("sum_value"), 2).alias("sum_value"),
         )
     )
+
+
+@query(
+    "q_events_retention",
+    oracle="""
+WITH weekly AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+),
+cohort AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM weekly GROUP BY user_id
+)
+SELECT epoch_us(c.cohort_wk) AS cohort_week_us,
+       CAST((epoch_us(w.wk) - epoch_us(c.cohort_wk)) / 604800000000 AS BIGINT)
+         AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM weekly w JOIN cohort c ON w.user_id = c.user_id
+GROUP BY 1, 2
+""",
+)
+def q_events_retention(spark, sf_dir):
+    # Cohort retention: users grouped by first-active week; for each later
+    # week, how many of the cohort were active — the product-analytics
+    # retention triangle. Two user-keyed aggregates and one user-keyed join;
+    # every shuffle is on user_id or the (cohort, offset) pair, so the
+    # operator holds at any event volume. Week arithmetic stays in integer
+    # microseconds (604800e6 per week) — no date-diff dialect drift.
+    e = load_tables(spark, sf_dir)["events"]
+    weekly = e.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    cohort = weekly.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        weekly.join(cohort, "user_id")
+        .groupBy(
+            F.unix_micros("cohort_wk").alias("cohort_week_us"),
+            ((F.unix_micros("wk") - F.unix_micros("cohort_wk")) / 604800000000)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )

@@ -544,3 +544,85 @@ def q_llm_keep_best(spark, sf_dir):
             F.round("kscore", 4).alias("keeper_score"),
         )
     )
+
+
+@query(
+    "q_llm_colloc",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+),
+uni AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(toks) AS token FROM t
+  ) GROUP BY token
+),
+big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM bg GROUP BY w1, w2
+),
+tot AS (
+  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS t_tok,
+         (SELECT CAST(sum(c_xy) AS BIGINT) FROM big) AS t_big
+)
+SELECT b.w1, b.w2, b.c_xy,
+       CAST(floor(((b.c_xy * 10000.0) / t.t_big)
+                  / ((CAST(u1.c AS DOUBLE) / t.t_tok) * (CAST(u2.c AS DOUBLE) / t.t_tok)))
+            AS BIGINT) AS lift_bp
+FROM big b
+JOIN uni u1 ON b.w1 = u1.token
+JOIN uni u2 ON b.w2 = u2.token
+CROSS JOIN tot t
+WHERE b.c_xy >= 20
+""",
+)
+def q_llm_colloc(spark, sf_dir):
+    # Collocation mining: bigram lift (observed/expected co-occurrence, the
+    # exp(PMI) statistic) for frequent adjacent pairs — the phrase-detection
+    # pass a tokenizer-training pipeline runs. Lift is emitted as
+    # floor-scaled basis points with an identical operation ORDER in both
+    # engines: each IEEE division/multiplication is correctly rounded, so
+    # identical operand order means bit-identical doubles and a safe floor
+    # (same discipline as q_llm_split_drift; log-PMI would instead inherit
+    # libm rounding differences). Topology: one bigram hash-agg, one unigram
+    # hash-agg, two token-keyed joins, 1-row totals broadcast.
+    d = load_tables(spark, sf_dir)["documents"]
+    t = d.select("doc_id", tokens_col("text").alias("toks"))
+    bg = t.select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = (
+        t.select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    tot = uni.agg(F.sum("c").alias("t_tok")).crossJoin(
+        big.agg(F.sum("c_xy").alias("t_big"))
+    )
+    u1 = uni.select(F.col("token").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("c").alias("c2"))
+    lift = F.floor(
+        ((F.col("c_xy") * 10000.0) / F.col("t_big"))
+        / (
+            (F.col("c1").cast("double") / F.col("t_tok"))
+            * (F.col("c2").cast("double") / F.col("t_tok"))
+        )
+    ).cast("long")
+    return (
+        big.filter(F.col("c_xy") >= 20)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c_xy", lift.alias("lift_bp"))
+    )

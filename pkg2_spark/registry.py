@@ -77,7 +77,8 @@ _DRIVER_CHECK_HEAD = [
     "q_llm_chunk", "q_llm_pack", "q_llm_boiler", "q_vec_quant",
     "q_kmeans_step", "q_cdc_merge", "q_dim_scd2", "q_profile_hist",
     "q_stream_rt_enrich", "q_llm_quality_gate", "q_llm_split_drift",
-    "q_llm_keep_best", "q_stream_foreachbatch",
+    "q_llm_keep_best", "q_stream_foreachbatch", "q_cdc_compact",
+    "q_events_retention", "q_llm_colloc",
     "q_sink_bucketed", "q_src_binary", "q_src_evolving", "q_src_corrupt",
     "q_filter_compound", "q_filter_in", "q_filter_between", "q_filter_like",
     # positions 51-53 — the three lowest-risk rows spill to round 4

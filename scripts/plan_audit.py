@@ -46,6 +46,7 @@ NLJ_WHITELIST = {
     "q_profile_hist": "1-row global min/max bounds cross join (broadcast)",
     "q_llm_quality_gate": "1-row percentile-threshold cross join (broadcast)",
     "q_llm_split_drift": "1-row split-total cross join (broadcast)",
+    "q_llm_colloc": "1-row corpus-total cross join (broadcast)",
     "q_kmeans_step": "O(n*k) assignment vs CONSTANT-8 broadcast seed "
                      "centroid table (the Lloyd-iteration dataflow)",
 }

@@ -239,3 +239,46 @@ def test_foreachbatch_target_equals_source(spark, sf_dir):
     out = _q(spark, sf_dir, "q_stream_foreachbatch")
     src = spark.read.parquet(f"{sf_dir}/events.parquet")
     assert out.agg({"n": "sum"}).first()[0] == src.count()
+
+
+# ----------------------------------------------------------- cdc compaction
+
+def test_cdc_compact_one_row_per_key(spark, sf_dir):
+    from pkg2_spark.catalog import load_tables
+
+    out = _q(spark, sf_dir, "q_cdc_compact")
+    # catalog applies the NTZ->TIMESTAMP shim a raw parquet read would miss
+    src = load_tables(spark, sf_dir)["events"]
+    n_users = src.select("user_id").distinct().count()
+    rows = out.collect()
+    assert len(rows) == n_users
+    assert sum(r["n_changes"] for r in rows) == src.count()
+    # compacted ts really is the per-user max
+    mx = {r["user_id"]: r["mx"] for r in src.groupBy("user_id").agg(
+        F.unix_micros(F.max("ts")).alias("mx")).collect()}
+    for r in rows:
+        assert r["last_ts_us"] == mx[r["user_id"]]
+
+
+# ---------------------------------------------------------------- retention
+
+def test_retention_triangle_shape(spark, sf_dir):
+    rows = _q(spark, sf_dir, "q_events_retention").collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week_us"], {})[r["week_offset"]] = r["n_active"]
+    for offsets in by_cohort.values():
+        assert 0 in offsets  # every cohort is active in its own week
+        # week-0 count is the cohort size: no later week exceeds it
+        assert all(n <= offsets[0] for n in offsets.values())
+        assert all(o >= 0 for o in offsets)
+
+
+# ------------------------------------------------------------- collocations
+
+def test_colloc_lift_consistency(spark, sf_dir):
+    rows = _q(spark, sf_dir, "q_llm_colloc").collect()
+    assert rows
+    for r in rows:
+        assert r["c_xy"] >= 20
+        assert r["lift_bp"] >= 0
