@@ -81,3 +81,82 @@ def asof_join(
         *[F.col(dst) for _, dst in tag_sorted_payload],
     )
     return out
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload: dict[str, str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """LEFT as-of join looking FORWARD: earliest right row with
+    right_ts >= left_ts (and right_ts <= left_ts + tolerance, when given),
+    per `on` key — pandas merge_asof(direction='forward') semantics.
+
+    Mirror of asof_join: the union carries the NEXT right payload backward
+    via first_value(ignoreNulls) over (current row .. unbounded following).
+    At equal timestamps the right row is visible to the left row (>= is
+    inclusive): left sorts before right via the tag. Tolerance is applied
+    after the carry by nulling payloads whose matched timestamp is out of
+    range — same single-shuffle cost shape as the backward form.
+    """
+    lcols = left.columns
+    items = list(payload.items())
+    lhs = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),  # left sorts before right at equal ts
+        *[F.col(c) for c in lcols if c != on],
+        *[
+            F.lit(None).cast(right.schema[src].dataType).alias(f"__p_{dst}")
+            for src, dst in items
+        ],
+    )
+    rhs = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != on],
+        *[F.col(src).alias(f"__p_{dst}") for src, dst in items],
+    )
+    unioned = lhs.unionByName(
+        rhs.withColumn(
+            "__rord", F.struct(*[F.col(f"__p_{dst}") for _, dst in items])
+        ),
+        allowMissingColumns=True,
+    )
+    # First right row at-or-after each left row; equal-(ts) right rows are
+    # ordered by __rord so the MIN payload struct wins deterministically.
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__tag").asc(), F.col("__rord").asc_nulls_last())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "*",
+        F.first(F.when(F.col("__tag") == 1, F.col("__ts")), ignorenulls=True)
+        .over(w)
+        .alias("__match_ts"),
+        *[
+            F.first(F.col(f"__p_{dst}"), ignorenulls=True).over(w).alias(dst)
+            for _, dst in items
+        ],
+    )
+    if tolerance is not None:
+        in_tol = F.col("__match_ts") <= F.col("__ts") + F.expr(f"INTERVAL {tolerance}")
+        carried = carried.select(
+            *[c for c in carried.columns if c not in [d for _, d in items]],
+            *[
+                F.when(in_tol, F.col(dst)).otherwise(F.lit(None)).alias(dst)
+                for _, dst in items
+            ],
+        )
+    return carried.filter(F.col("__tag") == 0).select(
+        F.col("__k").alias(on),
+        F.col("__ts").alias(left_ts),
+        *[c for c in lcols if c not in (on, left_ts)],
+        *[F.col(dst) for _, dst in items],
+    )

@@ -407,3 +407,56 @@ def q_join_salted(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+@query(
+    "q_join_asof_fwd",
+    oracle="""
+SELECT cl.event_id, cl.user_id, epoch_us(cl.ts) AS ts_us,
+       m.event_id AS next_purchase_id, epoch_us(m.ts) AS purchase_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'click') cl
+LEFT JOIN LATERAL (
+  SELECT p.event_id, p.ts
+  FROM events p
+  WHERE p.event_type = 'purchase' AND p.user_id = cl.user_id
+    AND p.ts >= cl.ts AND p.ts <= cl.ts + INTERVAL 30 MINUTE
+  ORDER BY p.ts ASC, p.event_id ASC LIMIT 1
+) m ON true
+""",
+)
+def q_join_asof_fwd(spark, sf_dir):
+    # FORWARD as-of with tolerance: the next purchase at most 30 minutes
+    # after each click, per user (pandas merge_asof direction='forward') —
+    # operators/asof.py::asof_join_forward, the mirror of the backward
+    # union+first_value pattern: one shuffle on the key, no join explosion,
+    # tolerance applied after the carry. The oracle spells the semantics as
+    # a LATERAL top-1 subquery (DuckDB ASOF JOIN is backward-only).
+    from pkg2_spark.operators.asof import asof_join_forward
+
+    e = load_tables(spark, sf_dir)["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+    )
+    # payload ordered (ts, id): the equal-timestamp tie-break struct must
+    # compare ts first, matching the oracle's ORDER BY p.ts, p.event_id
+    joined = asof_join_forward(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        payload={"p_ts": "next_purchase_ts", "p_event_id": "next_purchase_id"},
+        tolerance="30 MINUTES",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "next_purchase_id",
+        F.unix_micros("next_purchase_ts").alias("purchase_ts_us"),
+    )

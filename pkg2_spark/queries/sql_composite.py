@@ -88,3 +88,58 @@ def q_sql_tpch_q4(spark, sf_dir):
 def q_sql_tpch_q7(spark, sf_dir):
     load_tables(spark, sf_dir)
     return spark.sql(_Q7)
+
+
+# TPC-H Q1: pricing summary report — the canonical wide-aggregate scan.
+# Sums and averages are 2dp/4dp-rounded: per-group double summation order
+# differs between engines, and the rounding absorbs the ulp drift (same
+# discipline as every other money aggregate in the registry).
+_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1996-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q_sql_tpch_q1", oracle=_Q1)
+def q_sql_tpch_q1(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q1)
+
+
+# TPC-H Q3 shape: unshipped-orders revenue top-10. This schema has no
+# o_shippriority; o_orderpriority stands in. The order date is emitted as
+# an integer yyyymmdd key (identical expression in both dialects — no
+# timestamp output column, §2.13.2). l_orderkey tiebreak makes the LIMIT
+# deterministic under revenue ties.
+_Q3 = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
+            + day(o_orderdate) AS INTEGER) AS o_date_key,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1996-06-30 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+@query("q_sql_tpch_q3", oracle=_Q3)
+def q_sql_tpch_q3(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q3)

@@ -73,15 +73,18 @@ _DRIVER_CHECK_HEAD = [
     "q_graph_closure",
     "q_mm_meta", "q_mm_decode", "q_mm_frames", "q_mm_resize", "q_mm_features",
     # round-3 additions (training-data prep + warehouse maintenance) — new
-    # code gets driver rows early so env surprises surface next round
+    # code outranks the remaining r1 leftovers below so environment
+    # surprises (the NTZ class) surface at the next driver run; the 50-row
+    # budget reaches q_profile_hist, the rest of these plus the IO/filter
+    # leftovers spill to round 4 (all sure-pass locally at two scales)
     "q_llm_chunk", "q_llm_pack", "q_llm_boiler", "q_vec_quant",
     "q_kmeans_step", "q_cdc_merge", "q_dim_scd2", "q_profile_hist",
     "q_stream_rt_enrich", "q_llm_quality_gate", "q_llm_split_drift",
     "q_llm_keep_best", "q_stream_foreachbatch", "q_cdc_compact",
-    "q_events_retention", "q_llm_colloc",
+    "q_events_retention", "q_llm_colloc", "q_sql_tpch_q1", "q_sql_tpch_q3",
+    "q_join_asof_fwd",
     "q_sink_bucketed", "q_src_binary", "q_src_evolving", "q_src_corrupt",
     "q_filter_compound", "q_filter_in", "q_filter_between", "q_filter_like",
-    # positions 51-53 — the three lowest-risk rows spill to round 4
     "q_filter_null", "q_case_when", "q_cast",
 ]
 

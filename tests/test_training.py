@@ -282,3 +282,28 @@ def test_colloc_lift_consistency(spark, sf_dir):
     for r in rows:
         assert r["c_xy"] >= 20
         assert r["lift_bp"] >= 0
+
+
+# ----------------------------------------------------------- forward as-of
+
+def test_asof_fwd_tolerance_and_direction(spark, sf_dir):
+    from pkg2_spark.catalog import load_tables
+
+    out = _q(spark, sf_dir, "q_join_asof_fwd").collect()
+    e = load_tables(spark, sf_dir)["events"]
+    purchases = {}
+    for r in e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    ).collect():
+        purchases.setdefault(r["user_id"], []).append((r["us"], r["event_id"]))
+    for v in purchases.values():
+        v.sort()
+    tol = 30 * 60 * 1_000_000
+    n_clicks = e.filter(F.col("event_type") == "click").count()
+    assert len(out) == n_clicks  # left join: every click kept
+    for r in out:
+        cand = [p for p in purchases.get(r["user_id"], []) if r["ts_us"] <= p[0] <= r["ts_us"] + tol]
+        if cand:
+            assert (r["purchase_ts_us"], r["next_purchase_id"]) == cand[0]
+        else:
+            assert r["next_purchase_id"] is None and r["purchase_ts_us"] is None
