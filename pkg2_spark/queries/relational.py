@@ -718,3 +718,84 @@ def q_src_evolving(spark, sf_dir):
         F.sum(F.when(F.col("quality").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_with_quality"),
         F.round(F.sum(F.coalesce("quality", F.lit(0.0))), 2).alias("sum_quality"),
     )
+
+
+@query(
+    "q_sink_compact",
+    oracle="""
+SELECT CAST(32 AS INTEGER) AS files_before, CAST(4 AS INTEGER) AS files_after,
+       count(*) AS n_rows, round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem
+""",
+)
+def q_sink_compact(spark, sf_dir):
+    # Small-file compaction — the 100 TB operational chore: a fragmented
+    # table (32 writer partitions) is rewritten through repartition(4) into
+    # right-sized files. File counts are deterministic (repartition pins the
+    # writer-task count); the oracle proves the compacted copy is lossless
+    # (row count + money total straight from the source). At scale this is
+    # per-partition maintenance (compact each date/hour dir independently),
+    # so the shuffle is bounded by partition size, not table size.
+    l = load_tables(spark, sf_dir)["lineitem"]
+    frag = fixture_path("compact_frag", sf_dir)
+    if not fixture_ready(frag):
+        l.repartition(32).write.mode("overwrite").parquet(frag)
+    out = fixture_path("compact_out", sf_dir)
+    if not fixture_ready(out):
+        spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(out)
+    n_before = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    n_after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    ).select(
+        F.lit(n_before).alias("files_before"),
+        F.lit(n_after).alias("files_after"),
+        "n_rows",
+        "total_price",
+    )
+
+
+@query(
+    "q_fn_zorder",
+    oracle="""
+WITH b AS (
+  SELECT o_orderkey,
+         CAST(o_custkey % 256 AS BIGINT) AS x,
+         CAST(o_orderkey % 256 AS BIGINT) AS y
+  FROM orders WHERE o_orderkey < 2000
+)
+SELECT o_orderkey, x, y,
+       CAST(
+         ((x >> 0) & 1) * 1 + ((y >> 0) & 1) * 2 +
+         ((x >> 1) & 1) * 4 + ((y >> 1) & 1) * 8 +
+         ((x >> 2) & 1) * 16 + ((y >> 2) & 1) * 32 +
+         ((x >> 3) & 1) * 64 + ((y >> 3) & 1) * 128 +
+         ((x >> 4) & 1) * 256 + ((y >> 4) & 1) * 512 +
+         ((x >> 5) & 1) * 1024 + ((y >> 5) & 1) * 2048 +
+         ((x >> 6) & 1) * 4096 + ((y >> 6) & 1) * 8192 +
+         ((x >> 7) & 1) * 16384 + ((y >> 7) & 1) * 32768
+       AS BIGINT) AS zvalue
+FROM b
+""",
+)
+def q_fn_zorder(spark, sf_dir):
+    # Z-order (Morton) key: interleave the bits of two 8-bit dimension keys
+    # into one 16-bit sort key — the multi-dimensional clustering primitive.
+    # Sorting/range-partitioning the write by zvalue co-locates rows that
+    # are close in BOTH dimensions, so min/max file statistics prune scans
+    # filtered on either key (the Delta OPTIMIZE ZORDER layout, as a pure
+    # expression). Integer bit arithmetic — exact in any engine.
+    o = load_tables(spark, sf_dir)["orders"]
+    b = o.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).cast("long").alias("x"),
+        (F.col("o_orderkey") % 256).cast("long").alias("y"),
+    )
+    z = None
+    for i in range(8):
+        xb = F.shiftright("x", i).bitwiseAND(F.lit(1)) * (1 << (2 * i))
+        yb = F.shiftright("y", i).bitwiseAND(F.lit(1)) * (1 << (2 * i + 1))
+        z = xb + yb if z is None else z + xb + yb
+    return b.select("o_orderkey", "x", "y", z.cast("long").alias("zvalue"))

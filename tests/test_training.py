@@ -307,3 +307,23 @@ def test_asof_fwd_tolerance_and_direction(spark, sf_dir):
             assert (r["purchase_ts_us"], r["next_purchase_id"]) == cand[0]
         else:
             assert r["next_purchase_id"] is None and r["purchase_ts_us"] is None
+
+
+# ------------------------------------------------------------ layout / sink
+
+def test_zorder_interleave_locality(spark, sf_dir):
+    rows = _q(spark, sf_dir, "q_fn_zorder").collect()
+    for r in rows[:200]:
+        # reconstruct: de-interleave must give back (x, y)
+        z, x, y = r["zvalue"], r["x"], r["y"]
+        xr = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+        yr = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+        assert (xr, yr) == (x, y)
+        assert 0 <= z < 65536
+
+
+def test_sink_compact_lossless(spark, sf_dir):
+    r = _q(spark, sf_dir, "q_sink_compact").first()
+    assert r["files_before"] == 32 and r["files_after"] == 4
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert r["n_rows"] == src.count()
