@@ -367,3 +367,59 @@ def q_fn_url(spark, sf_dir):
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY")).alias("query"),
     )
+
+
+@query(
+    "q_fn_variant",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+       json_valid(props) AS is_valid
+FROM events
+WHERE event_id < 1500
+""",
+)
+def q_fn_variant(spark, sf_dir):
+    # Spark 4 VARIANT path: parse_json → variant_get with a type template —
+    # the open-schema semi-structured column type (binary-encoded, typed
+    # extraction without a schema declaration). The oracle reads the same
+    # JSON with DuckDB's json functions; is_valid goes through try_parse_json
+    # (NULL on malformed input = invalid).
+    e = load_tables(spark, sf_dir)["events"]
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return e.filter(F.col("event_id") < 1500).select(
+        "event_id",
+        k.alias("k"),
+        (k % 10).alias("k_mod"),
+        F.try_parse_json("props").isNotNull().alias("is_valid"),
+    )
+
+
+@query(
+    "q_fn_strdist",
+    oracle="""
+SELECT p_partkey,
+       CAST(levenshtein(p_name, p_type) AS INTEGER) AS d_name_type,
+       CAST(levenshtein(p_name, p_brand) AS INTEGER) AS d_name_brand,
+       CAST(levenshtein(lower(p_name), lower(reverse(p_name))) AS INTEGER) AS d_palindrome,
+       CAST(length(p_name) AS INTEGER) AS name_len
+FROM part
+WHERE p_partkey < 500
+""",
+)
+def q_fn_strdist(spark, sf_dir):
+    # String-distance family: Levenshtein edit distance (exact integer DP —
+    # engine-portable by construction), the fuzzy-matching primitive for
+    # entity resolution over package/product names. Row-local projection;
+    # at scale it runs inside codegen on whatever blocked candidate pairs
+    # feed it (see q_llm_jaccard_lsh for the blocking pattern).
+    p = load_tables(spark, sf_dir)["part"]
+    return p.filter(F.col("p_partkey") < 500).select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_type").alias("d_name_type"),
+        F.levenshtein("p_name", "p_brand").alias("d_name_brand"),
+        F.levenshtein(F.lower("p_name"), F.lower(F.reverse("p_name"))).alias("d_palindrome"),
+        F.length("p_name").alias("name_len"),
+    )
