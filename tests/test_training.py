@@ -327,3 +327,21 @@ def test_sink_compact_lossless(spark, sf_dir):
     assert r["files_before"] == 32 and r["files_after"] == 4
     src = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     assert r["n_rows"] == src.count()
+
+
+# ---------------------------------------------------------------- IVM join
+
+def test_ivm_join_covers_every_pair(spark, sf_dir):
+    from pkg2_spark.catalog import load_tables
+
+    out = {r["o_orderpriority"]: r for r in _q(spark, sf_dir, "q_ivm_join").collect()}
+    t = load_tables(spark, sf_dir)
+    direct = {
+        r["o_orderpriority"]: r["n"]
+        for r in t["orders"]
+        .join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert {k: v["n_items"] for k, v in out.items()} == direct
