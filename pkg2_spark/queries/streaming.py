@@ -395,3 +395,49 @@ def q_stream_foreachbatch(spark, sf_dir):
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
     )
+
+
+@query("q_stream_rt_multibatch", oracle=_TUMBLE_ORACLE)
+def q_stream_rt_multibatch(spark, sf_dir):
+    # TRUE incremental replay: the events table is split into FOUR source
+    # files and replayed with maxFilesPerTrigger=1, so the tumbling
+    # aggregation runs as four successive micro-batches whose state carries
+    # across batches in the state store — not a single-batch degenerate run.
+    # The final complete-mode result must still equal the batch/DuckDB
+    # answer, which is exactly the incremental-correctness contract
+    # (windows receive rows from different batches and must merge partials).
+    import os as _os
+
+    import pyspark.sql.functions as _F
+
+    from pkg2_spark.queries.relational import fixture_path, fixture_ready
+    from pkg2_spark.session import ensure_runtime_confs
+    from pkg2_spark.streaming.harness import run_to_memory
+
+    ensure_runtime_confs(spark)
+    src = fixture_path("stream_multisrc", sf_dir)
+    if not fixture_ready(src):
+        e = load_tables(spark, sf_dir)["events"]
+        e.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+    if dtypes.get("ts") == "timestamp_ntz":
+        from pyspark.sql.types import TimestampType as _TT
+
+        stream = stream.withColumn("ts", _F.col("ts").cast(_TT()))
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return run_to_memory(agg, "rt_multibatch")

@@ -146,3 +146,53 @@ def test_hash_split_is_a_stable_partition(spark, ids):
     ).collect()
     for r in sub_rows:
         assert assignment[r["doc_id"]] == r["split"]
+
+
+@settings(**_SETTINGS)
+@given(left_rows=_rows, right_rows=_rows)
+def test_asof_forward_matches_pandas_merge_asof(spark, left_rows, right_rows):
+    from pkg2_spark.operators.asof import asof_join_forward
+
+    # dedupe right (k, ts): pandas and the operator break exact ties
+    # differently; uniqueness makes the expected match unambiguous
+    seen = set()
+    rr = []
+    for k, t in right_rows:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            rr.append((k, t))
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)] or [(0, 0, 0)],
+        "k long, ts long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(k, t, i * 10) for i, (k, t) in enumerate(rr)] or [(0, -100, 0)],
+        "k long, ts long, rv long",
+    )
+    # seconds-typed timestamps so the operator's INTERVAL tolerance applies
+    lts = left.select("lid", "k", F.timestamp_seconds("ts").alias("ts"))
+    rts = right.select("k", F.timestamp_seconds("ts").alias("rts"), "rv")
+    got = (
+        asof_join_forward(
+            lts, rts, on="k", left_ts="ts", right_ts="rts",
+            payload={"rts": "m_ts", "rv": "rv"}, tolerance="5 SECONDS",
+        )
+        .select("lid", "k", F.unix_seconds("ts").alias("ts"), "rv")
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    lp = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)] or [(0, 0, 0)],
+        columns=["k", "ts", "lid"],
+    ).sort_values(["ts", "lid"]).reset_index(drop=True)
+    rp = pd.DataFrame(
+        [(k, t, i * 10) for i, (k, t) in enumerate(rr)] or [(0, -100, 0)],
+        columns=["k", "ts", "rv"],
+    ).sort_values(["ts", "rv"]).reset_index(drop=True)
+    want = pd.merge_asof(
+        lp, rp, on="ts", by="k", direction="forward", tolerance=5
+    ).sort_values("lid").reset_index(drop=True)
+    got_m = {r.lid: (None if pd.isna(r.rv) else int(r.rv)) for r in got.itertuples()}
+    want_m = {r.lid: (None if pd.isna(r.rv) else int(r.rv)) for r in want.itertuples()}
+    assert got_m == want_m
