@@ -441,3 +441,108 @@ def q_stream_rt_multibatch(spark, sf_dir):
         )
     )
     return run_to_memory(agg, "rt_multibatch")
+
+
+@query(
+    "q_stream_rt_join_left",
+    oracle="""
+WITH bound AS (
+  SELECT max(ts) - INTERVAL 2 HOUR AS cutoff,
+         (SELECT max(ts) FROM events WHERE event_type = 'click') AS max_click
+  FROM events
+),
+pairs AS (
+  SELECT c.user_id, c.ts AS c_ts, p.ts AS p_ts, p.value AS p_value
+  FROM (SELECT * FROM events, bound
+        WHERE event_type = 'click' AND ts <= cutoff AND ts < max_click) c
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+    ON c.user_id = p.user_id
+   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+)
+SELECT user_id,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       round(sum(coalesce(p_value, 0.0)), 2) AS sum_matched_value
+FROM pairs GROUP BY user_id
+""",
+)
+def q_stream_rt_join_left(spark, sf_dir):
+    """STREAM-STREAM LEFT OUTER interval join through real Structured
+    Streaming: clicks with no purchase in the following 30 minutes emit a
+    NULL-padded row — but only once the watermark passes their join bound,
+    so rows inside the final-watermark horizon would never flush on a
+    finite replay. The query therefore bounds the left domain to clicks at
+    least 2 hours (> watermark delay + join interval) before the stream's
+    max timestamp — inside that domain the streaming answer is COMPLETE
+    and equals the batch left join, which is exactly what the oracle
+    checks (the same cutoff is a scalar subquery batch-side).
+
+    State-store shape at scale: both sides shuffle on user_id; the left
+    buffer holds only rows younger than watermark + interval; null
+    emission is the state-eviction path — the funnel-with-dropoff
+    topology (unconverted clicks are the interesting rows)."""
+    from pkg2_spark.streaming.harness import events_stream, run_to_memory
+
+    e = load_tables(spark, sf_dir)["events"]
+    cutoff = e.agg((F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("c")).first()["c"]
+    # The globally-newest click is ALSO excluded: that single row is the one
+    # feeding the clicks-side max event time, and (measured, sf0.001) it
+    # strands in state on finite replay even when the global watermark has
+    # passed its join bound. Both exclusions are batch-side scalars the
+    # oracle mirrors exactly.
+    max_click = (
+        e.filter(F.col("event_type") == "click").agg(F.max("ts").alias("m")).first()["m"]
+    )
+    # withWatermark BEFORE the cutoff filter: the watermark operator must
+    # observe the full event-time domain — filtering first would cap this
+    # stream's max event time at the cutoff, dragging the GLOBAL watermark
+    # (min across streams) down by the filtered span and stranding the
+    # newest unmatched clicks in state forever (measured: one lost row per
+    # user when the filter preceded the watermark).
+    clicks = (
+        events_stream(spark, sf_dir)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            "event_type",
+        )
+        .withWatermark("c_ts", "1 hour")
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.col("c_ts") <= F.lit(cutoff))
+            & (F.col("c_ts") < F.lit(max_click))
+        )
+        .drop("event_type")
+    )
+    # Same watermark-before-filter discipline on the purchase side: at
+    # sparse scales the LAST purchase can sit hours before the last event,
+    # and a post-filter watermark would cap this stream's max event time
+    # there — the GLOBAL watermark is the min across streams, so the left
+    # side's newest unmatched rows would strand exactly as above.
+    buys = (
+        events_stream(spark, sf_dir)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+            "event_type",
+        )
+        .withWatermark("p_ts", "1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .drop("event_type")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    pairs = run_to_memory(
+        joined.select("c_user", "c_ts", "p_ts", "p_value"), "rt_join_left", mode="append"
+    )
+    return pairs.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("p_ts").isNotNull().cast("long")).alias("n_matched"),
+        F.round(F.sum(F.coalesce("p_value", F.lit(0.0))), 2).alias("sum_matched_value"),
+    )
