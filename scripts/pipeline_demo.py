@@ -137,6 +137,34 @@ def build_pipeline(spark, sf_dir: str):
         .filter(F.col("n_contam") / F.col("n_tris") > 0.8)
         .select("doc_id")
     )
+    # training-sequence preparation (round-3 operators): the train split is
+    # chunked into 30-token windows (25 stride) and the chunks packed into
+    # 512-token bins per source shard — the tensors-ready layout
+    toks_col = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    train = final.filter(F.col("split") == "train").select(
+        "doc_id", "source", toks_col.alias("toks")
+    )
+    n_chunks = F.ceil(F.size("toks") / F.lit(25.0)).cast("int")
+    chunks = (
+        train.select("doc_id", "source", "toks",
+                     F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("k"))
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.slice("toks", F.col("k") * 25 + 1, 30)).alias("n_tok"),
+            F.md5(F.array_join(F.slice("toks", F.col("k") * 25 + 1, 30), " ")).alias("chunk_hash"),
+        )
+    )
+    wpack = (
+        Window.partitionBy("source")
+        .orderBy(F.col("doc_id").asc_nulls_last(), F.col("chunk_hash").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = (
+        chunks.withColumn("cum", F.sum("n_tok").over(wpack))
+        .groupBy("source", F.floor((F.col("cum") - F.col("n_tok")) / 512).alias("bin_id"))
+        .agg(F.count(F.lit(1)).alias("n_chunks"), F.sum("n_tok").alias("sum_tokens"))
+    )
     return {
         "raw": docs,
         "lang": lang_ok,
@@ -144,6 +172,8 @@ def build_pipeline(spark, sf_dir: str):
         "dedup": canonical,
         "neardup": pruned,
         "contaminated": contaminated,
+        "chunks": chunks,
+        "packed": packed,
         "final": final,
     }, final
 
