@@ -380,3 +380,63 @@ def q_agg_salted(spark, sf_dir):
         },
         salt_from=["l_orderkey"],
     )
+
+
+@query(
+    "q_agg_approx_cd_check",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_5pct
+FROM events
+GROUP BY event_type
+""",
+)
+def q_agg_approx_cd_check(spark, sf_dir):
+    # Error-bound CONTRACT for the HLL sketch (q_agg_approx_cd is rows-only
+    # because sketch values are engine-specific): the approx estimate must
+    # land within 5% of the exact distinct count per group — well beyond
+    # the default rsd (2.3%) yet tight enough to catch a broken sketch. The
+    # sketch value itself never crosses the output boundary; the BOOLEAN
+    # does, so the weak rows-only query gains a hash-checkable guarantee.
+    e = load_tables(spark, sf_dir)["events"]
+    # rsd=0.01 → the 5% contract sits ~5 sigma out (the DEFAULT rsd of 0.05
+    # actually violated 5% at sf0.1's 1500-distinct groups — measured)
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    rel_err = F.abs(F.col("approx") - F.col("exact_users")) / F.col("exact_users")
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (rel_err <= 0.05).alias("within_5pct"),
+    )
+
+
+@query(
+    "q_agg_approx_pct_check",
+    oracle="""
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 2) AS exact_median_2dp,
+       TRUE AS within_1pct
+FROM events
+GROUP BY event_type
+""",
+)
+def q_agg_approx_pct_check(spark, sf_dir):
+    # Same contract for the percentile sketch: percentile_approx at 10k
+    # accuracy must land within 1% relative error of the EXACT interpolated
+    # median (computed engine-side with F.percentile, which the oracle
+    # mirrors with quantile_cont — both interpolate identically).
+    e = load_tables(spark, sf_dir)["events"]
+    agg = e.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx"),
+        F.percentile("value", F.lit(0.5)).alias("exact"),
+    )
+    rel_err = F.abs(F.col("approx") - F.col("exact")) / F.abs(F.col("exact"))
+    return agg.select(
+        "event_type",
+        F.round("exact", 2).alias("exact_median_2dp"),
+        (rel_err <= 0.01).alias("within_1pct"),
+    )
