@@ -271,3 +271,58 @@ def q_ivm_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("rev"), 2).alias("revenue"),
     )
+
+
+@query(
+    "q_dim_state_time",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST)
+           AS prev
+  FROM events
+),
+chg AS (
+  SELECT user_id, ts, event_type FROM o WHERE prev IS NULL OR prev <> event_type
+),
+iv AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) AS from_us,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC NULLS LAST)) AS to_us
+  FROM chg
+)
+SELECT event_type,
+       count(*) AS n_intervals,
+       CAST(sum(to_us - from_us) AS BIGINT) AS total_us,
+       CAST(max(to_us - from_us) AS BIGINT) AS max_us
+FROM iv WHERE to_us IS NOT NULL
+GROUP BY event_type
+""",
+)
+def q_dim_state_time(spark, sf_dir):
+    # Time-in-state analytics over the SCD-2 intervals: how long each
+    # attribute value stays current, aggregated per state — the dwell-time /
+    # uptime family (closed intervals only; the open current version has no
+    # duration). Same two user-keyed windows as q_dim_scd2 plus one
+    # state-keyed hash-agg; integer-microsecond arithmetic end to end.
+    e = load_tables(spark, sf_dir)["events"]
+    w_ord = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
+    chg = (
+        e.withColumn("prev", F.lag("event_type").over(w_ord))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    w_chg = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last())
+    iv = chg.select(
+        "event_type",
+        F.unix_micros("ts").alias("from_us"),
+        F.unix_micros(F.lead("ts").over(w_chg)).alias("to_us"),
+    ).filter(F.col("to_us").isNotNull())
+    dur = F.col("to_us") - F.col("from_us")
+    return iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(dur).alias("total_us"),
+        F.max(dur).alias("max_us"),
+    )

@@ -84,7 +84,7 @@ _DRIVER_CHECK_HEAD = [
     "q_events_retention", "q_llm_colloc", "q_sql_tpch_q1", "q_sql_tpch_q3",
     "q_join_asof_fwd", "q_sink_compact", "q_fn_zorder", "q_fn_variant",
     "q_fn_strdist", "q_ivm_join", "q_stream_rt_multibatch",
-    "q_agg_approx_cd_check", "q_agg_approx_pct_check",
+    "q_agg_approx_cd_check", "q_agg_approx_pct_check", "q_dim_state_time",
     "q_stream_rt_join_left",
     "q_sink_bucketed", "q_src_binary", "q_src_evolving", "q_src_corrupt",
     "q_filter_compound", "q_filter_in", "q_filter_between", "q_filter_like",
