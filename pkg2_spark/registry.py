@@ -43,59 +43,46 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
 
 # The verification driver walks ``queries()`` in dict order under a hard
-# 50-query budget per round (CORRECTNESS_r01/r02 each contain exactly 50
-# rows). Emission order is therefore part of the contract surface: rounds 1+2
-# covered 98 distinct queries; this head puts the 4 round-2 errors (real-
-# streaming NTZ failures, fixed in streaming/harness.py) plus the 47 queries
-# the driver has never reached in the first 50 slots. Queries already
-# driver-green in r1/r2 follow in module order; new queries added this round
-# queue behind this head for round 4+.
-_DRIVER_CHECK_HEAD = [
-    # round-2 driver errors, fixed (timestamp_ntz cast in the streaming
-    # harness) — re-earn green rows first
-    "q_stream_rt_tumble", "q_stream_rt_slide", "q_stream_rt_session",
-    "q_stream_rt_join",
-    # round-1 errors whose JSON output-serialization fix (round 2) was never
-    # re-checked: r2's 50-row budget ended one entry before q_fn_map_struct
-    "q_fn_map_struct", "q_src_repoindex",
-    # never driver-checked (r1+r2 both stopped at 50): SQL composites,
-    # packages, udfs, sorts/sets, timeseries, graph, multimodal, IO, filters
-    "q_sql_tpch_q4", "q_sql_tpch_q5", "q_sql_tpch_q7",
-    "q_pkg_debindex", "q_pkg_provides", "q_pkg_latest", "q_pkg_resolve",
-    "q_pkg_version_order", "q_pkg_revdeps", "q_pkg_archindex",
-    "q_udf_scalar", "q_udf_grouped_agg", "q_udf_grouped_map", "q_udtf",
-    "q_udf_python",
-    "q_sort_multi", "q_limit_topk", "q_offset",
-    "q_set_union_all", "q_set_union", "q_set_intersect", "q_set_except",
-    "q_set_except_all",
-    "q_agg_pivot", "q_agg_unpivot", "q_ts_gapfill", "q_sink_rollup",
-    "q_events_funnel", "q_dq_constraints", "q_ts_incremental",
-    "q_graph_closure",
-    "q_mm_meta", "q_mm_decode", "q_mm_frames", "q_mm_resize", "q_mm_features",
-    # round-3 additions (training-data prep + warehouse maintenance) — new
-    # code outranks the remaining r1 leftovers below so environment
-    # surprises (the NTZ class) surface at the next driver run; the 50-row
-    # budget reaches q_profile_hist, the rest of these plus the IO/filter
-    # leftovers spill to round 4 (all sure-pass locally at two scales)
-    "q_llm_chunk", "q_llm_pack", "q_llm_boiler", "q_vec_quant",
-    "q_kmeans_step", "q_cdc_merge", "q_dim_scd2", "q_profile_hist",
-    "q_stream_rt_enrich", "q_llm_quality_gate", "q_llm_split_drift",
-    "q_llm_keep_best", "q_stream_foreachbatch", "q_cdc_compact",
-    "q_events_retention", "q_llm_colloc", "q_sql_tpch_q1", "q_sql_tpch_q3",
-    "q_join_asof_fwd", "q_sink_compact", "q_fn_zorder", "q_fn_variant",
-    "q_fn_strdist", "q_ivm_join", "q_stream_rt_multibatch",
-    "q_agg_approx_cd_check", "q_agg_approx_pct_check", "q_dim_state_time",
-    "q_stream_rt_join_left",
-    "q_sink_bucketed", "q_src_binary", "q_src_evolving", "q_src_corrupt",
-    "q_filter_compound", "q_filter_in", "q_filter_between", "q_filter_like",
-    "q_filter_null", "q_case_when", "q_cast",
-]
+# 50-query budget per round (CORRECTNESS_r01..r03 each contain exactly 50
+# rows). Emission order is therefore part of the contract surface: queries
+# that still need a driver row — never checked, checked-and-errored, or
+# checked-and-hash-mismatched — must precede queries that are already
+# driver-green, or they never earn a row. Rather than hand-maintaining a
+# head list (which went stale between r2 and r3: VERDICT.md round 3,
+# "What's wrong" #2), the order is computed at call time from the
+# CORRECTNESS_r*.json files the driver itself writes into the repo root.
+
+
+def driver_green() -> set[str]:
+    """Names that are driver-verified green across all recorded rounds.
+
+    A query is green once a round records ``hash_match`` true (or the
+    by-design rows-only check, ``err == "no_oracle"``). A LATER round's
+    error — or a hash mismatch, which is just as disqualifying — revokes
+    green: the query must re-earn its row at the head of the order.
+    """
+    import json
+    from pathlib import Path
+
+    green: set[str] = set()
+    root = Path(__file__).resolve().parent.parent
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if row.get("hash_match") or row.get("err") == "no_oracle":
+                green.add(name)
+            elif row.get("err") or row.get("hash_match") is False:
+                green.discard(name)
+    return green
 
 
 def _driver_order(d: dict) -> dict:
-    head = [n for n in _DRIVER_CHECK_HEAD if n in d]
-    seen = set(head)
-    return {n: d[n] for n in [*head, *(n for n in d if n not in seen)]}
+    green = driver_green()
+    needs_row = [n for n in d if n not in green]
+    return {n: d[n] for n in [*needs_row, *(n for n in d if n in green)]}
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -13,29 +13,34 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
-from pkg2_spark.registry import _DRIVER_CHECK_HEAD, all_oracles, all_queries
+from pkg2_spark.registry import all_oracles, all_queries
 
 _REPO = Path(__file__).resolve().parent.parent
 
 
 def _driver_green() -> set[str]:
+    # Deliberately re-implements the protocol (rather than importing
+    # registry.driver_green) so a bug in the registry's reading of the
+    # CORRECTNESS files trips this test instead of hiding inside it.
     green: set[str] = set()
     for path in sorted(_REPO.glob("CORRECTNESS_r*.json")):
         for name, row in json.loads(path.read_text()).items():
             if row.get("hash_match") or row.get("err") == "no_oracle":
                 green.add(name)
-            elif row.get("err"):
-                # A later error invalidates an earlier green row: the query
-                # must re-earn its row at the head of the order.
+            elif row.get("err") or row.get("hash_match") is False:
+                # A later error OR hash mismatch invalidates an earlier green
+                # row: the query must re-earn its row at the head of the order.
                 green.discard(name)
     return green
 
 
-def test_head_names_all_registered():
-    names = set(all_queries())
-    missing = [n for n in _DRIVER_CHECK_HEAD if n not in names]
-    assert not missing, f"head lists unregistered queries: {missing}"
-    assert len(_DRIVER_CHECK_HEAD) == len(set(_DRIVER_CHECK_HEAD))
+def test_order_covers_registry_exactly_once():
+    order = list(all_queries())
+    assert len(order) == len(set(order))
+    import pkg2_spark.queries  # noqa: F401
+    from pkg2_spark.registry import QUERIES
+
+    assert set(order) == set(QUERIES)
 
 
 def test_unverified_queries_precede_driver_green_ones():
