@@ -256,23 +256,28 @@ def q_vec_quant(spark, sf_dir):
 @query(
     "q_kmeans_step",
     oracle="""
-WITH c AS (
-  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
-  FROM embeddings WHERE vec_id < 8
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000) AS BIGINT)) AS qe
+  FROM embeddings
 ),
+c AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id < 8),
 d AS (
-  SELECT e.vec_id, e.embedding, c.cid,
-         list_distance(CAST(e.embedding AS DOUBLE[]), c.ce) AS dist
-  FROM embeddings e CROSS JOIN c
+  SELECT q.vec_id, q.qe, c.cid,
+         CAST(list_sum(list_transform(generate_series(1, len(q.qe)),
+                i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i]))) AS BIGINT)
+           AS dist_sq
+  FROM q CROSS JOIN c
 ),
 a AS (
-  SELECT vec_id, embedding, cid,
-         row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+  SELECT vec_id, qe, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist_sq ASC, cid ASC) AS rn
   FROM d
 )
 SELECT cid, count(*) AS n_assigned,
-       round(avg(CAST(embedding[1] AS DOUBLE)), 4) AS new_c0,
-       round(avg(CAST(embedding[2] AS DOUBLE)), 4) AS new_c1
+       CAST(floor(CAST(sum(qe[1]) AS DOUBLE) / count(*)) AS BIGINT) AS new_c0_micro,
+       CAST(floor(CAST(sum(qe[2]) AS DOUBLE) / count(*)) AS BIGINT) AS new_c1_micro
 FROM a WHERE rn = 1
 GROUP BY cid
 """,
@@ -284,30 +289,44 @@ def q_kmeans_step(spark, sf_dir):
     # side is BROADCAST (O(n·k) distance work, no pair shuffle), argmin via
     # a vec_id-partitioned window, recenter via one hash-agg — every round
     # of a full k-means run is exactly this dataflow.
+    #
+    # Determinism (r03 fix): elements are quantized to micro-unit BIGINTs
+    # BEFORE any aggregation, so the distance argmin and the recenter sums
+    # are exact integer arithmetic — immune to partition-summation order and
+    # to cross-engine rounding-mode drift (the floor-not-round discipline of
+    # q_llm_colloc/q_llm_split_drift). Max |dist_sq| ≈ 64·(2e6)² ≈ 2.6e14,
+    # comfortably inside int64. Centroids are emitted in micro units; the
+    # float divide-back happens at the consumer boundary, not in the query.
     e = load_tables(spark, sf_dir)["embeddings"]
-    emb = F.col("embedding").cast("array<double>")
-    cents = (
-        e.filter(F.col("vec_id") < 8)
-        .select(F.col("vec_id").alias("cid"), emb.alias("ce"))
+    qe = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * F.lit(1000000.0)).cast("long"),
     )
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with(emb, F.col("ce"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    q = e.select("vec_id", qe.alias("qe"))
+    cents = q.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("qe").alias("ce")
     )
-    d = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "embedding", "cid", dist.alias("dist")
+    dist_sq = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    d = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "qe", "cid", dist_sq.alias("dist_sq")
     )
     w = Window.partitionBy("vec_id").orderBy(
-        F.col("dist").asc_nulls_last(), F.col("cid").asc_nulls_last()
+        F.col("dist_sq").asc_nulls_last(), F.col("cid").asc_nulls_last()
     )
     a = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    n = F.count(F.lit(1))
     return a.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n_assigned"),
-        F.round(F.avg(F.element_at("embedding", 1).cast("double")), 4).alias("new_c0"),
-        F.round(F.avg(F.element_at("embedding", 2).cast("double")), 4).alias("new_c1"),
+        n.alias("n_assigned"),
+        F.floor(F.sum(F.element_at("qe", 1)).cast("double") / n)
+        .cast("long")
+        .alias("new_c0_micro"),
+        F.floor(F.sum(F.element_at("qe", 2)).cast("double") / n)
+        .cast("long")
+        .alias("new_c1_micro"),
     )
 
 

@@ -126,6 +126,25 @@ def test_kmeans_step_partitions_all_vectors(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_kmeans_step_deterministic_across_partitionings(spark, sf_dir):
+    # r03 driver flake: FP avg() summation-order drift flipped a 4dp round.
+    # The fix quantizes elements to integer micro-units before every sum, so
+    # the result must be bit-identical however the aggregation is partitioned.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for parts in ("3", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            rows = _q(spark, sf_dir, "q_kmeans_step").collect()
+            results.append(sorted(tuple(r) for r in rows))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert results[0] == results[1]
+    # micro-unit outputs are integers — no float column can reach the hash
+    for row in results[0]:
+        assert all(isinstance(v, int) for v in row)
+
+
 # ---------------------------------------------------------------- CDC merge
 
 def test_cdc_merge_action_semantics(spark, sf_dir):
