@@ -157,6 +157,38 @@ class Engine:
         self.register("packages", pkgs)
         return pkgs
 
+    def ingest_rpm_primary(self, path: str) -> DataFrame:
+        """RPM repodata primary.xml -> the same normalized schema (fourth
+        index format: Fedora/RHEL/openSUSE). One <package> element per
+        record; requires/provides are <rpm:entry name="..."/> children of
+        their <rpm:requires>/<rpm:provides> sections. Parsed with the same
+        whole-file -> record explode -> regexp field extraction dataflow as
+        the other three formats — at repo scale the explode distributes and
+        a directory of per-repo XMLs parallelizes across files."""
+        raw = self.spark.read.text(path, wholetext=True)
+        blocks = raw.select(
+            F.explode(F.split("value", "</package>")).alias("blk")
+        ).filter(F.col("blk").contains("<name>"))
+
+        def entries(section: str) -> F.Column:
+            sec = F.regexp_extract("blk", f"(?s)<rpm:{section}>(.*?)</rpm:{section}>", 1)
+            return F.array_sort(F.regexp_extract_all(sec, F.lit('name="([^"]+)"'), 1))
+
+        ver = F.regexp_extract("blk", '<version[^>]*ver="([^"]+)"', 1)
+        rel = F.regexp_extract("blk", '<version[^>]*rel="([^"]+)"', 1)
+        pkgs = blocks.select(
+            F.regexp_extract("blk", "<name>([^<]+)</name>", 1).alias("name"),
+            F.concat_ws("-", ver, rel).alias("version"),
+            F.regexp_extract("blk", "<arch>([^<]+)</arch>", 1).alias("arch"),
+            F.regexp_extract("blk", '<size package="([0-9]+)"', 1).cast("long").alias("size"),
+            F.regexp_extract("blk", "<summary>([^<]*)</summary>", 1).alias("description"),
+            entries("requires").alias("depends"),
+            entries("provides").alias("provides"),
+        )
+        self._packages = pkgs
+        self.register("packages", pkgs)
+        return pkgs
+
     # ------------------------------------------------------------- queries
     def _pkgs(self) -> DataFrame:
         if self._packages is None:

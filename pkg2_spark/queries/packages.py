@@ -253,6 +253,116 @@ def q_pkg_revdeps(spark, sf_dir):
     )
 
 
+_RPMPRIMARY_PATH = os.path.join(_REPO_DIR, "pkg2_spark", "data", "rpmprimary_sample.xml")
+
+# RPM repodata primary.xml parse as DuckDB CTEs (mirrors Engine.ingest_rpm_primary)
+_RPM_PKGS_CTE = f"""
+rpm_blocks AS (
+  SELECT unnest(string_split(content, '</package>')) AS blk
+  FROM read_text('{_RPMPRIMARY_PATH}')
+),
+rpm_pkgs AS (
+  SELECT
+    regexp_extract(blk, '<name>([^<]+)</name>', 1) AS name,
+    regexp_extract(blk, '<version[^>]*ver="([^"]+)"', 1) || '-' ||
+      regexp_extract(blk, '<version[^>]*rel="([^"]+)"', 1) AS version,
+    regexp_extract(blk, '<arch>([^<]+)</arch>', 1) AS arch,
+    CAST(regexp_extract(blk, '<size package="([0-9]+)"', 1) AS BIGINT) AS size,
+    list_sort(regexp_extract_all(
+      regexp_extract(blk, '(?s)<rpm:requires>(.*?)</rpm:requires>', 1),
+      'name="([^"]+)"', 1)) AS depends,
+    list_sort(regexp_extract_all(
+      regexp_extract(blk, '(?s)<rpm:provides>(.*?)</rpm:provides>', 1),
+      'name="([^"]+)"', 1)) AS provides
+  FROM rpm_blocks WHERE blk LIKE '%<name>%'
+)
+"""
+
+
+@query(
+    "q_pkg_rpmindex",
+    oracle=f"""
+WITH {_RPM_PKGS_CTE.strip()}
+SELECT name, version, arch, size,
+       to_json(depends) AS depends, to_json(provides) AS provides
+FROM rpm_pkgs
+""",
+)
+def q_pkg_rpmindex(spark, sf_dir):
+    """Fourth repo-index format: RPM repodata primary.xml (Fedora/RHEL),
+    completing pkg2's multi-distro ingestion surface (SURVEY.md §1.1
+    [Tier C]: APKINDEX, Debian Packages, RPM repodata, Arch desc). Same
+    whole-file -> record explode -> regexp extraction shape as the other
+    three; requires/provides sections flattened into sorted capability
+    arrays, JSON-serialized at the output boundary."""
+    eng = Engine(spark)
+    p = eng.ingest_rpm_primary(_RPMPRIMARY_PATH)
+    return p.select(
+        "name",
+        "version",
+        "arch",
+        "size",
+        F.to_json("depends").alias("depends"),
+        F.to_json("provides").alias("provides"),
+    )
+
+
+@query(
+    "q_pkg_search",
+    oracle=f"""
+WITH {_APK_PKGS_CTE.strip()},
+{_DEB_PKGS_CTE.strip()},
+{_ARCH_PKGS_CTE.strip()},
+{_RPM_PKGS_CTE.strip()},
+allpkgs AS (
+  SELECT 'alpine' AS distro, name, version, arch FROM apk_pkgs
+  UNION ALL SELECT 'debian', name, version, arch FROM deb_pkgs
+  UNION ALL SELECT 'arch', name, version, arch FROM arch_pkgs
+  UNION ALL SELECT 'fedora', name, version, arch FROM rpm_pkgs
+)
+SELECT 'exact' AS mode, distro, name, version, arch
+FROM allpkgs WHERE name = 'openssl'
+UNION ALL
+SELECT 'prefix', distro, name, version, arch
+FROM allpkgs WHERE name LIKE 'lib%'
+UNION ALL
+SELECT 'wildcard', distro, name, version, arch
+FROM allpkgs WHERE name LIKE '%ssl%' AND arch IN ('x86_64', 'amd64')
+""",
+)
+def q_pkg_search(spark, sf_dir):
+    """pkg2's flagship interactive query: exact / prefix / wildcard package
+    search with a distro/arch filter, federated over all four normalized
+    index formats (SURVEY.md §1.1 [Tier C]). The shared schema is what makes
+    this a single filter over a union — at real scale the union is a
+    partitioned table keyed by (distro, arch) and each predicate is a
+    partition-prunable scan, not four bespoke parsers per query."""
+    eng = Engine(spark)
+    allpkgs = (
+        eng.ingest_apkindex(_APKINDEX_PATH).withColumn("distro", F.lit("alpine"))
+        .unionByName(
+            eng.ingest_debian_packages(_PACKAGES_PATH).withColumn("distro", F.lit("debian"))
+        )
+        .unionByName(
+            eng.ingest_archdesc(_ARCHDESC_PATH).withColumn("distro", F.lit("arch"))
+        )
+        .unionByName(
+            eng.ingest_rpm_primary(_RPMPRIMARY_PATH).withColumn("distro", F.lit("fedora"))
+        )
+        .select("distro", "name", "version", "arch")
+    )
+    exact = allpkgs.filter(F.col("name") == "openssl").select(
+        F.lit("exact").alias("mode"), "distro", "name", "version", "arch"
+    )
+    prefix = allpkgs.filter(F.col("name").like("lib%")).select(
+        F.lit("prefix").alias("mode"), "distro", "name", "version", "arch"
+    )
+    wildcard = allpkgs.filter(
+        F.col("name").like("%ssl%") & F.col("arch").isin("x86_64", "amd64")
+    ).select(F.lit("wildcard").alias("mode"), "distro", "name", "version", "arch")
+    return exact.unionAll(prefix).unionAll(wildcard)
+
+
 @query(
     "q_pkg_version_order",
     oracle=f"""

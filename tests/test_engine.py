@@ -40,6 +40,44 @@ def test_ingest_archdesc_normalizes_like_other_formats(spark):
     assert deps == {"openssl", "python"}
 
 
+def test_ingest_rpm_primary_normalizes_like_other_formats(spark):
+    from pkg2_spark.queries.packages import _RPMPRIMARY_PATH
+
+    eng = Engine(spark)
+    p = eng.ingest_rpm_primary(_RPMPRIMARY_PATH)
+    rows = {r["name"]: r for r in p.collect()}
+    assert len(rows) == 9
+    assert rows["glibc"]["version"] == "2.38-18.fc39"
+    assert rows["glibc"]["size"] == 2215936
+    assert rows["basesystem"]["depends"] == []  # empty rpm:requires section
+    assert rows["zlib-ng-compat"]["provides"] == [
+        "libz.so.1()(64bit)", "zlib", "zlib-ng-compat",
+    ]
+    # capability resolution through provides works on the normalized schema
+    prov = {r["provider"] for r in eng.whatprovides("libz.so.1()(64bit)").collect()}
+    assert prov == {"zlib-ng-compat"}
+    deps = {r["dependent"] for r in eng.whatdepends("openssl-libs").collect()}
+    assert deps == {"python3", "curl"}
+    closure = {r["node"] for r in eng.resolve("python3").collect()}
+    assert {"bash", "glibc", "zlib-ng-compat", "openssl-libs", "basesystem"} <= closure
+
+
+def test_pkg_search_federates_all_four_formats(spark, sf_dir):
+    from pkg2_spark.registry import all_queries
+
+    out = all_queries()["q_pkg_search"](spark, sf_dir).collect()
+    by_mode = {}
+    for r in out:
+        by_mode.setdefault(r["mode"], set()).add((r["distro"], r["name"]))
+    # 'openssl' exists under that exact name in alpine, debian and arch
+    assert by_mode["exact"] == {
+        ("alpine", "openssl"), ("debian", "openssl"), ("arch", "openssl"),
+    }
+    assert ("debian", "libc6") in by_mode["prefix"]
+    # arch filter keeps x86_64/amd64 only; fedora's openssl-libs is x86_64
+    assert ("fedora", "openssl-libs") in by_mode["wildcard"]
+
+
 def test_search_packages(apk):
     names = {r.name for r in apk.search_packages("b%").collect()}
     assert names == {"busybox"}
