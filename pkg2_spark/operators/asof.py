@@ -67,18 +67,21 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__tag").asc(), F.col("__rord").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry ONE struct of all payload columns (__rord is exactly that struct,
+    # and is NULL on left rows via allowMissingColumns) so every carried value
+    # comes from the SAME matched right row — per-column carries would fill a
+    # NULL payload field from a different (earlier) right row.
     carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"__p_{dst}"), ignorenulls=True).over(w).alias(dst)
-            for _, dst in tag_sorted_payload
-        ],
+        "*", F.last("__rord", ignorenulls=True).over(w).alias("__carry")
     )
     out = carried.filter(F.col("__tag") == 1).select(
         F.col("__k").alias(on),
         F.col("__ts").alias(left_ts),
         *[c for c in lcols if c not in (on, left_ts)],
-        *[F.col(dst) for _, dst in tag_sorted_payload],
+        *[
+            F.col("__carry").getField(f"__p_{dst}").alias(dst)
+            for _, dst in tag_sorted_payload
+        ],
     )
     return out
 
@@ -135,28 +138,26 @@ def asof_join_forward(
         .orderBy(F.col("__ts").asc(), F.col("__tag").asc(), F.col("__rord").asc_nulls_last())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    # As in asof_join: carry ONE payload struct (__rord; NULL on left rows)
+    # with a single first(ignorenulls), so __match_ts and every payload field
+    # come from the SAME nearest-forward right row — per-column carries would
+    # fill a NULL payload field from a LATER right row than the match.
     carried = unioned.select(
         "*",
         F.first(F.when(F.col("__tag") == 1, F.col("__ts")), ignorenulls=True)
         .over(w)
         .alias("__match_ts"),
-        *[
-            F.first(F.col(f"__p_{dst}"), ignorenulls=True).over(w).alias(dst)
-            for _, dst in items
-        ],
+        F.first("__rord", ignorenulls=True).over(w).alias("__carry"),
     )
+    in_tol = F.lit(True)
     if tolerance is not None:
         in_tol = F.col("__match_ts") <= F.col("__ts") + F.expr(f"INTERVAL {tolerance}")
-        carried = carried.select(
-            *[c for c in carried.columns if c not in [d for _, d in items]],
-            *[
-                F.when(in_tol, F.col(dst)).otherwise(F.lit(None)).alias(dst)
-                for _, dst in items
-            ],
-        )
     return carried.filter(F.col("__tag") == 0).select(
         F.col("__k").alias(on),
         F.col("__ts").alias(left_ts),
         *[c for c in lcols if c not in (on, left_ts)],
-        *[F.col(dst) for _, dst in items],
+        *[
+            F.when(in_tol, F.col("__carry").getField(f"__p_{dst}")).alias(dst)
+            for _, dst in items
+        ],
     )

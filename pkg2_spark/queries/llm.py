@@ -1302,7 +1302,7 @@ def q_llm_export_shards(spark, sf_dir):
         - 1
     ).cast("int")
     path = fixture_path("llm_shards", sf_dir)
-    if not fixture_ready(path):
+    if not fixture_ready(path, sf_dir):
         (
             train.withColumn("shard_id", shard)
             .select("doc_id", "n_chars", "shard_id")

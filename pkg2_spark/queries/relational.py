@@ -46,22 +46,20 @@ def fixture_path(name: str, sf_dir: str) -> str:
 _BUCKETED_DONE: set[tuple[int, str]] = set()
 
 
-def fixture_ready(path: str) -> bool:
+def fixture_ready(path: str, sf_dir: str) -> bool:
     """True when a completed write already sits at ``path`` (_SUCCESS marker
-    for Spark writers) AND is newer than the source testdata. Fixture inputs
-    are pure functions of (sf_dir, query-version), so a finished write is
-    reusable across invocations AND processes — the driver's per-query loop
-    then pays the write once per scale, not once per call. The mtime guard
-    exists because the driver REGENERATES testdata between rounds (round 3:
-    events.ts changed parquet type); a fixture older than its source tables
-    would silently serve stale rows."""
+    for Spark writers) AND is newer than the source testdata in ``sf_dir``.
+    Fixture inputs are pure functions of (sf_dir, query-version), so a
+    finished write is reusable across invocations AND processes — the
+    driver's per-query loop then pays the write once per scale, not once per
+    call. The mtime guard exists because the driver REGENERATES testdata
+    between rounds (round 3: events.ts changed parquet type); a fixture older
+    than its source tables would silently serve stale rows. An unreadable
+    source dir counts as not-ready (regenerate rather than trust a cache
+    whose freshness can't be established)."""
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         return False
-    tags = [p for p in os.path.normpath(path).split(os.sep) if re.fullmatch(r"sf[\d.]+", p)]
-    if not tags:
-        return True  # non-testdata layout (unit-test scratch dirs): no guard
-    sf_dir = os.path.join("/root/testdata", tags[-1])
     try:
         newest_src = max(
             os.path.getmtime(os.path.join(sf_dir, f))
@@ -69,7 +67,7 @@ def fixture_ready(path: str) -> bool:
             if f.endswith(".parquet")
         )
     except (OSError, ValueError):
-        return True  # non-testdata layout (unit-test scratch dirs): no guard
+        return False
     return os.path.getmtime(marker) >= newest_src
 
 
@@ -193,7 +191,7 @@ def q_src_csv(spark, sf_dir):
     # match proves the reader+writer preserve values exactly.
     d = load_tables(spark, sf_dir)["documents"]
     path = fixture_path("src_csv", sf_dir)
-    if not fixture_ready(path):
+    if not fixture_ready(path, sf_dir):
         d.write.mode("overwrite").option("header", True).csv(path)
     back = spark.read.schema(_DOC_SCHEMA).option("header", True).csv(path)
     return _doc_agg(back)
@@ -203,7 +201,7 @@ def q_src_csv(spark, sf_dir):
 def q_src_json(spark, sf_dir):
     d = load_tables(spark, sf_dir)["documents"]
     path = fixture_path("src_json", sf_dir)
-    if not fixture_ready(path):
+    if not fixture_ready(path, sf_dir):
         d.write.mode("overwrite").json(path)
     back = spark.read.schema(_DOC_SCHEMA).json(path)
     return _doc_agg(back)
@@ -220,7 +218,7 @@ GROUP BY l_returnflag
 def q_src_orc(spark, sf_dir):
     l = load_tables(spark, sf_dir)["lineitem"]
     path = fixture_path("src_orc", sf_dir)
-    if not fixture_ready(path):
+    if not fixture_ready(path, sf_dir):
         l.select("l_returnflag", "l_extendedprice").write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     return back.groupBy("l_returnflag").agg(
@@ -243,7 +241,7 @@ def q_sink_parquet(spark, sf_dir):
     # enables static partition pruning on re-read at scale.
     o = load_tables(spark, sf_dir)["orders"]
     path = fixture_path("sink_parquet", sf_dir)
-    if not fixture_ready(path):
+    if not fixture_ready(path, sf_dir):
         o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
     back = spark.read.parquet(path)
     return back.groupBy("o_orderstatus", "o_orderpriority").agg(
@@ -263,7 +261,7 @@ GROUP BY n_regionkey
 def q_sink_csv(spark, sf_dir):
     n = load_tables(spark, sf_dir)["nation"]
     path = fixture_path("sink_csv", sf_dir)
-    if not fixture_ready(path):
+    if not fixture_ready(path, sf_dir):
         n.write.mode("overwrite").option("header", True).csv(path)
     schema = T.StructType(
         [
@@ -295,7 +293,7 @@ def q_src_corrupt(spark, sf_dir):
     classification is value-checked."""
     d = load_tables(spark, sf_dir)["documents"]
     path = fixture_path("src_corrupt", sf_dir)
-    if not fixture_ready(path):
+    if not fixture_ready(path, sf_dir):
         good = d.filter(F.col("doc_id") % 10 != 0).select(
             F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("value")
         )
@@ -666,7 +664,7 @@ def q_src_binary(spark, sf_dir):
     # original table, so reader fidelity is value-checked end to end.
     d = load_tables(spark, sf_dir)["documents"]
     path = fixture_path("src_binary", sf_dir)
-    if not fixture_ready(path):
+    if not fixture_ready(path, sf_dir):
         shutil.rmtree(path, ignore_errors=True)
         os.makedirs(path, exist_ok=True)
         # bounded fixture creation (50 files), not a dataflow collect
@@ -704,7 +702,7 @@ def q_src_evolving(spark, sf_dir):
     # tolerate columns appearing over time without rewriting old files.
     d = load_tables(spark, sf_dir)["documents"]
     path = fixture_path("src_evolving", sf_dir)
-    if not fixture_ready(os.path.join(path, "gen=2")):
+    if not fixture_ready(os.path.join(path, "gen=2"), sf_dir):
         shutil.rmtree(path, ignore_errors=True)
         v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
         v2 = d.filter(F.col("doc_id") % 2 == 1).select(
@@ -738,10 +736,10 @@ def q_sink_compact(spark, sf_dir):
     # so the shuffle is bounded by partition size, not table size.
     l = load_tables(spark, sf_dir)["lineitem"]
     frag = fixture_path("compact_frag", sf_dir)
-    if not fixture_ready(frag):
+    if not fixture_ready(frag, sf_dir):
         l.repartition(32).write.mode("overwrite").parquet(frag)
     out = fixture_path("compact_out", sf_dir)
-    if not fixture_ready(out):
+    if not fixture_ready(out, sf_dir):
         spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(out)
     n_before = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
     n_after = len([f for f in os.listdir(out) if f.endswith(".parquet")])

@@ -361,12 +361,17 @@ GROUP BY event_type
 """,
 )
 def q_stream_foreachbatch(spark, sf_dir):
-    # foreachBatch — the production sink API: each micro-batch lands as an
-    # append into a parquet target (exactly-once per batch via the
-    # checkpoint's batch-id dedup), then the materialized target is
-    # aggregated. availableNow replay of the static file appends every event
-    # exactly once, so the target equals the source and the rollup equals
-    # the batch answer. Fixture-cached per scale like the other sinks.
+    # foreachBatch — the production sink API: each micro-batch lands in a
+    # batch_id-keyed partition directory of the parquet target, then the
+    # materialized target is aggregated. foreachBatch itself is
+    # at-least-once (a failure after a partial write replays the batch), so
+    # the sink makes the write IDEMPOTENT: a completed batch_id=N partition
+    # (_SUCCESS present) is skipped on replay, an incomplete one is
+    # overwritten — that idempotence is what upgrades the checkpoint's
+    # replay to exactly-once. availableNow replay of the static file then
+    # lands every event exactly once: the target equals the source and the
+    # rollup equals the batch answer. Fixture-cached per scale like the
+    # other sinks.
     import shutil as _shutil
 
     from pkg2_spark.queries.relational import fixture_path, fixture_ready
@@ -375,12 +380,15 @@ def q_stream_foreachbatch(spark, sf_dir):
     import uuid as _uuid
 
     path = fixture_path("stream_feb", sf_dir)
-    if not fixture_ready(path):
+    if not fixture_ready(_os.path.join(path, "batch_id=0"), sf_dir):
         _shutil.rmtree(path, ignore_errors=True)
         stream = events_stream(spark, sf_dir).select("event_id", "event_type", "value")
 
         def sink_batch(batch_df, batch_id):
-            batch_df.write.mode("append").parquet(path)
+            target = _os.path.join(path, f"batch_id={batch_id}")
+            if _os.path.exists(_os.path.join(target, "_SUCCESS")):
+                return  # replayed batch already fully landed: skip
+            batch_df.write.mode("overwrite").parquet(target)
 
         ckpt = _os.path.join(IO_DIR, "checkpoints", f"feb_{_uuid.uuid4().hex[:8]}")
         q = (
@@ -416,7 +424,7 @@ def q_stream_rt_multibatch(spark, sf_dir):
 
     ensure_runtime_confs(spark)
     src = fixture_path("stream_multisrc", sf_dir)
-    if not fixture_ready(src):
+    if not fixture_ready(src, sf_dir):
         e = load_tables(spark, sf_dir)["events"]
         e.repartition(4).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema

@@ -314,7 +314,7 @@ def q_sink_rollup(spark, sf_dir):
 
     e = load_tables(spark, sf_dir)["events"]
     path = fixture_path("sink_rollup", sf_dir)
-    if not fixture_ready(path):
+    if not fixture_ready(path, sf_dir):
         hourly = e.groupBy(
             F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
         ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))

@@ -65,6 +65,54 @@ class TestAsofJoin:
         assert rows[(2, "2024-01-01T12:00:00")] is None
 
 
+class TestAsofJoinNullPayloadField:
+    """All carried payload fields must come from the SAME matched right row,
+    even when that row holds a NULL in one payload column (the pre-fix
+    per-column carry filled the NULL from a different right row)."""
+
+    def test_backward_null_field_not_filled_from_earlier_row(self, spark):
+        left = spark.createDataFrame(
+            [(1, _ts("2024-01-01 10:00:00"))], "user_id long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [
+                (1, _ts("2024-01-01 08:00:00"), 100, "a"),
+                # nearest backward match; label is NULL and must STAY null
+                (1, _ts("2024-01-01 09:00:00"), 200, None),
+            ],
+            "user_id long, c_ts timestamp, click_id long, label string",
+        )
+        out = asof_join(
+            left, right, on="user_id", left_ts="ts", right_ts="c_ts",
+            payload={"click_id": "last_click", "label": "last_label"},
+        ).collect()
+        assert len(out) == 1
+        assert out[0].last_click == 200
+        assert out[0].last_label is None  # not "a" from the earlier row
+
+    def test_forward_null_field_not_filled_from_later_row(self, spark):
+        from pkg2_spark.operators.asof import asof_join_forward
+
+        left = spark.createDataFrame(
+            [(1, _ts("2024-01-01 07:00:00"))], "user_id long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            [
+                # nearest forward match; label is NULL and must STAY null
+                (1, _ts("2024-01-01 08:00:00"), 100, None),
+                (1, _ts("2024-01-01 09:00:00"), 200, "b"),
+            ],
+            "user_id long, c_ts timestamp, click_id long, label string",
+        )
+        out = asof_join_forward(
+            left, right, on="user_id", left_ts="ts", right_ts="c_ts",
+            payload={"click_id": "next_click", "label": "next_label"},
+        ).collect()
+        assert len(out) == 1
+        assert out[0].next_click == 100
+        assert out[0].next_label is None  # not "b" from the later row
+
+
 class TestMinHash:
     def test_invariant_under_token_order_and_duplication(self, spark):
         base = "alpha beta gamma delta"
