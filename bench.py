@@ -37,6 +37,20 @@ HEADLINE = [
     "q_llm_cossim",
 ]
 
+# Second tier (VERDICT.md round 3, item 6): regression coverage for the LLM /
+# package / streaming / SQL-composite surfaces. These queries do real work at
+# BUILD time (streaming replay, iterative fixpoints), so each timed run
+# re-invokes the query function — timings include plan construction, which is
+# the honest end-to-end latency for these shapes. No BASELINE.md comparator;
+# tracked round-over-round against BENCH_r{N-1}.
+TIER2 = [
+    "q_llm_minhash",
+    "q_llm_dedup_resolve",
+    "q_pkg_resolve",
+    "q_stream_rt_join",
+    "q_sql_tpch_q5",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,6 +74,18 @@ def main() -> int:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[1], 4)
 
+    tier2: dict[str, float] = {}
+    for name in TIER2:
+        # Build-inclusive timing (streaming replay / iterative fixpoints run
+        # during build): 1 warm-up, then median of 3 full invocations.
+        queries[name](spark, sf_dir).collect()
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        tier2[name] = round(sorted(runs)[1], 4)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -67,7 +93,8 @@ def main() -> int:
                 "metric": "headline_warm_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {**timings, **tier2},
+                "tier2_total": round(sum(tier2.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
