@@ -143,3 +143,119 @@ LIMIT 10
 def q_sql_tpch_q3(spark, sf_dir):
     load_tables(spark, sf_dir)
     return spark.sql(_Q3)
+
+
+# TPC-H Q6: forecasting revenue change — the canonical pushdown-everything
+# filter + single aggregate. All three predicates reach the parquet scan.
+_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+@query("q_sql_tpch_q6", oracle=_Q6)
+def q_sql_tpch_q6(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q6)
+
+
+# TPC-H Q9 shape: product-type profit by nation and year. This schema has no
+# partsupp, so profit is revenue (extendedprice net of discount) rather than
+# revenue minus supplycost; the join tree (part ⋈ lineitem ⋈ supplier ⋈
+# orders ⋈ nation with a LIKE part filter) is Q9's.
+_Q9 = """
+SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         l_extendedprice * (1 - l_discount) AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@query("q_sql_tpch_q9", oracle=_Q9)
+def q_sql_tpch_q9(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q9)
+
+
+# TPC-H Q10: returned-item reporting — top-20 customers by lost revenue in a
+# quarter. c_custkey tiebreak makes the LIMIT deterministic under ties.
+# Revenue is summed as floor-scaled e4 integers (per-row IEEE product then
+# floor — bit-identical cross-engine) because a float sum rounded to 2dp
+# landed exactly on a cent boundary at sf0.01 and flipped with summation
+# order (same discipline as q_llm_colloc).
+_Q10 = """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_e4,
+       round(c_acctbal, 2) AS acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue_e4 DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+@query("q_sql_tpch_q10", oracle=_Q10)
+def q_sql_tpch_q10(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q10)
+
+
+# TPC-H Q14: promotion effect — conditional aggregation ratio over a
+# part ⋈ lineitem month slice (p_type here is the bare class, not a prefix).
+_Q14 = """
+SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+@query("q_sql_tpch_q14", oracle=_Q14)
+def q_sql_tpch_q14(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q14)
+
+
+# TPC-H Q19: discounted revenue — the OR-of-ANDs multi-attribute predicate
+# that exercises CNF/DNF predicate handling across a join.
+_Q19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+@query("q_sql_tpch_q19", oracle=_Q19)
+def q_sql_tpch_q19(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q19)

@@ -645,3 +645,174 @@ def q_llm_colloc(spark, sf_dir):
         .crossJoin(F.broadcast(tot))
         .select("w1", "w2", "c_xy", lift.alias("lift_bp"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus quality filters (round 4): intra-document repetition, Gopher-style
+# rule gates, and corpus composition — the standard pre-training text-quality
+# passes that run between language-ID and the percentile quality gate.
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = """
+t AS (
+  SELECT doc_id, lang, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+)
+"""
+
+
+@query(
+    "q_llm_repetition",
+    oracle=f"""
+WITH {_TOKS_CTE.strip()},
+tc AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(toks) AS token FROM t)
+  GROUP BY doc_id, token
+),
+per_doc AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS top_freq
+  FROM tc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       CAST(floor(((n_tokens - n_distinct) * 10000.0) / n_tokens) AS BIGINT) AS dup_bp,
+       CAST(floor((top_freq * 10000.0) / n_tokens) AS BIGINT) AS top_tok_bp,
+       floor(((n_tokens - n_distinct) * 10000.0) / n_tokens) > 6000 AS is_repetitive
+FROM per_doc
+""",
+)
+def q_llm_repetition(spark, sf_dir):
+    # Intra-document repetition filter (the C4/Gopher "repetitive content"
+    # rule): duplicate-token ratio and top-token concentration per document,
+    # in floor-scaled integer basis points (exact-integer operands → IEEE
+    # division + floor is bit-identical cross-engine). One explode and two
+    # hash-aggs, both keyed by doc_id — fully shuffle-partitionable; no
+    # driver-side state at any corpus size.
+    d = load_tables(spark, sf_dir)["documents"]
+    tc = (
+        d.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = tc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_freq"),
+    )
+    dup_bp = F.floor(
+        ((F.col("n_tokens") - F.col("n_distinct")) * 10000.0) / F.col("n_tokens")
+    )
+    top_bp = F.floor((F.col("top_freq") * 10000.0) / F.col("n_tokens"))
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        dup_bp.cast("long").alias("dup_bp"),
+        top_bp.cast("long").alias("top_tok_bp"),
+        (dup_bp > 6000).alias("is_repetitive"),
+    )
+
+
+@query(
+    "q_llm_gopher_rules",
+    oracle=f"""
+WITH {_TOKS_CTE.strip()},
+scored AS (
+  SELECT lang,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS n_word_chars,
+         list_has_any(toks, ['the', 'a']) AS has_stop
+  FROM t
+),
+flags AS (
+  SELECT lang,
+         n_words BETWEEN 40 AND 100000 AS p_count,
+         n_word_chars BETWEEN 3 * n_words AND 10 * n_words AS p_meanlen,
+         has_stop AS p_stop
+  FROM scored
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN p_count THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_count,
+       CAST(sum(CASE WHEN p_meanlen THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_meanlen,
+       CAST(sum(CASE WHEN p_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_stop,
+       CAST(sum(CASE WHEN p_count AND p_meanlen AND p_stop THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pass_all
+FROM flags GROUP BY lang
+""",
+)
+def q_llm_gopher_rules(spark, sf_dir):
+    # Gopher-style rule gate: word-count bounds, mean-word-length bounds and
+    # stopword presence, aggregated per language. The mean-length rule is
+    # evaluated as the INTEGER comparison 3n <= sum_chars <= 10n rather than
+    # a float mean — no division anywhere, so no cross-engine drift. Pure
+    # per-row projections plus one hash-agg; every rule is a Catalyst
+    # expression that survives whole-stage codegen.
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = tokens_col("text")
+    scored = d.select(
+        "lang",
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+        ).cast("long").alias("n_word_chars"),
+        F.arrays_overlap(toks, F.array(F.lit("the"), F.lit("a"))).alias("has_stop"),
+    )
+    flags = scored.select(
+        "lang",
+        F.col("n_words").between(40, 100000).alias("p_count"),
+        (
+            (F.col("n_word_chars") >= 3 * F.col("n_words"))
+            & (F.col("n_word_chars") <= 10 * F.col("n_words"))
+        ).alias("p_meanlen"),
+        F.col("has_stop").alias("p_stop"),
+    )
+    as_n = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        as_n(F.col("p_count")).alias("n_pass_count"),
+        as_n(F.col("p_meanlen")).alias("n_pass_meanlen"),
+        as_n(F.col("p_stop")).alias("n_pass_stop"),
+        as_n(F.col("p_count") & F.col("p_meanlen") & F.col("p_stop")).alias("n_pass_all"),
+    )
+
+
+@query(
+    "q_llm_domain_mix",
+    oracle=f"""
+WITH {_TOKS_CTE.strip()},
+per_src AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+  FROM t GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tok FROM per_src)
+SELECT source, n_docs, n_tokens,
+       CAST(floor((n_tokens * 10000.0) / t_tok) AS BIGINT) AS share_bp
+FROM per_src, tot
+""",
+)
+def q_llm_domain_mix(spark, sf_dir):
+    # Corpus composition audit: per-source document and token counts with
+    # token share in floor-scaled basis points — the mixture report a
+    # pretraining run is tuned against. One hash-agg plus a 1-row broadcast
+    # total; the share division has exact-integer operands so floor is safe.
+    d = load_tables(spark, sf_dir)["documents"]
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col("text"))).alias("n_tokens"),
+    )
+    tot = per_src.agg(F.sum("n_tokens").alias("t_tok"))
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor((F.col("n_tokens") * 10000.0) / F.col("t_tok"))
+        .cast("long")
+        .alias("share_bp"),
+    )

@@ -41,6 +41,9 @@ PROBES = [
     "q_llm_pack",
     "q_cdc_merge",
     "q_kmeans_step",
+    # round-4 addition (VERDICT r3 item 8): keep-best composes the banded
+    # pair join + component fixpoint that once OOM'd in dedup_resolve
+    "q_llm_keep_best",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
