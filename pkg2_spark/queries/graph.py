@@ -97,3 +97,101 @@ def q_graph_closure(spark, sf_dir):
         closure = closure.union(new).localCheckpoint()
         frontier = new
     return closure
+
+
+# --------------------------------------------------------------- PageRank
+# Deterministic integer-scaled PageRank over the (undirected) customer ↔
+# supplier interaction graph derived from lineitem ⋈ orders. Ranks are kept
+# as e6-scaled BIGINTs: per-edge contribution = floor(rank / degree), new
+# rank = 150000 + floor(0.85 * sum(contribs)) — every float op has exact
+# integer operands and identical order in both engines, so three unrolled
+# iterations are bit-identical cross-engine (the registry's floor-not-round
+# discipline applied to an iterative algorithm).
+
+_PR_ITERS = 3
+_PR_OFFSET = 1000000  # supplier node id = s_suppkey + offset
+
+
+def _pagerank_oracle() -> str:
+    cte = """
+pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs
+),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg)"""
+    for i in range(_PR_ITERS):
+        cte += f""",
+r{i + 1} AS (
+  SELECT n.node,
+         150000 + CAST(floor(0.85 * coalesce(s.m, 0)) AS BIGINT) AS rank
+  FROM r{i} n LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum(CAST(floor(CAST(r.rank AS DOUBLE) / d.d) AS BIGINT)) AS BIGINT) AS m
+    FROM edges e
+    JOIN r{i} r ON e.src = r.node
+    JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)"""
+    return f"""
+WITH {cte.strip()}
+SELECT node - 1000000 AS s_suppkey, rank AS rank_e6
+FROM r{_PR_ITERS} WHERE node >= 1000000
+"""
+
+
+@query("q_graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark, sf_dir):
+    # Scale shape per iteration: one shuffle join of edges against the rank
+    # table on src (degree joined alongside), one hash-agg on dst, one left
+    # join back onto the node set — the standard distributed PageRank
+    # dataflow. Three fixed iterations keep the plan shallow; a
+    # convergence-driven run would localCheckpoint per round exactly like
+    # q_graph_closure above.
+    from pkg2_spark.catalog import load_tables
+
+    t = load_tables(spark, sf_dir)
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.col("l_suppkey") + _PR_OFFSET).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1000000).cast("long").alias("rank"))
+    for _ in range(_PR_ITERS):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(
+                "dst",
+                F.floor(F.col("rank").cast("double") / F.col("d")).cast("long").alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("m"))
+        )
+        ranks = (
+            ranks.join(contribs, ranks["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(150000)
+                    + F.floor(0.85 * F.coalesce(F.col("m"), F.lit(0))).cast("long")
+                ).alias("rank"),
+            )
+        )
+    return ranks.filter(F.col("node") >= _PR_OFFSET).select(
+        (F.col("node") - _PR_OFFSET).alias("s_suppkey"), F.col("rank").alias("rank_e6")
+    )
