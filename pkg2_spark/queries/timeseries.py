@@ -368,3 +368,60 @@ def q_events_retention(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
     )
+
+
+@query(
+    "q_ts_ohlc",
+    oracle="""
+WITH w AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(ts) % 900000000 AS bucket_us,
+         value,
+         row_number() OVER (
+           PARTITION BY event_type, epoch_us(ts) - epoch_us(ts) % 900000000
+           ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (
+           PARTITION BY event_type, epoch_us(ts) - epoch_us(ts) % 900000000
+           ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, bucket_us,
+       count(*) AS n_events,
+       min(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       min(CASE WHEN rn_d = 1 THEN value END) AS close
+FROM w GROUP BY event_type, bucket_us
+""",
+)
+def q_ts_ohlc(spark, sf_dir):
+    # OHLC downsampling (15-minute bars per event type) — the classic
+    # hypertable resample/rollup. ONE hash aggregate: open/close are
+    # min/max over a (ts, event_id, value) struct whose lexicographic order
+    # makes the endpoint selection deterministic under same-ts ties — no
+    # window pass, so partial aggregation runs map-side and the only
+    # shuffle is on the (type, bucket) key. Emitted values are raw parquet
+    # doubles picked by min/max (no arithmetic), so they hash bit-identically
+    # cross-engine; Spark's epoch-aligned window('15 minutes') start equals
+    # the oracle's integer-µs bucket arithmetic.
+    e = load_tables(spark, sf_dir)["events"]
+    pick = lambda c: F.struct("ts", "event_id", F.col("value").alias("v"))  # noqa: E731
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(pick("open")).getField("v").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(pick("close")).getField("v").alias("close"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("bucket_us"),
+            "n_events",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )
