@@ -185,3 +185,40 @@ def test_partitioned_write_prunes_on_reread(spark, sf_dir):
     )
     part = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert part and any("o_orderstatus" in ln for ln in part)
+
+
+def test_topk_group_window_limit_is_partial(spark, sf_dir):
+    # Rank-filter top-k must run the map-side WindowGroupLimit (top-3 per
+    # group BEFORE the shuffle) — without it the Exchange carries every row.
+    plan = _plan(spark, sf_dir, "q_win_topk_group")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_ohlc_is_single_aggregate_no_window(spark, sf_dir):
+    # OHLC bars are ONE hash-agg (struct min/max endpoints) — a window
+    # formulation would sort every row twice and forfeit map-side partials.
+    plan = _plan(spark, sf_dir, "q_ts_ohlc")
+    assert "Window" not in plan
+    # tree lines render as "Exchange (n)"; the detail section as "(n) Exchange"
+    assert plan.count("Exchange (") - plan.count("ReusedExchange (") == 1
+
+
+def test_pagerank_iterations_shuffle_on_node_key(spark, sf_dir):
+    # PageRank must stay hash-join + hash-agg per iteration: no cartesian
+    # blowup, no Python nodes.
+    plan = _plan(spark, sf_dir, "q_graph_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for marker in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert marker not in plan
+
+
+def test_pkg_search_filters_pushed_into_union(spark, sf_dir):
+    # Federated search must keep each LIKE/equality filter ABOVE the parse
+    # projection but BELOW the union — no post-union refilter of all rows,
+    # and no Python nodes in the parse path.
+    plan = _plan(spark, sf_dir, "q_pkg_search")
+    assert "Union" in plan
+    for marker in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert marker not in plan
