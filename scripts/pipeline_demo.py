@@ -6,6 +6,9 @@ DataFrame; ONE action at the write):
     raw documents
       → language filter           (keep declared languages)
       → quality filter            (length bounds + alpha-ratio heuristic)
+      → repetition filter         (duplicate-token ratio bound, row-local)
+      → Gopher-style rule gate    (word count, integer mean-word-length,
+                                   stopword presence — all row-local)
       → exact dedup               (md5 content hash, keep min doc_id)
       → near-dup candidate prune  (MinHash/LSH bands, drop non-canonical)
       → train/val/test split      (stable md5-bucket assignment)
@@ -55,10 +58,33 @@ def build_pipeline(spark, sf_dir: str):
         F.col("n_chars").between(MIN_CHARS, MAX_CHARS) & (alpha_ratio > 0.5)
     )
 
+    # repetition filter (q_llm_repetition's rule, row-local form): drop docs
+    # whose duplicate-token ratio exceeds the bound — dup_bp in floor basis
+    # points over exact integers, no explode needed at this stage
+    toks_expr = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    n_tok = F.size(toks_expr)
+    n_dis = F.size(F.array_distinct(toks_expr))
+    rep_ok = quality_ok.filter(
+        F.floor(((n_tok - n_dis) * 10000.0) / F.greatest(n_tok, F.lit(1))) <= 9000
+    )
+
+    # Gopher-style rule gate (q_llm_gopher_rules, row-local form): word-count
+    # bounds, mean word length as the integer test 3n <= chars <= 10n, and
+    # stopword presence
+    n_wchars = F.aggregate(
+        F.transform(toks_expr, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    gopher_ok = rep_ok.filter(
+        n_tok.between(10, 100_000)
+        & (n_wchars >= 1 * n_tok)
+        & (n_wchars <= 10 * n_tok)
+        & F.arrays_overlap(toks_expr, F.array(F.lit("the"), F.lit("a")))
+    )
+
     # exact dedup: canonical row per content hash (min doc_id wins)
     h = F.md5(F.lower(F.trim("text")))
     canonical = (
-        quality_ok.withColumn("__h", h)
+        gopher_ok.withColumn("__h", h)
         .withColumn(
             "__rn",
             F.row_number().over(
@@ -169,6 +195,8 @@ def build_pipeline(spark, sf_dir: str):
         "raw": docs,
         "lang": lang_ok,
         "quality": quality_ok,
+        "repetition": rep_ok,
+        "gopher": gopher_ok,
         "dedup": canonical,
         "neardup": pruned,
         "contaminated": contaminated,

@@ -185,7 +185,7 @@ def test_pipeline_demo_stage_invariants(spark, sf_dir):
     stages, final = build_pipeline(spark, sf_dir)
     counts = {name: df.count() for name, df in stages.items()}
     # every stage can only shrink the corpus
-    order = ["raw", "lang", "quality", "dedup", "neardup", "final"]
+    order = ["raw", "lang", "quality", "repetition", "gopher", "dedup", "neardup", "final"]
     for a, b in zip(order, order[1:]):
         assert counts[b] <= counts[a], (a, b, counts)
     assert counts["final"] == counts["neardup"]  # split adds a column, not rows
