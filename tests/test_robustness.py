@@ -77,6 +77,9 @@ EMPTY_OK = [
     "q_llm_minhash", "q_llm_tfidf", "q_llm_dedup_exact", "q_llm_split",
     "q_llm_knn", "q_stream_tumble", "q_stream_session", "q_graph_closure",
     "q_udf_grouped_map", "q_agg_salted", "q_ts_gapfill", "q_agg_pivot",
+    # round-4 additions
+    "q_graph_pagerank", "q_ts_ohlc", "q_llm_repetition",
+    "q_llm_gopher_rules", "q_llm_domain_mix", "q_sql_tpch_q10",
 ]
 
 
