@@ -425,3 +425,68 @@ def q_ts_ohlc(spark, sf_dir):
             "close",
         )
     )
+
+
+@query(
+    "q_ts_sessionize",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, event_id, value,
+         CAST(sum(CASE WHEN prev_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM o
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       epoch_us(min(ts)) AS start_us,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us,
+       CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_e4
+FROM s GROUP BY user_id, session_id
+""",
+)
+def q_ts_sessionize(spark, sf_dir):
+    # Batch sessionization (30-minute inactivity gap): the lag → new-session
+    # flag → running-sum session id → per-session rollup idiom — the batch
+    # counterpart of q_stream_session's watermarked session windows. Two
+    # window passes and the final agg all partition on user_id, so ONE
+    # shuffle total; gap arithmetic stays in integer microseconds
+    # (no interval-dialect drift) and (ts, event_id) ordering makes the
+    # session boundaries deterministic under same-ts ties.
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
+    o = e.select(
+        "user_id", "ts", "event_id", "value", F.lag("ts").over(w).alias("prev_ts")
+    )
+    new_sess = F.when(
+        F.col("prev_ts").isNull()
+        | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    s = o.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("session_id"),
+    )
+    # per-session value total as floor-scaled e4 integers: a 2dp-rounded
+    # float sum can land on a cent boundary and flip with summation order
+    # (the q_kmeans_step/Q10 flake class) — integer sums cannot
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("sum_value_e4"),
+    )
