@@ -195,9 +195,14 @@ class Engine:
             raise ValueError("no package index ingested yet")
         return self._packages
 
-    def search_packages(self, pattern: str) -> DataFrame:
-        """SQL-LIKE name search (pkg2's package search)."""
-        return self._pkgs().filter(F.col("name").like(pattern))
+    def search_packages(self, pattern: str, arch: str | None = None) -> DataFrame:
+        """SQL-LIKE name search (pkg2's package search), optionally filtered
+        to one architecture — the interactive exact/prefix/wildcard lookup
+        (q_pkg_search is the federated multi-distro form)."""
+        out = self._pkgs().filter(F.col("name").like(pattern))
+        if arch is not None:
+            out = out.filter(F.col("arch") == arch)
+        return out
 
     def whatprovides(self, capability: str) -> DataFrame:
         """Which packages provide a capability (own name, or a provides

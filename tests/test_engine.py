@@ -82,6 +82,9 @@ def test_search_packages(apk):
     names = {r.name for r in apk.search_packages("b%").collect()}
     assert names == {"busybox"}
     assert apk.search_packages("%ssl%").count() == 1
+    n_x86 = apk._pkgs().filter(F.col("arch") == "x86_64").count()  # noqa: SLF001
+    assert apk.search_packages("%", arch="x86_64").count() == n_x86 > 0
+    assert apk.search_packages("%", arch="riscv64").count() == 0
 
 
 def test_whatprovides_capability_and_self(apk):
