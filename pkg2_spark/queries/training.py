@@ -816,3 +816,72 @@ def q_llm_domain_mix(spark, sf_dir):
         .cast("long")
         .alias("share_bp"),
     )
+
+
+@query(
+    "q_llm_winnow",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+),
+k AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - 2),
+                        i -> md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS h
+  FROM t WHERE len(toks) >= 6
+),
+s AS (
+  SELECT doc_id, h,
+         list_sort(list_distinct(
+           list_transform(generate_series(1, len(h) - 3), j -> list_min(h[j : j + 3]))
+         )) AS sel
+  FROM k
+)
+SELECT doc_id,
+       CAST(len(h) AS INTEGER) AS n_kgrams,
+       CAST(len(sel) AS INTEGER) AS n_selected,
+       md5(array_to_string(sel, '|')) AS winnow_fp
+FROM s
+""",
+)
+def q_llm_winnow(spark, sf_dir):
+    # Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    # algorithm): hash every 3-token shingle, slide a 4-hash window, keep
+    # each window's minimum — the guaranteed-coverage fingerprint selection
+    # used for partial-overlap/plagiarism detection, complementing
+    # q_llm_fingerprint's whole-document hash. md5 STRINGS are the hash
+    # domain (lexicographic min — bit-identical cross-engine, the
+    # operators/text.py discipline); the selected set is emitted as a count
+    # plus one md5 digest of its sorted join, so the output stays
+    # scalar-only. Entirely per-row array expressions: no explode, no
+    # shuffle — embarrassingly parallel at any corpus size.
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = tokens_col("text")
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 6)
+    kgram = lambda i: F.md5(  # noqa: E731
+        F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
+        )
+    )
+    k = t.select(
+        "doc_id",
+        F.transform(F.sequence(F.lit(1), F.size("toks") - 2), kgram).alias("h"),
+    )
+    sel = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("h") - 3),
+                lambda j: F.array_min(F.slice("h", j, 4)),
+            )
+        )
+    )
+    return k.select(
+        "doc_id",
+        F.size("h").alias("n_kgrams"),
+        F.size(sel).alias("n_selected"),
+        F.md5(F.array_join(sel, "|")).alias("winnow_fp"),
+    )
