@@ -364,3 +364,37 @@ def test_ivm_join_covers_every_pair(spark, sf_dir):
         .collect()
     }
     assert {k: v["n_items"] for k, v in out.items()} == direct
+
+
+# ----------------------------------------------------------------- winnowing
+
+def test_winnow_matches_reference_and_covers_every_window(spark, sf_dir):
+    # Independent Python reference of the MOSS selection: the DuckDB oracle
+    # re-runs the SAME algorithm, so it cannot catch a shared algorithmic
+    # error — this test can, and it checks winnowing's coverage guarantee
+    # (every w-window of consecutive kgram hashes contributes a selected
+    # fingerprint, which is what makes overlap detection miss-free).
+    import hashlib
+
+    out = {r["doc_id"]: r for r in _q(spark, sf_dir, "q_llm_winnow").collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(25).collect()
+    checked = 0
+    for d in docs:
+        toks = [t for t in d["text"].lower().split(" ") if t]
+        if len(toks) < 6:
+            continue
+        h = [
+            hashlib.md5(" ".join(toks[i : i + 3]).encode()).hexdigest()
+            for i in range(len(toks) - 2)
+        ]
+        windows = [h[j : j + 4] for j in range(len(h) - 3)]
+        sel = sorted({min(w) for w in windows})
+        row = out[d["doc_id"]]
+        assert row["n_kgrams"] == len(h)
+        assert row["n_selected"] == len(sel)
+        assert row["winnow_fp"] == hashlib.md5("|".join(sel).encode()).hexdigest()
+        # coverage guarantee: every window intersects the selected set
+        sel_set = set(sel)
+        assert all(any(x in sel_set for x in w) for w in windows)
+        checked += 1
+    assert checked > 0
