@@ -184,6 +184,7 @@ class Engine:
             F.regexp_extract("blk", "<summary>([^<]*)</summary>", 1).alias("description"),
             entries("requires").alias("depends"),
             entries("provides").alias("provides"),
+            entries("conflicts").alias("conflicts"),
         )
         self._packages = pkgs
         self.register("packages", pkgs)

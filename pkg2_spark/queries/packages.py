@@ -273,7 +273,10 @@ rpm_pkgs AS (
       'name="([^"]+)"', 1)) AS depends,
     list_sort(regexp_extract_all(
       regexp_extract(blk, '(?s)<rpm:provides>(.*?)</rpm:provides>', 1),
-      'name="([^"]+)"', 1)) AS provides
+      'name="([^"]+)"', 1)) AS provides,
+    list_sort(regexp_extract_all(
+      regexp_extract(blk, '(?s)<rpm:conflicts>(.*?)</rpm:conflicts>', 1),
+      'name="([^"]+)"', 1)) AS conflicts
   FROM rpm_blocks WHERE blk LIKE '%<name>%'
 )
 """
@@ -308,6 +311,51 @@ def q_pkg_rpmindex(spark, sf_dir):
 
 
 @query(
+    "q_pkg_conflicts",
+    oracle=f"""
+WITH {_RPM_PKGS_CTE.strip()},
+providers AS (
+  SELECT DISTINCT capability, provider FROM (
+    SELECT name AS provider,
+           unnest(list_concat([name], provides)) AS capability
+    FROM rpm_pkgs
+  )
+),
+declared AS (
+  SELECT name AS pkg, unnest(conflicts) AS capability FROM rpm_pkgs
+)
+SELECT DISTINCT d.pkg, p.provider AS conflicts_with, d.capability
+FROM declared d JOIN providers p USING (capability)
+WHERE p.provider <> d.pkg
+""",
+)
+def q_pkg_conflicts(spark, sf_dir):
+    """Explicit-conflict resolution: each declared Conflicts capability is
+    resolved through the provides map to the concrete packages it collides
+    with — the install-time safety check a package manager runs before a
+    transaction (the dual of q_pkg_resolve's depends walk). One explode per
+    side + an equi-join on capability; at a real repo scale both sides are
+    capability-partitioned."""
+    eng = Engine(spark)
+    p = eng.ingest_rpm_primary(_RPMPRIMARY_PATH)
+    providers = p.select(
+        F.explode(
+            F.array_union(F.array(F.col("name")), F.col("provides"))
+        ).alias("capability"),
+        F.col("name").alias("provider"),
+    ).distinct()
+    declared = p.select(
+        F.col("name").alias("pkg"), F.explode("conflicts").alias("capability")
+    )
+    return (
+        declared.join(providers, "capability")
+        .filter(F.col("provider") != F.col("pkg"))
+        .select("pkg", F.col("provider").alias("conflicts_with"), "capability")
+        .distinct()
+    )
+
+
+@query(
     "q_pkg_search",
     oracle=f"""
 WITH {_APK_PKGS_CTE.strip()},
@@ -338,18 +386,19 @@ def q_pkg_search(spark, sf_dir):
     partitioned table keyed by (distro, arch) and each predicate is a
     partition-prunable scan, not four bespoke parsers per query."""
     eng = Engine(spark)
+
+    def norm(df, distro):
+        # project to the shared search columns BEFORE the union — formats may
+        # carry format-specific extras (e.g. RPM conflicts)
+        return df.select(
+            F.lit(distro).alias("distro"), "name", "version", "arch"
+        )
+
     allpkgs = (
-        eng.ingest_apkindex(_APKINDEX_PATH).withColumn("distro", F.lit("alpine"))
-        .unionByName(
-            eng.ingest_debian_packages(_PACKAGES_PATH).withColumn("distro", F.lit("debian"))
-        )
-        .unionByName(
-            eng.ingest_archdesc(_ARCHDESC_PATH).withColumn("distro", F.lit("arch"))
-        )
-        .unionByName(
-            eng.ingest_rpm_primary(_RPMPRIMARY_PATH).withColumn("distro", F.lit("fedora"))
-        )
-        .select("distro", "name", "version", "arch")
+        norm(eng.ingest_apkindex(_APKINDEX_PATH), "alpine")
+        .unionByName(norm(eng.ingest_debian_packages(_PACKAGES_PATH), "debian"))
+        .unionByName(norm(eng.ingest_archdesc(_ARCHDESC_PATH), "arch"))
+        .unionByName(norm(eng.ingest_rpm_primary(_RPMPRIMARY_PATH), "fedora"))
     )
     exact = allpkgs.filter(F.col("name") == "openssl").select(
         F.lit("exact").alias("mode"), "distro", "name", "version", "arch"

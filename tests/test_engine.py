@@ -46,7 +46,7 @@ def test_ingest_rpm_primary_normalizes_like_other_formats(spark):
     eng = Engine(spark)
     p = eng.ingest_rpm_primary(_RPMPRIMARY_PATH)
     rows = {r["name"]: r for r in p.collect()}
-    assert len(rows) == 9
+    assert len(rows) == 10
     assert rows["glibc"]["version"] == "2.38-18.fc39"
     assert rows["glibc"]["size"] == 2215936
     assert rows["basesystem"]["depends"] == []  # empty rpm:requires section
@@ -55,7 +55,7 @@ def test_ingest_rpm_primary_normalizes_like_other_formats(spark):
     ]
     # capability resolution through provides works on the normalized schema
     prov = {r["provider"] for r in eng.whatprovides("libz.so.1()(64bit)").collect()}
-    assert prov == {"zlib-ng-compat"}
+    assert prov == {"zlib-ng-compat", "zlib-legacy"}
     deps = {r["dependent"] for r in eng.whatdepends("openssl-libs").collect()}
     assert deps == {"python3", "curl"}
     closure = {r["node"] for r in eng.resolve("python3").collect()}
