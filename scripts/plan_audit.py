@@ -49,6 +49,7 @@ NLJ_WHITELIST = {
     "q_llm_colloc": "1-row corpus-total cross join (broadcast)",
     "q_kmeans_step": "O(n*k) assignment vs CONSTANT-8 broadcast seed "
                      "centroid table (the Lloyd-iteration dataflow)",
+    "q_llm_domain_mix": "1-row corpus-token-total cross join (broadcast)",
 }
 
 # Declared Python surface (SURVEY §2.12 + multimodal decode stubs).
