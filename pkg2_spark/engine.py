@@ -349,3 +349,16 @@ class Engine:
         from pkg2_spark.operators.asof import asof_join
 
         return asof_join(left, right, **kw)
+
+    def pagerank(self, edges: DataFrame, src: str = "src", dst: str = "dst",
+                 iters: int = 3) -> DataFrame:
+        """Deterministic integer-scaled PageRank over a directed edge set."""
+        from pkg2_spark.operators.graph_ops import pagerank
+
+        return pagerank(edges, src=src, dst=dst, iters=iters)
+
+    def sessionize(self, df: DataFrame, **kw) -> DataFrame:
+        """Gap-based session ids per key (batch sessionization)."""
+        from pkg2_spark.operators.sessions import sessionize
+
+        return sessionize(df, **kw)

@@ -148,13 +148,10 @@ FROM r{_PR_ITERS} WHERE node >= 1000000
 
 @query("q_graph_pagerank", oracle=_pagerank_oracle())
 def q_graph_pagerank(spark, sf_dir):
-    # Scale shape per iteration: one shuffle join of edges against the rank
-    # table on src (degree joined alongside), one hash-agg on dst, one left
-    # join back onto the node set — the standard distributed PageRank
-    # dataflow. Three fixed iterations keep the plan shallow; a
-    # convergence-driven run would localCheckpoint per round exactly like
-    # q_graph_closure above.
+    # Dataflow + determinism rationale: operators/graph_ops.py::pagerank
+    # (the reusable form — Engine.pagerank is the facade entry).
     from pkg2_spark.catalog import load_tables
+    from pkg2_spark.operators.graph_ops import pagerank
 
     t = load_tables(spark, sf_dir)
     pairs = (
@@ -169,29 +166,7 @@ def q_graph_pagerank(spark, sf_dir):
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ranks = deg.select(F.col("src").alias("node"), F.lit(1000000).cast("long").alias("rank"))
-    for _ in range(_PR_ITERS):
-        contribs = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg, "src")
-            .select(
-                "dst",
-                F.floor(F.col("rank").cast("double") / F.col("d")).cast("long").alias("contrib"),
-            )
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("m"))
-        )
-        ranks = (
-            ranks.join(contribs, ranks["node"] == contribs["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(150000)
-                    + F.floor(0.85 * F.coalesce(F.col("m"), F.lit(0))).cast("long")
-                ).alias("rank"),
-            )
-        )
+    ranks = pagerank(edges, iters=_PR_ITERS)
     return ranks.filter(F.col("node") >= _PR_OFFSET).select(
         (F.col("node") - _PR_OFFSET).alias("s_suppkey"), F.col("rank").alias("rank_e6")
     )

@@ -453,33 +453,19 @@ FROM s GROUP BY user_id, session_id
 """,
 )
 def q_ts_sessionize(spark, sf_dir):
-    # Batch sessionization (30-minute inactivity gap): the lag → new-session
-    # flag → running-sum session id → per-session rollup idiom — the batch
-    # counterpart of q_stream_session's watermarked session windows. Two
-    # window passes and the final agg all partition on user_id, so ONE
-    # shuffle total; gap arithmetic stays in integer microseconds
-    # (no interval-dialect drift) and (ts, event_id) ordering makes the
-    # session boundaries deterministic under same-ts ties.
+    # Batch sessionization (30-minute inactivity gap) → per-session rollup —
+    # the batch counterpart of q_stream_session's watermarked session
+    # windows. Session assignment and its ONE-shuffle rationale live in
+    # operators/sessions.py::sessionize (Engine.sessionize is the facade).
+    from pkg2_spark.operators.sessions import sessionize
+
     e = load_tables(spark, sf_dir)["events"]
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
-    )
-    o = e.select(
-        "user_id", "ts", "event_id", "value", F.lag("ts").over(w).alias("prev_ts")
-    )
-    new_sess = F.when(
-        F.col("prev_ts").isNull()
-        | (F.unix_micros("ts") - F.unix_micros("prev_ts") > 1_800_000_000),
-        1,
-    ).otherwise(0)
-    s = o.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "value",
-        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long")
-        .alias("session_id"),
+    s = sessionize(
+        e.select("user_id", "ts", "event_id", "value"),
+        key="user_id",
+        ts="ts",
+        tiebreak="event_id",
+        gap_us=1_800_000_000,
     )
     # per-session value total as floor-scaled e4 integers: a 2dp-rounded
     # float sum can land on a cent boundary and flip with summation order

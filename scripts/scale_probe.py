@@ -44,6 +44,12 @@ PROBES = [
     # round-4 addition (VERDICT r3 item 8): keep-best composes the banded
     # pair join + component fixpoint that once OOM'd in dedup_resolve
     "q_llm_keep_best",
+    # round-4 additions: 3-iteration integer PageRank, struct-min OHLC bars,
+    # gap sessionization, winnowing fingerprints
+    "q_graph_pagerank",
+    "q_ts_ohlc",
+    "q_ts_sessionize",
+    "q_llm_winnow",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
