@@ -6,20 +6,38 @@ yields EDGES; deduplication needs the transitive grouping those edges imply
 (A~B, B~C ⇒ {A,B,C} is one duplicate cluster even if A~C was never
 scored). The canonical representative is the minimum id in the component.
 
-Algorithm: min-label propagation to fixpoint — each round every node takes
-the min label among itself and its neighbors. Converges in graph-diameter
-rounds; near-dup components are small and shallow in practice, so the
-round count stays low at any corpus size. (Pointer-jumping/path-compression
-variants were measured here and LOST: the extra self-join per round doubles
-lineage and job count, which dominates unless component diameters are
-large — revisit only with checkpointing if a real corpus shows deep chains.)
+Algorithm: min-label GRAPH CONTRACTION (the repeated-contraction family of
+Kiveris et al.'s MapReduce connected components). Each round: (1) every
+super-node takes the min label among itself and its contracted-graph
+neighbors, (2) the node→component table composes with that relabeling,
+(3) the edge set itself is rewritten into component space, self-loops
+dropped, duplicates collapsed. Because the MIN then travels through the
+CONTRACTED graph, distance-to-min shrinks geometrically — rounds scale
+with log(diameter), not diameter, and the edge set shrinks monotonically
+so later rounds are cheaper than earlier ones.
 
-Scale posture: each round is one equi-join (labels × symmetrized edges) +
-one groupBy min — both shuffle on node id, no pair explosion beyond the
-given edge set. `persist` truncates lineage per round (same discipline as
-the §2.11 closure); convergence is detected by the per-round sum of labels,
-which is strictly monotone decreasing until fixpoint — one
-map-side-combined agg per round, no old-vs-new join.
+Why this shape (all measured on the round-5 capped LSH edge sets, where
+the bucket cap sparsifies saturated buckets into long chains):
+- plain min-label propagation = diameter rounds: 17 rounds / 5.1s on the
+  sf0.1 sign-LSH graph (vs 5 rounds at sf0.01 — round growth was the
+  dominant term in the query's scale ratio);
+- + pointer jumping (label-of-label per round): 11 rounds / 4.9s — label
+  trees stay flat after each groupBy-min, so jumping can't beat the
+  one-edge-hop-per-round bound;
+- batching 2 propagation steps per action: catastrophically worse in both
+  regimes (27s vs 14s on the old 4.8M-edge sets; 46s first action on the
+  capped sets) — the deeper per-action DAG under AQE replanning dwarfs
+  the saved round-trips;
+- contraction: 6 rounds / 2.2s (sign sf0.1), 5 rounds / 1.6s (MinHash
+  sf0.1), identical fixpoints to all of the above.
+
+Scale posture: every operation is an equi-join or hash-agg on node ids —
+no pair explosion beyond the given edge set, and the rewritten edge set
+only ever shrinks. `localCheckpoint` truncates lineage per round (the
+iterative-DataFrame discipline; on a fault-tolerant cluster swap for
+checkpoint() with a checkpoint dir). Convergence = the contracted edge
+set is empty — an exact test, checked on the already-materialized
+checkpoint, no old-vs-new join.
 """
 
 from __future__ import annotations
@@ -37,52 +55,58 @@ def resolve_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .persist()
     )
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+    # Fused round 0: every node's first label is min(self, direct
+    # neighbors) straight off the edge list — one groupBy replaces an
+    # identity init plus a full propagation round.
+    comp = (
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("nmin"))
+        .select("node", F.least("node", "nmin").alias("component"))
         .localCheckpoint()
     )
-
-    def step(lab: DataFrame) -> DataFrame:
-        neighbor_min = (
-            sym.join(lab, sym.b == lab.node)
-            .groupBy(sym.a.alias("node"))
-            .agg(F.min("component").alias("nmin"))
+    # Contract the edges into component space once up front; from here on
+    # the original edge list is never touched again.
+    ca = comp.select(F.col("node").alias("a"), F.col("component").alias("la"))
+    cb = comp.select(F.col("node").alias("b"), F.col("component").alias("lb"))
+    ec = (
+        sym.join(ca, "a")
+        .join(cb, "b")
+        .select(F.col("la").alias("a"), F.col("lb").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # Exact convergence test on the materialized checkpoint: contraction
+        # is complete when no cross-component edges remain.
+        if ec.isEmpty():
+            break
+        s = ec.unionByName(ec.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m = (
+            s.groupBy(F.col("a").alias("node"))
+            .agg(F.min("b").alias("nmin"))
+            .select("node", F.least("node", "nmin").alias("mnew"))
         )
-        return lab.join(neighbor_min, "node", "left").select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-            ).alias("component"),
+        # Compose the node→component mapping with this round's contraction.
+        # Monotone: mnew <= node for every mapped super-node, so labels only
+        # ever decrease and the fixpoint is the true min-id component.
+        comp = (
+            comp.join(m, comp["component"] == m["node"], "left")
+            .select(comp["node"], F.coalesce("mnew", "component").alias("component"))
+            .localCheckpoint()
         )
-
-    prev_sum = None
-    try:
-        for _ in range(max_iter):
-            # one propagation step per action. Batching two steps per action
-            # was measured (q_llm_dedup_resolve sf0.01): 27s vs 14s — the
-            # deeper per-action DAG (4 serial shuffle stages under AQE
-            # replanning) costs more than the saved round-trips, same
-            # conclusion as the pointer-jumping experiment above.
-            #
-            # localCheckpoint, NOT persist: the step references `labels`
-            # twice (join + groupBy input), so the LOGICAL plan doubles per
-            # round even though persist caches execution — at round ~20 the
-            # plan tree itself OOMs the driver (hit at sf0.1). Checkpointing
-            # materializes AND truncates lineage, the standard discipline
-            # for iterative DataFrame algorithms; on a fault-tolerant
-            # cluster swap for checkpoint() with a checkpoint dir.
-            updated = step(labels).localCheckpoint()
-            # labels are non-increasing, so their sum strictly decreases
-            # until fixpoint — a scalar convergence probe, no old/new join.
-            cur_sum = updated.agg(F.sum("component")).collect()[0][0]
-            labels = updated
-            if prev_sum is not None and cur_sum == prev_sum:
-                break
-            prev_sum = cur_sum
-        return labels.select("node", "component")
-    finally:
-        sym.unpersist()
+        ma = m.select(F.col("node").alias("a"), F.col("mnew").alias("la"))
+        mb = m.select(F.col("node").alias("b"), F.col("mnew").alias("lb"))
+        ec = (
+            ec.join(ma, "a", "left")
+            .join(mb, "b", "left")
+            .select(
+                F.coalesce("la", F.col("a")).alias("a"),
+                F.coalesce("lb", F.col("b")).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+    return comp.select("node", "component")

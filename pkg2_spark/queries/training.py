@@ -160,8 +160,16 @@ def q_llm_boiler(spark, sf_dir):
     # documents are boilerplate; each document reports its boilerplate
     # ratio — the filter signal for template/nav-chrome removal at
     # pretraining scale. Topology: explode distinct shingles, ONE hash-agg
-    # for global doc-frequency, shuffle-on-shingle join back, per-doc agg —
-    # all keys grow with the data (no fixed-cardinality blocking).
+    # for global doc-frequency, then BROADCAST the >= 2-doc shingle set
+    # back against the explode (left join, map-side): the exploded
+    # doc×shingle stream — the big side by construction — never shuffles
+    # for the flagging join, which previously rode a hot-shingle
+    # shuffle-on-shingle join measured at 4.80× wall per 10× data
+    # (SCALE_PROBE r4; VERDICT r4 "Next round" #5). The repeated-shingle
+    # set is the distinct cross-doc templates — orders of magnitude
+    # smaller than the stream; if a real corpus ever outgrows the
+    # broadcast threshold, drop the broadcast hint and AQE reverts this
+    # to the shuffle join with skew splitting.
     d = load_tables(spark, sf_dir)["documents"]
     toks = d.select("doc_id", tokens_col("text").alias("toks")).filter(F.size("toks") >= 5)
     shingles = toks.select(
@@ -175,11 +183,14 @@ def q_llm_boiler(spark, sf_dir):
             )
         ).alias("shingle"),
     )
-    doc_freq = shingles.groupBy("shingle").agg(
-        F.countDistinct("doc_id").alias("doc_freq")
+    repeated = (
+        shingles.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 2)
+        .select("shingle", F.lit(1).alias("is_rep"))
     )
-    flagged = shingles.join(doc_freq, "shingle")
-    is_boiler = (F.col("doc_freq") >= 2).cast("long")
+    flagged = shingles.join(F.broadcast(repeated), "shingle", "left")
+    is_boiler = F.coalesce(F.col("is_rep"), F.lit(0)).cast("long")
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles"),
         F.sum(is_boiler).alias("n_boiler"),
@@ -450,6 +461,8 @@ def q_llm_split_drift(spark, sf_dir):
     )
 
 
+from pkg2_spark.operators.lsh import capped_bands_sql as _capped_bands_sql  # noqa: E402
+from pkg2_spark.queries.llm import _BUCKET_CAP as _LLM_BUCKET_CAP  # noqa: E402
 from pkg2_spark.queries.llm import _bands_cte as _llm_bands_cte  # noqa: E402
 
 
@@ -460,9 +473,10 @@ from pkg2_spark.queries.llm import _bands_cte as _llm_bands_cte  # noqa: E402
     # band_key = md5(mh.. || '|' || ..)) rather than re-deriving it.
     oracle=f"""
 WITH RECURSIVE {_llm_bands_cte().strip()},
+{_capped_bands_sql("doc_id", _LLM_BUCKET_CAP)},
 pairs AS (
   SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
-  FROM bands a JOIN bands b
+  FROM cbands a JOIN cbands b
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
 edges AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
@@ -502,34 +516,20 @@ def q_llm_keep_best(spark, sf_dir):
     # keys), min-label component propagation (diameter-bounded rounds), and
     # a per-component argmax window whose key count grows with the data.
     #
-    # Scale asymmetry, measured: the tiny-vocab synthetic corpus saturates
-    # at sf0.1 (4.8M candidate pairs over 5000 docs, J>=0.5 prunes <4%).
-    # The Spark side still resolves it in ~33 s (dense graphs have small
-    # diameter, so propagation converges in 2-3 rounds); the oracle's naive
-    # recursive closure is O(edges x reach) and infeasible there — the
-    # differential check is sf0.01-scale (50k edges, ~14 s), while sf0.1 is
-    # covered by the invariant tests (all docs partitioned exactly once).
+    # The tiny-vocab synthetic corpus saturates the b=2/r=4 bands (sf0.1:
+    # 4.8M uncapped candidate pairs over 5000 docs, measured 4.98× wall per
+    # 10× data in SCALE_PROBE r4) — exactly the hot-bucket failure mode
+    # boilerplate-heavy real corpora hit at 100 TB. The _LLM_BUCKET_CAP
+    # md5-ranked per-bucket cap (operators/lsh.py) bounds every bucket to
+    # O(cap²) pairs; capped members of a saturated bucket still form a
+    # clique, so near-identical docs keep resolving into one component.
     from pkg2_spark.operators.dedup import resolve_components
+    from pkg2_spark.operators.lsh import banded_pairs
     from pkg2_spark.operators.text import lsh_bands, minhash_signatures, tokenize_distinct
 
     d = load_tables(spark, sf_dir)["documents"]
     bands = lsh_bands(minhash_signatures(tokenize_distinct(d), 8), 8, 4)
-    a = bands.select(F.col("doc_id").alias("x"), "band_id", "band_key")
-    b = bands.select(
-        F.col("doc_id").alias("y"),
-        F.col("band_id").alias("bid2"),
-        F.col("band_key").alias("bkey2"),
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("band_id") == F.col("bid2"))
-            & (F.col("band_key") == F.col("bkey2"))
-            & (F.col("x") < F.col("y")),
-        )
-        .select("x", "y")
-        .distinct()
-    )
+    pairs = banded_pairs(bands, "doc_id", "x", "y", cap=_LLM_BUCKET_CAP)
     comp = resolve_components(pairs, src="x", dst="y")
     score = (
         F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double")

@@ -53,36 +53,52 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 # CORRECTNESS_r*.json files the driver itself writes into the repo root.
 
 
-def driver_green() -> set[str]:
-    """Names that are driver-verified green across all recorded rounds.
+def green_last_round() -> dict[str, int]:
+    """Map each driver-verified-green name to the round that last confirmed it.
 
     A query is green once a round records ``hash_match`` true (or the
     by-design rows-only check, ``err == "no_oracle"``). A LATER round's
     error — or a hash mismatch, which is just as disqualifying — revokes
-    green: the query must re-earn its row at the head of the order.
+    green: the query must re-earn its row at the head of the order. The
+    recorded round number drives the freshness rotation below (VERDICT.md
+    round 4, "Next round" #6): once everything is green, the driver's
+    50-slot budget should re-verify the STALEST greens first instead of
+    re-checking the same dict-order head forever.
     """
     import json
+    import re
     from pathlib import Path
 
-    green: set[str] = set()
+    green: dict[str, int] = {}
     root = Path(__file__).resolve().parent.parent
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
             if row.get("hash_match") or row.get("err") == "no_oracle":
-                green.add(name)
+                green[name] = rnd
             elif row.get("err") or row.get("hash_match") is False:
-                green.discard(name)
+                green.pop(name, None)
     return green
 
 
+def driver_green() -> set[str]:
+    """Names that are driver-verified green across all recorded rounds."""
+    return set(green_last_round())
+
+
 def _driver_order(d: dict) -> dict:
-    green = driver_green()
+    green = green_last_round()
     needs_row = [n for n in d if n not in green]
-    return {n: d[n] for n in [*needs_row, *(n for n in d if n in green)]}
+    pos = {n: i for i, n in enumerate(d)}
+    stale_first = sorted(
+        (n for n in d if n in green), key=lambda n: (green[n], pos[n])
+    )
+    return {n: d[n] for n in [*needs_row, *stale_first]}
 
 
 def all_queries() -> dict[str, QueryFn]:
