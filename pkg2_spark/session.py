@@ -25,6 +25,12 @@ RUNTIME_CONFS = {
     # Arrow-batched toPandas/createDataFrame — the verification driver
     # round-trips every query result through pandas.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Cost-based optimization over the ANALYZE stats the catalog collects at
+    # ingest (catalog.py::_ensure_stats_tables — SURVEY.md §4.1 obligation):
+    # join reordering on the 5-6 table composites rides on these instead of
+    # AQE alone.
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
 }
 
 
@@ -77,6 +83,8 @@ def get_session(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     spark = builder.getOrCreate()

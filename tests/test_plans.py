@@ -222,3 +222,53 @@ def test_pkg_search_filters_pushed_into_union(spark, sf_dir):
     assert "Union" in plan
     for marker in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
         assert marker not in plan
+
+
+def test_catalog_stats_present_for_cbo(spark, sf_dir):
+    # SURVEY.md §4.1 obligation: ANALYZE runs at ingest so CostBasedJoinReorder
+    # has rowCount + key ndv to work with. load_tables must leave analyzed
+    # catalog entries behind (external LOCATION tables over the same parquet).
+    import hashlib
+
+    from pkg2_spark.catalog import STATS_COLUMNS, load_tables
+
+    load_tables(spark, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    stats = spark.sql(f"DESCRIBE EXTENDED pkg2_{tag}_lineitem").filter(
+        "col_name='Statistics'"
+    ).collect()
+    assert stats and "rows" in stats[0].data_type, "no rowCount statistic recorded"
+    key = spark.sql(f"DESCRIBE EXTENDED pkg2_{tag}_nation n_nationkey").collect()
+    info = {r.info_name: r.info_value for r in key}
+    assert info.get("distinct_count") not in (None, "NULL"), "no ndv column stat"
+    # The NTZ date columns MUST stay out of the column-stat set: Spark 4.1's
+    # FilterEstimation crashes (MatchError: TimestampNTZType) when CBO meets
+    # a filter over an NTZ column that carries stats.
+    assert "o_orderdate" not in STATS_COLUMNS["orders"]
+    assert "l_shipdate" not in STATS_COLUMNS["lineitem"]
+    assert spark.conf.get("spark.sql.cbo.enabled") == "true"
+
+
+def test_tpch_composites_broadcast_dims_under_cbo(spark, sf_dir):
+    # With CBO stats present, the 5-6 table composites must still resolve
+    # every dim join to a broadcast hash join — no sort-merge fallback for
+    # dim-sized sides and no nested-loop degeneration.
+    for name in ["q_sql_tpch_q5", "q_sql_tpch_q7", "q_sql_tpch_q9"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        if name == "q_sql_tpch_q7":
+            # CBO reorders Q7's OR-paired nation predicate into a direct
+            # nation×nation join — a non-equi join of two FIXED 25-row dims
+            # (sf-invariant), so one broadcast nested loop there is the
+            # optimal shape, not degeneration. Anything more is a bug.
+            # formatted explain names each node twice (tree + detail
+            # section); count the numbered detail headers only.
+            n_bnlj = sum(
+                1
+                for ln in plan.splitlines()
+                if ln.strip().startswith("(") and "BroadcastNestedLoopJoin" in ln
+            )
+            assert n_bnlj <= 1, f"{name}: {n_bnlj} BNLJs"
+        else:
+            assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ"
