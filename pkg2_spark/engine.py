@@ -174,11 +174,23 @@ class Engine:
             sec = F.regexp_extract("blk", f"(?s)<rpm:{section}>(.*?)</rpm:{section}>", 1)
             return F.array_sort(F.regexp_extract_all(sec, F.lit('name="([^"]+)"'), 1))
 
+        # RPM versions are EVR triples (epoch:version-release); the epoch
+        # attribute disambiguates upstream version-scheme resets and is
+        # nonzero on real Fedora/RHEL packages (bind, vim). It is prepended
+        # only when nonzero — the rpm convention — so downstream ordering
+        # (q_pkg_version_order / latest) sees it; a block whose ver fails to
+        # parse yields an empty version rather than a malformed "-rel".
         ver = F.regexp_extract("blk", '<version[^>]*ver="([^"]+)"', 1)
         rel = F.regexp_extract("blk", '<version[^>]*rel="([^"]+)"', 1)
+        epoch = F.regexp_extract("blk", '<version[^>]*epoch="([0-9]+)"', 1)
+        evr = F.concat(
+            F.when(~epoch.isin("", "0"), F.concat(epoch, F.lit(":"))).otherwise(F.lit("")),
+            ver,
+            F.when(rel != "", F.concat(F.lit("-"), rel)).otherwise(F.lit("")),
+        )
         pkgs = blocks.select(
             F.regexp_extract("blk", "<name>([^<]+)</name>", 1).alias("name"),
-            F.concat_ws("-", ver, rel).alias("version"),
+            F.when(ver == "", F.lit("")).otherwise(evr).alias("version"),
             F.regexp_extract("blk", "<arch>([^<]+)</arch>", 1).alias("arch"),
             F.regexp_extract("blk", '<size package="([0-9]+)"', 1).cast("long").alias("size"),
             F.regexp_extract("blk", "<summary>([^<]*)</summary>", 1).alias("description"),
@@ -324,6 +336,33 @@ class Engine:
         from pkg2_spark.operators.dedup import resolve_components
 
         return resolve_components(pairs, src=src, dst=dst)
+
+    def lsh_candidate_pairs(
+        self,
+        docs: DataFrame,
+        key: str = "doc_id",
+        num_hashes: int = 8,
+        rows_per_band: int = 4,
+        cap: int | None = 64,
+    ) -> DataFrame:
+        """MinHash/LSH candidate pairs (doc_a < doc_b) over a text corpus —
+        the recall stage of candidate-then-verify near-dup detection, with
+        the per-bucket hot-band cap (operators/lsh.py) bounding saturated
+        band keys to O(cap²) pairs."""
+        from pkg2_spark.operators.lsh import banded_pairs
+        from pkg2_spark.operators.text import (
+            lsh_bands,
+            minhash_signatures,
+            tokenize_distinct,
+        )
+
+        bands = lsh_bands(
+            minhash_signatures(tokenize_distinct(docs, id_col=key), num_hashes, id_col=key),
+            num_hashes,
+            rows_per_band,
+            id_col=key,
+        )
+        return banded_pairs(bands, key, "doc_a", "doc_b", cap=cap)
 
     def sample(self, df: DataFrame, key: str, frac: float) -> DataFrame:
         from pkg2_spark.operators.sampling import hash_sample

@@ -264,8 +264,15 @@ rpm_blocks AS (
 rpm_pkgs AS (
   SELECT
     regexp_extract(blk, '<name>([^<]+)</name>', 1) AS name,
-    regexp_extract(blk, '<version[^>]*ver="([^"]+)"', 1) || '-' ||
-      regexp_extract(blk, '<version[^>]*rel="([^"]+)"', 1) AS version,
+    CASE WHEN regexp_extract(blk, '<version[^>]*ver="([^"]+)"', 1) = '' THEN ''
+         ELSE CASE WHEN regexp_extract(blk, '<version[^>]*epoch="([0-9]+)"', 1) NOT IN ('', '0')
+                   THEN regexp_extract(blk, '<version[^>]*epoch="([0-9]+)"', 1) || ':'
+                   ELSE '' END
+              || regexp_extract(blk, '<version[^>]*ver="([^"]+)"', 1)
+              || CASE WHEN regexp_extract(blk, '<version[^>]*rel="([^"]+)"', 1) <> ''
+                      THEN '-' || regexp_extract(blk, '<version[^>]*rel="([^"]+)"', 1)
+                      ELSE '' END
+    END AS version,
     regexp_extract(blk, '<arch>([^<]+)</arch>', 1) AS arch,
     CAST(regexp_extract(blk, '<size package="([0-9]+)"', 1) AS BIGINT) AS size,
     list_sort(regexp_extract_all(

@@ -20,7 +20,6 @@ Scale notes:
 from __future__ import annotations
 
 import os
-import re
 import shutil
 
 import pyspark.sql.functions as F
@@ -46,9 +45,12 @@ def fixture_path(name: str, sf_dir: str) -> str:
 _BUCKETED_DONE: set[tuple[int, str]] = set()
 
 
-def fixture_ready(path: str, sf_dir: str) -> bool:
+def fixture_ready(path: str, sf_dir: str, marker: str = "_SUCCESS") -> bool:
     """True when a completed write already sits at ``path`` (_SUCCESS marker
-    for Spark writers) AND is newer than the source testdata in ``sf_dir``.
+    for Spark writers; multi-batch sinks pass their own run-level marker,
+    written only after the WHOLE run finished — a per-batch _SUCCESS can't
+    prove later batches ever ran) AND is newer than the source testdata in
+    ``sf_dir``.
     Fixture inputs are pure functions of (sf_dir, query-version), so a
     finished write is reusable across invocations AND processes — the
     driver's per-query loop then pays the write once per scale, not once per
@@ -57,7 +59,7 @@ def fixture_ready(path: str, sf_dir: str) -> bool:
     than its source tables would silently serve stale rows. An unreadable
     source dir counts as not-ready (regenerate rather than trust a cache
     whose freshness can't be established)."""
-    marker = os.path.join(path, "_SUCCESS")
+    marker = os.path.join(path, marker)
     if not os.path.exists(marker):
         return False
     try:

@@ -147,8 +147,13 @@ def q_sql_tpch_q3(spark, sf_dir):
 
 # TPC-H Q6: forecasting revenue change — the canonical pushdown-everything
 # filter + single aggregate. All three predicates reach the parquet scan.
+# Revenue follows the Q10 floor-scaled-e4 discipline (per-row IEEE product,
+# then floor to BIGINT, then exact integer sum): a round(sum(double), 2)
+# landing on a cent boundary can flip with summation order between engine
+# partitionings — the r3 q_kmeans_step flake class.
 _Q6 = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_e4
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -167,8 +172,10 @@ def q_sql_tpch_q6(spark, sf_dir):
 # partsupp, so profit is revenue (extendedprice net of discount) rather than
 # revenue minus supplycost; the join tree (part ⋈ lineitem ⋈ supplier ⋈
 # orders ⋈ nation with a LIKE part filter) is Q9's.
+# Profit follows the Q10 floor-scaled-e4 discipline (see _Q6 note).
 _Q9 = """
-SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+SELECT nation, o_year,
+       CAST(sum(CAST(floor(amount * 10000) AS BIGINT)) AS BIGINT) AS sum_profit_e4
 FROM (
   SELECT n_name AS nation,
          CAST(year(o_orderdate) AS INTEGER) AS o_year,
@@ -222,11 +229,15 @@ def q_sql_tpch_q10(spark, sf_dir):
 
 # TPC-H Q14: promotion effect — conditional aggregation ratio over a
 # part ⋈ lineitem month slice (p_type here is the bare class, not a prefix).
+# Both ratio legs are floor-scaled-e4 integer sums (see _Q6 note): the two
+# BIGINTs are bit-identical across engines, so the one double division and
+# its 2dp round see the same operands everywhere.
 _Q14 = """
-SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
-                               THEN l_extendedprice * (1 - l_discount)
-                               ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_revenue
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                               THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                               ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
+             / CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE), 2)
+       AS promo_revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -241,9 +252,11 @@ def q_sql_tpch_q14(spark, sf_dir):
 
 
 # TPC-H Q19: discounted revenue — the OR-of-ANDs multi-attribute predicate
-# that exercises CNF/DNF predicate handling across a join.
+# that exercises CNF/DNF predicate handling across a join. Revenue follows
+# the Q10 floor-scaled-e4 discipline (see _Q6 note).
 _Q19 = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_e4
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15

@@ -380,7 +380,11 @@ def q_stream_foreachbatch(spark, sf_dir):
     import uuid as _uuid
 
     path = fixture_path("stream_feb", sf_dir)
-    if not fixture_ready(_os.path.join(path, "batch_id=0"), sf_dir):
+    # Fixture readiness gates on a RUN-level marker written only after
+    # awaitTermination — a prior run that crashed between micro-batches
+    # leaves per-batch _SUCCESS files behind, and gating on batch 0's alone
+    # would serve that permanently-incomplete target as a valid cache.
+    if not fixture_ready(path, sf_dir, marker="_ALL_BATCHES"):
         _shutil.rmtree(path, ignore_errors=True)
         stream = events_stream(spark, sf_dir).select("event_id", "event_type", "value")
 
@@ -399,6 +403,8 @@ def q_stream_foreachbatch(spark, sf_dir):
         )
         q.awaitTermination()
         _shutil.rmtree(ckpt, ignore_errors=True)
+        with open(_os.path.join(path, "_ALL_BATCHES"), "w") as fh:
+            fh.write("complete\n")
     back = spark.read.parquet(path)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")

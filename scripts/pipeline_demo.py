@@ -38,15 +38,20 @@ from pyspark.sql import Window  # noqa: E402
 
 from pkg2_spark.catalog import load_tables  # noqa: E402
 from pkg2_spark.engine import Engine  # noqa: E402
-from pkg2_spark.operators.sampling import hash_split  # noqa: E402
-from pkg2_spark.operators.text import lsh_bands, minhash_signatures, tokenize_distinct  # noqa: E402
+from pkg2_spark.operators.text import tokenize_distinct  # noqa: E402
 
 KEEP_LANGS = ["en", "de", "fr", "es"]
 MIN_CHARS, MAX_CHARS = 20, 20_000
 
 
 def build_pipeline(spark, sf_dir: str):
-    """Return (stages dict, final DataFrame) — stages exposed for testing."""
+    """Return (stages dict, final DataFrame) — stages exposed for testing.
+
+    The heavy stages go through the Engine facade (the API a user scripts
+    against): Engine.dedup_exact, Engine.lsh_candidate_pairs,
+    Engine.near_dup_components, Engine.split. Row-local filters are plain
+    DataFrame expressions — that IS the engine's surface for them."""
+    eng = Engine(spark)
     docs = load_tables(spark, sf_dir)["documents"]
 
     lang_ok = docs.filter(F.col("lang").isin(KEEP_LANGS))
@@ -81,62 +86,55 @@ def build_pipeline(spark, sf_dir: str):
         & F.arrays_overlap(toks_expr, F.array(F.lit("the"), F.lit("a")))
     )
 
-    # exact dedup: canonical row per content hash (min doc_id wins)
-    h = F.md5(F.lower(F.trim("text")))
-    canonical = (
-        gopher_ok.withColumn("__h", h)
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy("__h").orderBy(F.col("doc_id").asc_nulls_last())
-            ),
-        )
-        .filter(F.col("__rn") == 1)
-        .drop("__h", "__rn")
+    # exact dedup (Engine.dedup_exact): canonical key per content hash
+    # (min doc_id wins), semi-joined back to keep the full rows
+    canonical = gopher_ok.join(
+        eng.dedup_exact(gopher_ok).select("doc_id"), "doc_id", "semi"
     )
 
-    # near-dup prune, three stages (candidates are NOT dups until verified —
-    # on a small vocabulary LSH buckets collide aggressively):
-    #   1. LSH bands -> candidate pairs (cheap, recall-oriented)
+    # near-dup prune, looped until dry (candidates are NOT dups until
+    # verified — on a small vocabulary LSH buckets collide aggressively):
+    #   1. Engine.lsh_candidate_pairs: MinHash/LSH bands -> candidate pairs
+    #      with the hot-bucket cap (cheap, recall-oriented)
     #   2. verify with token-set Jaccard >= 0.8 (precision)
-    #   3. resolve transitive clusters; keep the min doc_id per component
-    toks = tokenize_distinct(canonical).persist()
-    bands = lsh_bands(minhash_signatures(toks, 4), 4, 2)
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    #   3. Engine.near_dup_components: resolve transitive clusters; keep the
+    #      min doc_id per component
+    # The bucket cap trades single-pass recall for bounded work, so one pass
+    # can leave dup pairs whose discovery the cap deferred; re-running the
+    # SAME capped pass over the shrinking survivor set until no verified
+    # pair remains restores completeness with every round still O(cap²) per
+    # bucket — the loop-until-dry shape a production capped-LSH dedup runs.
+    pruned = canonical
+    for _ in range(5):
+        toks = tokenize_distinct(pruned).persist()
+        cand = eng.lsh_candidate_pairs(pruned, num_hashes=4, rows_per_band=2)
+        sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+        inter = (
+            cand.join(toks.select(F.col("doc_id").alias("doc_a"), "token"), "doc_a")
+            .join(toks.select(F.col("doc_id").alias("doc_b"), "token"), ["doc_b", "token"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
-    inter = (
-        cand.join(toks.select(F.col("doc_id").alias("doc_a"), "token"), "doc_a")
-        .join(toks.select(F.col("doc_id").alias("doc_b"), "token"), ["doc_b", "token"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    verified = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb")), "doc_b")
-        .withColumn("jac", F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")))
-        .filter(F.col("jac") >= 0.8)
-        .select("doc_a", "doc_b")
-    )
-    from pkg2_spark.operators.dedup import resolve_components
+        verified = (
+            inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na")), "doc_a")
+            .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb")), "doc_b")
+            .withColumn("jac", F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")))
+            .filter(F.col("jac") >= 0.8)
+            .select("doc_a", "doc_b")
+        )
+        if verified.isEmpty():
+            toks.unpersist()
+            break
+        comp = eng.near_dup_components(verified, src="doc_a", dst="doc_b")
+        losers = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+        # localCheckpoint per round: the anti-join lineage would otherwise
+        # nest one level per pass (on a cluster, checkpoint() to storage).
+        pruned = pruned.join(losers, "doc_id", "left_anti").localCheckpoint()
+        toks.unpersist()
 
-    comp = resolve_components(verified, src="doc_a", dst="doc_b")
-    losers = comp.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias("doc_id")
-    )
-    pruned = canonical.join(losers, "doc_id", "left_anti")
-    toks.unpersist()
-
-    final = hash_split(pruned, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    final = eng.split(pruned, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
 
     # decontamination audit: test docs whose distinct-trigram overlap with
     # the train split exceeds 80% are flagged (not silently dropped — the

@@ -46,8 +46,11 @@ def test_ingest_rpm_primary_normalizes_like_other_formats(spark):
     eng = Engine(spark)
     p = eng.ingest_rpm_primary(_RPMPRIMARY_PATH)
     rows = {r["name"]: r for r in p.collect()}
-    assert len(rows) == 10
-    assert rows["glibc"]["version"] == "2.38-18.fc39"
+    assert len(rows) == 11
+    assert rows["glibc"]["version"] == "2.38-18.fc39"  # epoch 0: no prefix
+    # nonzero epoch is prepended rpm-style (epoch:ver-rel) so downstream
+    # version ordering sees it — bind carries epoch 32 in real Fedora
+    assert rows["bind"]["version"] == "32:9.18.21-1.fc39"
     assert rows["glibc"]["size"] == 2215936
     assert rows["basesystem"]["depends"] == []  # empty rpm:requires section
     assert rows["zlib-ng-compat"]["provides"] == [
@@ -57,7 +60,7 @@ def test_ingest_rpm_primary_normalizes_like_other_formats(spark):
     prov = {r["provider"] for r in eng.whatprovides("libz.so.1()(64bit)").collect()}
     assert prov == {"zlib-ng-compat", "zlib-legacy"}
     deps = {r["dependent"] for r in eng.whatdepends("openssl-libs").collect()}
-    assert deps == {"python3", "curl"}
+    assert deps == {"python3", "curl", "bind"}
     closure = {r["node"] for r in eng.resolve("python3").collect()}
     assert {"bash", "glibc", "zlib-ng-compat", "openssl-libs", "basesystem"} <= closure
 
@@ -199,3 +202,74 @@ def test_pipeline_demo_stage_invariants(spark, sf_dir):
     }
     assert sum(split_counts.values()) == counts["final"]
     assert set(split_counts) <= {"train", "val", "test"}
+
+
+def test_pipeline_demo_agrees_with_registry_queries(spark, sf_dir):
+    # The demo's stages must agree with the standalone registry operators on
+    # the SAME corpus — the Engine facade and the queries() surface are two
+    # views of one engine, not two engines.
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from pipeline_demo import build_pipeline
+
+    from pkg2_spark.operators.sampling import hash_split
+
+    stages, final = build_pipeline(spark, sf_dir)
+
+    # 1. Split stability (the q_llm_split property): a doc's split label is a
+    # pure function of doc_id, so the demo's labels must agree row-for-row
+    # with hash_split over the RAW corpus — filtering upstream cannot move a
+    # surviving doc between splits (the no-test-set-leakage guarantee).
+    raw_split = hash_split(
+        stages["raw"], "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", F.col("split").alias("raw_split"))
+    disagree = (
+        final.select("doc_id", "split")
+        .join(raw_split, "doc_id")
+        .filter(F.col("split") != F.col("raw_split"))
+        .count()
+    )
+    assert disagree == 0
+
+    # 2. Exact-dedup postcondition (q_llm_dedup_exact semantics): no two
+    # surviving docs share a normalized content hash.
+    n_final = final.count()
+    n_hashes = (
+        final.select(F.md5(F.lower(F.trim("text"))).alias("h")).distinct().count()
+    )
+    assert n_hashes == n_final
+
+    # 3. Near-dup postcondition: re-running the SAME candidate+verify stages
+    # (Engine.lsh_candidate_pairs at the demo's band settings, Jaccard >=
+    # 0.8) over the survivors finds zero remaining verified pairs — every
+    # cluster kept exactly its canonical member.
+    from pkg2_spark.engine import Engine
+    from pkg2_spark.operators.text import tokenize_distinct
+
+    eng = Engine(spark)
+    cand = eng.lsh_candidate_pairs(final, num_hashes=4, rows_per_band=2)
+    toks = tokenize_distinct(final)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    inter = (
+        cand.join(toks.select(F.col("doc_id").alias("doc_a"), "token"), "doc_a")
+        .join(toks.select(F.col("doc_id").alias("doc_b"), "token"), ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    survivors = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb")),
+            "doc_b",
+        )
+        .filter(
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")) >= 0.8
+        )
+        .count()
+    )
+    assert survivors == 0
