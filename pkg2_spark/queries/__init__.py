@@ -17,6 +17,7 @@ from pkg2_spark.queries import timeseries  # noqa: F401
 from pkg2_spark.queries import training  # noqa: F401
 from pkg2_spark.queries import udfs  # noqa: F401
 from pkg2_spark.queries import relational  # noqa: F401
+from pkg2_spark.queries import sketches  # noqa: F401
 from pkg2_spark.queries import sorts_sets  # noqa: F401
 from pkg2_spark.queries import sql_composite  # noqa: F401
 from pkg2_spark.queries import windows  # noqa: F401

@@ -619,10 +619,10 @@ def q_llm_embed_neardup(spark, sf_dir):
     )
 
 
-@query(
-    "q_llm_ann_ivf",
-    oracle="""
-WITH cent AS (
+# Constant-16 hash-sampled centroid table + nearest-centroid assignment —
+# the coarse-quantization stage shared by IVF search (q_llm_ann_ivf /
+# q_llm_ann_recall) and cluster-blocked semantic dedup (q_llm_semdedup).
+_IVF_ASSIGN_CTE = """cent AS (
   SELECT vec_id AS cid, embedding AS cemb FROM embeddings
   QUALIFY row_number() OVER (
     ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC NULLS LAST, vec_id ASC NULLS LAST
@@ -636,7 +636,13 @@ assign AS (
   QUALIFY row_number() OVER (
     PARTITION BY vec_id ORDER BY ccos DESC NULLS LAST, cid ASC NULLS LAST
   ) = 1
-),
+)"""
+
+
+@query(
+    "q_llm_ann_ivf",
+    oracle=f"""
+WITH {_IVF_ASSIGN_CTE},
 probes AS (
   SELECT vec_id AS probe_id, embedding AS pe, cid AS pcid FROM assign WHERE vec_id < 5
 )
@@ -661,10 +667,11 @@ def q_llm_ann_ivf(spark, sf_dir):
     return _ivf_search(e)
 
 
-def _ivf_search(e, n_probes: int = 5, k: int = 5):
-    """The q_llm_ann_ivf pipeline as a reusable operator (also consumed by
-    q_llm_ann_recall): constant-16 hash-sampled centroids → broadcast
-    assignment → probe-cell ranking."""
+def _ivf_assign(e):
+    """Nearest-centroid assignment against a CONSTANT-16 hash-sampled
+    broadcast codebook — the coarse quantizer shared by IVF search and
+    q_llm_semdedup. O(n·k) against a true broadcast; |centroids| does not
+    grow with n."""
     cent = (
         e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
         .orderBy(
@@ -682,11 +689,18 @@ def _ivf_search(e, n_probes: int = 5, k: int = 5):
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc_nulls_last(), F.col("cid").asc_nulls_last()
     )
-    assign = (
+    return (
         scored.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "cid")
     )
+
+
+def _ivf_search(e, n_probes: int = 5, k: int = 5):
+    """The q_llm_ann_ivf pipeline as a reusable operator (also consumed by
+    q_llm_ann_recall): constant-16 hash-sampled centroids → broadcast
+    assignment → probe-cell ranking."""
+    assign = _ivf_assign(e)
     probes = assign.filter(F.col("vec_id") < n_probes).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), F.col("cid").alias("pcid")
     )
@@ -702,6 +716,84 @@ def _ivf_search(e, n_probes: int = 5, k: int = 5):
         F.col("cos").desc_nulls_last(), F.col("vec_id").asc_nulls_last()
     )
     return cands.withColumn("rn", F.row_number().over(w_rank)).filter(F.col("rn") <= k).drop("rn")
+
+
+@query(
+    "q_llm_semdedup",
+    oracle=f"""
+WITH RECURSIVE {_IVF_ASSIGN_CTE},
+cbands AS (
+  SELECT vec_id, cid FROM assign
+  QUALIFY row_number() OVER (
+    PARTITION BY cid
+    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC NULLS LAST, vec_id ASC NULLS LAST
+  ) <= {_BUCKET_CAP}
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cbands a JOIN cbands b ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT id_a AS x, id_b AS y FROM (
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 4) AS cos
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = cand.id_a
+    JOIN embeddings eb ON eb.vec_id = cand.id_b
+  ) WHERE cos >= 0.3
+),
+edges AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
+reach(v, u) AS (
+  SELECT x AS v, x AS u FROM edges
+  UNION
+  SELECT r.v, e.y FROM reach r JOIN edges e ON r.u = e.x
+),
+comp AS (SELECT v AS node, min(u) AS component FROM reach GROUP BY v)
+SELECT component,
+       count(*) AS n_members,
+       max(node) AS max_member
+FROM comp
+GROUP BY component
+""",
+)
+def q_llm_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication: cluster the embedding space
+    with the IVF coarse quantizer (constant-16 broadcast codebook), compare
+    ONLY within a cluster, keep pairs above a cosine threshold, resolve
+    transitive clusters, one canonical member each. Real corpora run this
+    at ~0.95 on normalized embeddings; the synthetic corpus's intra-cell
+    similarity ceiling is ~0.49 (measured at sf0.01), so the contract
+    threshold is 0.3 — below the ceiling so the resolution path is
+    actually exercised by the differential check.
+
+    The cluster id is the blocking key — the same candidate-then-verify
+    shape as the LSH dedup family, but blocked by LEARNED structure
+    (nearest centroid) instead of hash structure, which is what recent
+    semantic-dedup pipelines run over embedding corpora. Cells get the same
+    _BUCKET_CAP hot-bucket guard as every other pair join (a dense cluster
+    is the hot-band analog), so per-cell work is O(cap²); at real scale k
+    grows with corpus size (k-means codebook, q_kmeans_step is the
+    builder) keeping cells bounded."""
+    from pkg2_spark.operators.dedup import resolve_components
+    from pkg2_spark.operators.similarity import cosine_on_pairs
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    assign = _ivf_assign(e)
+    bands = assign.select(
+        "vec_id",
+        F.lit(0).alias("band_id"),
+        F.col("cid").cast("string").alias("band_key"),
+    )
+    cand = banded_pairs(bands, "vec_id", "id_a", "id_b", cap=_BUCKET_CAP)
+    pairs = cosine_on_pairs(cand, e, "id_a", "id_b", dim=64).filter(
+        F.col("cos") >= 0.3
+    )
+    comp = resolve_components(pairs, src="id_a", dst="id_b")
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("node").alias("max_member"),
+    )
 
 
 @query(

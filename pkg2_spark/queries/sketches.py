@@ -1,0 +1,204 @@
+"""Distinct-count sketches: K-Minimum-Values (KMV), engine-portable.
+
+SURVEY.md §2.13.6 left approximate sketches (approx_count_distinct /
+approx_percentile) rows-only-checked because HLL internals differ across
+engines. KMV closes that gap: the sketch IS k order statistics of a
+deterministic hash (md5), so two engines computing it over the same rows
+produce the IDENTICAL sketch — estimate and all — and the driver can
+hash-match it exactly. The estimator is the classic Bar-Yossef et al.
+(k-1)/h_(k) with hashes mapped to (0,1] via their first 32 bits.
+
+Scale posture: the distinct-hash stage is one hash-aggregate (map-side
+combined — the shuffle carries one row per distinct value). The k-th
+order statistic is taken per group with a rank window; at cluster scale
+that window becomes the two-stage partial form every KMV deployment uses:
+keep the k smallest per partition (bounded state), merge the k-lists —
+which is exactly the property q_sketch_kmv_merge PROVES on this engine:
+the k smallest of the union of per-half k-minimums equals the k smallest
+of the whole, so partial sketches compose losslessly across partitions,
+executors, or days of ingest.
+
+Everything downstream of md5 is exact integer arithmetic (hex-digit fold,
+integer DIV) — no float summation anywhere, per the §2.13 determinism
+discipline.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from pkg2_spark.catalog import load_tables
+from pkg2_spark.registry import query
+
+_K = 64
+
+# First 8 hex chars of the md5 -> exact 32-bit integer, via digit folding —
+# spelled with instr (Spark) / strpos (DuckDB), both 1-based, so the two
+# expressions compute bit-identical integers.
+_POWERS = [268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1]
+
+
+def _v32_spark(h: str) -> str:
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1) * {p}"
+        for i, p in enumerate(_POWERS)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _v32_sql(h: str) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) * {p}"
+        for i, p in enumerate(_POWERS)
+    )
+
+
+# (k-1) * 2^32, the estimator numerator: est = floor((k-1) * 2^32 / v32(kth)).
+_NUM = (_K - 1) * 4294967296
+
+
+@query(
+    "q_sketch_kmv",
+    oracle=f"""
+WITH d AS (
+  SELECT DISTINCT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS h
+  FROM lineitem
+),
+kth AS (
+  SELECT l_returnflag, h FROM d
+  QUALIFY row_number() OVER (
+    PARTITION BY l_returnflag ORDER BY h ASC NULLS LAST
+  ) = {_K}
+),
+x AS (
+  SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT kth.l_returnflag,
+       kth.h AS kth_hash,
+       CAST({_NUM} // ({_v32_sql('kth.h')}) AS BIGINT) AS est_distinct,
+       x.n_exact,
+       CAST(abs(CAST({_NUM} // ({_v32_sql('kth.h')}) AS BIGINT) - x.n_exact) * 10000
+            // x.n_exact AS BIGINT) AS err_bp
+FROM kth JOIN x ON kth.l_returnflag = x.l_returnflag
+""",
+)
+def q_sketch_kmv(spark, sf_dir):
+    """KMV distinct-count sketch per group, hash-matched EXACTLY against the
+    oracle (unlike HLL, the whole sketch is deterministic): distinct md5
+    hash-agg → per-group rank window for the k-th minimum → integer
+    estimator. Emits the estimate, the exact count, and the error in basis
+    points — the QA row a pipeline tracks when sizing k."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    d = (
+        li.select("l_returnflag", F.md5(F.col("l_partkey").cast("string")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("h").asc_nulls_last())
+    kth = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == _K)
+        .select("l_returnflag", F.col("h").alias("kth_hash"))
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_exact")
+    )
+    est = F.expr(f"{_NUM} DIV ({_v32_spark('kth_hash')})").cast("long")
+    out = kth.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "kth_hash",
+        est.alias("est_distinct"),
+        "n_exact",
+        F.expr(
+            f"abs(CAST({_NUM} DIV ({_v32_spark('kth_hash')}) AS BIGINT) - n_exact) * 10000"
+            " DIV n_exact"
+        ).cast("long").alias("err_bp"),
+    )
+    return out
+
+
+@query(
+    "q_sketch_kmv_merge",
+    oracle=f"""
+WITH d AS (
+  SELECT DISTINCT l_returnflag,
+         CAST(l_orderkey % 2 AS INTEGER) AS half,
+         md5(CAST(l_partkey AS VARCHAR)) AS h
+  FROM lineitem
+),
+part_k AS (
+  SELECT l_returnflag, half, h FROM d
+  QUALIFY row_number() OVER (
+    PARTITION BY l_returnflag, half ORDER BY h ASC NULLS LAST
+  ) <= {_K}
+),
+merged AS (
+  SELECT DISTINCT l_returnflag, h FROM part_k
+),
+merged_kth AS (
+  SELECT l_returnflag, h FROM merged
+  QUALIFY row_number() OVER (
+    PARTITION BY l_returnflag ORDER BY h ASC NULLS LAST
+  ) = {_K}
+),
+direct AS (
+  SELECT DISTINCT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS h
+  FROM lineitem
+),
+direct_kth AS (
+  SELECT l_returnflag, h FROM direct
+  QUALIFY row_number() OVER (
+    PARTITION BY l_returnflag ORDER BY h ASC NULLS LAST
+  ) = {_K}
+)
+SELECT m.l_returnflag,
+       CAST({_NUM} // ({_v32_sql('m.h')}) AS BIGINT) AS est_merged,
+       CAST({_NUM} // ({_v32_sql('dk.h')}) AS BIGINT) AS est_direct,
+       CAST(m.h = dk.h AS INTEGER) AS merge_exact
+FROM merged_kth m JOIN direct_kth dk ON m.l_returnflag = dk.l_returnflag
+""",
+)
+def q_sketch_kmv_merge(spark, sf_dir):
+    """KMV mergeability proof — the property that makes the sketch a
+    DISTRIBUTED aggregate: build per-half partial sketches (k smallest
+    hashes per l_orderkey parity), merge them (k smallest of the union),
+    and compare against the sketch built over the whole table. merge_exact
+    = 1 per group is the theorem holding on real data; at cluster scale
+    the halves are partitions/executors/ingest-days and the merge is the
+    reduce side."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    d = (
+        li.select(
+            "l_returnflag",
+            (F.col("l_orderkey") % 2).cast("int").alias("half"),
+            F.md5(F.col("l_partkey").cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    w_half = Window.partitionBy("l_returnflag", "half").orderBy(
+        F.col("h").asc_nulls_last()
+    )
+    part_k = d.withColumn("rn", F.row_number().over(w_half)).filter(
+        F.col("rn") <= _K
+    )
+    merged = part_k.select("l_returnflag", "h").distinct()
+    w_grp = Window.partitionBy("l_returnflag").orderBy(F.col("h").asc_nulls_last())
+    merged_kth = (
+        merged.withColumn("rn", F.row_number().over(w_grp))
+        .filter(F.col("rn") == _K)
+        .select("l_returnflag", F.col("h").alias("mh"))
+    )
+    direct_kth = (
+        li.select("l_returnflag", F.md5(F.col("l_partkey").cast("string")).alias("h"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w_grp))
+        .filter(F.col("rn") == _K)
+        .select("l_returnflag", F.col("h").alias("dh"))
+    )
+    return merged_kth.join(direct_kth, "l_returnflag").select(
+        "l_returnflag",
+        F.expr(f"{_NUM} DIV ({_v32_spark('mh')})").cast("long").alias("est_merged"),
+        F.expr(f"{_NUM} DIV ({_v32_spark('dh')})").cast("long").alias("est_direct"),
+        (F.col("mh") == F.col("dh")).cast("int").alias("merge_exact"),
+    )

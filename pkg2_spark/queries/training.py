@@ -265,6 +265,85 @@ def q_vec_quant(spark, sf_dir):
 
 
 @query(
+    "q_vec_pq",
+    oracle="""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+  QUALIFY row_number() OVER (
+    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC NULLS LAST, vec_id ASC NULLS LAST
+  ) <= 16
+),
+sub AS (SELECT unnest(generate_series(0, 7)) AS s),
+d AS (
+  SELECT e.vec_id, sub.s, c.cid,
+         list_aggregate(list_transform(generate_series(1, 8),
+           i -> (CAST(e.embedding[CAST(sub.s * 8 + i AS INTEGER)] AS DOUBLE)
+                 - CAST(c.cemb[CAST(sub.s * 8 + i AS INTEGER)] AS DOUBLE))
+              * (CAST(e.embedding[CAST(sub.s * 8 + i AS INTEGER)] AS DOUBLE)
+                 - CAST(c.cemb[CAST(sub.s * 8 + i AS INTEGER)] AS DOUBLE))),
+           'sum') AS d2
+  FROM embeddings e CROSS JOIN cent c CROSS JOIN sub
+),
+code AS (
+  SELECT vec_id, s, cid, d2 FROM d
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id, s ORDER BY d2 ASC NULLS LAST, cid ASC NULLS LAST
+  ) = 1
+)
+SELECT vec_id,
+       CAST(sum(cid) AS BIGINT) AS code_sum,
+       CAST(sum((s + 1) * cid) AS BIGINT) AS code_wsum,
+       CAST(sum(CAST(floor(d2 * 10000) AS BIGINT)) AS BIGINT) AS err_e4
+FROM code GROUP BY vec_id
+""",
+)
+def q_vec_pq(spark, sf_dir):
+    """Product quantization (PQ): split each 64-dim embedding into m=8
+    subspaces of 8 dims, assign every subvector to its nearest sub-centroid
+    from a constant-16 hash-sampled codebook (stand-in for the per-subspace
+    k-means codebook, exactly as q_llm_ann_ivf's coarse codebook), emit the
+    8-byte code as positional checksums plus the total quantization error.
+
+    PQ is the memory arm of large-scale ANN (IVF prunes candidates, PQ
+    compresses residuals 32×: 64 floats → 8 code bytes with asymmetric
+    distance computed from a k×m lookup table). Topology: O(n·k·m)
+    assignment against ONE broadcast codebook — the same constant-fanout
+    broadcast shape as the IVF assignment, no shuffle until the final
+    per-vector hash-agg. Error sums are floor-scaled e4 integers; argmin
+    ties break on cid, and both engines fold the 8-term squared distance in
+    the same sequential order, so codes are bit-identical."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    cent = (
+        e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+        .orderBy(
+            F.md5(F.col("cid").cast("string")).asc_nulls_last(),
+            F.col("cid").asc_nulls_last(),
+        )
+        .limit(16)
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(slice(embedding, s * 8 + 1, 8), slice(cemb, s * 8 + 1, 8),"
+        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    scored = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("s", F.explode(F.sequence(F.lit(0), F.lit(7))))
+        .select("vec_id", "s", "cid", d2.alias("d2"))
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(
+        F.col("d2").asc_nulls_last(), F.col("cid").asc_nulls_last()
+    )
+    code = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return code.groupBy("vec_id").agg(
+        F.sum("cid").cast("long").alias("code_sum"),
+        F.sum((F.col("s") + 1) * F.col("cid")).cast("long").alias("code_wsum"),
+        F.sum(F.floor(F.col("d2") * 10000).cast("long")).cast("long").alias("err_e4"),
+    )
+
+
+@query(
     "q_kmeans_step",
     oracle="""
 WITH q AS (
@@ -818,10 +897,10 @@ def q_llm_domain_mix(spark, sf_dir):
     )
 
 
-@query(
-    "q_llm_winnow",
-    oracle="""
-WITH t AS (
+# Winnowing fingerprint selection (t → 3-token kgram hashes → window-min
+# set) — shared by q_llm_winnow and the cross-document overlap join
+# q_llm_winnow_dup.
+_WINNOW_CTE = """t AS (
   SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
   FROM documents
 ),
@@ -837,7 +916,13 @@ s AS (
            list_transform(generate_series(1, len(h) - 3), j -> list_min(h[j : j + 3]))
          )) AS sel
   FROM k
-)
+)"""
+
+
+@query(
+    "q_llm_winnow",
+    oracle=f"""
+WITH {_WINNOW_CTE}
 SELECT doc_id,
        CAST(len(h) AS INTEGER) AS n_kgrams,
        CAST(len(sel) AS INTEGER) AS n_selected,
@@ -884,4 +969,105 @@ def q_llm_winnow(spark, sf_dir):
         F.size("h").alias("n_kgrams"),
         F.size(sel).alias("n_selected"),
         F.md5(F.array_join(sel, "|")).alias("winnow_fp"),
+    )
+
+
+def _winnow_selected(d):
+    """(doc_id, n_selected, fp) — one row per selected winnow fingerprint
+    per doc (the exploded form of q_llm_winnow's selection)."""
+    toks = tokens_col("text")
+    t = d.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= 6)
+    kgram = lambda i: F.md5(  # noqa: E731
+        F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
+        )
+    )
+    k = t.select(
+        "doc_id",
+        F.transform(F.sequence(F.lit(1), F.size("toks") - 2), kgram).alias("h"),
+    )
+    sel = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("h") - 3),
+                lambda j: F.array_min(F.slice("h", j, 4)),
+            )
+        )
+    )
+    return k.select("doc_id", F.size(sel).alias("n_selected"), F.explode(sel).alias("fp"))
+
+
+@query(
+    "q_llm_winnow_dup",
+    oracle=f"""
+WITH {_WINNOW_CTE},
+f AS (
+  SELECT doc_id, len(sel) AS n_selected, unnest(sel) AS fp FROM s
+),
+cf AS (
+  SELECT doc_id, n_selected, fp FROM f
+  QUALIFY row_number() OVER (
+    PARTITION BY fp
+    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC NULLS LAST, doc_id ASC NULLS LAST
+  ) <= {_LLM_BUCKET_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         count(*) AS n_shared,
+         min(a.n_selected) AS na, min(b.n_selected) AS nb
+  FROM cf a JOIN cf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(n_shared * 10000 // least(na, nb) AS BIGINT) AS overlap_bp
+FROM pairs
+WHERE n_shared >= 3
+""",
+)
+def q_llm_winnow_dup(spark, sf_dir):
+    """Cross-document partial-overlap detection over winnowing fingerprints
+    (the MOSS use case): docs sharing >= 3 selected fingerprints are
+    overlap candidates, scored by shared-fingerprint count and the overlap
+    ratio against the smaller selection (basis points, exact integers).
+
+    Winnowing guarantees every shared substring of >= window+kgram tokens
+    contributes at least one COMMON selected fingerprint, so the
+    fingerprint equi-join finds partial plagiarism/quotation that
+    whole-document hashing (q_llm_fingerprint) and token-set Jaccard both
+    miss. The fingerprint is the blocking key — same skew reality as LSH
+    bands (a boilerplate fingerprint is a hot key), so the join applies
+    the same deterministic per-fingerprint member cap before pairing."""
+    d = load_tables(spark, sf_dir)["documents"]
+    f = _winnow_selected(d)
+    w = Window.partitionBy("fp").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc_nulls_last(),
+        F.col("doc_id").asc_nulls_last(),
+    )
+    cf = f.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= _LLM_BUCKET_CAP
+    ).drop("_rn")
+    a = cf.select(F.col("doc_id").alias("doc_a"), F.col("n_selected").alias("na"), "fp")
+    b = cf.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_selected").alias("nb"),
+        F.col("fp").alias("fp2"),
+    )
+    pairs = (
+        a.join(b, (F.col("fp") == F.col("fp2")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
+        .filter(F.col("n_shared") >= 3)
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.expr("n_shared * 10000 DIV least(na, nb)").cast("long").alias("overlap_bp"),
     )

@@ -32,6 +32,8 @@ NLJ_WHITELIST = {
     "q_join_cross": "contract op: explicit small-dim cross join",
     "q_join_theta": "contract op: bounded non-equi theta join",
     "q_llm_ann_ivf": "O(n*k) assignment vs CONSTANT-16 broadcast centroid table",
+    "q_vec_pq": "O(n*k*m) PQ code assignment vs CONSTANT-16 broadcast codebook "
+    "(same constant-fanout shape as the IVF assignment)",
     "q_llm_ann_recall": "same constant-k assignment + bounded probe cross scan",
     "q_llm_knn": "bounded probe set broadcast vs linear corpus scan",
     "q_llm_tfidf": "1-row doc-count scalar cross join (broadcast)",

@@ -50,6 +50,12 @@ PROBES = [
     "q_ts_ohlc",
     "q_ts_sessionize",
     "q_llm_winnow",
+    # round-5 additions: IVF-cell semantic dedup, winnow overlap join,
+    # PQ codebook assignment, KMV rank-window sketch
+    "q_llm_semdedup",
+    "q_llm_winnow_dup",
+    "q_vec_pq",
+    "q_sketch_kmv",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]

@@ -266,3 +266,34 @@ class TestSaltedJoin:
         t = load_tables(spark, sf_dir)
         with _pytest.raises(ValueError):
             salted_join(t["orders"], t["customer"], on="x", salt_from=["o_orderkey"], how="right")
+
+
+def test_kmv_sketch_estimates_and_merges(spark, sf_dir):
+    # KMV is deterministic (md5 order statistics): the estimate must land
+    # within the theoretical ~1/sqrt(k) band of the exact count, and the
+    # merged per-half sketches must equal the whole-table sketch EXACTLY
+    # (k-min of a union of k-mins theorem — the distributed-merge property).
+    from pkg2_spark.registry import all_queries
+
+    qs = all_queries()
+    rows = qs["q_sketch_kmv"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["est_distinct"] > 0
+        # 3/sqrt(64) = 37.5% as a generous 3-sigma band in basis points
+        assert r["err_bp"] <= 3750, r
+    merged = qs["q_sketch_kmv_merge"](spark, sf_dir).collect()
+    assert merged and all(r["merge_exact"] == 1 for r in merged)
+    assert all(r["est_merged"] == r["est_direct"] for r in merged)
+
+
+def test_semdedup_components_are_cluster_consistent(spark, sf_dir):
+    # Every emitted semantic-dup cluster has >= 2 members (singletons are
+    # not emitted by resolve_components) and its id is the minimum member,
+    # so component < max_member always.
+    from pkg2_spark.registry import all_queries
+
+    rows = all_queries()["q_llm_semdedup"](spark, sf_dir).collect()
+    for r in rows:
+        assert r["n_members"] >= 2, r
+        assert r["component"] < r["max_member"], r
