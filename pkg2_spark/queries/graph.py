@@ -14,7 +14,7 @@ the node; `persist` truncates lineage so round N doesn't replay rounds 1..N-1.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pkg2_spark.queries.relational import _APKINDEX_PATH
 from pkg2_spark.registry import query
@@ -169,4 +169,119 @@ def q_graph_pagerank(spark, sf_dir):
     ranks = pagerank(edges, iters=_PR_ITERS)
     return ranks.filter(F.col("node") >= _PR_OFFSET).select(
         (F.col("node") - _PR_OFFSET).alias("s_suppkey"), F.col("rank").alias("rank_e6")
+    )
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+cp AS (
+  SELECT a.s AS sa, b.s AS sb, count(*) AS shared
+  FROM sp a JOIN sp b ON a.p = b.p AND a.s <> b.s
+  GROUP BY a.s, b.s
+),
+knn AS (
+  SELECT sa, sb FROM cp
+  QUALIFY row_number() OVER (
+    PARTITION BY sa ORDER BY shared DESC NULLS LAST, sb ASC NULLS LAST
+  ) <= 3
+),
+und AS (SELECT DISTINCT least(sa, sb) AS a, greatest(sa, sb) AS b FROM knn),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tcnt AS (
+  SELECT node, count(*) AS n_tri FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y AS node FROM tri
+    UNION ALL SELECT z AS node FROM tri
+  ) GROUP BY node
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+  ) GROUP BY node
+)
+SELECT deg.node AS s_suppkey,
+       CAST(deg.degree AS INTEGER) AS degree,
+       CAST(coalesce(tcnt.n_tri, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN deg.degree >= 2
+                 THEN coalesce(tcnt.n_tri, 0) * 2 * 10000 // (deg.degree * (deg.degree - 1))
+                 ELSE 0 END AS BIGINT) AS clustering_bp
+FROM deg LEFT JOIN tcnt ON deg.node = tcnt.node
+""",
+)
+def q_graph_triangles(spark, sf_dir):
+    """Triangle counting + local clustering coefficient over the supplier
+    co-supply kNN graph (top-3 most-shared-parts partners per supplier —
+    the raw co-supply projection is near-complete on this corpus, so the
+    contract graph is the similarity-kNN sparsification every production
+    graph pipeline applies first).
+
+    Topology, scale-shaped end to end: the projection join is keyed on
+    l_partkey (fan-out bounded by suppliers-per-part — supply-chain
+    bounded; measured max 52 at sf0.1), the kNN cut is a per-node rank
+    window on exact integer shared-counts, and the triangle join is the
+    classic ORIENTED edge join — edges stored a<b, so e1(a,b)⋈e2(b,c)
+    ⋈e3(a,c) enumerates each triangle exactly once with two equi-joins on
+    the (tiny, 3n-edge) oriented edge list, never touching the fact table
+    again. Per-node counts and the clustering coefficient (basis points,
+    integer DIV) are exact integers throughout."""
+    from pkg2_spark.catalog import load_tables
+
+    t = load_tables(spark, sf_dir)
+    sp = t["lineitem"].select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = sp.select(F.col("s").alias("sa"), "p")
+    b = sp.select(F.col("s").alias("sb"), F.col("p").alias("p2"))
+    cp = (
+        a.join(b, (F.col("p") == F.col("p2")) & (F.col("sa") != F.col("sb")))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    w = Window.partitionBy("sa").orderBy(
+        F.col("shared").desc_nulls_last(), F.col("sb").asc_nulls_last()
+    )
+    knn = cp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    und = knn.select(
+        F.least("sa", "sb").alias("a"), F.greatest("sa", "sb").alias("b")
+    ).distinct().persist()
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y2"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(e2, F.col("y") == F.col("y2"))
+        .join(e3, (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")))
+        .select("x", "y", "z")
+    )
+    tcnt = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0))
+    return deg.join(tcnt, "node", "left").select(
+        F.col("node").alias("s_suppkey"),
+        F.col("degree").cast("int").alias("degree"),
+        n_tri.cast("long").alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.expr("coalesce(n_tri, 0) * 2 * 10000 DIV (degree * (degree - 1))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("clustering_bp"),
     )
