@@ -476,3 +476,66 @@ def q_ts_sessionize(spark, sf_dir):
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
         F.sum(F.floor(F.col("value") * 10000).cast("long")).alias("sum_value_e4"),
     )
+
+
+@query(
+    "q_dq_anomaly",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+),
+f AS (
+  SELECT event_type, q1, q3,
+         q1 - 1.5 * (q3 - q1) AS lo,
+         q3 + 1.5 * (q3 - q1) AS hi
+  FROM b
+)
+SELECT e.event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       CAST(floor(f.lo * 10000) AS BIGINT) AS lo_e4,
+       CAST(floor(f.hi * 10000) AS BIGINT) AS hi_e4
+FROM events e JOIN f ON e.event_type = f.event_type
+GROUP BY e.event_type, f.lo, f.hi
+""",
+)
+def q_dq_anomaly(spark, sf_dir):
+    """Tukey-fence anomaly detection per event type: exact q1/q3 (same
+    interpolation arithmetic both engines — the q_agg_percentile
+    discipline), 1.5×IQR fences, per-type outlier counts plus the fences
+    themselves floor-scaled e4 for the deterministic output boundary.
+
+    The scale shape is threshold-then-filter (the q_llm_quality_gate
+    pattern): ONE exact-percentile aggregate produces a tiny per-type
+    fence table that broadcasts back over the fact scan — never a global
+    sort or a percent_rank window over the events. At extreme scale swap
+    the exact percentile for approx_percentile with a documented
+    tolerance; the fence comparison is unchanged. Fence doubles are
+    bit-identical across engines (identical interpolation on identical
+    values), so the outlier comparisons agree exactly."""
+    e = load_tables(spark, sf_dir)["events"]
+    b = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    f = b.select(
+        F.col("event_type").alias("et"),
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    joined = e.join(F.broadcast(f), e["event_type"] == F.col("et"))
+    is_out = ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).cast("long")
+    return joined.groupBy("event_type", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(is_out).alias("n_outliers"),
+    ).select(
+        "event_type",
+        "n_events",
+        "n_outliers",
+        F.floor(F.col("lo") * 10000).cast("long").alias("lo_e4"),
+        F.floor(F.col("hi") * 10000).cast("long").alias("hi_e4"),
+    )
