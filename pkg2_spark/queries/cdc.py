@@ -326,3 +326,75 @@ def q_dim_state_time(spark, sf_dir):
         F.sum(dur).alias("total_us"),
         F.max(dur).alias("max_us"),
     )
+
+
+@query(
+    "q_cdc_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey AS key, round(o_totalprice, 2) AS price, o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 13 <> 0
+),
+new AS (
+  SELECT o_orderkey AS key,
+         CASE WHEN o_orderkey % 5 = 0 THEN round(o_totalprice + 50, 2)
+              ELSE round(o_totalprice, 2) END AS price,
+         o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 11 <> 0
+),
+d AS (
+  SELECT coalesce(o.key, n.key) AS key,
+         CASE WHEN o.key IS NULL THEN 'added'
+              WHEN n.key IS NULL THEN 'removed'
+              WHEN o.price <> n.price OR o.status <> n.status THEN 'changed'
+              ELSE 'unchanged' END AS diff_status
+  FROM old o FULL OUTER JOIN new n ON o.key = n.key
+)
+SELECT diff_status,
+       count(*) AS n_rows,
+       CAST(sum(key % 97) AS BIGINT) AS key_checksum
+FROM d GROUP BY diff_status
+""",
+)
+def q_cdc_snapshot_diff(spark, sf_dir):
+    """Snapshot diff — the table-versioning audit (Delta/Iceberg
+    time-travel DIFF, or validating a re-ingested package index against
+    yesterday's): classify every key across two snapshot versions as
+    added / removed / changed / unchanged and emit per-class counts plus
+    an order-insensitive key checksum. The two versions are deterministic
+    derivations of orders (modulus-carved deletes/inserts, price bumps on
+    keys % 5), so the diff exercises all four classes.
+
+    Topology: ONE full-outer shuffle join on the snapshot key — identical
+    to q_cdc_merge's shape — then a map-side-combined class aggregate.
+    With both snapshots bucketed on the key (q_sink_bucketed), the join is
+    exchange-free and the diff cost is a linear co-partitioned scan,
+    which is how a 100 TB table diff stays tractable."""
+    o = load_tables(spark, sf_dir)["orders"]
+    old = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    new = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("key2"),
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.round(F.col("o_totalprice") + 50, 2)
+        ).otherwise(F.round("o_totalprice", 2)).alias("price2"),
+        F.col("o_orderstatus").alias("status2"),
+    )
+    d = old.join(new, old["key"] == new["key2"], "full_outer").select(
+        F.coalesce("key", "key2").alias("key"),
+        F.when(F.col("key").isNull(), F.lit("added"))
+        .when(F.col("key2").isNull(), F.lit("removed"))
+        .when(
+            (F.col("price") != F.col("price2")) | (F.col("status") != F.col("status2")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("diff_status"),
+    )
+    return d.groupBy("diff_status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("key") % 97).cast("long").alias("key_checksum"),
+    )
