@@ -560,3 +560,57 @@ def q_stream_rt_join_left(spark, sf_dir):
         F.sum(F.col("p_ts").isNotNull().cast("long")).alias("n_matched"),
         F.round(F.sum(F.coalesce("p_value", F.lit(0.0))), 2).alias("sum_matched_value"),
     )
+
+
+@query(
+    "q_stream_rt_score",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+),
+f AS (
+  SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM b
+)
+SELECT e.event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM events e JOIN f ON e.event_type = f.event_type
+GROUP BY e.event_type
+""",
+)
+def q_stream_rt_score(spark, sf_dir):
+    """Model-broadcast streaming scoring: fences FIT in batch (q_dq_anomaly's
+    exact-percentile Tukey fences over the historical table), then applied
+    to a REAL event stream — each micro-batch joins the tiny static fence
+    table (broadcast, no stream shuffle for the join) and counts outliers
+    per type. This is the fit-offline/score-online topology every streaming
+    anomaly or model-scoring pipeline runs; swap the fence table for any
+    broadcastable model artifact (thresholds, centroids, weights) and the
+    plan shape is unchanged. The availableNow replay of the full table must
+    reproduce the batch answer exactly — which is the check."""
+    from pkg2_spark.streaming.harness import events_stream, run_to_memory
+
+    hist = load_tables(spark, sf_dir)["events"]
+    b = hist.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    fences = b.select(
+        F.col("event_type").alias("et"),
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    stream = events_stream(spark, sf_dir)
+    scored = stream.join(F.broadcast(fences), stream["event_type"] == F.col("et"))
+    is_out = ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).cast(
+        "long"
+    )
+    agg = scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(is_out).alias("n_outliers"),
+    )
+    return run_to_memory(agg, "rt_score")
