@@ -10,6 +10,7 @@ same parse + query in SQL.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from pkg2_spark.engine import Engine, version_key
 from pkg2_spark.queries.relational import _APKINDEX_PATH, _REPO_DIR
@@ -431,3 +432,80 @@ def q_pkg_version_order(spark, sf_dir):
     eng = Engine(spark)
     p = eng.ingest_apkindex(_APKINDEX_PATH)
     return p.select("name", "version", version_key(F.col("version")).alias("vkey"))
+
+
+@query(
+    "q_pkg_outdated",
+    oracle=f"""
+WITH {_APK_PKGS_CTE.strip()},
+{_DEB_PKGS_CTE.strip()},
+{_ARCH_PKGS_CTE.strip()},
+{_RPM_PKGS_CTE.strip()},
+allpkgs AS (
+  SELECT 'alpine' AS distro, name, version FROM apk_pkgs
+  UNION ALL SELECT 'debian', name, version FROM deb_pkgs
+  UNION ALL SELECT 'arch', name, version FROM arch_pkgs
+  UNION ALL SELECT 'fedora', name, version FROM rpm_pkgs
+),
+keyed AS (
+  SELECT distro, name, version,
+         {_VKEY_SQL.format(c="version")} AS vkey
+  FROM allpkgs
+),
+newest AS (
+  SELECT name, version AS fixed_version, vkey AS fixed_vkey FROM keyed
+  QUALIFY row_number() OVER (
+    PARTITION BY name
+    ORDER BY vkey DESC NULLS LAST, version DESC NULLS LAST, distro ASC NULLS LAST
+  ) = 1
+)
+SELECT k.distro, k.name, k.version, n.fixed_version
+FROM keyed k JOIN newest n ON k.name = n.name
+WHERE k.vkey < n.fixed_vkey
+""",
+)
+def q_pkg_outdated(spark, sf_dir):
+    """Cross-distro outdated-package scan (the operational core of a
+    vulnerability sweep: "which installed builds are older than the newest
+    known build of that package anywhere"): federate all four index
+    formats, compute the numeric-aware version sort key, take the max per
+    package name, and flag every (distro, version) strictly below it.
+
+    The version INEQUALITY rides entirely on the zero-padded numeric key
+    (engine.py::version_key — the q_pkg_latest semantics), so 1.1.10 sorts
+    above 1.1.9 and a real advisory feed slots in by replacing `newest`
+    with (name, fixed_version) rows. One window per name + one broadcast
+    join back; at repo scale both are keyed by package name."""
+    eng = Engine(spark)
+
+    def norm(df, distro):
+        return df.select(F.lit(distro).alias("distro"), "name", "version")
+
+    allpkgs = (
+        norm(eng.ingest_apkindex(_APKINDEX_PATH), "alpine")
+        .unionByName(norm(eng.ingest_debian_packages(_PACKAGES_PATH), "debian"))
+        .unionByName(norm(eng.ingest_archdesc(_ARCHDESC_PATH), "arch"))
+        .unionByName(norm(eng.ingest_rpm_primary(_RPMPRIMARY_PATH), "fedora"))
+    )
+    keyed = allpkgs.select(
+        "distro", "name", "version", version_key(F.col("version")).alias("vkey")
+    )
+    w = Window.partitionBy("name").orderBy(
+        F.col("vkey").desc_nulls_last(),
+        F.col("version").desc_nulls_last(),
+        F.col("distro").asc_nulls_last(),
+    )
+    newest = (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("name").alias("n2"),
+            F.col("version").alias("fixed_version"),
+            F.col("vkey").alias("fixed_vkey"),
+        )
+    )
+    return (
+        keyed.join(F.broadcast(newest), keyed["name"] == F.col("n2"))
+        .filter(F.col("vkey") < F.col("fixed_vkey"))
+        .select("distro", "name", "version", "fixed_version")
+    )
