@@ -398,3 +398,68 @@ def q_cdc_snapshot_diff(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("key") % 97).cast("long").alias("key_checksum"),
     )
+
+
+@query(
+    "q_ivm_agg",
+    oracle="""
+WITH final_state AS (
+  SELECT l_returnflag, l_quantity FROM lineitem
+  WHERE l_linenumber % 2 = 0 AND NOT l_orderkey % 7 = 0
+  UNION ALL
+  SELECT l_returnflag, l_quantity FROM lineitem
+  WHERE l_linenumber % 2 = 1
+)
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       CAST(sum(CAST(floor(l_quantity * 10000) AS BIGINT)) AS BIGINT) AS sum_qty_e4
+FROM final_state GROUP BY l_returnflag
+""",
+)
+def q_ivm_agg(spark, sf_dir):
+    """Incremental view maintenance for a GROUP BY aggregate (the twin of
+    q_ivm_join): a materialized per-group (count, sum) view absorbs a mixed
+    insert+delete batch via SIGNED deltas — each delta row carries +1/-1 and
+    merges with one tiny group-keyed aggregate, never a rescan of the base.
+    count and the floor-scaled integer sum are both self-maintainable under
+    deletion (unlike min/max, which need a rescan or an auxiliary
+    structure — the classic IVM asymmetry). The oracle aggregates the final
+    state directly; equality proves the signed-delta algebra is exact.
+
+    Base = even line numbers; deletes = base rows with l_orderkey % 7 = 0;
+    inserts = odd line numbers. At 100 TB the merge cost tracks the DELTA
+    group count (map-side combined), while the materialized view is only
+    ever touched per group key."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    qty_e4 = F.floor(F.col("l_quantity") * 10000).cast("long")
+    base = li.filter(F.col("l_linenumber") % 2 == 0)
+    # Materialized view state (computed once at build time in a real system)
+    view = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(qty_e4).alias("sum_qty_e4"),
+    )
+    deletes = base.filter(F.col("l_orderkey") % 7 == 0).select(
+        "l_returnflag", F.lit(-1).alias("sign"), qty_e4.alias("q")
+    )
+    inserts = li.filter(F.col("l_linenumber") % 2 == 1).select(
+        "l_returnflag", F.lit(1).alias("sign"), qty_e4.alias("q")
+    )
+    delta = (
+        deletes.unionByName(inserts)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("sign").alias("d_n"),
+            F.sum(F.col("sign") * F.col("q")).alias("d_sum"),
+        )
+    )
+    return (
+        view.join(delta, "l_returnflag", "full_outer")
+        .select(
+            "l_returnflag",
+            (F.coalesce("n_rows", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n_rows"),
+            (
+                F.coalesce("sum_qty_e4", F.lit(0)) + F.coalesce("d_sum", F.lit(0))
+            ).cast("long").alias("sum_qty_e4"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
