@@ -49,6 +49,11 @@ TIER2 = [
     "q_pkg_resolve",
     "q_stream_rt_join",
     "q_sql_tpch_q5",
+    # round-5 additions: the re-shaped keep-best resolution (r4's slowest
+    # query, 12.6s -> ~5s after the bucket cap + contraction components)
+    # and the IVF-cell semantic dedup
+    "q_llm_keep_best",
+    "q_llm_semdedup",
 ]
 
 

@@ -297,3 +297,51 @@ def test_semdedup_components_are_cluster_consistent(spark, sf_dir):
     for r in rows:
         assert r["n_members"] >= 2, r
         assert r["component"] < r["max_member"], r
+
+
+def test_version_key_orders_like_numeric_tuples():
+    # version_key's zero-padded join must order EXACTLY like the numeric
+    # component tuple — the property q_pkg_latest/q_pkg_outdated ride on
+    # (1.1.10 above 1.1.9, 1.36.1 above 1.35.0, epoch prefixes dominant).
+    import re as _re
+
+    from hypothesis import given, strategies as st
+
+    def py_key(v):
+        return [int(x) for x in _re.findall(r"[0-9]+", v)]
+
+    @given(
+        st.lists(
+            st.lists(st.integers(min_value=0, max_value=999999), min_size=1, max_size=5),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    def check(tuples):
+        versions = [".".join(str(c) for c in t) for t in tuples]
+        # the SQL expression mirrored in Python: lpad each numeric run to 6
+        keys = [
+            ".".join(x.zfill(6) for x in _re.findall(r"[0-9]+", v)) for v in versions
+        ]
+        by_key = sorted(range(len(versions)), key=lambda i: keys[i])
+        by_num = sorted(range(len(versions)), key=lambda i: (py_key(versions[i]), keys[i]))
+        # equal numeric tuples may tie; compare the sorted key sequences
+        assert [keys[i] for i in by_key] == [keys[i] for i in by_num]
+
+    check()
+
+
+def test_resolve_components_empty_and_selfloop_edges(spark):
+    # Degenerate inputs must not wedge the contraction loop: an empty edge
+    # set yields an empty mapping; self-loops are dropped by the a != b
+    # filter and never spin a round.
+    import pyspark.sql.functions as F2
+
+    from pkg2_spark.operators.dedup import resolve_components
+
+    empty = spark.createDataFrame([], "src BIGINT, dst BIGINT")
+    assert resolve_components(empty).count() == 0
+    loops = spark.createDataFrame([(1, 1), (2, 2), (2, 3)], "src BIGINT, dst BIGINT")
+    rows = {r["node"]: r["component"] for r in resolve_components(loops).collect()}
+    assert rows[2] == 2 and rows[3] == 2
+    assert rows.get(1, 1) == 1
