@@ -136,3 +136,86 @@ def q_mm_resize(spark, sf_dir):
 
     d = load_tables(spark, sf_dir)["documents"]
     return resize_features(with_binary_payload(d))
+
+
+def _phash_sql(src: str) -> str:
+    """16-bit perceptual-hash from 16 payload bytes (bit i = byte i > 127),
+    as engine-shared SQL over a lowercase hex string expression — instr()
+    and substring() behave identically in Spark SQL and DuckDB."""
+    terms = []
+    for i in range(16):
+        hi = f"(instr('0123456789abcdef', substring({src}, {2 * i + 1}, 1)) - 1)"
+        lo = f"(instr('0123456789abcdef', substring({src}, {2 * i + 2}, 1)) - 1)"
+        terms.append(f"(CAST(({hi} * 16 + {lo}) > 127 AS INTEGER) * {1 << i})")
+    return " + ".join(terms)
+
+
+@query(
+    "q_mm_phash_dup",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, ({_phash_sql("md5(text)")}) AS phash FROM documents
+),
+c AS (
+  SELECT doc_id, phash, 0 AS chunk_id, phash % 256 AS chunk_val FROM p
+  UNION ALL
+  SELECT doc_id, phash, 1 AS chunk_id, phash // 256 AS chunk_val FROM p
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.phash AS pa, b.doc_id AS doc_b, b.phash AS pb
+  FROM c a JOIN c b
+    ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(pa, pb)) <= 1
+""",
+)
+def q_mm_phash_dup(spark, sf_dir):
+    """Perceptual-hash near-dup detection over the BINARY media column —
+    the image-dedup step of a multimodal pipeline: derive a 16-bit pHash
+    from the payload bytes (bit per byte > 127; on real media these are
+    DCT coefficients, here the deterministic stub bytes), block candidate
+    pairs by pHash half (pigeonhole: Hamming <= 1 implies one identical
+    half — COMPLETE blocking, the q_llm_simhash_dup idiom applied to
+    media), and verify exact Hamming via bit_count(xor).
+
+    The pHash computes JVM-side from hex(payload) — the binary column
+    round-trips through hex so no Python touches the pairing path; the
+    oracle rebuilds identical bytes from md5(text) (the payload's
+    generator). Blocking key cardinality is 256 per half — on real
+    corpora use 64-bit pHashes with k+1 chunks for Hamming <= k."""
+    d = load_tables(spark, sf_dir)["documents"]
+    t = with_binary_payload(d)
+    hexp = "lower(hex(payload))"
+    p = t.select("doc_id", F.expr(_phash_sql(hexp)).alias("phash"))
+    c = p.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("chunk_id"), (F.col("phash") % 256).alias("chunk_val")),
+                F.struct(F.lit(1).alias("chunk_id"), (F.col("phash") / F.lit(256)).cast("int").alias("chunk_val")),
+            )
+        ).alias("ch"),
+    ).select("doc_id", "phash", F.col("ch.chunk_id").alias("chunk_id"), F.col("ch.chunk_val").alias("chunk_val"))
+    a = c.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa"), "chunk_id", "chunk_val")
+    b = c.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("pb"),
+        F.col("chunk_id").alias("cid2"),
+        F.col("chunk_val").alias("cval2"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("chunk_id") == F.col("cid2"))
+            & (F.col("chunk_val") == F.col("cval2"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "pa", "doc_b", "pb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("pa ^ pb"))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= 1)
