@@ -272,3 +272,20 @@ def test_tpch_composites_broadcast_dims_under_cbo(spark, sf_dir):
             assert n_bnlj <= 1, f"{name}: {n_bnlj} BNLJs"
         else:
             assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ"
+
+
+def test_round5_operators_plan_shapes(spark, sf_dir):
+    # New-operator plan pins: PQ's only nested loop is the constant-16
+    # broadcast codebook; the pairing paths (pHash, winnow overlap,
+    # triangles) stay equi-join shaped with no Python nodes and no
+    # cartesian products.
+    pq = _plan(spark, sf_dir, "q_vec_pq")
+    assert "BroadcastNestedLoopJoin" in pq  # the codebook cross, broadcast
+    assert "CartesianProduct" not in pq
+    for name in ["q_mm_phash_dup", "q_llm_winnow_dup", "q_graph_triangles",
+                 "q_sketch_kmv", "q_llm_semdedup", "q_cdc_snapshot_diff",
+                 "q_dq_anomaly", "q_ivm_agg", "q_pkg_outdated"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        for marker in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+            assert marker not in plan, (name, marker)
