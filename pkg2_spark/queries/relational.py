@@ -799,3 +799,54 @@ def q_fn_zorder(spark, sf_dir):
         yb = F.shiftright("y", i).bitwiseAND(F.lit(1)) * (1 << (2 * i + 1))
         z = xb + yb if z is None else z + xb + yb
     return b.select("o_orderkey", "x", "y", z.cast("long").alias("zvalue"))
+
+
+@query(
+    "q_scan_dpp",
+    oracle="""
+WITH dim AS (
+  SELECT o_orderstatus AS status FROM orders
+  QUALIFY row_number() OVER (
+    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS LAST
+  ) = 1
+)
+SELECT o.o_orderstatus, o.o_orderpriority,
+       count(*) AS n,
+       CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_e2
+FROM orders o JOIN dim ON o.o_orderstatus = dim.status
+GROUP BY o.o_orderstatus, o.o_orderpriority
+""",
+)
+def q_scan_dpp(spark, sf_dir):
+    """Dynamic partition pruning (SURVEY §4.1's partition-pruning row): the
+    fact side is the o_orderstatus-partitioned parquet layout written by
+    q_sink_parquet, the dim side is a small filtered status list — at plan
+    time the partition filter is UNKNOWN (the dim is the status of the
+    single top-value order, a window result — deliberately NOT a literal,
+    which Catalyst would constant-propagate into a static filter), so the
+    optimizer injects a dynamicpruning#N subquery that evaluates the dim
+    first and prunes fact PARTITION DIRECTORIES before they are ever read.
+    tests/test_plans.py pins the dynamicpruning expression in the scan's
+    PartitionFilters; at 100 TB this is the difference between scanning
+    one date/status partition and scanning the table. Sum emitted as
+    floor-scaled e2 cents (the §2.13 integer discipline)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    path = fixture_path("sink_parquet", sf_dir)
+    if not fixture_ready(path, sf_dir):
+        o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    fact = spark.read.parquet(path)
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy(
+        F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey").asc_nulls_last()
+    )
+    dim = (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("o_orderstatus").alias("status"))
+    )
+    joined = fact.join(dim, fact["o_orderstatus"] == dim["status"])
+    return joined.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).cast("long").alias("sum_price_e2"),
+    )

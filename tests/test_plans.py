@@ -289,3 +289,14 @@ def test_round5_operators_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         for marker in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
             assert marker not in plan, (name, marker)
+
+
+def test_dpp_fires_on_partitioned_fact_scan(spark, sf_dir):
+    # Dynamic partition pruning (SURVEY §4.1): the status-partitioned fact
+    # scan must carry a dynamicpruning expression in its PartitionFilters —
+    # the dim side is a window result, so the pruning key is only known at
+    # run time and Catalyst must inject the subquery filter rather than
+    # scanning every partition directory.
+    plan = _plan(spark, sf_dir, "q_scan_dpp")
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and any("dynamicpruning" in ln for ln in pf), pf
