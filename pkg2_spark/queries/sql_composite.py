@@ -272,3 +272,73 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
 def q_sql_tpch_q19(spark, sf_dir):
     load_tables(spark, sf_dir)
     return spark.sql(_Q19)
+
+
+# TPC-H Q13 shape: customer order-count distribution — the LEFT OUTER join
+# + double aggregation (per-customer count, then count-of-counts) that
+# exercises outer-join null handling through aggregation. This schema has
+# no o_comment; the "excluded orders" filter is an o_orderpriority class.
+_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+"""
+
+
+@query("q_sql_tpch_q13", oracle=_Q13)
+def q_sql_tpch_q13(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q13)
+
+
+# TPC-H Q18 shape: large-volume customers — the grouped-HAVING IN-subquery
+# (decorrelated by Spark into a semi-join on the aggregated key set).
+# Quantity totals are exact doubles summed per key; the emitted total
+# follows the floor-e2 integer discipline.
+_Q18 = """
+SELECT c.c_name, o.o_orderkey,
+       CAST(floor(sum(l.l_quantity) * 100) AS BIGINT) AS total_qty_e2
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+)
+GROUP BY c.c_name, o.o_orderkey
+"""
+
+
+@query("q_sql_tpch_q18", oracle=_Q18)
+def q_sql_tpch_q18(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q18)
+
+
+# TPC-H Q22 shape: global sales opportunity — above-average-balance
+# customers with NO urgent orders: one scalar subquery (broadcast 1-row
+# aggregate) + one anti-join (decorrelated NOT EXISTS). This schema has no
+# phone column; the country grouping is the customer's nation key bucket,
+# and the anti-join is restricted to '1-URGENT' orders so the result is
+# non-trivial on this corpus (every customer has SOME order).
+_Q22 = """
+SELECT CAST(c_nationkey % 5 AS INTEGER) AS cntry_bucket,
+       count(*) AS numcust,
+       CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_e2
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY CAST(c_nationkey % 5 AS INTEGER)
+"""
+
+
+@query("q_sql_tpch_q22", oracle=_Q22)
+def q_sql_tpch_q22(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q22)
