@@ -1071,3 +1071,62 @@ def q_llm_winnow_dup(spark, sf_dir):
         F.col("n_shared").cast("long").alias("n_shared"),
         F.expr("n_shared * 10000 DIV least(na, nb)").cast("long").alias("overlap_bp"),
     )
+
+
+@query(
+    "q_llm_mix_temperature",
+    oracle="""
+WITH s AS (
+  SELECT source,
+         count(*) AS n_docs,
+         sum(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS n_tokens
+  FROM documents GROUP BY source
+),
+k AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS sqrt_e6
+  FROM s
+),
+t AS (SELECT sum(sqrt_e6) AS total_e6 FROM k)
+SELECT k.source,
+       CAST(k.n_docs AS BIGINT) AS n_docs,
+       CAST(k.n_tokens AS BIGINT) AS n_tokens,
+       CAST(k.sqrt_e6 * 10000 // t.total_e6 AS BIGINT) AS weight_bp
+FROM k CROSS JOIN t
+""",
+)
+def q_llm_mix_temperature(spark, sf_dir):
+    """Temperature-scaled data-mixing weights (the sampling schedule of
+    multi-domain pretraining): per-source sampling weight proportional to
+    n_tokens^(1/2) — temperature T=2 flattens the natural distribution so
+    small domains are upsampled, the standard alternative to proportional
+    mixing. Emitted in basis points.
+
+    Determinism: sqrt is IEEE-correctly-rounded (bit-identical on both
+    engines for the same BIGINT input), and everything after the per-row
+    sqrt is exact integer math — per-source floor(sqrt·1e6) BIGINTs, an
+    exact integer total, integer DIV for the weights. Summing the raw
+    DOUBLE sqrts would reintroduce summation-order nondeterminism (the
+    test_determinism_discipline class); the e6 floor-scaling removes it.
+    Topology: one source-keyed hash-agg + a 1-row broadcast total — the
+    q_llm_domain_mix shape with the temperature transform on top."""
+    d = load_tables(spark, sf_dir)["documents"]
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_col("text"))).alias("n_tokens"),
+    )
+    k = s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000)
+        .cast("long")
+        .alias("sqrt_e6"),
+    )
+    t = k.agg(F.sum("sqrt_e6").alias("total_e6"))
+    return k.crossJoin(F.broadcast(t)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.expr("sqrt_e6 * 10000 DIV total_e6").cast("long").alias("weight_bp"),
+    )
