@@ -300,3 +300,45 @@ def test_dpp_fires_on_partitioned_fact_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_scan_dpp")
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and any("dynamicpruning" in ln for ln in pf), pf
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark, sf_dir):
+    # Spark's runtime row-level filtering (the shuffle-join complement to
+    # DPP): a selective filter on the creation side lets the optimizer
+    # inject bloom_filter_agg over the join key and semi-filter the big
+    # side's scan before the shuffle. Thresholds: creationSideThreshold is
+    # a MAX on the build side's size (raising it widens eligibility — the
+    # 1KB probe in development disabled injection entirely), while the
+    # application-side scan threshold is a MIN. At 100 TB this conf pair
+    # is how a 0.1% dim filter stops a full fact shuffle.
+    from pkg2_spark.catalog import load_tables
+
+    t = load_tables(spark, sf_dir)
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = (
+            t["lineitem"]
+            .join(
+                t["orders"].filter(F.col("o_orderpriority") == "1-URGENT"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("l_returnflag")
+            .count()
+        )
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan, "runtime bloom filter was not injected"
+    assert "might_contain" in plan
