@@ -40,8 +40,12 @@ _POWERS = [268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1]
 
 
 def _v32_spark(h: str) -> str:
+    # Each digit term is widened to BIGINT BEFORE the power multiply: under
+    # ANSI mode an INT digit 15 * 16^7 overflows 32 bits (latent in the KMV
+    # queries only because k-th MINIMUM hashes start with '0'; fatal the
+    # moment an arbitrary hash is folded, as Count-Min does).
     terms = " + ".join(
-        f"(instr('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1) * {p}"
+        f"CAST(instr('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1 AS BIGINT) * {p}"
         for i, p in enumerate(_POWERS)
     )
     return f"CAST({terms} AS BIGINT)"
@@ -49,7 +53,7 @@ def _v32_spark(h: str) -> str:
 
 def _v32_sql(h: str) -> str:
     return " + ".join(
-        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) * {p}"
+        f"CAST(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1 AS BIGINT) * {p}"
         for i, p in enumerate(_POWERS)
     )
 
@@ -201,4 +205,108 @@ def q_sketch_kmv_merge(spark, sf_dir):
         F.expr(f"{_NUM} DIV ({_v32_spark('mh')})").cast("long").alias("est_merged"),
         F.expr(f"{_NUM} DIV ({_v32_spark('dh')})").cast("long").alias("est_direct"),
         (F.col("mh") == F.col("dh")).cast("int").alias("merge_exact"),
+    )
+
+
+# --- Count-Min sketch: d=4 hash rows × w=256 buckets over token frequencies.
+_CM_D = 4
+_CM_W = 256
+
+
+def _cm_bucket_sql(tok: str, j: int) -> str:
+    """Bucket index of `tok` in hash row j — v32 of md5(tok || ':j') mod w,
+    identical arithmetic in both engines."""
+    return f"(({_v32_sql(f'md5({tok} || chr(58) || {j!r})')}) % {_CM_W})"
+
+
+def _cm_bucket_spark(tok: str, j: int) -> str:
+    return f"(({_v32_spark(f'md5({tok} || chr(58) || {j!r})')}) % {_CM_W})"
+
+
+@query(
+    "q_sketch_countmin",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+  FROM documents
+),
+cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+cm AS (
+  SELECT j, bucket, sum(c) AS cell FROM (
+    {" UNION ALL ".join(f"SELECT {j} AS j, {_cm_bucket_sql('token', str(j))} AS bucket, c FROM cnt" for j in range(_CM_D))}
+  ) GROUP BY j, bucket
+),
+probes AS (
+  SELECT token, c AS exact_cnt FROM cnt
+  QUALIFY row_number() OVER (
+    ORDER BY md5(token) ASC NULLS LAST, token ASC NULLS LAST
+  ) <= 5
+),
+est AS (
+  SELECT p.token, p.exact_cnt, min(cm.cell) AS cm_est
+  FROM probes p
+  JOIN cm ON {" OR ".join(f"(cm.j = {j} AND cm.bucket = {_cm_bucket_sql('p.token', str(j))})" for j in range(_CM_D))}
+  GROUP BY p.token, p.exact_cnt
+)
+SELECT token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cm_est AS BIGINT) AS cm_est,
+       CAST(cm_est >= exact_cnt AS INTEGER) AS no_undercount
+FROM est
+""",
+)
+def q_sketch_countmin(spark, sf_dir):
+    """Count-Min sketch over token frequencies — deterministic like the KMV
+    sketch (md5-derived bucket hashes), so the WHOLE sketch hash-matches the
+    oracle and its one-sided-error guarantee (estimate >= exact, always) is
+    verified as data, not trusted. d=4 hash rows × w=256 counters; probes
+    are five md5-ranked tokens compared against their exact counts.
+
+    Scale shape: token counting is one map-combined hash-agg; the sketch is
+    d tiny (j, bucket) aggregates over the COUNTED tokens (d×w = 1024 cells
+    total regardless of corpus size — the constant-memory property that
+    makes CM the streaming heavy-hitter structure); probing joins the
+    constant-size cell table. At 100 TB the cells fit in one broadcast and
+    the sketch merges across partitions by cell-wise addition."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+        ).alias("token")
+    )
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    rows = []
+    for j in range(_CM_D):
+        rows.append(
+            cnt.select(
+                F.lit(j).alias("j"),
+                F.expr(_cm_bucket_spark("token", str(j))).alias("bucket"),
+                "c",
+            )
+        )
+    cells = rows[0]
+    for r in rows[1:]:
+        cells = cells.unionByName(r)
+    cm = cells.groupBy("j", "bucket").agg(F.sum("c").alias("cell"))
+    w = Window.orderBy(F.md5("token").asc_nulls_last(), F.col("token").asc_nulls_last())
+    probes = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("token", F.col("c").alias("exact_cnt"))
+    )
+    cond = None
+    for j in range(_CM_D):
+        this = (F.col("j") == j) & (
+            F.col("bucket") == F.expr(_cm_bucket_spark("token", str(j)))
+        )
+        cond = this if cond is None else (cond | this)
+    est = (
+        probes.join(F.broadcast(cm), cond)
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cell").alias("cm_est"))
+    )
+    return est.select(
+        "token",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("cm_est").cast("long").alias("cm_est"),
+        (F.col("cm_est") >= F.col("exact_cnt")).cast("int").alias("no_undercount"),
     )
