@@ -56,6 +56,12 @@ TIER2 = [
     "q_llm_semdedup",
 ]
 
+# Complete TPC-H suite (22/22 shapes registered since round 5). Reported as
+# one aggregate number (tpch_total) — the classic composite-workload figure
+# of merit — plus per-query entries. Pure SQL plans: same steady-state
+# methodology as HEADLINE.
+TPCH = [f"q_sql_tpch_q{n}" for n in range(1, 23)]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -91,6 +97,17 @@ def main() -> int:
             runs.append(time.perf_counter() - t0)
         tier2[name] = round(sorted(runs)[1], 4)
 
+    tpch: dict[str, float] = {}
+    for name in TPCH:
+        df = queries[name](spark, sf_dir)
+        df.collect()
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.collect()
+            runs.append(time.perf_counter() - t0)
+        tpch[name] = round(sorted(runs)[1], 4)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -98,8 +115,9 @@ def main() -> int:
                 "metric": "headline_warm_total",
                 "value": total,
                 "unit": "sec",
-                "queries": {**timings, **tier2},
+                "queries": {**timings, **tier2, **tpch},
                 "tier2_total": round(sum(tier2.values()), 4),
+                "tpch_total": round(sum(tpch.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

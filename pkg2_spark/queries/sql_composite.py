@@ -342,3 +342,287 @@ GROUP BY CAST(c_nationkey % 5 AS INTEGER)
 def q_sql_tpch_q22(spark, sf_dir):
     load_tables(spark, sf_dir)
     return spark.sql(_Q22)
+
+
+# TPC-H Q2 shape: minimum-cost supplier. This schema has no partsupp table,
+# so the supply relation is the DISTINCT (l_partkey, l_suppkey) pairs
+# observed in lineitem, and the "supply cost" stand-in is s_acctbal. The
+# structural load is Q2's: a correlated scalar-min subquery over the same
+# 4-table snowflake as the outer query, which Catalyst decorrelates into an
+# aggregate + join (no per-row re-execution). Balances are emitted as
+# floor-e2 integers; p_partkey/s_name tiebreaks pin the LIMIT.
+_Q2 = """
+WITH supply AS (
+  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem
+)
+SELECT CAST(floor(s_acctbal * 100) AS BIGINT) AS acctbal_e2,
+       s_name, n_name, p_partkey, p_name
+FROM part
+JOIN supply   ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_size = 15 AND p_type = 'PROMO' AND r_name = 'ASIA'
+  AND s_acctbal = (
+    SELECT min(s2.s_acctbal)
+    FROM supply ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA'
+  )
+ORDER BY acctbal_e2 ASC, p_partkey ASC, s_name ASC
+LIMIT 100
+"""
+
+
+@query("q_sql_tpch_q2", oracle=_Q2)
+def q_sql_tpch_q2(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q2)
+
+
+# TPC-H Q8: national market share — the CASE-sum ratio over the 8-table
+# join (two nation roles: customer's region restricts the market, the
+# supplier's nation is the share numerator). Both ratio legs are
+# floor-scaled-e4 integer sums (see _Q6 note), so the single double
+# division sees bit-identical operands in both engines.
+_Q8 = """
+SELECT o_year,
+       round(CAST(share_num_e4 AS DOUBLE) / CAST(share_den_e4 AS DOUBLE), 4)
+       AS mkt_share
+FROM (
+  SELECT o_year,
+         CAST(sum(CASE WHEN nation = 'NATION_3' THEN vol_e4
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS share_num_e4,
+         CAST(sum(vol_e4) AS BIGINT) AS share_den_e4
+  FROM (
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS vol_e4,
+           n2.n_name AS nation
+    FROM part
+    JOIN lineitem  ON p_partkey = l_partkey
+    JOIN supplier  ON s_suppkey = l_suppkey
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region    ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  ) all_nations
+  GROUP BY o_year
+) shares
+"""
+
+
+@query("q_sql_tpch_q8", oracle=_Q8)
+def q_sql_tpch_q8(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q8)
+
+
+# TPC-H Q11 shape: important stock identification — per-key value with a
+# HAVING-over-scalar-subquery threshold. No partsupp: value is the
+# nation's lineitem revenue per part. Q11's literal "fraction of the
+# global total" threshold is scale-DEPENDENT (TPC-H divides it by SF;
+# a fixed 0.001 empties the result at sf0.1), so the threshold here is
+# scale-free: parts worth more than 2x the mean part value. Per-part
+# values are exact e4 integer sums; avg() divides that exact integer sum
+# by an exact count, so both engines compare against the same double.
+_Q11 = """
+WITH partval AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+              AS BIGINT) AS value_e4
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, value_e4
+FROM partval
+WHERE CAST(value_e4 AS DOUBLE) > (SELECT 2.0 * avg(CAST(value_e4 AS DOUBLE))
+                                  FROM partval)
+ORDER BY value_e4 DESC, l_partkey ASC
+"""
+
+
+@query("q_sql_tpch_q11", oracle=_Q11)
+def q_sql_tpch_q11(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q11)
+
+
+# TPC-H Q12 shape: shipping modes vs order priority. No l_shipmode /
+# l_commitdate / l_receiptdate in this schema: the grouped dimension is
+# l_linestatus and "late" is shipped >45 days after the order date
+# (interval arithmetic both dialects share). count(CASE WHEN..) keeps both
+# legs BIGINT in both engines without a sum-cast dance.
+_Q12 = """
+SELECT l_linestatus,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 45 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+@query("q_sql_tpch_q12", oracle=_Q12)
+def q_sql_tpch_q12(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q12)
+
+
+# TPC-H Q15: top supplier — the revenue-view + scalar-max pattern. The CTE
+# is evaluated for both the join input and the max; revenue is an exact e4
+# integer per supplier, so the max comparison is integer equality (none of
+# Q15's classic double-equality fragility).
+_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+              AS BIGINT) AS total_rev_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev_e4
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM revenue)
+ORDER BY s_suppkey ASC
+"""
+
+
+@query("q_sql_tpch_q15", oracle=_Q15)
+def q_sql_tpch_q15(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q15)
+
+
+# TPC-H Q16 shape: parts/supplier relationship — count(DISTINCT) per
+# attribute triple with a NOT IN supplier-exclusion subquery (the
+# "complaints" class here is negative account balance; 6 of 100 suppliers
+# at sf0.01, so the anti-join is non-trivial). supply = observed
+# (part, supp) pairs, as in _Q2.
+_Q16 = """
+WITH supply AS (
+  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem
+)
+SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM supply
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+
+@query("q_sql_tpch_q16", oracle=_Q16)
+def q_sql_tpch_q16(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q16)
+
+
+# TPC-H Q17: small-quantity-order revenue — correlated scalar-avg subquery
+# against the same fact table (decorrelated to a per-part aggregate +
+# join). l_quantity is integral (verified: zero fractional values at
+# sf0.01), so avg() is an exact small-integer-sum / count in both engines
+# and the 0.5 * avg threshold comparison cannot drift. The revenue total is
+# emitted as a floor-e2 integer instead of Q17's "/ 7.0" double.
+_Q17 = """
+SELECT CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+       AS total_rev_e2
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+@query("q_sql_tpch_q17", oracle=_Q17)
+def q_sql_tpch_q17(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q17)
+
+
+# TPC-H Q20 shape: potential part promotion — nested IN subqueries
+# (supplier IN (grouped-HAVING over a part-filtered year of lineitem)).
+# No partsupp/availqty: the HAVING threshold is absolute shipped quantity.
+# Both engines decorrelate the IN to a semi-join over the aggregate.
+_Q20 = """
+SELECT s_name, s_suppkey
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'red%'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity) > 100
+  )
+ORDER BY s_suppkey ASC
+"""
+
+
+@query("q_sql_tpch_q20", oracle=_Q20)
+def q_sql_tpch_q20(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q20)
+
+
+# TPC-H Q21 shape: suppliers who kept orders waiting — the EXISTS +
+# NOT EXISTS pair over the same derived relation ("some other supplier in
+# the order; no other supplier was ALSO late"). Lateness (shipped >60 days
+# after order date on a finished order) is materialized once in the CTE so
+# each correlated subquery references a single outer row — the form both
+# engines decorrelate to semi/anti joins. numwait DESC + s_name tiebreak
+# pins the LIMIT.
+_Q21 = """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+              THEN 1 ELSE 0 END AS late
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+)
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN l l1   ON s_suppkey = l1.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3' AND l1.late = 1
+  AND EXISTS (SELECT 1 FROM l l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.late = 1)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
+
+@query("q_sql_tpch_q21", oracle=_Q21)
+def q_sql_tpch_q21(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(_Q21)
