@@ -29,6 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from pkg2_spark.catalog import load_tables
+from pkg2_spark.operators.sampling import hash_split
 from pkg2_spark.registry import query
 
 _K = 64
@@ -309,4 +310,120 @@ def q_sketch_countmin(spark, sf_dir):
         F.col("exact_cnt").cast("long").alias("exact_cnt"),
         F.col("cm_est").cast("long").alias("cm_est"),
         (F.col("cm_est") >= F.col("exact_cnt")).cast("int").alias("no_undercount"),
+    )
+
+
+# --- Bloom filter: m=8192 bits, k=4 md5-derived positions per element.
+_BF_M = 8192
+_BF_K = 4
+
+
+def _bf_pos_sql(h: str, j: int) -> str:
+    """Bit position j of element-hash `h` — v32 of md5(h || ':j') mod m,
+    identical arithmetic in both engines (the Count-Min bucket scheme)."""
+    return f"(({_v32_sql(f'md5({h} || chr(58) || {j!r})')}) % {_BF_M})"
+
+
+def _bf_pos_spark(h: str, j: int) -> str:
+    return f"(({_v32_spark(f'md5({h} || chr(58) || {j!r})')}) % {_BF_M})"
+
+
+@query(
+    "q_sketch_bloom",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, source, md5(lower(text)) AS th,
+         CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+              WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+test_el AS (SELECT DISTINCT th FROM s WHERE split = 'test'),
+bits AS (
+  SELECT DISTINCT pos FROM (
+    {" UNION ALL ".join(f"SELECT {_bf_pos_sql('th', j)} AS pos FROM test_el" for j in range(_BF_K))}
+  )
+),
+probe AS (
+  SELECT doc_id, source, th, pos FROM (
+    {" UNION ALL ".join(f"SELECT doc_id, source, th, {_bf_pos_sql('th', j)} AS pos FROM s WHERE split = 'train'" for j in range(_BF_K))}
+  )
+),
+hits AS (
+  SELECT doc_id, source, th, count(*) AS nset
+  FROM probe WHERE pos IN (SELECT pos FROM bits)
+  GROUP BY doc_id, source, th
+),
+flagged AS (SELECT doc_id, source, th FROM hits WHERE nset = {_BF_K}),
+exact AS (SELECT doc_id FROM flagged WHERE th IN (SELECT th FROM test_el))
+SELECT s.source,
+       count(*) AS n_train_docs,
+       count(f.doc_id) AS n_flagged,
+       count(e.doc_id) AS n_exact_dup,
+       CAST(count(f.doc_id) - count(e.doc_id) AS BIGINT) AS n_false_pos
+FROM s
+LEFT JOIN flagged f ON s.doc_id = f.doc_id
+LEFT JOIN exact e   ON s.doc_id = e.doc_id
+WHERE s.split = 'train'
+GROUP BY s.source
+""",
+)
+def q_sketch_bloom(spark, sf_dir):
+    """Bloom-filter membership gate (the streaming/broadcast arm of
+    train-vs-test decontamination): the TEST split's normalized-text hashes
+    populate an m=8192-bit, k=4 filter; every TRAIN document probes it, and
+    a document is flagged iff all k of its positions are set. Because the
+    bit positions are md5-derived (the Count-Min bucket scheme) the WHOLE
+    filter is deterministic, so the oracle verifies the filter's defining
+    guarantees as data: every exact duplicate is flagged (no false
+    negatives, ever) and the false-positive overshoot is exactly the
+    flagged-minus-exact remainder, reported per source.
+
+    Scale shape: the filter is a constant-size distinct-position set
+    (<= m rows regardless of test-set size) — broadcast once, probed by a
+    single pass over the corpus with no shuffle on the probe side beyond
+    the per-doc count. This is the shape Spark's own runtime bloom-join
+    injection uses; here it is a first-class operator with its error
+    accounting checked. At 100 TB: build on the (small) eval corpus,
+    broadcast, gate the (huge) train corpus map-side."""
+    d = load_tables(spark, sf_dir)["documents"]
+    s = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).select(
+        "doc_id", "source", F.md5(F.lower(F.col("text"))).alias("th"), "split"
+    )
+    test_el = s.filter(F.col("split") == "test").select("th").distinct()
+    bit_rows = [
+        test_el.select(F.expr(_bf_pos_spark("th", j)).alias("pos"))
+        for j in range(_BF_K)
+    ]
+    bits = bit_rows[0]
+    for r in bit_rows[1:]:
+        bits = bits.unionByName(r)
+    bits = bits.distinct()
+    train = s.filter(F.col("split") == "train")
+    probe_rows = [
+        train.select(
+            "doc_id", "source", "th", F.expr(_bf_pos_spark("th", j)).alias("pos")
+        )
+        for j in range(_BF_K)
+    ]
+    probe = probe_rows[0]
+    for r in probe_rows[1:]:
+        probe = probe.unionByName(r)
+    hits = (
+        probe.join(F.broadcast(bits), "pos", "leftsemi")
+        .groupBy("doc_id", "source", "th")
+        .agg(F.count(F.lit(1)).alias("nset"))
+    )
+    flagged = hits.filter(F.col("nset") == _BF_K).select("doc_id", "source", "th")
+    exact = flagged.join(F.broadcast(test_el), "th", "leftsemi").select("doc_id")
+    return (
+        train.join(flagged.select("doc_id", F.lit(1).alias("fl")), "doc_id", "left")
+        .join(exact.select("doc_id", F.lit(1).alias("ex")), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.count("fl").alias("n_flagged"),
+            F.count("ex").alias("n_exact_dup"),
+            (F.count("fl") - F.count("ex")).cast("long").alias("n_false_pos"),
+        )
     )

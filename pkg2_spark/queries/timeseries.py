@@ -539,3 +539,236 @@ def q_dq_anomaly(spark, sf_dir):
         F.floor(F.col("lo") * 10000).cast("long").alias("lo_e4"),
         F.floor(F.col("hi") * 10000).cast("long").alias("hi_e4"),
     )
+
+
+@query(
+    "q_ts_ema",
+    oracle="""
+WITH RECURSIVE ev AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         CAST(floor(value * 100) AS BIGINT) AS v_e2
+  FROM events
+),
+ema AS (
+  SELECT user_id, rn, v_e2 AS ema_e2 FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT ev.user_id, ev.rn, (ev.v_e2 + ema.ema_e2) // 2
+  FROM ev JOIN ema ON ev.user_id = ema.user_id AND ev.rn = ema.rn + 1
+),
+last_rn AS (SELECT user_id, max(rn) AS n_events FROM ema GROUP BY user_id)
+SELECT e.user_id, CAST(l.n_events AS BIGINT) AS n_events,
+       CAST(e.ema_e2 AS BIGINT) AS ema_e2
+FROM ema e JOIN last_rn l ON e.user_id = l.user_id AND e.rn = l.n_events
+""",
+)
+def q_ts_ema(spark, sf_dir):
+    """Exponential moving average per user over the event stream — the
+    canonical sequential recurrence (ema_t = alpha*x_t + (1-alpha)*ema_{t-1})
+    that NO window frame expresses: each output depends on the previous
+    OUTPUT, not a previous input. This is the engine's ordered-state
+    operator proof for batch (q_stream_stateful is the streaming twin):
+    Spark runs it as applyInPandas per user key — embarrassingly parallel
+    ACROSS keys (one shuffle on user_id, Arrow-batched, sequential only
+    within a key, which is inherent to the recurrence) — while the oracle
+    recomputes it with a recursive CTE.
+
+    Determinism: alpha = 1/2 over floor-e2 integer inputs with integer
+    halving — (v + prev) // 2 — so every intermediate is an exact BIGINT
+    (event values are nonnegative, so floor- and truncating division
+    agree across Python, Spark, and DuckDB). Emits each user's final EMA."""
+    import pandas as pd
+
+    e = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "ts", "event_id", F.floor(F.col("value") * 100).cast("long").alias("v_e2")
+    )
+
+    def ema_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        ema = 0
+        for i, v in enumerate(pdf["v_e2"].astype("int64")):
+            ema = int(v) if i == 0 else (int(v) + ema) // 2
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "ema_e2": [ema],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        ema_fn, "user_id long, n_events long, ema_e2 long"
+    )
+
+
+@query(
+    "q_ts_interp",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         CAST(floor(value * 100) AS BIGINT) AS v_e2,
+         (event_id % 5 = 0) AS masked
+  FROM events
+),
+obs AS (
+  SELECT user_id, rn, v_e2, masked,
+         CASE WHEN NOT masked THEN v_e2 END AS v_obs,
+         CASE WHEN NOT masked THEN rn END AS rn_obs
+  FROM ev
+),
+nb AS (
+  SELECT user_id, rn, v_e2, masked,
+         last_value(v_obs IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+         last_value(rn_obs IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_rn,
+         first_value(v_obs IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY rn
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+         first_value(rn_obs IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY rn
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_rn
+  FROM obs
+)
+SELECT user_id, CAST(rn AS BIGINT) AS rn, v_e2 AS actual_e2,
+       CAST(prev_v + CAST(floor(CAST((next_v - prev_v) * (rn - prev_rn) AS DOUBLE)
+                                / (next_rn - prev_rn)) AS BIGINT) AS BIGINT) AS interp_e2,
+       CAST(abs(v_e2 - (prev_v + CAST(floor(CAST((next_v - prev_v) * (rn - prev_rn) AS DOUBLE)
+                                            / (next_rn - prev_rn)) AS BIGINT))) AS BIGINT) AS abs_err_e2
+FROM nb
+WHERE masked AND prev_v IS NOT NULL AND next_v IS NOT NULL
+""",
+)
+def q_ts_interp(spark, sf_dir):
+    """Linear gap interpolation — the time-series repair operator (sensor
+    dropout / null backfill): every 5th event's value is masked, then
+    reconstructed from its nearest observed neighbors on each side via two
+    ignore-nulls window scans (prev/next value AND position), and the
+    reconstruction error is reported against the held-out truth.
+
+    Scale shape: two window passes over ONE shuffle on the user key — no
+    self-join against observation tables (the naive prev/next range-join
+    formulation shuffles twice and explodes on wide gaps). Arithmetic:
+    neighbors and positions are exact e2/rank integers; the one
+    interpolating division is an IEEE double op on integer-valued operands
+    (product <= 1e8 — exactly representable), floored identically in both
+    engines."""
+    e = load_tables(spark, sf_dir)["events"]
+    w_rank = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = e.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w_rank).cast("long").alias("rn"),
+        F.floor(F.col("value") * 100).cast("long").alias("v_e2"),
+        (F.col("event_id") % 5 == 0).alias("masked"),
+    )
+    obs = ev.select(
+        "*",
+        F.when(~F.col("masked"), F.col("v_e2")).alias("v_obs"),
+        F.when(~F.col("masked"), F.col("rn")).alias("rn_obs"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nb = obs.select(
+        "user_id",
+        "rn",
+        "v_e2",
+        "masked",
+        F.last("v_obs", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last("rn_obs", ignorenulls=True).over(w_prev).alias("prev_rn"),
+        F.first("v_obs", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first("rn_obs", ignorenulls=True).over(w_next).alias("next_rn"),
+    )
+    interp = F.col("prev_v") + F.floor(
+        ((F.col("next_v") - F.col("prev_v")) * (F.col("rn") - F.col("prev_rn")))
+        .cast("double")
+        / (F.col("next_rn") - F.col("prev_rn"))
+    ).cast("long")
+    return (
+        nb.filter(F.col("masked") & F.col("prev_v").isNotNull() & F.col("next_v").isNotNull())
+        .select(
+            "user_id",
+            "rn",
+            F.col("v_e2").alias("actual_e2"),
+            interp.cast("long").alias("interp_e2"),
+            F.abs(F.col("v_e2") - interp).cast("long").alias("abs_err_e2"),
+        )
+    )
+
+
+@query(
+    "q_events_attribution",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS v_e2,
+         CASE WHEN event_type IN ('click', 'view') THEN event_type END AS touch,
+         ts, event_id
+  FROM events
+),
+attr AS (
+  SELECT event_type, v_e2,
+         last_value(touch IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+  FROM ev
+)
+SELECT coalesce(last_touch, 'none') AS channel,
+       count(*) AS n_purchases,
+       CAST(sum(v_e2) AS BIGINT) AS revenue_e2
+FROM attr
+WHERE event_type = 'purchase'
+GROUP BY coalesce(last_touch, 'none')
+""",
+)
+def q_events_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase's revenue is credited
+    to the user's most recent preceding touchpoint (click or view; 'none'
+    when the purchase is the user's first tracked action). The classic
+    sessionless attribution model, expressed as ONE ignore-nulls window
+    scan — no per-purchase correlated lookup, no self-join of purchases
+    against touches (the naive formulation is a range join that degenerates
+    on active users).
+
+    Scale shape: one shuffle on user_id for the window, one small hash-agg
+    on the 3-value channel key. Revenue sums are exact e2 integers."""
+    e = load_tables(spark, sf_dir)["events"]
+    ev = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v_e2"),
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("event_type")
+        ).alias("touch"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attr = ev.select(
+        "event_type",
+        "v_e2",
+        F.last("touch", ignorenulls=True).over(w).alias("last_touch"),
+    )
+    return (
+        attr.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("last_touch", F.lit("none")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("v_e2").cast("long").alias("revenue_e2"),
+        )
+    )

@@ -1130,3 +1130,125 @@ def q_llm_mix_temperature(spark, sf_dir):
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.expr("sqrt_e6 * 10000 DIV total_e6").cast("long").alias("weight_bp"),
     )
+
+
+from pkg2_spark.queries.sketches import _v32_spark as _dsir_v32_spark  # noqa: E402
+from pkg2_spark.queries.sketches import _v32_sql as _dsir_v32_sql  # noqa: E402
+
+_DSIR_B = 256  # hashed feature buckets
+
+_DSIR_TOK = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+
+@query(
+    "q_llm_dsir",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest({_DSIR_TOK}) AS token
+  FROM documents
+),
+b AS (
+  SELECT doc_id, lang,
+         ({_dsir_v32_sql('md5(token)')}) % {_DSIR_B} AS bucket
+  FROM tok
+),
+tc AS (SELECT bucket, count(*) AS t_cnt FROM b WHERE lang = 'en' GROUP BY bucket),
+rc AS (SELECT bucket, count(*) AS r_cnt FROM b WHERE lang <> 'en' GROUP BY bucket),
+buckets AS (SELECT DISTINCT bucket FROM b),
+w AS (
+  SELECT bk.bucket,
+         (coalesce(tc.t_cnt, 0) + 1) AS t1,
+         (coalesce(rc.r_cnt, 0) + 1) AS r1
+  FROM buckets bk
+  LEFT JOIN tc ON bk.bucket = tc.bucket
+  LEFT JOIN rc ON bk.bucket = rc.bucket
+),
+tot AS (SELECT CAST(sum(t1) AS BIGINT) AS t_tot, CAST(sum(r1) AS BIGINT) AS r_tot FROM w),
+wr AS (
+  SELECT w.bucket,
+         CAST((w.t1 * tot.r_tot * 10000) // (w.r1 * tot.t_tot) AS BIGINT) AS ratio_e4
+  FROM w CROSS JOIN tot
+),
+scored AS (
+  SELECT b.doc_id, count(*) AS n_tokens,
+         CAST(sum(wr.ratio_e4) AS BIGINT) AS score_e4
+  FROM b JOIN wr ON b.bucket = wr.bucket
+  WHERE b.lang <> 'en'
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(score_e4 // n_tokens AS BIGINT) AS avg_ratio_e4
+FROM scored
+ORDER BY avg_ratio_e4 DESC, doc_id ASC
+LIMIT 25
+""",
+)
+def q_llm_dsir(spark, sf_dir):
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023): score every RAW (non-target) document by how much its hashed
+    unigram distribution resembles the TARGET domain (lang='en'), then
+    surface the top candidates for target-domain training. Features are
+    md5-hashed token buckets (B=256); each bucket carries the
+    add-one-smoothed target/raw probability ratio, and a document's score
+    is its mean per-token ratio.
+
+    Adaptation for cross-engine exactness: DSIR's log-likelihood-ratio sum
+    is replaced by the (monotone-per-bucket) probability-ratio MEAN in
+    floor-e4 fixed point — libm log() is not guaranteed bit-identical
+    across JVM and DuckDB, while this form is all BIGINT arithmetic
+    (products bounded < 2^60 at bench scales; at real corpus scale the
+    ratio table is computed once on sampled counts and broadcast, so the
+    fixed-point width is a non-issue). Scale shape: two token hash-aggs +
+    a 256-row broadcast weight table joined back to token occurrences —
+    one shuffle per agg, no pairwise anything."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.select("doc_id", "lang", F.explode(tokens_col("text")).alias("token"))
+    b = tok.select(
+        "doc_id",
+        "lang",
+        (F.expr(_dsir_v32_spark("md5(token)")) % _DSIR_B).alias("bucket"),
+    )
+    tc = b.filter(F.col("lang") == "en").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("t_cnt")
+    )
+    rc = b.filter(F.col("lang") != "en").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("r_cnt")
+    )
+    buckets = b.select("bucket").distinct()
+    w = (
+        buckets.join(tc, "bucket", "left")
+        .join(rc, "bucket", "left")
+        .select(
+            "bucket",
+            (F.coalesce("t_cnt", F.lit(0)) + 1).alias("t1"),
+            (F.coalesce("r_cnt", F.lit(0)) + 1).alias("r1"),
+        )
+    )
+    tot = w.agg(
+        F.sum("t1").cast("long").alias("t_tot"), F.sum("r1").cast("long").alias("r_tot")
+    )
+    wr = w.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr("CAST((t1 * r_tot * 10000) DIV (r1 * t_tot) AS BIGINT)").alias(
+            "ratio_e4"
+        ),
+    )
+    scored = (
+        b.filter(F.col("lang") != "en")
+        .join(F.broadcast(wr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("ratio_e4").cast("long").alias("score_e4"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_tokens",
+            F.expr("CAST(score_e4 DIV n_tokens AS BIGINT)").alias("avg_ratio_e4"),
+        )
+        .orderBy(F.col("avg_ratio_e4").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )

@@ -52,6 +52,12 @@ NLJ_WHITELIST = {
     "q_kmeans_step": "O(n*k) assignment vs CONSTANT-8 broadcast seed "
                      "centroid table (the Lloyd-iteration dataflow)",
     "q_llm_domain_mix": "1-row corpus-token-total cross join (broadcast)",
+    "q_llm_mix_temperature": "1-row sqrt-weight-total cross join (broadcast; "
+                             "the q_llm_domain_mix shape)",
+    "q_sketch_countmin": "probe tokens vs CONSTANT d*w=1024-cell broadcast "
+                         "sketch (cell count independent of corpus size)",
+    "q_llm_dsir": "1-row smoothed-total cross join (broadcast) feeding the "
+                  "constant 256-bucket weight table",
 }
 
 # Declared Python surface (SURVEY §2.12 + multimodal decode stubs).
@@ -59,6 +65,9 @@ PYTHON_WHITELIST = {
     "q_udf_scalar", "q_udf_grouped_agg", "q_udf_grouped_map", "q_udtf",
     "q_udf_python", "q_mm_decode", "q_mm_frames", "q_mm_resize",
     "q_mm_features",
+    # sequential recurrence (EMA): applyInPandas per user key — the output
+    # depends on the previous OUTPUT, inexpressible as a window frame
+    "q_ts_ema",
 }
 
 # Plans built inside the streaming harness (writeStream), not visible here.
