@@ -614,3 +614,40 @@ def q_stream_rt_score(spark, sf_dir):
         F.sum(is_out).alias("n_outliers"),
     )
     return run_to_memory(agg, "rt_score")
+
+
+@query(
+    "q_stream_ema",
+    oracle="""
+WITH RECURSIVE ev AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         CAST(floor(value * 100) AS BIGINT) AS v_e2
+  FROM events
+),
+ema AS (
+  SELECT user_id, rn, v_e2 AS ema_e2 FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT ev.user_id, ev.rn, (ev.v_e2 + ema.ema_e2) // 2
+  FROM ev JOIN ema ON ev.user_id = ema.user_id AND ev.rn = ema.rn + 1
+),
+last_rn AS (SELECT user_id, max(rn) AS n_events FROM ema GROUP BY user_id)
+SELECT e.user_id, CAST(l.n_events AS BIGINT) AS n_events,
+       CAST(e.ema_e2 AS BIGINT) AS ema_e2
+FROM ema e JOIN last_rn l ON e.user_id = l.user_id AND e.rn = l.n_events
+""",
+)
+def q_stream_ema(spark, sf_dir):
+    # q_ts_ema's ORDER-SENSITIVE recurrence through REAL Structured
+    # Streaming state: applyInPandasWithState carries (n, ema) per user in
+    # the state store, each batch folds its rows in event-time order, and
+    # the availableNow replay makes the final emission equal the batch
+    # operator's — the same recursive-CTE oracle checks BOTH, which is the
+    # batch/stream parity proof for stateful order-dependent operators
+    # (q_stream_stateful proves the commutative-fold case; this proves the
+    # sequential one).
+    from pkg2_spark.streaming.harness import events_stream, run_to_memory
+    from pkg2_spark.streaming.stateful import user_running_ema
+
+    stream = events_stream(spark, sf_dir)
+    return run_to_memory(user_running_ema(stream), "stream_ema", mode="update")

@@ -772,3 +772,163 @@ def q_events_attribution(spark, sf_dir):
             F.sum("v_e2").cast("long").alias("revenue_e2"),
         )
     )
+
+
+@query(
+    "q_ts_autocorr",
+    oracle="""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value * 100) AS BIGINT) AS x,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+  FROM events
+),
+lagged AS (
+  SELECT e.event_type, k.k, e.x,
+         lag(e.x, k.k) OVER (PARTITION BY e.event_type, k.k ORDER BY e.rn) AS y
+  FROM ev e CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) k
+),
+m AS (
+  SELECT event_type, k,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sx2,
+         CAST(sum(y * y) AS BIGINT) AS sy2
+  FROM lagged WHERE y IS NOT NULL
+  GROUP BY event_type, k
+)
+SELECT event_type, CAST(k AS INTEGER) AS lag_k, n,
+       CAST(floor(
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / sqrt((CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy))
+         * 10000) AS BIGINT) AS corr_e4
+FROM m
+""",
+)
+def q_ts_autocorr(spark, sf_dir):
+    """Lag-k autocorrelation (k=1..3) of the value series per event type —
+    the stationarity/seasonality diagnostic run before any forecasting
+    model. All five moment sums are computed over exact e2 integers
+    (products of BIGINTs summed in BIGINT — associative, so Spark's
+    partitioned aggregation and DuckDB's serial one produce bit-identical
+    moments), and the one Pearson evaluation is the same IEEE double
+    expression over those identical integers on both engines, floored to
+    e4 fixed point.
+
+    Scale shape: one window pass for the per-type rank, one lag window per
+    (type, k) — both under a single shuffle on the type key (k is a
+    constant-3 generator, not data) — then a map-side-combinable moment
+    aggregate. No self-join of the series against its shifted copy (the
+    naive lag formulation doubles the shuffle)."""
+    e = load_tables(spark, sf_dir)["events"]
+    w_rank = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ev = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("x"),
+        F.row_number().over(w_rank).alias("rn"),
+    )
+    # F.lag requires a literal offset, so the constant-3 lag set is
+    # expanded explicitly (same three window passes the oracle runs).
+    parts = []
+    for k in (1, 2, 3):
+        w_lag = Window.partitionBy("event_type").orderBy("rn")
+        parts.append(
+            ev.select(
+                "event_type",
+                F.lit(k).alias("k"),
+                "x",
+                F.lag("x", k).over(w_lag).alias("y"),
+            )
+        )
+    lagged = parts[0]
+    for p in parts[1:]:
+        lagged = lagged.unionByName(p)
+    m = (
+        lagged.filter(F.col("y").isNotNull())
+        .groupBy("event_type", "k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+        )
+    )
+    corr = F.floor(
+        (
+            (F.col("n").cast("double") * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n").cast("double") * F.col("sx2") - F.col("sx").cast("double") * F.col("sx"))
+                * (F.col("n").cast("double") * F.col("sy2") - F.col("sy").cast("double") * F.col("sy"))
+            )
+        )
+        * 10000
+    ).cast("long")
+    return m.select(
+        "event_type", F.col("k").cast("int").alias("lag_k"), "n", corr.alias("corr_e4")
+    )
+
+
+@query(
+    "q_dq_benford",
+    oracle="""
+WITH d AS (
+  SELECT substring(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+  FROM events WHERE value > 0
+),
+cnt AS (SELECT digit, count(*) AS observed FROM d GROUP BY digit),
+tot AS (SELECT CAST(sum(observed) AS BIGINT) AS total FROM cnt),
+exp AS (
+  SELECT unnest(['1','2','3','4','5','6','7','8','9']) AS digit,
+         unnest([301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]) AS exp_e6
+)
+SELECT e.digit,
+       CAST(coalesce(c.observed, 0) AS BIGINT) AS observed,
+       CAST(coalesce(c.observed, 0) * 1000000 // t.total AS BIGINT) AS obs_e6,
+       CAST(e.exp_e6 AS BIGINT) AS exp_e6,
+       CAST(abs(coalesce(c.observed, 0) * 1000000 // t.total - e.exp_e6) AS BIGINT) AS abs_dev_e6
+FROM exp e
+LEFT JOIN cnt c ON e.digit = c.digit
+CROSS JOIN tot t
+""",
+)
+def q_dq_benford(spark, sf_dir):
+    """Benford's-law first-digit audit over the value column — the
+    classic fabricated-data / instrumentation-bug detector (a measure
+    whose leading digits stray far from log10(1+1/d) was typically
+    generated, truncated, or unit-mangled). The first significant digit is
+    taken from the e2 integer's decimal string (no log10 call — libm is
+    not bit-identical across engines), observed shares are exact integer
+    DIV fixed-point, and the nine expected shares are hardcoded e6
+    constants of log10(1+1/d).
+
+    Scale shape: one 9-key map-side-combinable count + a 1-row total
+    broadcast against the constant digit table."""
+    e = load_tables(spark, sf_dir)["events"]
+    d = e.filter(F.col("value") > 0).select(
+        F.substring(F.floor(F.col("value") * 100).cast("long").cast("string"), 1, 1).alias(
+            "digit"
+        )
+    )
+    cnt = d.groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+    tot = cnt.agg(F.sum("observed").cast("long").alias("total"))
+    benford = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+    exp = spark.createDataFrame(
+        [(str(i + 1), v) for i, v in enumerate(benford)], "digit string, exp_e6 long"
+    )
+    obs_share = F.expr("CAST(coalesce(observed, 0) * 1000000 DIV total AS BIGINT)")
+    return (
+        exp.join(cnt, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("observed", F.lit(0)).cast("long").alias("observed"),
+            obs_share.alias("obs_e6"),
+            F.col("exp_e6").cast("long").alias("exp_e6"),
+            F.abs(obs_share - F.col("exp_e6")).cast("long").alias("abs_dev_e6"),
+        )
+    )

@@ -1252,3 +1252,60 @@ def q_llm_dsir(spark, sf_dir):
         .orderBy(F.col("avg_ratio_e4").desc(), F.col("doc_id").asc())
         .limit(25)
     )
+
+
+@query(
+    "q_llm_simpson",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DSIR_TOK}) AS token FROM documents
+),
+tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+d AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(c * c) AS BIGINT) AS sum_c2
+  FROM tc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       CAST(sum_c2 * 10000 // (n_tokens * n_tokens) AS BIGINT) AS simpson_e4
+FROM d
+WHERE n_tokens > 0
+ORDER BY simpson_e4 DESC, doc_id ASC
+LIMIT 25
+""",
+)
+def q_llm_simpson(spark, sf_dir):
+    """Simpson concentration index per document — the vocabulary-collapse
+    signal (sum of squared token probabilities: 1/n_distinct for uniform
+    text, approaching 1 for a document that repeats one token). The
+    entropy-free repetitiveness measure: where Shannon entropy needs
+    log() (libm, not bit-identical across engines), Simpson is the exact
+    rational sum(c_i^2)/n^2, computed here entirely in BIGINTs with an e4
+    fixed-point emit. Surfaces the 25 most-degenerate documents — the
+    quality-filter companion to q_llm_repetition's windowed n-gram rate.
+
+    Scale shape: two map-side-combinable hash-aggs (doc×token counts,
+    then per-doc moments) — one shuffle each, no windows, no pairs."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = d.select("doc_id", F.explode(tokens_col("text")).alias("token"))
+    tc = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
+    agg = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+    return (
+        agg.filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            F.expr("CAST(sum_c2 * 10000 DIV (n_tokens * n_tokens) AS BIGINT)").alias(
+                "simpson_e4"
+            ),
+        )
+        .orderBy(F.col("simpson_e4").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )

@@ -84,3 +84,60 @@ def user_running_counters(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+EMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ema_e2", LongType()),
+    ]
+)
+
+EMA_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("ema", LongType())]
+)
+
+
+def _update_ema(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    # Order-SENSITIVE state fold: the recurrence must see this batch's rows
+    # in event-time order, so the Arrow chunks are concatenated and sorted
+    # before folding (within a micro-batch the file source hands chunks in
+    # partition order, which is not time order). Across batches, state
+    # carries (n, ema); the availableNow single-file replay is one batch,
+    # and multi-file replays feed files in time order by construction
+    # (tests/test_streaming.py's controlled two-file pattern).
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    n, ema = state.get if state.exists else (0, 0)
+    for v in pdf["v_e2"].astype("int64"):
+        ema = int(v) if n == 0 else (int(v) + ema) // 2
+        n += 1
+    state.update((n, ema))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ema_e2": [ema]})
+
+
+def user_running_ema(stream: DataFrame) -> DataFrame:
+    """Per-user integer EMA (alpha=1/2 over floor-e2 values) with the
+    running state in the state store — q_ts_ema's recurrence on the
+    streaming execution path."""
+    import pyspark.sql.functions as F
+
+    return (
+        stream.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("v_e2"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_ema,
+            outputStructType=EMA_OUTPUT_SCHEMA,
+            stateStructType=EMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

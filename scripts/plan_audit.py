@@ -58,6 +58,8 @@ NLJ_WHITELIST = {
                          "sketch (cell count independent of corpus size)",
     "q_llm_dsir": "1-row smoothed-total cross join (broadcast) feeding the "
                   "constant 256-bucket weight table",
+    "q_dq_benford": "1-row digit-total cross join (broadcast) against the "
+                    "constant 9-digit expectation table",
 }
 
 # Declared Python surface (SURVEY §2.12 + multimodal decode stubs).
