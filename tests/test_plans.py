@@ -342,3 +342,63 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark, sf_dir):
                 spark.conf.set(k, v)
     assert "bloom_filter_agg" in plan, "runtime bloom filter was not injected"
     assert "might_contain" in plan
+
+
+def test_tpch_suite_plans_decorrelate_and_avoid_cartesians(spark, sf_dir):
+    # The nine round-5 TPC-H shapes: every correlated subquery must
+    # decorrelate (no per-row subquery execution exists in Spark, but a
+    # failed decorrelation would surface as a cartesian/BNLJ explosion),
+    # and 1-row scalar subqueries are the only legitimate nested-loop
+    # sources. Q2/Q17 carry correlated scalar aggregates; Q21 carries the
+    # EXISTS/NOT-EXISTS pair.
+    one_row_scalar_ok = {
+        # scalar-subquery comparisons Spark plans as a 1-row broadcast NLJ:
+        # Q11 (global-threshold), Q15 (max-revenue), Q22-style avg guards
+        "q_sql_tpch_q11", "q_sql_tpch_q15",
+    }
+    for n in [2, 8, 11, 12, 15, 16, 17, 20, 21]:
+        name = f"q_sql_tpch_q{n}"
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        n_bnlj = sum(
+            1
+            for ln in plan.splitlines()
+            if ln.strip().startswith("(") and "BroadcastNestedLoopJoin" in ln
+        )
+        cap = 1 if name in one_row_scalar_ok else 0
+        assert n_bnlj <= cap, f"{name}: {n_bnlj} BNLJs (cap {cap})"
+        for marker in ["BatchEvalPython", "ArrowEvalPython"]:
+            assert marker not in plan, f"{name}: {marker}"
+
+
+def test_tpch_q21_exists_pair_decorrelates_to_semi_and_anti(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_sql_tpch_q21")
+    assert "LeftSemi" in plan or "ExistenceJoin" in plan, "EXISTS not a semi join"
+    assert "LeftAnti" in plan, "NOT EXISTS not an anti join"
+
+
+def test_interp_and_attribution_are_single_user_shuffle(spark, sf_dir):
+    # The ignore-nulls window formulations must not smuggle in a self-join:
+    # exactly zero join nodes; all window frames ride one user_id exchange
+    # (attribution legitimately adds a second, map-side-combined exchange
+    # for the 3-key channel aggregate).
+    for name, cap in [("q_ts_interp", 1), ("q_events_attribution", 2)]:
+        plan = _plan(spark, sf_dir, name)
+        for marker in ["SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                       "CartesianProduct", "BroadcastNestedLoopJoin"]:
+            assert marker not in plan, f"{name}: unexpected {marker}"
+        exchanges = [
+            ln for ln in plan.splitlines()
+            if ln.strip().startswith("(") and "Exchange" in ln
+            and "Reused" not in ln and "single" not in ln.lower()
+        ]
+        assert len(exchanges) <= cap, f"{name}: {len(exchanges)} exchanges"
+
+
+def test_bloom_gate_probe_side_has_no_shuffle_join(spark, sf_dir):
+    # The filter bit-set must reach the probe pass as a BROADCAST semi
+    # join — a shuffle join here would defeat the operator's reason to
+    # exist (map-side gating of the huge train corpus).
+    plan = _plan(spark, sf_dir, "q_sketch_bloom")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
