@@ -401,3 +401,19 @@ class Engine:
         from pkg2_spark.operators.sessions import sessionize
 
         return sessionize(df, **kw)
+
+    def bloom_gate(self, probe: DataFrame, elements: DataFrame, col: str,
+                   m: int = 8192, k: int = 4) -> DataFrame:
+        """Rows of ``probe`` whose ``col`` a deterministic Bloom filter
+        built over ``elements[col]`` reports as present (zero false
+        negatives; see operators/bloom.py for the error accounting)."""
+        from pkg2_spark.operators.bloom import bloom_build, bloom_probe
+
+        return bloom_probe(probe, bloom_build(elements, col, m, k), col, m, k)
+
+    def ema(self, df: DataFrame, key: str, order: list, value: str) -> DataFrame:
+        """Final alpha=1/2 EMA per key over an INTEGER value column
+        (sequential within a key, parallel across keys)."""
+        from pkg2_spark.operators.recurrence import ema_halving
+
+        return ema_halving(df, key, order, value)

@@ -1,0 +1,61 @@
+"""Deterministic Bloom filter as a first-class operator.
+
+Positions are md5-derived (the Count-Min bucket scheme from
+queries/sketches.py), so the filter is reproducible across engines and
+runs — no JVM hash seeding, no library bit-array internals. The filter is
+a DISTINCT position set (<= m rows), built from the SMALL side and
+broadcast; membership gating of the large side is one map-side probe pass
+plus a per-row count — the operator-level version of Spark's runtime
+bloom-join injection, with the error accounting exposed to the caller.
+
+Guarantees (verified as data by q_sketch_bloom's oracle): zero false
+negatives, always; false positives bounded by the classic (1-e^{-kn/m})^k.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from pkg2_spark.operators.hashing import v32_spark as _v32_spark
+
+DEFAULT_M = 8192
+DEFAULT_K = 4
+
+
+def _pos_expr(col: str, j: int, m: int) -> str:
+    return f"(({_v32_spark(f'md5({col} || chr(58) || {j!r})')}) % {m})"
+
+
+def bloom_build(elements: DataFrame, col: str, m: int = DEFAULT_M,
+                k: int = DEFAULT_K) -> DataFrame:
+    """Distinct bit positions (column ``pos``) set by ``elements[col]``."""
+    parts = [
+        elements.select(F.expr(_pos_expr(col, j, m)).alias("pos"))
+        for j in range(k)
+    ]
+    bits = parts[0]
+    for p in parts[1:]:
+        bits = bits.unionByName(p)
+    return bits.distinct()
+
+
+def bloom_probe(df: DataFrame, bits: DataFrame, col: str, m: int = DEFAULT_M,
+                k: int = DEFAULT_K) -> DataFrame:
+    """Rows of ``df`` whose ``col`` value the filter reports as present
+    (all k positions set). ``bits`` is broadcast: the probe side never
+    shuffles beyond its per-row position count."""
+    cols = df.columns
+    parts = [
+        df.select(*cols, F.expr(_pos_expr(col, j, m)).alias("pos"))
+        for j in range(k)
+    ]
+    probe = parts[0]
+    for p in parts[1:]:
+        probe = probe.unionByName(p)
+    hits = (
+        probe.join(F.broadcast(bits), "pos", "leftsemi")
+        .groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("_nset"))
+    )
+    return hits.filter(F.col("_nset") == k).drop("_nset")

@@ -34,29 +34,11 @@ from pkg2_spark.registry import query
 
 _K = 64
 
-# First 8 hex chars of the md5 -> exact 32-bit integer, via digit folding —
-# spelled with instr (Spark) / strpos (DuckDB), both 1-based, so the two
-# expressions compute bit-identical integers.
-_POWERS = [268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1]
-
-
-def _v32_spark(h: str) -> str:
-    # Each digit term is widened to BIGINT BEFORE the power multiply: under
-    # ANSI mode an INT digit 15 * 16^7 overflows 32 bits (latent in the KMV
-    # queries only because k-th MINIMUM hashes start with '0'; fatal the
-    # moment an arbitrary hash is folded, as Count-Min does).
-    terms = " + ".join(
-        f"CAST(instr('0123456789abcdef', substring({h}, {i + 1}, 1)) - 1 AS BIGINT) * {p}"
-        for i, p in enumerate(_POWERS)
-    )
-    return f"CAST({terms} AS BIGINT)"
-
-
-def _v32_sql(h: str) -> str:
-    return " + ".join(
-        f"CAST(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1 AS BIGINT) * {p}"
-        for i, p in enumerate(_POWERS)
-    )
+# md5 -> exact 32-bit integer digit folding, shared with the Bloom filter
+# and DSIR feature hashing (see the ANSI-overflow note there: each digit
+# term is widened to BIGINT before the power multiply).
+from pkg2_spark.operators.hashing import v32_spark as _v32_spark  # noqa: E402
+from pkg2_spark.operators.hashing import v32_sql as _v32_sql  # noqa: E402
 
 
 # (k-1) * 2^32, the estimator numerator: est = floor((k-1) * 2^32 / v32(kth)).
@@ -319,13 +301,9 @@ _BF_K = 4
 
 
 def _bf_pos_sql(h: str, j: int) -> str:
-    """Bit position j of element-hash `h` — v32 of md5(h || ':j') mod m,
-    identical arithmetic in both engines (the Count-Min bucket scheme)."""
+    """Bit position j of element-hash `h` — v32 of md5(h || ':j') mod m;
+    the oracle-side mirror of operators/bloom.py's _pos_expr."""
     return f"(({_v32_sql(f'md5({h} || chr(58) || {j!r})')}) % {_BF_M})"
-
-
-def _bf_pos_spark(h: str, j: int) -> str:
-    return f"(({_v32_spark(f'md5({h} || chr(58) || {j!r})')}) % {_BF_M})"
 
 
 @query(
@@ -390,31 +368,14 @@ def q_sketch_bloom(spark, sf_dir):
     s = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).select(
         "doc_id", "source", F.md5(F.lower(F.col("text"))).alias("th"), "split"
     )
+    from pkg2_spark.operators.bloom import bloom_build, bloom_probe
+
     test_el = s.filter(F.col("split") == "test").select("th").distinct()
-    bit_rows = [
-        test_el.select(F.expr(_bf_pos_spark("th", j)).alias("pos"))
-        for j in range(_BF_K)
-    ]
-    bits = bit_rows[0]
-    for r in bit_rows[1:]:
-        bits = bits.unionByName(r)
-    bits = bits.distinct()
+    bits = bloom_build(test_el, "th", m=_BF_M, k=_BF_K)
     train = s.filter(F.col("split") == "train")
-    probe_rows = [
-        train.select(
-            "doc_id", "source", "th", F.expr(_bf_pos_spark("th", j)).alias("pos")
-        )
-        for j in range(_BF_K)
-    ]
-    probe = probe_rows[0]
-    for r in probe_rows[1:]:
-        probe = probe.unionByName(r)
-    hits = (
-        probe.join(F.broadcast(bits), "pos", "leftsemi")
-        .groupBy("doc_id", "source", "th")
-        .agg(F.count(F.lit(1)).alias("nset"))
+    flagged = bloom_probe(
+        train.select("doc_id", "source", "th"), bits, "th", m=_BF_M, k=_BF_K
     )
-    flagged = hits.filter(F.col("nset") == _BF_K).select("doc_id", "source", "th")
     exact = flagged.join(F.broadcast(test_el), "th", "leftsemi").select("doc_id")
     return (
         train.join(flagged.select("doc_id", F.lit(1).alias("fl")), "doc_id", "left")

@@ -577,28 +577,15 @@ def q_ts_ema(spark, sf_dir):
     halving — (v + prev) // 2 — so every intermediate is an exact BIGINT
     (event values are nonnegative, so floor- and truncating division
     agree across Python, Spark, and DuckDB). Emits each user's final EMA."""
-    import pandas as pd
+    from pkg2_spark.operators.recurrence import ema_halving
 
     e = load_tables(spark, sf_dir)["events"].select(
-        "user_id", "ts", "event_id", F.floor(F.col("value") * 100).cast("long").alias("v_e2")
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("ema_e2"),
     )
-
-    def ema_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        ema = 0
-        for i, v in enumerate(pdf["v_e2"].astype("int64")):
-            ema = int(v) if i == 0 else (int(v) + ema) // 2
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(pdf)],
-                "ema_e2": [ema],
-            }
-        )
-
-    return e.groupBy("user_id").applyInPandas(
-        ema_fn, "user_id long, n_events long, ema_e2 long"
-    )
+    return ema_halving(e, "user_id", ["ts", "event_id"], "ema_e2")
 
 
 @query(

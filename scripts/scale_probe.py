@@ -56,6 +56,14 @@ PROBES = [
     "q_llm_winnow_dup",
     "q_vec_pq",
     "q_sketch_kmv",
+    # late round-5 additions: broadcast bloom probe pass, per-key pandas
+    # recurrence, double window-scan interpolation, broadcast-weight DSIR
+    # scoring, constant-lag moment aggregation
+    "q_sketch_bloom",
+    "q_ts_ema",
+    "q_ts_interp",
+    "q_llm_dsir",
+    "q_ts_autocorr",
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]

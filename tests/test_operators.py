@@ -345,3 +345,60 @@ def test_resolve_components_empty_and_selfloop_edges(spark):
     rows = {r["node"]: r["component"] for r in resolve_components(loops).collect()}
     assert rows[2] == 2 and rows[3] == 2
     assert rows.get(1, 1) == 1
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_determinism(self, spark):
+        from pkg2_spark.operators.bloom import bloom_build, bloom_probe
+
+        els = spark.createDataFrame(
+            [(f"element-{i}",) for i in range(50)], "v string"
+        )
+        probe = spark.createDataFrame(
+            [(f"element-{i}",) for i in range(100)], "v string"
+        )
+        bits = bloom_build(els, "v")
+        flagged = {r.v for r in bloom_probe(probe, bits, "v").collect()}
+        # Guarantee: every true member is flagged — a Bloom filter can
+        # overshoot, never undershoot.
+        assert {f"element-{i}" for i in range(50)} <= flagged
+        # Deterministic: a rebuild flags the identical set.
+        again = {r.v for r in bloom_probe(probe, bloom_build(els, "v"), "v").collect()}
+        assert flagged == again
+
+    def test_bits_bounded_by_m(self, spark):
+        from pkg2_spark.operators.bloom import bloom_build
+
+        els = spark.createDataFrame([(str(i),) for i in range(500)], "v string")
+        n_bits = bloom_build(els, "v", m=64, k=4).count()
+        assert n_bits <= 64  # position set never exceeds the bit-array size
+
+
+class TestEmaHalving:
+    def test_matches_serial_fold_and_bounds(self, spark):
+        from pkg2_spark.operators.recurrence import ema_halving
+
+        rows = [(1, i, (i * 37) % 100) for i in range(20)] + [(2, 0, 7)]
+        df = spark.createDataFrame(rows, "k long, ord long, v long")
+        out = {r.k: (r.n_events, r.v) for r in
+               ema_halving(df, "k", ["ord"], "v").collect()}
+        # Serial reference fold for key 1.
+        ema = 0
+        vals = [(i * 37) % 100 for i in range(20)]
+        for i, v in enumerate(vals):
+            ema = v if i == 0 else (v + ema) // 2
+        assert out[1] == (20, ema)
+        assert min(vals) <= out[1][1] <= max(vals)  # convexity bound
+        # Single-element key: EMA is the value itself.
+        assert out[2] == (1, 7)
+
+    def test_partitioning_invariance(self, spark):
+        from pkg2_spark.operators.recurrence import ema_halving
+
+        rows = [(i % 5, i, (i * 13) % 50) for i in range(100)]
+        df = spark.createDataFrame(rows, "k long, ord long, v long")
+        a = sorted(ema_halving(df, "k", ["ord"], "v").collect())
+        b = sorted(
+            ema_halving(df.repartition(7), "k", ["ord"], "v").collect()
+        )
+        assert a == b
