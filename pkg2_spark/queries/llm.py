@@ -1486,3 +1486,155 @@ def q_llm_decontam(spark, sf_dir):
             "contam_ratio"
         ),
     )
+
+
+@query(
+    "q_llm_decontam_sem",
+    oracle=f"""
+WITH {_sign_cand_sql()},
+s AS (
+  SELECT vec_id,
+         CASE WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) < 'e666'
+              THEN 'train' ELSE 'eval' END AS split
+  FROM embeddings
+),
+cross_pairs AS (
+  SELECT CASE WHEN sa.split = 'eval' THEN c.id_a ELSE c.id_b END AS eval_id,
+         CASE WHEN sa.split = 'eval' THEN c.id_b ELSE c.id_a END AS train_id
+  FROM cand c
+  JOIN s sa ON sa.vec_id = c.id_a
+  JOIN s sb ON sb.vec_id = c.id_b
+  WHERE sa.split <> sb.split
+),
+scored AS (
+  SELECT p.eval_id, p.train_id,
+         round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[])), 4) AS cos
+  FROM cross_pairs p
+  JOIN embeddings ea ON ea.vec_id = p.eval_id
+  JOIN embeddings eb ON eb.vec_id = p.train_id
+)
+SELECT eval_id,
+       count(*) AS n_train_neighbors,
+       max(cos) AS max_cos
+FROM scored WHERE cos >= 0.3
+GROUP BY eval_id
+""",
+)
+def q_llm_decontam_sem(spark, sf_dir):
+    """SEMANTIC train/eval decontamination — the embedding-space
+    complement of q_llm_decontam's n-gram overlap scan (paraphrased or
+    re-worded benchmark leakage carries no shared shingles but sits next
+    to its source in embedding space). Eval vectors (10% hash split) are
+    screened against the train split: candidates from the same capped
+    sign-LSH bands as q_llm_cossim_lsh, kept only when the pair CROSSES
+    the split boundary, cosine-verified at >= 0.3, then rolled up per eval
+    vector (how many train neighbors, how close the closest).
+
+    Scale shape: identical to the LSH pair path (band equi-join + hot-
+    bucket cap) — the split filter PRUNES candidates before the cosine,
+    and the per-eval rollup is a map-combinable hash-agg. At 100 TB the
+    eval side is small, so the cross-split filter drops almost every
+    candidate pair before any arithmetic."""
+    from pkg2_spark.operators.similarity import cosine_on_pairs, sign_lsh_bands
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    s = hash_split(e.select("vec_id"), "vec_id", {"train": 0.9, "eval": 0.1})
+    bands = sign_lsh_bands(e, dim=64, rows_per_band=8)
+    cand = banded_pairs(bands, "vec_id", "id_a", "id_b", cap=_BUCKET_CAP)
+    sa = s.select(F.col("vec_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = s.select(F.col("vec_id").alias("id_b"), F.col("split").alias("split_b"))
+    crossed = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.when(F.col("split_a") == "eval", F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("eval_id"),
+            F.when(F.col("split_a") == "eval", F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("train_id"),
+        )
+    )
+    scored = cosine_on_pairs(crossed, e, "eval_id", "train_id", dim=64)
+    return (
+        scored.filter(F.col("cos") >= 0.3)
+        .groupBy("eval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_neighbors"),
+            F.max("cos").alias("max_cos"),
+        )
+    )
+
+
+@query(
+    "q_llm_datacard",
+    oracle="""
+WITH d AS (
+  SELECT source, doc_id, lang, n_chars, md5(lower(text)) AS th,
+         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tok
+  FROM documents
+),
+dups AS (
+  SELECT source, th, count(*) AS c FROM d GROUP BY source, th HAVING count(*) > 1
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       CAST(sum(d.n_tok) AS BIGINT) AS total_tokens,
+       CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+       CAST(coalesce(any_value(dup.n_dup), 0) AS BIGINT) AS n_dup_docs,
+       CAST(sum(d.n_chars) * 100 // count(*) AS BIGINT) AS mean_chars_e2,
+       CAST(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) * 10000 // count(*)
+            AS BIGINT) AS pct_en_bp
+FROM d
+LEFT JOIN (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_dup
+  FROM dups GROUP BY source
+) dup ON d.source = dup.source
+GROUP BY d.source
+""",
+)
+def q_llm_datacard(spark, sf_dir):
+    """Per-source data card — the one-page corpus summary a dataset release
+    ships (datasheet/data-statement style): volume (docs, tokens), language
+    spread, within-source exact-duplicate mass, mean document length, and
+    English share. Composes the engine's counting primitives into a single
+    two-level aggregation; every emitted figure is an exact integer
+    (fixed-point means and basis-point shares via integer DIV).
+
+    Scale shape: one doc-level projection feeding two hash-aggs (per-source
+    rollup + per-(source, text-hash) duplicate mass) joined on the tiny
+    source key — no windows, no pairs, map-side combinable throughout."""
+    d = load_tables(spark, sf_dir)["documents"].select(
+        "source",
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.lower(F.col("text"))).alias("th"),
+        F.size(tokens_col("text")).alias("n_tok"),
+    )
+    dups = (
+        d.groupBy("source", "th")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .groupBy("source")
+        .agg(F.sum("c").cast("long").alias("n_dup"))
+    )
+    return (
+        d.join(F.broadcast(dups), "source", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.coalesce(F.any_value("n_dup"), F.lit(0)).cast("long").alias("n_dup_docs"),
+            F.expr("CAST(sum(n_chars) * 100 DIV count(*) AS BIGINT)").alias(
+                "mean_chars_e2"
+            ),
+            F.expr(
+                "CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 10000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("pct_en_bp"),
+        )
+    )
