@@ -161,6 +161,19 @@ def build_pipeline(spark, sf_dir: str):
         .filter(F.col("n_contam") / F.col("n_tris") > 0.8)
         .select("doc_id")
     )
+    # bloom decontamination gate (Engine.bloom_gate): the broadcast-filter
+    # twin of the trigram audit — train docs whose exact normalized text
+    # also appears in the test split are flagged in ONE map-side probe pass
+    # (plus a bounded false-positive remainder the audit would re-verify)
+    th = F.md5(F.lower(F.col("text")))
+    test_keys = (
+        final.filter(F.col("split") == "test").select(th.alias("th")).distinct()
+    )
+    train_side = final.filter(F.col("split") == "train").select(
+        "doc_id", th.alias("th")
+    )
+    bloom_flagged = eng.bloom_gate(train_side, test_keys, "th")
+
     # training-sequence preparation (round-3 operators): the train split is
     # chunked into 30-token windows (25 stride) and the chunks packed into
     # 512-token bins per source shard — the tensors-ready layout
@@ -198,6 +211,7 @@ def build_pipeline(spark, sf_dir: str):
         "dedup": canonical,
         "neardup": pruned,
         "contaminated": contaminated,
+        "bloom_flagged": bloom_flagged,
         "chunks": chunks,
         "packed": packed,
         "final": final,

@@ -202,6 +202,19 @@ def test_pipeline_demo_stage_invariants(spark, sf_dir):
     }
     assert sum(split_counts.values()) == counts["final"]
     assert set(split_counts) <= {"train", "val", "test"}
+    # bloom gate: zero false negatives — every train doc whose normalized
+    # text also appears in the test split MUST be flagged
+    th = F.md5(F.lower(F.col("text")))
+    test_th = final.filter(F.col("split") == "test").select(th.alias("th")).distinct()
+    true_dups = (
+        final.filter(F.col("split") == "train")
+        .select("doc_id", th.alias("th"))
+        .join(test_th, "th", "semi")
+    )
+    missed = true_dups.join(
+        stages["bloom_flagged"].select("doc_id"), "doc_id", "left_anti"
+    ).count()
+    assert missed == 0
 
 
 def test_pipeline_demo_agrees_with_registry_queries(spark, sf_dir):
