@@ -919,3 +919,132 @@ def q_dq_benford(spark, sf_dir):
             F.abs(obs_share - F.col("exp_e6")).cast("long").alias("abs_dev_e6"),
         )
     )
+
+
+@query(
+    "q_ts_cusum",
+    oracle="""
+WITH RECURSIVE base AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn,
+         CAST(floor(value * 100) AS BIGINT) AS v_e2
+  FROM events
+),
+k AS (
+  SELECT event_type,
+         CAST(CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+              // count(*) AS BIGINT) AS ref_e2
+  FROM events GROUP BY event_type
+),
+cu AS (
+  SELECT b.user_id, b.event_type, b.rn,
+         CAST(greatest(0, b.v_e2 - k.ref_e2) AS BIGINT) AS s,
+         CAST(greatest(0, b.v_e2 - k.ref_e2) AS BIGINT) AS peak
+  FROM base b JOIN k ON b.event_type = k.event_type
+  WHERE b.rn = 1
+  UNION ALL
+  SELECT b.user_id, b.event_type, b.rn,
+         greatest(0, cu.s + b.v_e2 - k.ref_e2),
+         greatest(cu.peak, greatest(0, cu.s + b.v_e2 - k.ref_e2))
+  FROM base b
+  JOIN cu ON b.user_id = cu.user_id AND b.event_type = cu.event_type
+         AND b.rn = cu.rn + 1
+  JOIN k ON b.event_type = k.event_type
+),
+fin AS (
+  SELECT user_id, event_type, max(rn) AS n_events
+  FROM cu GROUP BY user_id, event_type
+)
+SELECT c.user_id, c.event_type, CAST(f.n_events AS BIGINT) AS n_events,
+       CAST(c.peak AS BIGINT) AS max_cusum,
+       CAST(c.s AS BIGINT) AS final_cusum
+FROM cu c
+JOIN fin f ON c.user_id = f.user_id AND c.event_type = f.event_type
+          AND c.rn = f.n_events
+""",
+)
+def q_ts_cusum(spark, sf_dir):
+    """One-sided CUSUM change-point statistic per (user, event type): the
+    running excess over the type's mean, floored at zero — a sustained
+    upward shift in a user's values accumulates into max_cusum while noise
+    resets through the floor. The second instance of the ordered-recurrence
+    operator (operators/recurrence.py, with q_ts_ema): output depends on
+    the previous OUTPUT, so no window frame expresses it; the reference
+    level is the exact integer per-type mean (sum DIV count), broadcast
+    onto the fold input.
+
+    Scale shape: one tiny type-mean aggregate broadcast + one shuffle on
+    the (user, type) key into the applyInPandas fold — sequential within a
+    series (inherent), parallel across the user×type series population,
+    which is exactly how the statistic shards at corpus scale."""
+    from pkg2_spark.operators.recurrence import cusum_fold
+
+    e = load_tables(spark, sf_dir)["events"]
+    v = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v_e2"),
+    )
+    k = v.groupBy("event_type").agg(
+        F.expr("CAST(sum(v_e2) DIV count(*) AS BIGINT)").alias("ref_e2")
+    )
+    return cusum_fold(
+        v.join(F.broadcast(k), "event_type"),
+        ["user_id", "event_type"],
+        ["ts", "event_id"],
+        "v_e2",
+        "ref_e2",
+    )
+
+
+@query(
+    "q_events_markov",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM ev WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS t FROM pairs GROUP BY prev_type)
+SELECT p.prev_type, p.next_type, CAST(p.n AS BIGINT) AS n_transitions,
+       CAST(p.n * 10000 // t.t AS BIGINT) AS prob_bp
+FROM pairs p JOIN tot t ON p.prev_type = t.prev_type
+""",
+)
+def q_events_markov(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event sequences —
+    the behavioral model behind funnel/attribution analysis (which action
+    follows which, with what probability). One lag window per user, one
+    pair count, row probabilities in exact basis points (integer DIV by
+    the per-row-total), output bounded at |types|² rows.
+
+    Scale shape: one user-key window shuffle + two map-combinable
+    hash-aggs; the transition matrix itself is constant-size."""
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    pairs = (
+        ev.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").cast("long").alias("t"))
+    return pairs.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.expr("CAST(n * 10000 DIV t AS BIGINT)").alias("prob_bp"),
+    )

@@ -67,9 +67,10 @@ PYTHON_WHITELIST = {
     "q_udf_scalar", "q_udf_grouped_agg", "q_udf_grouped_map", "q_udtf",
     "q_udf_python", "q_mm_decode", "q_mm_frames", "q_mm_resize",
     "q_mm_features",
-    # sequential recurrence (EMA): applyInPandas per user key — the output
-    # depends on the previous OUTPUT, inexpressible as a window frame
-    "q_ts_ema",
+    # sequential recurrences (EMA, CUSUM): applyInPandas per series key —
+    # the output depends on the previous OUTPUT, inexpressible as a window
+    # frame (operators/recurrence.py)
+    "q_ts_ema", "q_ts_cusum",
 }
 
 # Plans built inside the streaming harness (writeStream), not visible here.
