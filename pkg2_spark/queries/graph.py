@@ -285,3 +285,84 @@ def q_graph_triangles(spark, sf_dir):
         .cast("long")
         .alias("clustering_bp"),
     )
+
+
+@query(
+    "q_graph_degree_dist",
+    oracle="""
+WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+cp AS (
+  SELECT a.s AS sa, b.s AS sb, count(*) AS shared
+  FROM sp a JOIN sp b ON a.p = b.p AND a.s <> b.s
+  GROUP BY a.s, b.s
+),
+knn AS (
+  SELECT sa, sb FROM cp
+  QUALIFY row_number() OVER (
+    PARTITION BY sa ORDER BY shared DESC NULLS LAST, sb ASC NULLS LAST
+  ) <= 3
+),
+und AS (SELECT DISTINCT least(sa, sb) AS a, greatest(sa, sb) AS b FROM knn),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+  ) GROUP BY node
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT CAST(d.degree AS INTEGER) AS degree,
+       count(*) AS n_nodes,
+       CAST(count(*) * 10000 // t.n_nodes AS BIGINT) AS share_bp
+FROM deg d CROSS JOIN tot t
+GROUP BY d.degree, t.n_nodes
+""",
+)
+def q_graph_degree_dist(spark, sf_dir):
+    """Degree distribution of the supplier co-supply kNN graph — the first
+    thing a graph pipeline inspects (hub detection, power-law check,
+    partitioning-strategy input: a heavy-tailed degree histogram is the
+    signal to switch the downstream joins to vertex-cut sharding). Shares
+    in exact basis points of the node population.
+
+    Scale shape: the same part-keyed projection + per-node kNN window as
+    q_graph_triangles (the expensive part, bounded by suppliers-per-part),
+    then two tiny hash-aggs and a 1-row total broadcast — histogram size
+    is bounded by the kNN cap, not the graph."""
+    from pkg2_spark.catalog import load_tables
+
+    t = load_tables(spark, sf_dir)
+    sp = t["lineitem"].select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = sp.select(F.col("s").alias("sa"), "p")
+    b = sp.select(F.col("s").alias("sb"), F.col("p").alias("p2"))
+    cp = (
+        a.join(b, (F.col("p") == F.col("p2")) & (F.col("sa") != F.col("sb")))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    w = Window.partitionBy("sa").orderBy(
+        F.col("shared").desc_nulls_last(), F.col("sb").asc_nulls_last()
+    )
+    knn = cp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    und = knn.select(
+        F.least("sa", "sb").alias("a"), F.greatest("sa", "sb").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tot = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return (
+        deg.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("degree").cast("int").alias("degree"), "n_nodes")
+        .agg(F.count(F.lit(1)).alias("n_nodes_at_degree"))
+        .select(
+            "degree",
+            F.col("n_nodes_at_degree").alias("n_nodes"),
+            F.expr("CAST(n_nodes_at_degree * 10000 DIV n_nodes AS BIGINT)").alias(
+                "share_bp"
+            ),
+        )
+    )

@@ -1048,3 +1048,52 @@ def q_events_markov(spark, sf_dir):
         F.col("n").cast("long").alias("n_transitions"),
         F.expr("CAST(n * 10000 DIV t AS BIGINT)").alias("prob_bp"),
     )
+
+
+@query(
+    "q_ts_seasonality",
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(dayofweek(ts) AS INTEGER) AS dow,
+         CAST(floor(value * 100) AS BIGINT) AS v_e2
+  FROM events
+),
+g AS (
+  SELECT event_type, dow, count(*) AS n, CAST(sum(v_e2) AS BIGINT) AS sv
+  FROM d GROUP BY event_type, dow
+),
+tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t FROM g GROUP BY event_type)
+SELECT g.event_type, g.dow,
+       CAST(g.n AS BIGINT) AS n_events,
+       CAST(g.n * 10000 // tot.t AS BIGINT) AS share_bp,
+       CAST(g.sv // g.n AS BIGINT) AS mean_value_e2
+FROM g JOIN tot ON g.event_type = tot.event_type
+""",
+)
+def q_ts_seasonality(spark, sf_dir):
+    """Day-of-week seasonality profile per event type — the weekly-cycle
+    fingerprint (traffic shaping, anomaly baselines, capacity planning).
+    Emits each (type, weekday)'s event share in exact basis points of the
+    type total and the exact integer mean value. Spark's dayofweek is
+    1-based Sunday; DuckDB's is 0-based Sunday — the Spark side subtracts
+    one so both emit the same 0..6 key.
+
+    Scale shape: one 35-key map-combinable hash-agg + a per-type total
+    broadcast; constant-size output."""
+    e = load_tables(spark, sf_dir)["events"]
+    d = e.select(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.floor(F.col("value") * 100).cast("long").alias("v_e2"),
+    )
+    g = d.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v_e2").cast("long").alias("sv")
+    )
+    tot = g.groupBy("event_type").agg(F.sum("n").cast("long").alias("t"))
+    return g.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        F.col("n").cast("long").alias("n_events"),
+        F.expr("CAST(n * 10000 DIV t AS BIGINT)").alias("share_bp"),
+        F.expr("CAST(sv DIV n AS BIGINT)").alias("mean_value_e2"),
+    )

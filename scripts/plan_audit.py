@@ -52,6 +52,8 @@ NLJ_WHITELIST = {
     "q_kmeans_step": "O(n*k) assignment vs CONSTANT-8 broadcast seed "
                      "centroid table (the Lloyd-iteration dataflow)",
     "q_llm_domain_mix": "1-row corpus-token-total cross join (broadcast)",
+    "q_graph_degree_dist": "1-row node-count total cross join (broadcast) "
+                           "normalizing the bounded degree histogram",
     "q_llm_mix_temperature": "1-row sqrt-weight-total cross join (broadcast; "
                              "the q_llm_domain_mix shape)",
     "q_sketch_countmin": "probe tokens vs CONSTANT d*w=1024-cell broadcast "
