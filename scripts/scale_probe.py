@@ -61,6 +61,7 @@ PROBES = [
     # scoring, constant-lag moment aggregation
     "q_sketch_bloom",
     "q_ts_ema",
+    "q_ts_cusum",
     "q_ts_interp",
     "q_llm_dsir",
     "q_ts_autocorr",
