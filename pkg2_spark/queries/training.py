@@ -1209,38 +1209,47 @@ def q_llm_dsir(spark, sf_dir):
         "lang",
         (F.expr(_dsir_v32_spark("md5(token)")) % _DSIR_B).alias("bucket"),
     )
-    tc = b.filter(F.col("lang") == "en").groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("t_cnt")
+    # One explode+md5 pass: compact to per-(doc, lang, bucket) counts first.
+    # Both downstream aggregates (the 256-bucket weight table and the
+    # per-doc scores) derive from this frame, so Catalyst reuses one
+    # exchange instead of re-running the token explode 4x (tc/rc/buckets/
+    # scored in the naive formulation), and the second-stage inputs shrink
+    # from token occurrences to <= docs x 256 rows.
+    db = b.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    rc = b.filter(F.col("lang") != "en").groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("r_cnt")
+    w = db.groupBy("bucket").agg(
+        (F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)) + 1)
+        .cast("long")
+        .alias("t1"),
+        (F.sum(F.when(F.col("lang") != "en", F.col("c")).otherwise(0)) + 1)
+        .cast("long")
+        .alias("r1"),
     )
-    buckets = b.select("bucket").distinct()
-    w = (
-        buckets.join(tc, "bucket", "left")
-        .join(rc, "bucket", "left")
-        .select(
-            "bucket",
-            (F.coalesce("t_cnt", F.lit(0)) + 1).alias("t1"),
-            (F.coalesce("r_cnt", F.lit(0)) + 1).alias("r1"),
-        )
-    )
-    tot = w.agg(
-        F.sum("t1").cast("long").alias("t_tot"), F.sum("r1").cast("long").alias("r_tot")
-    )
-    wr = w.crossJoin(F.broadcast(tot)).select(
+    # Smoothing totals via a global window over the <=256-row weight table:
+    # a separate .agg() branch would re-derive the whole token-explode
+    # subtree (exchange reuse does not fire across the differing
+    # projections), so the window keeps the plan at one full explode pass.
+    every = Window.partitionBy()
+    wr = w.select(
+        "bucket",
+        F.sum("t1").over(every).cast("long").alias("t_tot"),
+        F.sum("r1").over(every).cast("long").alias("r_tot"),
+        "t1",
+        "r1",
+    ).select(
         "bucket",
         F.expr("CAST((t1 * r_tot * 10000) DIV (r1 * t_tot) AS BIGINT)").alias(
             "ratio_e4"
         ),
     )
     scored = (
-        b.filter(F.col("lang") != "en")
+        db.filter(F.col("lang") != "en")
         .join(F.broadcast(wr), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("ratio_e4").cast("long").alias("score_e4"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("ratio_e4")).cast("long").alias("score_e4"),
         )
     )
     return (
