@@ -100,6 +100,47 @@ def ema_halving(df: DataFrame, key: str, order: Sequence[str],
     )
 
 
+def holt_fold(df: DataFrame, key: str, order: Sequence[str],
+              value: str) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) per key
+    over integer ``value``, both smoothings at alpha = beta = 1/2:
+    l_1 = v_1, b_1 = 0; then l_t = (v_t + l_{t-1} + b_{t-1}) div 2 and
+    b_t = (b_{t-1} + l_t - l_{t-1}) div 2. Returns (key, n_events,
+    level_e2, trend_e2). The trend can be negative, so the spec fixes
+    TRUNCATING division (what Spark's DIV and DuckDB's // both do on
+    negatives) and the Python fold emulates it explicitly — Python's //
+    floors, which would diverge on odd negative intermediates."""
+
+    def tdiv2(a: int) -> int:
+        return -((-a) // 2) if a < 0 else a // 2
+
+    def fold(state, grp):
+        n, lv, b = state if state is not None else (0, 0, 0)
+        for v in grp[value].astype("int64"):
+            v = int(v)
+            if n == 0:
+                lv, b = v, 0
+            else:
+                nxt = tdiv2(v + lv + b)
+                b = tdiv2(b + nxt - lv)
+                lv = nxt
+            n += 1
+        return (n, lv, b)
+
+    def emit(kv, state):
+        return {
+            key: int(kv[0]),
+            "n_events": state[0],
+            "level_e2": state[1],
+            "trend_e2": state[2],
+        }
+
+    return partition_ordered_fold(
+        df.select(key, *order, value), [key], order, fold, emit,
+        f"{key} long, n_events long, level_e2 long, trend_e2 long",
+    )
+
+
 def cusum_fold(df: DataFrame, keys: Sequence[str], order: Sequence[str],
                value: str, ref: str) -> DataFrame:
     """One-sided CUSUM per key over integer ``value`` against integer

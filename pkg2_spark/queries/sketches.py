@@ -388,3 +388,117 @@ def q_sketch_bloom(spark, sf_dir):
             (F.count("fl") - F.count("ex")).cast("long").alias("n_false_pos"),
         )
     )
+
+
+# --- HyperLogLog: m=256 registers, md5-derived 32-bit hash split into an
+# 8-bit bucket + 24-bit rank window. ALPHA_E6 is the Flajolet et al. 2007
+# bias constant alpha_256 = 0.7213/(1 + 1.079/256) in e6 fixed point — a
+# spec constant, identical in both engines, so the raw estimator
+# NUMER DIV S is exact BIGINT arithmetic end to end (no libm anywhere:
+# floor(log2(w)) is spelled length(bin(w)), verified char-identical in
+# Spark and DuckDB including the minimal-width and bin(0)='0' cases).
+_HLL_M = 256
+_HLL_ALPHA_E6 = 718273
+# alpha * m^2 * 2^25 * 1e-6 happens at the single final DIV: numerator
+# 718273 * 65536 * 2^25 ~= 1.58e18 stays under 2^63.
+_HLL_NUMER = _HLL_ALPHA_E6 * _HLL_M * _HLL_M * (1 << 25)
+
+
+@query(
+    "q_sketch_hll",
+    oracle=f"""
+WITH el AS (
+  SELECT DISTINCT l_returnflag AS grp, l_partkey AS el FROM lineitem
+),
+h AS (
+  SELECT grp, el,
+         ({_v32_sql("md5(CAST(el AS VARCHAR))")}) AS v32
+  FROM el
+),
+reg AS (
+  SELECT grp, v32 % {_HLL_M} AS bucket,
+         max(CASE WHEN v32 // {_HLL_M} = 0 THEN 25
+             ELSE 25 - length(bin(v32 // {_HLL_M})) END) AS m_j
+  FROM h GROUP BY grp, v32 % {_HLL_M}
+),
+s AS (
+  SELECT grp,
+         CAST(sum(CAST(1 AS BIGINT) << (25 - m_j))
+              + ({_HLL_M} - count(*)) * (CAST(1 AS BIGINT) << 25)
+              AS BIGINT) AS harm
+  FROM reg GROUP BY grp
+),
+exact AS (SELECT grp, count(*) AS n_exact FROM el GROUP BY grp)
+SELECT e.grp AS l_returnflag,
+       CAST(e.n_exact AS BIGINT) AS n_exact,
+       CAST({_HLL_NUMER} // s.harm // 1000000 AS BIGINT) AS hll_est,
+       CAST(abs({_HLL_NUMER} // s.harm // 1000000 - e.n_exact) * 10000
+            // e.n_exact AS BIGINT) AS err_bp,
+       CAST(abs({_HLL_NUMER} // s.harm // 1000000 - e.n_exact) * 10000
+            // e.n_exact <= 2500 AS INTEGER) AS within_3sigma
+FROM exact e JOIN s ON e.grp = s.grp
+""",
+)
+def q_sketch_hll(spark, sf_dir):
+    """HyperLogLog distinct-partkey estimate per returnflag (the same
+    domain q_sketch_kmv estimates, so the two sketch families are directly
+    comparable), deterministic enough to hash-match: registers come from
+    the md5-derived v32 (8-bit bucket, rank = 25 - MSB position of the
+    24-bit window, via length(bin(w)) — no libm log2), and the raw
+    Flajolet estimator alpha*m^2/sum(2^-M_j) is evaluated as one BIGINT
+    DIV against the e6 bias constant. The oracle recomputes the IDENTICAL
+    sketch AND the exact distinct count, so the estimator's accuracy
+    contract (within 2500 bp ~ 3 sigma for m=256, sigma = 1.04/sqrt(m) ~
+    6.5%) is verified as data per group. The raw estimator is used without
+    the small-range linear-counting correction (which needs ln) — this
+    domain is >> 2.5m, outside the correction regime, and the
+    within_3sigma column proves the bound held.
+
+    Scale shape: one distinct hash-agg (map-side combined, shuffle carries
+    one row per distinct (group, element)), then a <= m-row-per-group
+    register agg — the sketch is CONSTANT 256 registers per group and
+    merges across partitions/days by register-wise max, which is the whole
+    point of HLL at 100 TB: a corpus-wide distinct count with 256 bytes of
+    state per group and no second pass. (The distinct pre-agg here is only
+    to share the exact-count subtree; pure sketch builds skip it and fold
+    raw occurrences straight into registers.)"""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    el = li.select(
+        F.col("l_returnflag").alias("grp"), F.col("l_partkey").alias("el")
+    ).distinct()
+    h = el.select(
+        "grp", "el",
+        F.expr(_v32_spark("md5(CAST(el AS STRING))")).alias("v32"),
+    )
+    reg = (
+        h.select(
+            "grp",
+            (F.col("v32") % _HLL_M).alias("bucket"),
+            F.expr(
+                f"CASE WHEN v32 DIV {_HLL_M} = 0 THEN 25 "
+                f"ELSE 25 - length(bin(v32 DIV {_HLL_M})) END"
+            ).alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    s = reg.groupBy("grp").agg(
+        F.expr(
+            f"CAST(sum(CAST(1 AS BIGINT) << (25 - m_j))"
+            f" + ({_HLL_M} - count(*)) * (CAST(1 AS BIGINT) << 25) AS BIGINT)"
+        ).alias("harm")
+    )
+    exact = el.groupBy("grp").agg(F.count(F.lit(1)).alias("n_exact"))
+    return exact.join(s, "grp").select(
+        F.col("grp").alias("l_returnflag"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.expr(f"{_HLL_NUMER} DIV harm DIV 1000000").cast("long").alias("hll_est"),
+        F.expr(
+            f"CAST(abs({_HLL_NUMER} DIV harm DIV 1000000 - n_exact) * 10000"
+            f" DIV n_exact AS BIGINT)"
+        ).alias("err_bp"),
+        F.expr(
+            f"CAST(abs({_HLL_NUMER} DIV harm DIV 1000000 - n_exact) * 10000"
+            f" DIV n_exact <= 2500 AS INT)"
+        ).alias("within_3sigma"),
+    )

@@ -568,9 +568,10 @@ def q_ts_ema(spark, sf_dir):
     that NO window frame expresses: each output depends on the previous
     OUTPUT, not a previous input. This is the engine's ordered-state
     operator proof for batch (q_stream_stateful is the streaming twin):
-    Spark runs it as applyInPandas per user key — embarrassingly parallel
-    ACROSS keys (one shuffle on user_id, Arrow-batched, sequential only
-    within a key, which is inherent to the recurrence) — while the oracle
+    Spark runs it as the partition-level batch fold (one shuffle on
+    user_id, sortWithinPartitions, mapInPandas with a cross-batch carry —
+    flat in the key count; see operators/recurrence.py), sequential only
+    within a key, which is inherent to the recurrence, while the oracle
     recomputes it with a recursive CTE.
 
     Determinism: alpha = 1/2 over floor-e2 integer inputs with integer
@@ -1096,4 +1097,61 @@ def q_ts_seasonality(spark, sf_dir):
         F.col("n").cast("long").alias("n_events"),
         F.expr("CAST(n * 10000 DIV t AS BIGINT)").alias("share_bp"),
         F.expr("CAST(sv DIV n AS BIGINT)").alias("mean_value_e2"),
+    )
+
+
+@query(
+    "q_ts_holtwinters",
+    oracle="""
+WITH RECURSIVE ev AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         CAST(floor(value * 100) AS BIGINT) AS v_e2
+  FROM events
+),
+hw AS (
+  SELECT user_id, rn, v_e2 AS l_e2, CAST(0 AS BIGINT) AS b_e2
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT ev.user_id, ev.rn,
+         (ev.v_e2 + hw.l_e2 + hw.b_e2) // 2,
+         (hw.b_e2 + ((ev.v_e2 + hw.l_e2 + hw.b_e2) // 2) - hw.l_e2) // 2
+  FROM ev JOIN hw ON ev.user_id = hw.user_id AND ev.rn = hw.rn + 1
+),
+last_rn AS (SELECT user_id, max(rn) AS n_events FROM hw GROUP BY user_id)
+SELECT h.user_id, CAST(l.n_events AS BIGINT) AS n_events,
+       CAST(h.l_e2 AS BIGINT) AS level_e2,
+       CAST(h.b_e2 AS BIGINT) AS trend_e2,
+       CAST(h.l_e2 + h.b_e2 AS BIGINT) AS forecast_e2
+FROM hw h JOIN last_rn l ON h.user_id = l.user_id AND h.rn = l.n_events
+""",
+)
+def q_ts_holtwinters(spark, sf_dir):
+    """Holt double exponential smoothing per user — level AND linear trend,
+    the one-step-ahead forecaster (forecast = level + trend) behind
+    capacity planning and rate-limit baselines. Third instance of the
+    ordered-recurrence operator (operators/recurrence.py, with q_ts_ema
+    and q_ts_cusum): the trend state feeds back into the level update, so
+    no window frame or closed form expresses it — it is the genuinely
+    sequential case, sharded per key.
+
+    Determinism: alpha = beta = 1/2 over floor-e2 integers with TRUNCATING
+    halving (the negative-trend case is where Python's floor-// and
+    SQL's truncating division diverge; the fold pins truncation — see
+    holt_fold). Scale shape: the partition-level batch fold — one user-key
+    shuffle, Arrow batches, flat in the key count."""
+    from pkg2_spark.operators.recurrence import holt_fold
+
+    e = load_tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v_e2"),
+    )
+    return holt_fold(e, "user_id", ["ts", "event_id"], "v_e2").select(
+        "user_id",
+        "n_events",
+        "level_e2",
+        "trend_e2",
+        (F.col("level_e2") + F.col("trend_e2")).cast("long").alias("forecast_e2"),
     )

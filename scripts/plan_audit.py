@@ -72,7 +72,7 @@ PYTHON_WHITELIST = {
     # sequential recurrences (EMA, CUSUM): applyInPandas per series key —
     # the output depends on the previous OUTPUT, inexpressible as a window
     # frame (operators/recurrence.py)
-    "q_ts_ema", "q_ts_cusum",
+    "q_ts_ema", "q_ts_cusum", "q_ts_holtwinters",
 }
 
 # Plans built inside the streaming harness (writeStream), not visible here.
