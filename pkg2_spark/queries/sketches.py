@@ -74,19 +74,30 @@ FROM kth JOIN x ON kth.l_returnflag = x.l_returnflag
 def q_sketch_kmv(spark, sf_dir):
     """KMV distinct-count sketch per group, hash-matched EXACTLY against the
     oracle (unlike HLL, the whole sketch is deterministic): distinct md5
-    hash-agg → per-group rank window for the k-th minimum → integer
-    estimator. Emits the estimate, the exact count, and the error in basis
-    points — the QA row a pipeline tracks when sizing k."""
+    hash-agg → two-stage k-minimum (per-salt partial k-lists, then a merge
+    of the k smallest of their union) → integer estimator. Emits the
+    estimate, the exact count, and the error in basis points — the QA row
+    a pipeline tracks when sizing k.
+
+    The two-stage form IS the scale path q_sketch_kmv_merge proves
+    correct: a per-group rank window would funnel each group through one
+    partition (3 groups = parallelism 3 no matter the cluster), while the
+    64-salt partial stage keeps every task's state at <= k hashes and the
+    merge is a constant 64*k-element array fold per group. At larger
+    corpora, scale the salt count with the data; the merged result is
+    invariant to it."""
     li = load_tables(spark, sf_dir)["lineitem"]
     d = (
         li.select("l_returnflag", F.md5(F.col("l_partkey").cast("string")).alias("h"))
         .distinct()
     )
-    w = Window.partitionBy("l_returnflag").orderBy(F.col("h").asc_nulls_last())
-    kth = (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == _K)
-        .select("l_returnflag", F.col("h").alias("kth_hash"))
+    part = d.groupBy(
+        "l_returnflag", F.pmod(F.xxhash64("h"), F.lit(64)).alias("salt")
+    ).agg(F.slice(F.array_sort(F.collect_list("h")), 1, _K).alias("ks"))
+    kth = part.groupBy("l_returnflag").agg(
+        F.element_at(
+            F.slice(F.array_sort(F.flatten(F.collect_list("ks"))), 1, _K), _K
+        ).alias("kth_hash")
     )
     exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_exact")

@@ -306,40 +306,58 @@ def q_vec_pq(spark, sf_dir):
 
     PQ is the memory arm of large-scale ANN (IVF prunes candidates, PQ
     compresses residuals 32×: 64 floats → 8 code bytes with asymmetric
-    distance computed from a k×m lookup table). Topology: O(n·k·m)
-    assignment against ONE broadcast codebook — the same constant-fanout
-    broadcast shape as the IVF assignment, no shuffle until the final
-    per-vector hash-agg. Error sums are floor-scaled e4 integers; argmin
-    ties break on cid, and both engines fold the 8-term squared distance in
-    the same sequential order, so codes are bit-identical."""
+    distance computed from a k×m lookup table). Topology: the 16-entry
+    codebook is collected into ONE broadcast array row and every vector
+    computes all 8 sub-assignments ROW-LOCALLY with nested higher-order
+    functions (argmin = aggregate over the cid-sorted codebook with
+    strict-< so ties keep the lowest cid) — zero shuffle anywhere: the
+    plan is scan → broadcast-append → project, which at 100 TB means the
+    PQ encode runs at scan speed with no exchange at all (the earlier
+    formulation shuffled n·m·k scored rows through a per-(vector,
+    subspace) rank window). Error sums are floor-scaled e4 integers; both
+    engines fold the 8-term squared distance in the same sequential
+    order, so codes are bit-identical."""
     e = load_tables(spark, sf_dir)["embeddings"]
-    cent = (
+    cents = (
         e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
         .orderBy(
             F.md5(F.col("cid").cast("string")).asc_nulls_last(),
             F.col("cid").asc_nulls_last(),
         )
         .limit(16)
+        .agg(F.sort_array(F.collect_list(F.struct("cid", "cemb"))).alias("cents"))
     )
-    d2 = F.expr(
-        "aggregate(zip_with(slice(embedding, s * 8 + 1, 8), slice(cemb, s * 8 + 1, 8),"
+    d2 = (
+        "aggregate(zip_with(slice(embedding, s * 8 + 1, 8),"
+        " slice({emb}, s * 8 + 1, 8),"
         " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
         " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
-        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        " CAST(0.0 AS DOUBLE), (acc2, v) -> acc2 + v)"
     )
-    scored = (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn("s", F.explode(F.sequence(F.lit(0), F.lit(7))))
-        .select("vec_id", "s", "cid", d2.alias("d2"))
+    codes = F.expr(
+        "transform(sequence(0, 7), s -> aggregate(cents,"
+        " named_struct('d2', CAST('Infinity' AS DOUBLE), 'cid', CAST(-1 AS BIGINT)),"
+        f" (acc, c) -> IF({d2.format(emb='c.cemb')} < acc.d2,"
+        f" named_struct('d2', {d2.format(emb='c.cemb')},"
+        " 'cid', CAST(c.cid AS BIGINT)), acc)))"
     )
-    w = Window.partitionBy("vec_id", "s").orderBy(
-        F.col("d2").asc_nulls_last(), F.col("cid").asc_nulls_last()
-    )
-    code = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return code.groupBy("vec_id").agg(
-        F.sum("cid").cast("long").alias("code_sum"),
-        F.sum((F.col("s") + 1) * F.col("cid")).cast("long").alias("code_wsum"),
-        F.sum(F.floor(F.col("d2") * 10000).cast("long")).cast("long").alias("err_e4"),
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", codes.alias("codes"))
+        .select(
+            "vec_id",
+            F.expr(
+                "aggregate(codes, CAST(0 AS BIGINT), (a, c) -> a + c.cid)"
+            ).alias("code_sum"),
+            F.expr(
+                "aggregate(zip_with(codes, sequence(1, 8), (c, i) ->"
+                " CAST(i AS BIGINT) * c.cid), CAST(0 AS BIGINT), (a, v) -> a + v)"
+            ).alias("code_wsum"),
+            F.expr(
+                "aggregate(codes, CAST(0 AS BIGINT),"
+                " (a, c) -> a + CAST(floor(c.d2 * 10000) AS BIGINT))"
+            ).alias("err_e4"),
+        )
     )
 
 
