@@ -361,6 +361,188 @@ def q_vec_pq(spark, sf_dir):
     )
 
 
+_PQ_D2_SQL = """list_aggregate(list_transform(generate_series(1, 8),
+           i -> (CAST({a}[CAST({s} * 8 + i AS INTEGER)] AS DOUBLE)
+                 - CAST({b}[CAST({s} * 8 + i AS INTEGER)] AS DOUBLE))
+              * (CAST({a}[CAST({s} * 8 + i AS INTEGER)] AS DOUBLE)
+                 - CAST({b}[CAST({s} * 8 + i AS INTEGER)] AS DOUBLE))),
+           'sum')"""
+
+
+@query(
+    "q_vec_adc",
+    oracle=f"""
+WITH cent AS (
+  SELECT row_number() OVER (
+    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC NULLS LAST, vec_id ASC NULLS LAST
+  ) AS pos, vec_id AS cid, embedding AS cemb
+  FROM embeddings
+  QUALIFY row_number() OVER (
+    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC NULLS LAST, vec_id ASC NULLS LAST
+  ) <= 16
+),
+sub AS (SELECT unnest(generate_series(0, 7)) AS s),
+d AS (
+  SELECT e.vec_id, sub.s, c.pos,
+         {_PQ_D2_SQL.format(a="e.embedding", b="c.cemb", s="sub.s")} AS d2
+  FROM embeddings e CROSS JOIN cent c CROSS JOIN sub
+),
+code AS (
+  SELECT vec_id, s, pos FROM d
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id, s ORDER BY d2 ASC NULLS LAST, pos ASC NULLS LAST
+  ) = 1
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qemb FROM embeddings
+  QUALIFY row_number() OVER (
+    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC NULLS LAST, vec_id ASC NULLS LAST
+  ) <= 5
+),
+lut AS (
+  SELECT q.qid, sub.s, c.pos,
+         {_PQ_D2_SQL.format(a="q.qemb", b="c.cemb", s="sub.s")} AS d2
+  FROM q CROSS JOIN cent c CROSS JOIN sub
+),
+adc AS (
+  SELECT l.qid, c.vec_id,
+         CAST(sum(CAST(floor(l.d2 * 10000) AS BIGINT)) AS BIGINT) AS adc_e4
+  FROM code c JOIN lut l ON c.s = l.s AND c.pos = l.pos
+  WHERE c.vec_id <> l.qid
+  GROUP BY l.qid, c.vec_id
+),
+top3 AS (
+  SELECT qid, vec_id, adc_e4,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY adc_e4 ASC NULLS LAST, vec_id ASC NULLS LAST
+         ) AS rnk
+  FROM adc
+  QUALIFY row_number() OVER (
+    PARTITION BY qid ORDER BY adc_e4 ASC NULLS LAST, vec_id ASC NULLS LAST
+  ) <= 3
+)
+SELECT t.qid, CAST(t.rnk AS INTEGER) AS rank, t.vec_id, t.adc_e4,
+       CAST(floor(list_aggregate(list_transform(generate_series(1, 64),
+         i -> (CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+               - CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE))
+            * (CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+               - CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE))),
+         'sum') * 10000) AS BIGINT) AS exact_e4
+FROM top3 t
+JOIN embeddings a ON a.vec_id = t.qid
+JOIN embeddings b ON b.vec_id = t.vec_id
+""",
+)
+def q_vec_adc(spark, sf_dir):
+    """Asymmetric distance computation (ADC) — the QUERY arm of the PQ
+    index, completing the ANN triad (IVF coarse-prunes: q_llm_ann_ivf; PQ
+    compresses: q_vec_pq; ADC searches the compressed corpus): each query
+    vector builds an 8x16 lookup table of subspace distances to the
+    codebook once, and every corpus vector's approximate distance is then
+    8 table lookups over its PQ code — never a full 64-dim computation
+    against the corpus. Emits each query's top-3 ADC neighbors with the
+    TRUE distance alongside (both floor-e4), the quantization-quality row
+    an ANN deployment monitors.
+
+    Scale shape: corpus codes and per-query LUTs are row-local
+    higher-order expressions against the one-row broadcast codebook (the
+    q_vec_pq plan); scoring is a broadcast of 5 LUT rows across the code
+    scan; top-3 uses the salted two-stage partial-merge (the q_sketch_kmv
+    shape) instead of a per-query rank window — no per-query funneling,
+    bounded per-task state, and the only shuffle in the whole plan is the
+    <= 32-salt merge agg."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    cents = (
+        e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+        .orderBy(
+            F.md5(F.col("cid").cast("string")).asc_nulls_last(),
+            F.col("cid").asc_nulls_last(),
+        )
+        .limit(16)
+        .agg(F.sort_array(F.collect_list(F.struct("cid", "cemb"))).alias("cents"))
+    )
+    d2s = (
+        "aggregate(zip_with(slice({q}, s * 8 + 1, 8), slice({c}, s * 8 + 1, 8),"
+        " (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (acc2, v) -> acc2 + v)"
+    )
+    # Corpus PQ codes as 1-based POSITIONS into the cid-sorted codebook
+    # (strict < keeps the lowest position on ties, matching the oracle's
+    # d2 ASC, pos ASC rank).
+    codes = F.expr(
+        "transform(sequence(0, 7), s -> aggregate("
+        " zip_with(cents, sequence(1, 16),"
+        "  (c, i) -> named_struct('cemb', c.cemb, 'pos', i)),"
+        " named_struct('d2', CAST('Infinity' AS DOUBLE), 'pos', -1),"
+        f" (acc, p) -> IF({d2s.format(q='embedding', c='p.cemb')} < acc.d2,"
+        f" named_struct('d2', {d2s.format(q='embedding', c='p.cemb')},"
+        " 'pos', p.pos), acc)).pos)"
+    )
+    corpus = e.crossJoin(F.broadcast(cents)).select("vec_id", codes.alias("codes"))
+    qs = (
+        e.orderBy(
+            F.md5(F.col("vec_id").cast("string")).asc_nulls_last(),
+            F.col("vec_id").asc_nulls_last(),
+        )
+        .limit(5)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb"))
+    )
+    lut = F.expr(
+        "transform(sequence(0, 7), s -> transform(cents, c -> "
+        + d2s.format(q="qemb", c="c.cemb")
+        + "))"
+    )
+    qlut = qs.crossJoin(F.broadcast(cents)).select("qid", lut.alias("lut"))
+    scored = (
+        corpus.crossJoin(F.broadcast(qlut))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(codes, sequence(1, 8), (p, s) ->"
+                " CAST(floor(element_at(element_at(lut, s), p) * 10000)"
+                " AS BIGINT)), CAST(0 AS BIGINT), (a, v) -> a + v)"
+            ).alias("adc_e4"),
+        )
+    )
+    part = scored.groupBy(
+        "qid", F.pmod(F.xxhash64("vec_id"), F.lit(32)).alias("salt")
+    ).agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("adc_e4", "vec_id"))), 1, 3
+        ).alias("ks")
+    )
+    ranked = (
+        part.groupBy("qid")
+        .agg(
+            F.slice(F.sort_array(F.flatten(F.collect_list("ks"))), 1, 3).alias("ks")
+        )
+        .selectExpr("qid", "posexplode(ks) AS (rank0, t)")
+        .select(
+            "qid",
+            (F.col("rank0") + 1).cast("int").alias("rank"),
+            F.col("t.vec_id").alias("vec_id"),
+            F.col("t.adc_e4").alias("adc_e4"),
+        )
+    )
+    qv = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    nv = e.select("vec_id", F.col("embedding").alias("nv"))
+    exact = F.expr(
+        "CAST(floor(aggregate(zip_with(qv, nv, (x, y) ->"
+        " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (a, v) -> a + v) * 10000) AS BIGINT)"
+    )
+    return (
+        F.broadcast(ranked)
+        .join(qv, "qid")
+        .join(nv, "vec_id")
+        .select("qid", "rank", "vec_id", "adc_e4", exact.alias("exact_e4"))
+    )
+
+
 @query(
     "q_kmeans_step",
     oracle="""

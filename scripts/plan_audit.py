@@ -34,6 +34,8 @@ NLJ_WHITELIST = {
     "q_llm_ann_ivf": "O(n*k) assignment vs CONSTANT-16 broadcast centroid table",
     "q_vec_pq": "O(n*k*m) PQ code assignment vs CONSTANT-16 broadcast codebook "
     "(same constant-fanout shape as the IVF assignment)",
+    "q_vec_adc": "1-row codebook + constant-5-query LUT broadcasts over the "
+    "code scan (the PQ/IVF constant-fanout shape, three stages)",
     "q_llm_ann_recall": "same constant-k assignment + bounded probe cross scan",
     "q_llm_knn": "bounded probe set broadcast vs linear corpus scan",
     "q_llm_tfidf": "1-row doc-count scalar cross join (broadcast)",
