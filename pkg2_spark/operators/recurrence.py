@@ -191,6 +191,13 @@ def cusum_fold(df: DataFrame, keys: Sequence[str], order: Sequence[str],
             s0 = np.zeros(nseg, np.int64)
             cont = (carry_key is not None
                     and tuple(kdf.iloc[0]) == carry_key)
+            if carry_key is not None and not cont:
+                # The carried key ended exactly at the previous batch
+                # boundary — flush it before folding this batch.
+                out_keys.append(last_key_slice)
+                out_n.append(np.array([carry[0]], np.int64))
+                out_s.append(np.array([carry[1]], np.int64))
+                out_peak.append(np.array([carry[2]], np.int64))
             if cont:
                 s0[0] = carry[1]
             s_vec = np.maximum(s0[seg] + c, c - cmin)
