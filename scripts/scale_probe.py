@@ -62,6 +62,8 @@ PROBES = [
     "q_sketch_bloom",
     "q_ts_ema",
     "q_ts_cusum",
+    "q_ts_holtwinters",
+    "q_vec_adc",
     "q_ts_interp",
     "q_llm_dsir",
     "q_ts_autocorr",
