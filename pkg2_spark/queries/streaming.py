@@ -651,3 +651,92 @@ def q_stream_ema(spark, sf_dir):
 
     stream = events_stream(spark, sf_dir)
     return run_to_memory(user_running_ema(stream), "stream_ema", mode="update")
+
+
+from pkg2_spark.operators.hashing import v32_spark as _hll_v32_spark  # noqa: E402
+from pkg2_spark.operators.hashing import v32_sql as _hll_v32_sql  # noqa: E402
+from pkg2_spark.queries.sketches import _HLL_M, _HLL_NUMER  # noqa: E402
+
+
+@query(
+    "q_stream_hll",
+    oracle=f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ({_hll_v32_sql("md5(CAST(user_id AS VARCHAR))")}) AS v32
+  FROM events
+),
+reg AS (
+  SELECT event_type, v32 % {_HLL_M} AS bucket,
+         max(CASE WHEN v32 // {_HLL_M} = 0 THEN 25
+             ELSE 25 - length(bin(v32 // {_HLL_M})) END) AS m_j
+  FROM h GROUP BY event_type, v32 % {_HLL_M}
+),
+s AS (
+  SELECT event_type,
+         CAST(sum(CAST(1 AS BIGINT) << (25 - m_j))
+              + ({_HLL_M} - count(*)) * (CAST(1 AS BIGINT) << 25)
+              AS BIGINT) AS harm
+  FROM reg GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(e.n_exact AS BIGINT) AS n_exact,
+       CAST({_HLL_NUMER} // s.harm // 1000000 AS BIGINT) AS hll_est
+FROM exact e JOIN s ON e.event_type = s.event_type
+""",
+)
+def q_stream_hll(spark, sf_dir):
+    """Distinct-users-per-event-type HLL maintained by REAL Structured
+    Streaming: the register build (groupBy(type, bucket).max(rho)) runs as
+    a streaming aggregation over the replayed event stream — max is
+    commutative and idempotent, so micro-batch merge through the state
+    store lands on the IDENTICAL registers the batch/DuckDB formulation
+    computes, duplicates and batch boundaries notwithstanding. That is the
+    sketch-mergeability property (q_sketch_hll documents it; this query
+    PROVES it through the streaming engine), and it is the always-on
+    "distinct users right now" counter: O(types × 256) state forever, no
+    watermark needed because registers never retract. The estimator
+    finalization runs batch-side over the materialized registers; the
+    exact batch count rides alongside as the audit column. (This domain's
+    cardinality sits in HLL's small-range regime at tiny SFs — the
+    accuracy CONTRACT lives with q_sketch_hll on the high-cardinality
+    domain; here both engines evaluate the same raw estimator, so the
+    hash-match is exact regardless.)"""
+    from pkg2_spark.streaming.harness import events_stream, run_to_memory
+
+    stream = events_stream(spark, sf_dir)
+    reg_stream = (
+        stream.select(
+            "event_type",
+            F.expr(_hll_v32_spark("md5(CAST(user_id AS STRING))")).alias("v32"),
+        )
+        .select(
+            "event_type",
+            (F.col("v32") % _HLL_M).alias("bucket"),
+            F.expr(
+                f"CASE WHEN v32 DIV {_HLL_M} = 0 THEN 25 "
+                f"ELSE 25 - length(bin(v32 DIV {_HLL_M})) END"
+            ).alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    regs = run_to_memory(reg_stream, "stream_hll")
+    s = regs.groupBy("event_type").agg(
+        F.expr(
+            f"CAST(sum(CAST(1 AS BIGINT) << (25 - m_j))"
+            f" + ({_HLL_M} - count(*)) * (CAST(1 AS BIGINT) << 25) AS BIGINT)"
+        ).alias("harm")
+    )
+    exact = load_tables(spark, sf_dir)["events"].groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return exact.join(s, "event_type").select(
+        "event_type",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.expr(f"{_HLL_NUMER} DIV harm DIV 1000000").cast("long").alias("hll_est"),
+    )
