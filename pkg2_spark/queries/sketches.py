@@ -513,3 +513,42 @@ def q_sketch_hll(spark, sf_dir):
             f" DIV n_exact <= 2500 AS INT)"
         ).alias("within_3sigma"),
     )
+
+
+@query(
+    "q_sketch_bitmap",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_sketch_bitmap(spark, sf_dir):
+    """EXACT mergeable distinct count via Spark's native bitmap aggregates
+    — the third point on the distinct-count cost spectrum next to KMV and
+    HLL (both approximate): bitmap_construct_agg builds a fixed 4KB bitmap
+    per (group, 32k-id bucket), bitmap_or_agg merges buckets (OR is
+    commutative/idempotent — the same mergeability HLL gets from max, but
+    lossless), bitmap_count reads off the cardinality. The oracle is a
+    plain COUNT(DISTINCT): two entirely different implementations, one
+    answer — the strongest form of differential check.
+
+    Scale shape: the inner agg is map-side combinable (bitmaps OR within a
+    partition before the shuffle), the shuffle carries one <= 4KB bitmap
+    per (group, bucket) instead of one row per distinct value, and the
+    outer agg sums the per-bucket cardinalities (bitmap_or_agg is ONLY for
+    merging partials of the SAME bucket — ORing across buckets would alias
+    ids 32k apart, measured as an off-by-duplicates undercount before this
+    spelling). The dense-id assumption is the tradeoff: ids must pack into
+    32k-wide buckets (true for surrogate keys like partkey); for
+    sparse/hashed domains fall back to HLL/KMV."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    b = li.groupBy(
+        "l_returnflag",
+        F.expr("bitmap_bucket_number(l_partkey)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").alias("bm")
+    )
+    return b.groupBy("l_returnflag").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_distinct")
+    )
