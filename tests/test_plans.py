@@ -402,3 +402,39 @@ def test_bloom_gate_probe_side_has_no_shuffle_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_sketch_bloom")
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sketch_and_vector_paths_have_no_rank_windows(spark, sf_dir):
+    # Round-5 rewrites removed every per-group rank window from the
+    # sketch/vector family: KMV runs the salted two-stage k-minimum,
+    # PQ/ADC argmin row-locally against broadcast codebooks, and the
+    # bitmap distinct is pure hash aggregation. A Window node reappearing
+    # here means a scale regression (per-group funneling).
+    for name in ["q_sketch_kmv", "q_vec_pq", "q_vec_adc", "q_sketch_bitmap"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "Window" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        for marker in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+            assert marker not in plan, (name, marker)
+
+
+def test_pq_and_adc_joins_are_broadcast_only(spark, sf_dir):
+    # The only join shape allowed in the encode/search plans is the
+    # broadcast nested loop against the constant codebook/LUT rows —
+    # never a shuffled join of scored rows.
+    for name in ["q_vec_pq", "q_vec_adc"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastNestedLoopJoin" in plan, name
+        for marker in ["SortMergeJoin", "ShuffledHashJoin"]:
+            assert marker not in plan, (name, marker)
+
+
+def test_recurrence_folds_are_partition_level(spark, sf_dir):
+    # The ordered recurrences must run as ONE key shuffle into a
+    # partition-level MapInPandas fold — not per-group FlatMapGroupsInPandas
+    # (whose dispatch cost scales with the key count), and never a join.
+    for name in ["q_ts_ema", "q_ts_holtwinters", "q_ts_cusum"]:
+        plan = _plan(spark, sf_dir, name)
+        assert "MapInPandas" in plan, name
+        assert "FlatMapGroupsInPandas" not in plan, name
+        assert "SortMergeJoin" not in plan, name
