@@ -1155,3 +1155,167 @@ def q_ts_holtwinters(spark, sf_dir):
         "trend_e2",
         (F.col("level_e2") + F.col("trend_e2")).cast("long").alias("forecast_e2"),
     )
+
+
+@query(
+    "q_ts_stl",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+              // count(*) AS BIGINT) AS v_e2
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+tr AS (
+  SELECT event_type, day, v_e2,
+         CAST(CAST(sum(v_e2) OVER w AS BIGINT) // count(*) OVER w AS BIGINT)
+           AS trend_e2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+de AS (
+  SELECT event_type, day, v_e2, trend_e2,
+         v_e2 - trend_e2 AS det_e2,
+         CAST(dayofweek(day) AS INTEGER) AS dow
+  FROM tr
+),
+se AS (
+  SELECT event_type, dow,
+         CAST(CAST(sum(det_e2) AS BIGINT) // count(*) AS BIGINT) AS seasonal_e2
+  FROM de GROUP BY event_type, dow
+)
+SELECT d.event_type, epoch_us(d.day) AS day_us,
+       d.v_e2, d.trend_e2, s.seasonal_e2,
+       CAST(d.det_e2 - s.seasonal_e2 AS BIGINT) AS remainder_e2
+FROM de d JOIN se s ON d.event_type = s.event_type AND d.dow = s.dow
+""",
+)
+def q_ts_stl(spark, sf_dir):
+    """STL-style seasonal-trend decomposition (additive, integer-exact) of
+    the per-type daily series: trend = 7-day centered moving mean,
+    seasonal = day-of-week mean of the detrended series, remainder = what
+    neither explains — the decomposition behind anomaly baselining and
+    forecast preprocessing, here with every component an exact BIGINT
+    (means as sum DIV count; detrended values go negative, so the
+    truncating-DIV semantics both engines share is load-bearing — see
+    holt_fold for the same contract). Spark's dayofweek is 1-based
+    Sunday, DuckDB's 0-based — normalized to the same 0..6 key.
+
+    Scale shape: one (type, day) hash-agg compacts the events, then a
+    7-row frame window and a 35-key seasonal agg over the COMPACTED
+    series (days × types rows, not events) — the decomposition costs one
+    shuffle more than the rollup it reads."""
+    e = load_tables(spark, sf_dir)["events"]
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.expr(
+            "CAST(sum(CAST(floor(value * 100) AS BIGINT)) DIV count(*) AS BIGINT)"
+        ).alias("v_e2")
+    )
+    tr = daily.select(
+        "event_type",
+        "day",
+        "v_e2",
+        F.expr(
+            "CAST(sum(v_e2) OVER (PARTITION BY event_type ORDER BY day"
+            " ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
+            " DIV count(*) OVER (PARTITION BY event_type ORDER BY day"
+            " ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)"
+        ).alias("trend_e2"),
+    )
+    de = tr.select(
+        "event_type",
+        "day",
+        "v_e2",
+        "trend_e2",
+        (F.col("v_e2") - F.col("trend_e2")).alias("det_e2"),
+        (F.dayofweek("day") - 1).cast("int").alias("dow"),
+    )
+    se = de.groupBy("event_type", "dow").agg(
+        F.expr("CAST(sum(det_e2) DIV count(*) AS BIGINT)").alias("seasonal_e2")
+    )
+    return de.join(F.broadcast(se), ["event_type", "dow"]).select(
+        "event_type",
+        F.unix_micros(F.col("day")).alias("day_us"),
+        "v_e2",
+        "trend_e2",
+        "seasonal_e2",
+        (F.col("det_e2") - F.col("seasonal_e2")).cast("long").alias("remainder_e2"),
+    )
+
+
+@query(
+    "q_events_rfm",
+    oracle="""
+WITH base AS (
+  SELECT user_id,
+         epoch_us(max(ts)) AS recency_us,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS monetary_e2
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+)
+SELECT user_id, recency_us, frequency, monetary_e2,
+       ntile(5) OVER (ORDER BY recency_us ASC NULLS LAST, user_id ASC NULLS LAST) AS r_score,
+       ntile(5) OVER (ORDER BY frequency ASC NULLS LAST, user_id ASC NULLS LAST) AS f_score,
+       ntile(5) OVER (ORDER BY monetary_e2 ASC NULLS LAST, user_id ASC NULLS LAST) AS m_score,
+       CAST(ntile(5) OVER (ORDER BY recency_us ASC NULLS LAST, user_id ASC NULLS LAST) * 100
+          + ntile(5) OVER (ORDER BY frequency ASC NULLS LAST, user_id ASC NULLS LAST) * 10
+          + ntile(5) OVER (ORDER BY monetary_e2 ASC NULLS LAST, user_id ASC NULLS LAST)
+          AS INTEGER) AS rfm_code
+FROM base
+""",
+)
+def q_events_rfm(spark, sf_dir):
+    """RFM customer segmentation (recency / frequency / monetary) over
+    purchase events — the canonical marketing-analytics scoring: per-user
+    last-purchase time, purchase count, and e2-integer spend, each mapped
+    to a 1-5 quintile (5 = most recent / most frequent / highest spend)
+    and composed into the 3-digit RFM code campaigns key on. ntile over a
+    TOTAL order (metric, then user_id) is deterministic and identical
+    across engines.
+
+    Scale shape: one user-key hash-agg compacts events to one row per
+    buyer; the three ntile windows are global by definition (quintiles of
+    the whole population) — at corpus scale replace them with
+    approx-percentile threshold tables broadcast back (the documented
+    q_dq_anomaly threshold-then-filter pattern); the exact-window form is
+    the contract the approximation is graded against."""
+    e = load_tables(spark, sf_dir)["events"]
+    base = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.unix_micros(F.max("ts")).alias("recency_us"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("monetary_e2"),
+        )
+    )
+    wr = Window.orderBy(
+        F.col("recency_us").asc_nulls_last(), F.col("user_id").asc_nulls_last()
+    )
+    wf = Window.orderBy(
+        F.col("frequency").asc_nulls_last(), F.col("user_id").asc_nulls_last()
+    )
+    wm = Window.orderBy(
+        F.col("monetary_e2").asc_nulls_last(), F.col("user_id").asc_nulls_last()
+    )
+    scored = base.select(
+        "user_id",
+        "recency_us",
+        "frequency",
+        "monetary_e2",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_code",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("int"),
+    )
