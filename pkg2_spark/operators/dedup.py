@@ -142,10 +142,21 @@ def resolve_components(
             )
             break
         s = ec.unionByName(ec.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        m = (
+        m1 = (
             s.groupBy(F.col("a").alias("node"))
             .agg(F.min("b").alias("nmin"))
             .select("node", F.least("node", "nmin").alias("mnew"))
+        )
+        # Pointer doubling on the relabeling map (label-of-label): one-hop
+        # min propagation alone moves the min ~1 contracted hop per round,
+        # which is LINEAR rounds on path-shaped residuals (measured: a
+        # 41-node chain failed to converge in 20 rounds) — composing m
+        # with itself gives 2^round reach, restoring the log bound on any
+        # topology. The join is on the small super-node map, not the edges.
+        mj = m1.select(F.col("node").alias("jn"), F.col("mnew").alias("jm"))
+        m = (
+            m1.join(mj, m1["mnew"] == mj["jn"], "left")
+            .select(m1["node"], F.coalesce("jm", "mnew").alias("mnew"))
         )
         # Compose the node→component mapping with this round's contraction.
         # Monotone: mnew <= node for every mapped super-node, so labels only
@@ -171,4 +182,12 @@ def resolve_components(
             .distinct()
             .localCheckpoint()
         )
+    else:
+        # Exhausting max_iter with edges left would silently return
+        # part-merged labels — fail loudly instead (2^max_iter reach via
+        # pointer doubling makes this unreachable for any real diameter).
+        if not ec.isEmpty():
+            raise RuntimeError(
+                f"resolve_components did not converge in {max_iter} rounds"
+            )
     return comp.select("node", "component")

@@ -402,3 +402,34 @@ class TestEmaHalving:
             ema_halving(df.repartition(7), "k", ["ord"], "v").collect()
         )
         assert a == b
+
+
+def test_resolve_components_distributed_and_local_finish_agree(spark):
+    # The hybrid finish (driver-local union-find under _LOCAL_FINISH_EDGES)
+    # must land on the IDENTICAL fixpoint the pure distributed contraction
+    # reaches. Locally every residual fits the threshold, so the
+    # distributed rounds would otherwise go untested: force them by
+    # dropping the threshold to 0, and compare on a chain + ring + isolated
+    # -pair topology (worst case for round counts: long chains).
+    from pkg2_spark.operators import dedup as D
+
+    chain = [(i, i + 1) for i in range(0, 40)]          # one 41-node chain
+    ring = [(100 + i, 100 + (i + 1) % 7) for i in range(7)]
+    pair = [(500, 501)]
+    edges = spark.createDataFrame(chain + ring + pair, ["src", "dst"])
+
+    hybrid = {
+        r["node"]: r["component"]
+        for r in D.resolve_components(edges).collect()
+    }
+    old = D._LOCAL_FINISH_EDGES
+    D._LOCAL_FINISH_EDGES = 0
+    try:
+        distributed = {
+            r["node"]: r["component"]
+            for r in D.resolve_components(edges).collect()
+        }
+    finally:
+        D._LOCAL_FINISH_EDGES = old
+    assert hybrid == distributed
+    assert hybrid[40] == 0 and hybrid[106] == 100 and hybrid[501] == 500
