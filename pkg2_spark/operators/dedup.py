@@ -21,8 +21,8 @@ the bucket cap sparsifies saturated buckets into long chains):
 - plain min-label propagation = diameter rounds: 17 rounds / 5.1s on the
   sf0.1 sign-LSH graph (vs 5 rounds at sf0.01 — round growth was the
   dominant term in the query's scale ratio);
-- + pointer jumping (label-of-label per round): 11 rounds / 4.9s — label
-  trees stay flat after each groupBy-min, so jumping can't beat the
+- pointer jumping on the COMP labels alone: 11 rounds / 4.9s — label
+  trees stay flat after each groupBy-min, so that variant can't beat the
   one-edge-hop-per-round bound;
 - batching 2 propagation steps per action: catastrophically worse in both
   regimes (27s vs 14s on the old 4.8M-edge sets; 46s first action on the
@@ -30,6 +30,18 @@ the bucket cap sparsifies saturated buckets into long chains):
   the saved round-trips;
 - contraction: 6 rounds / 2.2s (sign sf0.1), 5 rounds / 1.6s (MinHash
   sf0.1), identical fixpoints to all of the above.
+
+Two late-round-5 hardenings on top of contraction: (1) the round's
+RELABELING MAP is composed with itself (pointer doubling on m, not on
+comp) — one-hop contraction alone is linear rounds on path-shaped
+residuals (a 41-node chain failed to converge in 20 rounds; with the
+doubling, reach is 2^round on any topology); (2) once the contracted
+residual fits _LOCAL_FINISH_EDGES, a driver-local union-find finishes in
+one step and broadcasts the final relabeling back (the standard
+distributed-while-big / local-when-small hybrid every production CC
+uses; identical fixpoints, and locally it collapses 4-5 fixed-overhead
+rounds per resolve query). Exhausting max_iter with edges left raises
+rather than returning part-merged labels.
 
 Scale posture: every operation is an equi-join or hash-agg on node ids —
 no pair explosion beyond the given edge set, and the rewritten edge set
