@@ -417,3 +417,28 @@ class Engine:
         from pkg2_spark.operators.recurrence import ema_halving
 
         return ema_halving(df, key, order, value)
+
+    def cusum(self, df: DataFrame, keys: list, order: list, value: str,
+              ref: str) -> DataFrame:
+        """One-sided CUSUM change-point statistic per key over INTEGER
+        value/reference columns (max_cusum + final_cusum; segmented
+        vectorized fold, flat in key count)."""
+        from pkg2_spark.operators.recurrence import cusum_fold
+
+        return cusum_fold(df, keys, order, value, ref)
+
+    def holt(self, df: DataFrame, key: str, order: list, value: str) -> DataFrame:
+        """Holt level+trend double exponential smoothing per key over an
+        INTEGER value column (alpha = beta = 1/2, truncating halving)."""
+        from pkg2_spark.operators.recurrence import holt_fold
+
+        return holt_fold(df, key, order, value)
+
+    def connected_components(self, edges: DataFrame, src: str = "src",
+                             dst: str = "dst") -> DataFrame:
+        """(node, component) over the undirected edge graph — min-label
+        contraction with the driver-local union-find finish (alias of
+        near_dup_components for graph-shaped callers)."""
+        from pkg2_spark.operators.dedup import resolve_components
+
+        return resolve_components(edges, src=src, dst=dst)

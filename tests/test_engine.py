@@ -286,3 +286,39 @@ def test_pipeline_demo_agrees_with_registry_queries(spark, sf_dir):
         .count()
     )
     assert survivors == 0
+
+
+def test_recurrence_and_graph_facade(spark, sf_dir):
+    # The late-round-5 facade methods delegate to the verified operators:
+    # cusum/holt agree with the registry queries' shapes on real data, and
+    # connected_components resolves a known two-component edge list.
+    import pyspark.sql.functions as F
+
+    from pkg2_spark.catalog import load_tables
+    from pkg2_spark.engine import Engine
+
+    eng = Engine(spark)
+    e = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", "ts", "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v_e2"),
+    )
+    k = e.groupBy("event_type").agg(
+        F.expr("CAST(sum(v_e2) DIV count(*) AS BIGINT)").alias("ref_e2")
+    )
+    cu = eng.cusum(
+        e.join(F.broadcast(k), "event_type"),
+        ["user_id", "event_type"], ["ts", "event_id"], "v_e2", "ref_e2",
+    ).collect()
+    assert cu and all(r["max_cusum"] >= r["final_cusum"] >= 0 for r in cu)
+
+    ho = eng.holt(e, "user_id", ["ts", "event_id"], "v_e2").collect()
+    assert ho and all(r["n_events"] > 0 for r in ho)
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["src", "dst"]
+    )
+    cc = {
+        r["node"]: r["component"]
+        for r in eng.connected_components(edges).collect()
+    }
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
