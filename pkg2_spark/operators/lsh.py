@@ -66,11 +66,17 @@ def banded_pairs(
     if cap is not None:
         bands = cap_band_buckets(bands, id_col, cap)
     a = bands.select(F.col(id_col).alias(left_alias), "band_id", "band_key")
+    # shuffle_hash, not AQE's broadcast conversion: both sides are the
+    # SAME band subtree already partitioned on the band key by the cap
+    # window, so the shuffle join reuses one exchange where a broadcast
+    # would rebuild the whole signature pipeline for the build side
+    # (~15% on the sf0.1 sign-LSH stage; the same reuse argument as
+    # q_llm_winnow_dup's fingerprint self-join).
     b = bands.select(
         F.col(id_col).alias(right_alias),
         F.col("band_id").alias("_bid2"),
         F.col("band_key").alias("_bkey2"),
-    )
+    ).hint("shuffle_hash")
     return (
         a.join(
             b,

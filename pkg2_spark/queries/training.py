@@ -1250,11 +1250,16 @@ def q_llm_winnow_dup(spark, sf_dir):
         F.col("_rn") <= _LLM_BUCKET_CAP
     ).drop("_rn")
     a = cf.select(F.col("doc_id").alias("doc_a"), F.col("n_selected").alias("na"), "fp")
+    # shuffle_hash, not AQE's broadcast conversion: both self-join sides
+    # are the SAME capped-window subtree already partitioned on fp, so a
+    # shuffle join reuses one fingerprint exchange, while broadcasting
+    # rebuilds the whole md5-kgram pipeline for the build side (measured
+    # 2.32s -> 1.60s at sf0.1).
     b = cf.select(
         F.col("doc_id").alias("doc_b"),
         F.col("n_selected").alias("nb"),
         F.col("fp").alias("fp2"),
-    )
+    ).hint("shuffle_hash")
     pairs = (
         a.join(b, (F.col("fp") == F.col("fp2")) & (F.col("doc_a") < F.col("doc_b")))
         .groupBy("doc_a", "doc_b")
