@@ -196,3 +196,46 @@ def test_asof_forward_matches_pandas_merge_asof(spark, left_rows, right_rows):
     got_m = {r.lid: (None if pd.isna(r.rv) else int(r.rv)) for r in got.itertuples()}
     want_m = {r.lid: (None if pd.isna(r.rv) else int(r.rv)) for r in want.itertuples()}
     assert got_m == want_m
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)),
+        min_size=0,
+        max_size=120,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_local_union_find_matches_bfs_reference(edges):
+    # The driver-local finish of resolve_components must assign every node
+    # the MIN member of its undirected component — checked against a plain
+    # BFS on arbitrary random graphs (self-loops and duplicates included).
+    from pkg2_spark.operators.dedup import _local_components
+
+    pairs = [(a, b) for a, b in edges if a != b]
+    got = _local_components(pairs)
+
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    seen: set[int] = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp: set[int] = set()
+        frontier = [start]
+        while frontier:
+            nxt = []
+            for x in frontier:
+                if x in comp:
+                    continue
+                comp.add(x)
+                nxt.extend(adj[x])
+            frontier = nxt
+        m = min(comp)
+        for x in comp:
+            want[x] = m
+        seen |= comp
+    assert got == want
