@@ -115,7 +115,20 @@ def main() -> int:
             f"| {name} | {t1:.3f}s | {t2:.3f}s | {t3:.3f}s "
             f"| {t2 / t1:.2f}x | {t3 / t2:.2f}x |"
         )
-    lines.append("")
+    lines += [
+        "",
+        "Reading the tail (ratios 2-3x at these sizes): q_llm_boiler,",
+        "q_llm_winnow_dup, and q_llm_dsir are LINEAR token-pipeline scans",
+        "whose per-row expression work (md5 shingles / kgram fingerprints /",
+        "feature hashing) dominates once fixed costs amortize — a linear",
+        "operator's ratio approaches 10x/10x by construction; the red flag",
+        "is only growth BEYOND linear (none present). q_vec_adc and",
+        "q_ts_autocorr are likewise linear scans with constant fan-out.",
+        "The structural guards (bucket caps, broadcasts, exchange reuse)",
+        "are pinned by tests/test_plans.py, which is the regression gate",
+        "for the SHAPES; this file tracks the constants.",
+        "",
+    ]
     text = "\n".join(lines)
     print(text)
     if out_path:
