@@ -172,13 +172,31 @@ def q_graph_pagerank(spark, sf_dir):
     )
 
 
-@query(
-    "q_graph_triangles",
-    oracle="""
-WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+# --- Shared co-supply kNN graph construction (triangles, degree
+# distribution, connected components all read the same edge list).
+#
+# The raw co-supply projection is quadratic in suppliers-per-part: a hot
+# part with m suppliers emits m·(m-1) scored pairs, and the measured pair
+# volume grew 13× per 10× data (1.37M → 18.0M, sf0.01 → sf0.1) — the
+# same hot-key blow-up class as the LSH band buckets (VERDICT r4 #2/#3).
+# Guard: the SAME deterministic md5-ranked member cap idiom
+# (operators/lsh.py::cap_band_buckets), applied per part — every part
+# contributes at most _PART_CAP·(_PART_CAP-1) pairs, so pair volume is
+# O(parts · cap²) no matter how hot a part gets at corpus scale. The kNN
+# cut then ranks shared-part counts over the capped projection; both
+# engines compute the identical capped sets (md5 rank mirrored in SQL).
+_PART_CAP = 16
+
+_COSUPPLY_UND_SQL = f"""sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+capped AS (
+  SELECT s, p FROM sp
+  QUALIFY row_number() OVER (
+    PARTITION BY p ORDER BY md5(CAST(s AS VARCHAR)) ASC NULLS LAST, s ASC NULLS LAST
+  ) <= {_PART_CAP}
+),
 cp AS (
   SELECT a.s AS sa, b.s AS sb, count(*) AS shared
-  FROM sp a JOIN sp b ON a.p = b.p AND a.s <> b.s
+  FROM capped a JOIN capped b ON a.p = b.p AND a.s <> b.s
   GROUP BY a.s, b.s
 ),
 knn AS (
@@ -187,7 +205,48 @@ knn AS (
     PARTITION BY sa ORDER BY shared DESC NULLS LAST, sb ASC NULLS LAST
   ) <= 3
 ),
-und AS (SELECT DISTINCT least(sa, sb) AS a, greatest(sa, sb) AS b FROM knn),
+und AS (SELECT DISTINCT least(sa, sb) AS a, greatest(sa, sb) AS b FROM knn)"""
+
+
+def _cosupply_und(t) -> DataFrame:
+    """Undirected (a < b) kNN co-supply edges over the capped projection —
+    the Spark mirror of _COSUPPLY_UND_SQL."""
+    sp = t["lineitem"].select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    wcap = Window.partitionBy("p").orderBy(
+        F.md5(F.col("s").cast("string")).asc_nulls_last(),
+        F.col("s").asc_nulls_last(),
+    )
+    capped = (
+        sp.withColumn("_rn", F.row_number().over(wcap))
+        .filter(F.col("_rn") <= _PART_CAP)
+        .drop("_rn")
+    )
+    a = capped.select(F.col("s").alias("sa"), "p")
+    # shuffle_hash: both sides are the same cap-window subtree already
+    # partitioned on p (the lsh.py::banded_pairs reuse argument).
+    b = capped.select(
+        F.col("s").alias("sb"), F.col("p").alias("p2")
+    ).hint("shuffle_hash")
+    cp = (
+        a.join(b, (F.col("p") == F.col("p2")) & (F.col("sa") != F.col("sb")))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    w = Window.partitionBy("sa").orderBy(
+        F.col("shared").desc_nulls_last(), F.col("sb").asc_nulls_last()
+    )
+    knn = cp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    return knn.select(
+        F.least("sa", "sb").alias("a"), F.greatest("sa", "sb").alias("b")
+    ).distinct()
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+WITH {_COSUPPLY_UND_SQL},
 tri AS (
   SELECT e1.a AS x, e1.b AS y, e2.b AS z
   FROM und e1
@@ -222,35 +281,18 @@ def q_graph_triangles(spark, sf_dir):
     contract graph is the similarity-kNN sparsification every production
     graph pipeline applies first).
 
-    Topology, scale-shaped end to end: the projection join is keyed on
-    l_partkey (fan-out bounded by suppliers-per-part — supply-chain
-    bounded; measured max 52 at sf0.1), the kNN cut is a per-node rank
-    window on exact integer shared-counts, and the triangle join is the
-    classic ORIENTED edge join — edges stored a<b, so e1(a,b)⋈e2(b,c)
-    ⋈e3(a,c) enumerates each triangle exactly once with two equi-joins on
-    the (tiny, 3n-edge) oriented edge list, never touching the fact table
-    again. Per-node counts and the clustering coefficient (basis points,
-    integer DIV) are exact integers throughout."""
+    Topology, scale-shaped end to end: the shared capped co-supply
+    projection (_cosupply_und — O(parts · cap²) pair volume, hot-part
+    safe), the kNN cut as a per-node rank window on exact integer
+    shared-counts, and the triangle join as the classic ORIENTED edge
+    join — edges stored a<b, so e1(a,b)⋈e2(b,c)⋈e3(a,c) enumerates each
+    triangle exactly once with two equi-joins on the (tiny, 3n-edge)
+    oriented edge list, never touching the fact table again. Per-node
+    counts and the clustering coefficient (basis points, integer DIV)
+    are exact integers throughout."""
     from pkg2_spark.catalog import load_tables
 
-    t = load_tables(spark, sf_dir)
-    sp = t["lineitem"].select(
-        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = sp.select(F.col("s").alias("sa"), "p")
-    b = sp.select(F.col("s").alias("sb"), F.col("p").alias("p2"))
-    cp = (
-        a.join(b, (F.col("p") == F.col("p2")) & (F.col("sa") != F.col("sb")))
-        .groupBy("sa", "sb")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    w = Window.partitionBy("sa").orderBy(
-        F.col("shared").desc_nulls_last(), F.col("sb").asc_nulls_last()
-    )
-    knn = cp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
-    und = knn.select(
-        F.least("sa", "sb").alias("a"), F.greatest("sa", "sb").alias("b")
-    ).distinct().persist()
+    und = _cosupply_und(load_tables(spark, sf_dir)).persist()
     e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = und.select(F.col("a").alias("y2"), F.col("b").alias("z"))
     e3 = und.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
@@ -289,20 +331,8 @@ def q_graph_triangles(spark, sf_dir):
 
 @query(
     "q_graph_degree_dist",
-    oracle="""
-WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
-cp AS (
-  SELECT a.s AS sa, b.s AS sb, count(*) AS shared
-  FROM sp a JOIN sp b ON a.p = b.p AND a.s <> b.s
-  GROUP BY a.s, b.s
-),
-knn AS (
-  SELECT sa, sb FROM cp
-  QUALIFY row_number() OVER (
-    PARTITION BY sa ORDER BY shared DESC NULLS LAST, sb ASC NULLS LAST
-  ) <= 3
-),
-und AS (SELECT DISTINCT least(sa, sb) AS a, greatest(sa, sb) AS b FROM knn),
+    oracle=f"""
+WITH {_COSUPPLY_UND_SQL},
 deg AS (
   SELECT node, count(*) AS degree FROM (
     SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
@@ -329,24 +359,7 @@ def q_graph_degree_dist(spark, sf_dir):
     is bounded by the kNN cap, not the graph."""
     from pkg2_spark.catalog import load_tables
 
-    t = load_tables(spark, sf_dir)
-    sp = t["lineitem"].select(
-        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = sp.select(F.col("s").alias("sa"), "p")
-    b = sp.select(F.col("s").alias("sb"), F.col("p").alias("p2"))
-    cp = (
-        a.join(b, (F.col("p") == F.col("p2")) & (F.col("sa") != F.col("sb")))
-        .groupBy("sa", "sb")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    w = Window.partitionBy("sa").orderBy(
-        F.col("shared").desc_nulls_last(), F.col("sb").asc_nulls_last()
-    )
-    knn = cp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
-    und = knn.select(
-        F.least("sa", "sb").alias("a"), F.greatest("sa", "sb").alias("b")
-    ).distinct()
+    und = _cosupply_und(load_tables(spark, sf_dir))
     deg = (
         und.select(F.col("a").alias("node"))
         .unionAll(und.select(F.col("b").alias("node")))
@@ -370,22 +383,8 @@ def q_graph_degree_dist(spark, sf_dir):
 
 @query(
     "q_graph_cc",
-    oracle="""
-WITH RECURSIVE sp AS (
-  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
-),
-cp AS (
-  SELECT a.s AS sa, b.s AS sb, count(*) AS shared
-  FROM sp a JOIN sp b ON a.p = b.p AND a.s <> b.s
-  GROUP BY a.s, b.s
-),
-knn AS (
-  SELECT sa, sb FROM cp
-  QUALIFY row_number() OVER (
-    PARTITION BY sa ORDER BY shared DESC NULLS LAST, sb ASC NULLS LAST
-  ) <= 3
-),
-und AS (SELECT DISTINCT least(sa, sb) AS a, greatest(sa, sb) AS b FROM knn),
+    oracle=f"""
+WITH RECURSIVE {_COSUPPLY_UND_SQL},
 edges AS (SELECT a AS x, b AS y FROM und UNION SELECT b AS x, a AS y FROM und),
 reach(v, u) AS (
   SELECT x AS v, x AS u FROM edges
@@ -405,32 +404,15 @@ def q_graph_cc(spark, sf_dir):
     here exercised on a real graph rather than an LSH candidate set).
     Emits each component's canonical min-supplier label and size.
 
-    Scale shape: the bounded part-key join + per-node kNN window build the
-    edge list (degree capped at k=3 per node); contraction then runs in
-    log(diameter) rounds of equi-joins/hash-aggs with localCheckpoint
-    lineage truncation — the measured-fastest variant of the three
-    component algorithms tried in operators/dedup.py."""
+    Scale shape: the shared capped co-supply projection (_cosupply_und —
+    O(parts · cap²) pair volume) + per-node kNN window build the edge
+    list (degree capped at k=3 per node); contraction + the driver-local
+    union-find finish resolve components with localCheckpoint lineage
+    truncation (operators/dedup.py)."""
     from pkg2_spark.catalog import load_tables
     from pkg2_spark.operators.dedup import resolve_components
 
-    t = load_tables(spark, sf_dir)
-    sp = t["lineitem"].select(
-        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = sp.select(F.col("s").alias("sa"), "p")
-    b = sp.select(F.col("s").alias("sb"), F.col("p").alias("p2"))
-    cp = (
-        a.join(b, (F.col("p") == F.col("p2")) & (F.col("sa") != F.col("sb")))
-        .groupBy("sa", "sb")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    w = Window.partitionBy("sa").orderBy(
-        F.col("shared").desc_nulls_last(), F.col("sb").asc_nulls_last()
-    )
-    knn = cp.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
-    und = knn.select(
-        F.least("sa", "sb").alias("a"), F.greatest("sa", "sb").alias("b")
-    ).distinct()
+    und = _cosupply_und(load_tables(spark, sf_dir))
     comp = resolve_components(und, src="a", dst="b")
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("n_suppliers")
