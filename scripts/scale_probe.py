@@ -47,6 +47,8 @@ PROBES = [
     # round-4 additions: 3-iteration integer PageRank, struct-min OHLC bars,
     # gap sessionization, winnowing fingerprints
     "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_graph_cc",
     "q_ts_ohlc",
     "q_ts_sessionize",
     "q_llm_winnow",
