@@ -671,28 +671,38 @@ def _ivf_assign(e):
     """Nearest-centroid assignment against a CONSTANT-16 hash-sampled
     broadcast codebook — the coarse quantizer shared by IVF search and
     q_llm_semdedup. O(n·k) against a true broadcast; |centroids| does not
-    grow with n."""
-    cent = (
+    grow with n.
+
+    Row-local argmax (the q_vec_pq idiom): the codebook is collected into
+    one cid-sorted array row and each vector folds over it with strict >
+    (first wins on ties = lowest cid, identical to the oracle's ccos
+    DESC, cid ASC rank) — no n·k row explosion and no per-vector rank
+    window shuffle; the assignment runs at scan speed."""
+    cents = (
         e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
         .orderBy(
             F.md5(F.col("cid").cast("string")).asc_nulls_last(),
             F.col("cid").asc_nulls_last(),
         )
         .limit(16)
+        .agg(F.sort_array(F.collect_list(F.struct("cid", "cemb"))).alias("cents"))
     )
-    scored = e.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "embedding",
-        "cid",
-        cosine4(F.col("embedding"), F.col("cemb")).alias("ccos"),
+    best = F.aggregate(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                cosine4(F.col("embedding"), c["cemb"]).alias("ccos"),
+                c["cid"].alias("cid"),
+            ),
+        ),
+        F.struct(
+            F.lit(-2.0).cast("double").alias("ccos"),
+            F.lit(-1).cast("long").alias("cid"),
+        ),
+        lambda acc, s: F.when(s["ccos"] > acc["ccos"], s).otherwise(acc),
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc_nulls_last(), F.col("cid").asc_nulls_last()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cid")
+    return e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", best["cid"].alias("cid")
     )
 
 
