@@ -575,10 +575,13 @@ GROUP BY cid
 def q_kmeans_step(spark, sf_dir):
     # One Lloyd iteration (assign + recenter) with a deterministic seed set
     # (centroids = vec_id < 8): the builder of the constant-k centroid
-    # tables q_llm_ann_ivf searches against. Scale shape: the k=8 centroid
-    # side is BROADCAST (O(n·k) distance work, no pair shuffle), argmin via
-    # a vec_id-partitioned window, recenter via one hash-agg — every round
-    # of a full k-means run is exactly this dataflow.
+    # tables q_llm_ann_ivf searches against. Scale shape: the k=8 codebook
+    # is collected into ONE broadcast array row and the argmin folds over
+    # it ROW-LOCALLY (the q_vec_pq/_ivf_assign idiom — strict < keeps the
+    # lowest cid on ties, identical to the oracle's dist ASC, cid ASC
+    # rank), so assignment runs at scan speed with no n·k row explosion
+    # and no per-vector rank-window shuffle; recenter is one hash-agg —
+    # every round of a full k-means run is exactly this dataflow.
     #
     # Determinism (r03 fix): elements are quantized to micro-unit BIGINTs
     # BEFORE any aggregation, so the distance argmin and the recenter sums
@@ -593,21 +596,33 @@ def q_kmeans_step(spark, sf_dir):
         lambda x: F.floor(x * F.lit(1000000.0)).cast("long"),
     )
     q = e.select("vec_id", qe.alias("qe"))
-    cents = q.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), F.col("qe").alias("ce")
+    cents = (
+        q.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("qe").alias("ce"))
+        .agg(F.sort_array(F.collect_list(F.struct("cid", "ce"))).alias("cents"))
     )
-    dist_sq = F.aggregate(
-        F.zip_with("qe", "ce", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+
+    def dist_sq(ce):
+        return F.aggregate(
+            F.zip_with(F.col("qe"), ce, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    best = F.aggregate(
+        F.transform(
+            "cents",
+            lambda c: F.struct(dist_sq(c["ce"]).alias("d"), c["cid"].alias("cid")),
+        ),
+        F.struct(
+            F.lit(1 << 62).cast("long").alias("d"),
+            F.lit(-1).cast("long").alias("cid"),
+        ),
+        lambda acc, s: F.when(s["d"] < acc["d"], s).otherwise(acc),
     )
-    d = q.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "qe", "cid", dist_sq.alias("dist_sq")
+    a = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "qe", best["cid"].alias("cid")
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("dist_sq").asc_nulls_last(), F.col("cid").asc_nulls_last()
-    )
-    a = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     n = F.count(F.lit(1))
     return a.groupBy("cid").agg(
         n.alias("n_assigned"),

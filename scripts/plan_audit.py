@@ -51,8 +51,8 @@ NLJ_WHITELIST = {
     "q_llm_quality_gate": "1-row percentile-threshold cross join (broadcast)",
     "q_llm_split_drift": "1-row split-total cross join (broadcast)",
     "q_llm_colloc": "1-row corpus-total cross join (broadcast)",
-    "q_kmeans_step": "O(n*k) assignment vs CONSTANT-8 broadcast seed "
-                     "centroid table (the Lloyd-iteration dataflow)",
+    "q_kmeans_step": "1-row collected CONSTANT-8 codebook broadcast; "
+                     "row-local argmin fold (the Lloyd-iteration dataflow)",
     "q_llm_domain_mix": "1-row corpus-token-total cross join (broadcast)",
     "q_graph_degree_dist": "1-row node-count total cross join (broadcast) "
                            "normalizing the bounded degree histogram",
