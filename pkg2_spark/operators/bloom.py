@@ -44,18 +44,27 @@ def bloom_probe(df: DataFrame, bits: DataFrame, col: str, m: int = DEFAULT_M,
                 k: int = DEFAULT_K) -> DataFrame:
     """Rows of ``df`` whose ``col`` value the filter reports as present
     (all k positions set). ``bits`` is broadcast: the probe side never
-    shuffles beyond its per-row position count."""
-    cols = df.columns
+    shuffles beyond one distinct-value pass.
+
+    The verdict is computed once per DISTINCT value of ``col`` and
+    semi-joined back, so duplicate probe rows (identical across all
+    columns, or merely sharing a value) each pass independently — a
+    groupBy over the full probe rows would count a value's k set
+    positions once per duplicate and silently drop true members,
+    breaking the zero-false-negative guarantee."""
+    values = df.select(col).distinct()
     parts = [
-        df.select(*cols, F.expr(_pos_expr(col, j, m)).alias("pos"))
+        values.select(col, F.expr(_pos_expr(col, j, m)).alias("pos"))
         for j in range(k)
     ]
     probe = parts[0]
     for p in parts[1:]:
         probe = probe.unionByName(p)
-    hits = (
+    present = (
         probe.join(F.broadcast(bits), "pos", "leftsemi")
-        .groupBy(*cols)
+        .groupBy(col)
         .agg(F.count(F.lit(1)).alias("_nset"))
+        .filter(F.col("_nset") == k)
+        .select(col)
     )
-    return hits.filter(F.col("_nset") == k).drop("_nset")
+    return df.join(present, col, "leftsemi")

@@ -81,13 +81,19 @@ def partition_ordered_fold(
 def ema_halving(df: DataFrame, key: str, order: Sequence[str],
                 value: str) -> DataFrame:
     """Final alpha=1/2 EMA per key over integer ``value``: first = v_0,
-    then ema = (v + ema_prev) // 2. Returns (key, n_events, ema) with the
-    input's key/value column names preserved."""
+    then ema = (v + ema_prev) div 2 with TRUNCATING division — Spark DIV
+    and DuckDB // both truncate toward zero on negatives, while Python's
+    // floors, so the fold emulates truncation (same contract as
+    holt_fold) to stay engine-exact on odd negative intermediates."""
 
     def fold(state, grp):
         n, ema = state if state is not None else (0, 0)
         for v in grp[value].astype("int64"):
-            ema = int(v) if n == 0 else (int(v) + ema) // 2
+            if n == 0:
+                ema = int(v)
+            else:
+                s = int(v) + ema
+                ema = -((-s) // 2) if s < 0 else s // 2
             n += 1
         return (n, ema)
 

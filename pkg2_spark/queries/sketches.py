@@ -94,11 +94,16 @@ def q_sketch_kmv(spark, sf_dir):
     part = d.groupBy(
         "l_returnflag", F.pmod(F.xxhash64("h"), F.lit(64)).alias("salt")
     ).agg(F.slice(F.array_sort(F.collect_list("h")), 1, _K).alias("ks"))
+    # try_element_at, not element_at: under ANSI mode (Spark 4 default) a
+    # group with fewer than k distinct hashes would otherwise throw
+    # INVALID_ARRAY_INDEX; the null filter mirrors the oracle's rn = K
+    # predicate, which silently DROPS such under-filled groups.
     kth = part.groupBy("l_returnflag").agg(
-        F.element_at(
-            F.slice(F.array_sort(F.flatten(F.collect_list("ks"))), 1, _K), _K
+        F.try_element_at(
+            F.slice(F.array_sort(F.flatten(F.collect_list("ks"))), 1, _K),
+            F.lit(_K),
         ).alias("kth_hash")
-    )
+    ).filter(F.col("kth_hash").isNotNull())
     exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_exact")
     )

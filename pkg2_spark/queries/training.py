@@ -452,14 +452,24 @@ def q_vec_adc(spark, sf_dir):
     bounded per-task state, and the only shuffle in the whole plan is the
     <= 32-salt merge agg."""
     e = load_tables(spark, sf_dir)["embeddings"]
+    # Codebook array ordered by the oracle's md5-rank pos, NOT cid order:
+    # the leading mkey field makes sort_array reproduce the oracle's
+    # row_number() ORDER BY md5, cid exactly, so on an exact d2 tie in a
+    # subspace (duplicate sampled centroids) both engines' `pos ASC`
+    # tie-break selects the SAME centroid and the PQ codes stay aligned.
     cents = (
-        e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
-        .orderBy(
-            F.md5(F.col("cid").cast("string")).asc_nulls_last(),
-            F.col("cid").asc_nulls_last(),
+        e.select(
+            F.md5(F.col("vec_id").cast("string")).alias("mkey"),
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cemb"),
         )
+        .orderBy(F.col("mkey").asc_nulls_last(), F.col("cid").asc_nulls_last())
         .limit(16)
-        .agg(F.sort_array(F.collect_list(F.struct("cid", "cemb"))).alias("cents"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("mkey", "cid", "cemb"))
+            ).alias("cents")
+        )
     )
     d2s = (
         "aggregate(zip_with(slice({q}, s * 8 + 1, 8), slice({c}, s * 8 + 1, 8),"

@@ -113,7 +113,13 @@ def _update_ema(
     pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
     n, ema = state.get if state.exists else (0, 0)
     for v in pdf["v_e2"].astype("int64"):
-        ema = int(v) if n == 0 else (int(v) + ema) // 2
+        # Truncating div-2 (Spark DIV / DuckDB // semantics); Python //
+        # floors, which diverges on odd negative intermediates.
+        if n == 0:
+            ema = int(v)
+        else:
+            s = int(v) + ema
+            ema = -((-s) // 2) if s < 0 else s // 2
         n += 1
     state.update((n, ema))
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ema_e2": [ema]})

@@ -373,6 +373,20 @@ class TestBloomFilter:
         n_bits = bloom_build(els, "v", m=64, k=4).count()
         assert n_bits <= 64  # position set never exceeds the bit-array size
 
+    def test_duplicate_probe_rows_all_pass(self, spark):
+        # Regression: the old full-row groupBy counted a duplicated probe
+        # row's positions k times per copy and dropped true members —
+        # every copy of a member row must survive the gate.
+        from pkg2_spark.operators.bloom import bloom_build, bloom_probe
+
+        els = spark.createDataFrame([("member",)], "v string")
+        probe = spark.createDataFrame(
+            [("member",)] * 3 + [("member", ), ("absent-xyzzy",)], "v string"
+        )
+        bits = bloom_build(els, "v")
+        out = bloom_probe(probe, bits, "v").collect()
+        assert sum(1 for r in out if r.v == "member") == 4
+
 
 class TestEmaHalving:
     def test_matches_serial_fold_and_bounds(self, spark):

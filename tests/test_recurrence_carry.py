@@ -91,3 +91,16 @@ def test_holt_truncating_division_on_negative_trend(spark):
     # Hand-rolled: l=100,b=0 -> l=50,b=-25 -> l=12,b=-31 -> l=-9,b=-26
     # (trunc) vs l=-10,b=-26 (floor) at the last step.
     assert (out["level_e2"], out["trend_e2"]) == (-9, -26)
+
+
+def test_ema_truncating_division_on_negative_values(spark):
+    # Same truncation contract for the EMA recurrence: with negative
+    # inputs the (v + ema) intermediate goes odd-negative, where Python
+    # floor (//) and SQL DIV diverge. ema([-5, -2]) = trunc(-7/2) = -3
+    # under DIV; floor would give -4.
+    import pandas as pd
+
+    pdf = pd.DataFrame({"k": [1, 1], "o": [1, 2], "v": [-5, -2]})
+    df = spark.createDataFrame(pdf)
+    out = ema_halving(df, "k", ["o"], "v").collect()[0]
+    assert out["v"] == -3
