@@ -69,6 +69,12 @@ STATS_COLUMNS = {
 # fixed costs must stay fixed).
 _REGISTERED: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
+# Temp views are GLOBAL per session (last registration wins), so when one
+# session alternates scale factors (scale_probe, perturbation sweeps) the
+# memo hit must still re-point the views at this sf_dir's DataFrames —
+# otherwise the SQL surface silently reads the previously loaded sf.
+_VIEWS_FOR: dict[int, str] = {}
+
 
 def _ensure_stats_tables(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     """Register each parquet file as an EXTERNAL catalog table and ANALYZE it.
@@ -144,9 +150,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     Idempotent and memoized per (session, sf_dir): repeated calls from the
     driver's per-query loop cost a dict lookup, not ten parquet-footer reads.
     """
-    key = (id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark), sf_dir)
+    sid = id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark)
+    key = (sid, sf_dir)
     cached = _REGISTERED.get(key)
     if cached is not None:
+        if _VIEWS_FOR.get(sid) != sf_dir:
+            for name, df in cached.items():
+                df.createOrReplaceTempView(name)
+            _VIEWS_FOR[sid] = sf_dir
         return cached
     ensure_runtime_confs(spark)
     try:
@@ -161,4 +172,5 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     _REGISTERED[key] = out
+    _VIEWS_FOR[sid] = sf_dir
     return out

@@ -33,14 +33,19 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
 GROUP BY o_orderpriority
 """
 
-# TPC-H Q7-ish: bilateral shipping volume between a nation pair (synthetic names NATION_3/NATION_7) by year.
+# TPC-H Q7-ish: bilateral shipping volume between a nation pair (synthetic
+# names NATION_3/NATION_7) by year. Volume follows the Q10 floor-scaled-e4
+# discipline (see _Q6 note) — the last composites on round(sum(double))
+# were converted in round 6 to retire the summation-order flake class.
 _Q7 = """
-SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume_e4) AS BIGINT) AS revenue_e4
 FROM (
   SELECT n1.n_name AS supp_nation,
          n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS INTEGER) AS l_year,
-         l_extendedprice * (1 - l_discount) AS volume
+         CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+           AS volume_e4
   FROM supplier
   JOIN lineitem ON s_suppkey = l_suppkey
   JOIN orders   ON o_orderkey = l_orderkey
@@ -57,8 +62,11 @@ GROUP BY supp_nation, cust_nation, l_year
 # TPC-H Q5: local supplier volume — the 6-table star+snowflake join with the
 # customer-and-supplier-in-the-same-nation condition that forces a join-order
 # decision (c_nationkey = s_nationkey ties two dimension branches together).
+# Revenue follows the Q10 floor-scaled-e4 discipline (see _Q6 note).
 _Q5 = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_e4
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -91,18 +99,26 @@ def q_sql_tpch_q7(spark, sf_dir):
 
 
 # TPC-H Q1: pricing summary report — the canonical wide-aggregate scan.
-# Sums and averages are 2dp/4dp-rounded: per-group double summation order
-# differs between engines, and the rounding absorbs the ulp drift (same
-# discipline as every other money aggregate in the registry).
+# All sums follow the Q10 floor-scaled discipline (per-row IEEE product,
+# floor to BIGINT, exact integer sum — see _Q6 note); the averages divide
+# those bit-identical BIGINTs by count(*), so both engines round the SAME
+# double (the Q14 ratio pattern) instead of order-sensitive float sums.
 _Q1 = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS sum_qty_e2,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_base_price_e2,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) AS sum_disc_price_e4,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000)
+                     AS BIGINT)) AS BIGINT) AS sum_charge_e4,
+       round(CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+             / (100.0 * count(*)), 4) AS avg_qty,
+       round(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / (100.0 * count(*)), 4) AS avg_price,
+       round(CAST(sum(CAST(floor(l_discount * 10000) AS BIGINT)) AS DOUBLE)
+             / (10000.0 * count(*)), 4) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1996-09-01 00:00:00'
@@ -120,10 +136,13 @@ def q_sql_tpch_q1(spark, sf_dir):
 # o_shippriority; o_orderpriority stands in. The order date is emitted as
 # an integer yyyymmdd key (identical expression in both dialects — no
 # timestamp output column, §2.13.2). l_orderkey tiebreak makes the LIMIT
-# deterministic under revenue ties.
+# deterministic under revenue ties. Revenue follows the Q10
+# floor-scaled-e4 discipline (see _Q6 note), which also makes the
+# ORDER BY key exact.
 _Q3 = """
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_e4,
        CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100
             + day(o_orderdate) AS INTEGER) AS o_date_key,
        o_orderpriority
@@ -134,7 +153,7 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
   AND l_shipdate  > TIMESTAMP '1996-06-30 00:00:00'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
-ORDER BY revenue DESC, l_orderkey ASC
+ORDER BY revenue_e4 DESC, l_orderkey ASC
 LIMIT 10
 """
 

@@ -248,7 +248,8 @@ WITH pairs AS (
 )
 SELECT user_id,
        count(*) AS n_pairs,
-       round(sum(p_value), 2) AS sum_purchase_value,
+       CAST(sum(CAST(floor(p_value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_purchase_value_e2,
        CAST(min(epoch_us(p_ts) - epoch_us(c_ts)) AS BIGINT) AS min_gap_us
 FROM pairs GROUP BY user_id
 """,
@@ -291,9 +292,14 @@ def q_stream_rt_join(spark, sf_dir):
     pairs = run_to_memory(
         joined.select("c_user", "c_ts", "p_ts", "p_value"), "rt_join", mode="append"
     )
+    # Purchase value summed as floor-e2 integers (the Q10 discipline): a
+    # round(sum(double), 2) over the pair multiset can flip on a cent
+    # boundary with summation order between engine partitionings.
     return pairs.groupBy(F.col("c_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.sum("p_value"), 2).alias("sum_purchase_value"),
+        F.sum(F.floor(F.col("p_value") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_purchase_value_e2"),
         F.min(F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("min_gap_us"),
     )
 

@@ -42,18 +42,11 @@ GRANDFATHERED = {
     # ratios of bounded small-count sums (≤ hundreds of terms, 4dp)
     "q_llm_ann_recall", "q_llm_boiler", "q_llm_pack",
     # streaming rollups over events.value (2dp-quantized)
-    "q_stream_foreachbatch", "q_stream_rt_enrich", "q_stream_rt_join",
+    "q_stream_foreachbatch", "q_stream_rt_enrich",
     "q_stream_rt_join_left", "q_stream_rt_multibatch", "q_stream_rt_session",
     "q_stream_rt_slide", "q_stream_rt_tumble", "q_stream_session",
     "q_stream_slide", "q_stream_stateful", "q_stream_tumble",
     "q_ts_gapfill", "q_ts_incremental",
-    # TPC-H composites not yet converted (Q1/Q3/Q5/Q7 predate the e4
-    # discipline and have matched in every round; Q6/Q9/Q10/Q14/Q19 are
-    # converted and MUST stay off this list)
-    "q_sql_tpch_q1", "q_sql_tpch_q3", "q_sql_tpch_q5", "q_sql_tpch_q7",
-    # Q14's round() divides two exact BIGINTs — both operands bit-identical
-    # across engines, so the single division+round is deterministic
-    "q_sql_tpch_q14",
 }
 
 
@@ -84,7 +77,11 @@ def test_converted_composites_stay_converted():
     for name in ["q_sql_tpch_q6", "q_sql_tpch_q9", "q_sql_tpch_q10", "q_sql_tpch_q19",
                  # round-5 additions, born on the e-scaled discipline:
                  "q_sql_tpch_q2", "q_sql_tpch_q8", "q_sql_tpch_q11",
-                 "q_sql_tpch_q15", "q_sql_tpch_q17"]:
+                 "q_sql_tpch_q15", "q_sql_tpch_q17",
+                 # round-6 conversions, retiring the last composite float
+                 # sums (Q1/Q14 round() only divisions of exact BIGINTs):
+                 "q_sql_tpch_q1", "q_sql_tpch_q3", "q_sql_tpch_q5",
+                 "q_sql_tpch_q7", "q_sql_tpch_q14", "q_stream_rt_join"]:
         assert name not in offenders, f"{name} regressed to a rounded float sum"
 
 

@@ -88,3 +88,18 @@ def test_queries_survive_empty_tables(spark, empty_sf_dir, name):
     df = all_queries()[name](spark, empty_sf_dir)
     rows = df.collect()  # must not throw
     assert isinstance(rows, list)
+
+
+def test_sf_switch_repoints_temp_views(spark, sf_dir):
+    # Temp views are session-global: a memo hit on a PREVIOUSLY loaded
+    # sf_dir must still re-point the views, or the SQL surface silently
+    # reads the other scale factor (caught by the round-6 perturbation
+    # sweep alternating sf0.01/sf0.1 in one session).
+    load_tables(spark, sf_dir)
+    n_small = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
+    other = os.path.join(os.path.dirname(os.path.normpath(sf_dir)), "sf0.01")
+    load_tables(spark, other)
+    n_big = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
+    assert n_big != n_small
+    load_tables(spark, sf_dir)  # memo hit — must still re-register views
+    assert spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"] == n_small
