@@ -57,12 +57,18 @@ def banded_pairs(
     left_alias: str,
     right_alias: str,
     cap: int | None = None,
+    keep_provenance: bool = False,
 ) -> DataFrame:
     """Distinct candidate pairs (left < right) from a band table, optionally
     bucket-capped. The join is a pure equi-join on (band_id, band_key) —
     shuffle-partitioned by band key, AQE-splittable, no cross join — and the
     ``distinct`` collapses multi-band collisions before any downstream
-    scoring work."""
+    scoring work.
+
+    With ``keep_provenance`` the originating (band_id, band_key) stays on
+    each pair row (distinct over the 4-tuple): the persisted shape the
+    incremental dedup path needs, so pairs from buckets a delta never
+    touches can be reused without re-deriving them."""
     if cap is not None:
         bands = cap_band_buckets(bands, id_col, cap)
     a = bands.select(F.col(id_col).alias(left_alias), "band_id", "band_key")
@@ -77,6 +83,9 @@ def banded_pairs(
         F.col("band_id").alias("_bid2"),
         F.col("band_key").alias("_bkey2"),
     ).hint("shuffle_hash")
+    cols = [left_alias, right_alias]
+    if keep_provenance:
+        cols += ["band_id", "band_key"]
     return (
         a.join(
             b,
@@ -84,7 +93,7 @@ def banded_pairs(
             & (F.col("band_key") == F.col("_bkey2"))
             & (F.col(left_alias) < F.col(right_alias)),
         )
-        .select(left_alias, right_alias)
+        .select(*cols)
         .distinct()
     )
 

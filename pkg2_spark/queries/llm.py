@@ -17,6 +17,8 @@ that grows with corpus size, so every operator survives a 100 TB corpus:
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
@@ -1647,4 +1649,114 @@ def q_llm_datacard(spark, sf_dir):
                 " DIV count(*) AS BIGINT)"
             ).alias("pct_en_bp"),
         )
+    )
+
+
+@query(
+    "q_llm_dedup_incr",
+    oracle=f"""
+WITH RECURSIVE {_sign_cand_sql()},
+pairs AS (
+  SELECT id_a AS x, id_b AS y FROM (
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 4) AS cos
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = cand.id_a
+    JOIN embeddings eb ON eb.vec_id = cand.id_b
+  ) WHERE cos >= 0.3
+),
+edges AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
+reach(v, u) AS (
+  SELECT x AS v, x AS u FROM edges
+  UNION
+  SELECT r.v, e.y FROM reach r JOIN edges e ON r.u = e.x
+),
+comp AS (SELECT v AS node, min(u) AS component FROM reach GROUP BY v)
+SELECT component,
+       count(*) AS n_members,
+       max(node) AS max_member
+FROM comp
+GROUP BY component
+""",
+)
+def q_llm_dedup_incr(spark, sf_dir):
+    """INCREMENTAL near-dup resolution — the production shape: a new shard
+    (delta = vec_id % 10 == 0) is deduplicated against an EXISTING
+    persisted index (corpus = the other 90%) without re-pairing the whole
+    corpus. Persisted state (the q_sink_rollup pattern, parquet under
+    tmp_io): the corpus band table, candidate pairs WITH (band_id,
+    band_key) provenance, and verified cosines keyed by pair. The
+    incremental step then touches only delta work:
+
+      1. band the delta (linear in the delta);
+      2. touched buckets = the delta's distinct (band_id, band_key);
+      3. re-derive capped pairs ONLY for touched buckets over the merged
+         membership (cap semantics need the full bucket, so corpus members
+         of touched buckets are semi-joined back in);
+      4. pairs from untouched buckets are REUSED from the provenance store
+         (anti-join on touched), their cosines from the verified store;
+      5. cosine-verify only pairs without a stored cosine;
+      6. components over reused + fresh edges.
+
+    Equality with the one-shot batch run is exact, not approximate: band
+    membership is per-row, the md5-ranked bucket cap depends only on
+    bucket membership (recomputed wherever membership changed, reused
+    verbatim where it didn't), and per-pair cosine is deterministic — so
+    the oracle is the FULL-CORPUS recompute (q_llm_dedup_resolve's SQL
+    over all embeddings): incremental == batch is the checked contract.
+    At 100 TB this is the q_ivm_* treatment applied to dedup: daily-shard
+    cost ∝ delta + touched buckets, not corpus."""
+    import shutil
+
+    from pkg2_spark.operators.dedup import resolve_components
+    from pkg2_spark.operators.similarity import cosine_on_pairs, sign_lsh_bands
+    from pkg2_spark.queries.relational import fixture_path, fixture_ready
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    delta = e.filter(F.col("vec_id") % 10 == 0)
+
+    state = fixture_path("dedup_incr_state", sf_dir)
+    if not fixture_ready(os.path.join(state, "verified"), sf_dir):
+        shutil.rmtree(state, ignore_errors=True)
+        bands_c = sign_lsh_bands(corpus, dim=64, rows_per_band=8)
+        bands_c.write.parquet(os.path.join(state, "bands"))
+        prov_c = banded_pairs(
+            bands_c, "vec_id", "id_a", "id_b", cap=_BUCKET_CAP, keep_provenance=True
+        )
+        prov_c.write.parquet(os.path.join(state, "cand_prov"))
+        cand_c = spark.read.parquet(os.path.join(state, "cand_prov")).select(
+            "id_a", "id_b"
+        ).distinct()
+        cosine_on_pairs(cand_c, corpus, "id_a", "id_b", dim=64).write.parquet(
+            os.path.join(state, "verified")
+        )
+
+    bands_c = spark.read.parquet(os.path.join(state, "bands"))
+    prov_c = spark.read.parquet(os.path.join(state, "cand_prov"))
+    ver_c = spark.read.parquet(os.path.join(state, "verified"))
+
+    bands_d = sign_lsh_bands(delta, dim=64, rows_per_band=8)
+    touched = bands_d.select("band_id", "band_key").distinct()
+    bands_touched = bands_c.join(
+        touched, ["band_id", "band_key"], "leftsemi"
+    ).unionByName(bands_d)
+    prov_new = banded_pairs(
+        bands_touched, "vec_id", "id_a", "id_b", cap=_BUCKET_CAP, keep_provenance=True
+    )
+    cand = (
+        prov_c.join(touched, ["band_id", "band_key"], "left_anti")
+        .select("id_a", "id_b")
+        .union(prov_new.select("id_a", "id_b"))
+        .distinct()
+    )
+    fresh = cand.join(ver_c, ["id_a", "id_b"], "left_anti")
+    ver_fresh = cosine_on_pairs(fresh, e, "id_a", "id_b", dim=64)
+    ver_all = ver_c.join(cand, ["id_a", "id_b"], "leftsemi").unionByName(ver_fresh)
+    edges = ver_all.filter(F.col("cos") >= 0.3)
+    comp = resolve_components(edges, src="id_a", dst="id_b")
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("node").alias("max_member"),
     )

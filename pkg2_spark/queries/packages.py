@@ -509,3 +509,173 @@ def q_pkg_outdated(spark, sf_dir):
         .filter(F.col("vkey") < F.col("fixed_vkey"))
         .select("distro", "name", "version", "fixed_version")
     )
+
+
+@query(
+    "q_pkg_gzindex",
+    oracle=f"""
+WITH {_APK_PKGS_CTE.strip()},
+{_DEB_PKGS_CTE.strip()}
+SELECT 'alpine' AS distro, name, version, arch,
+       to_json(depends) AS depends, to_json(provides) AS provides
+FROM apk_pkgs
+UNION ALL
+SELECT 'debian', name, version, arch, to_json(depends), '[]'
+FROM deb_pkgs
+""",
+)
+def q_pkg_gzindex(spark, sf_dir):
+    """Compressed fetch-cache ingestion — pkg2's real input shape: repo
+    indexes arrive as COMPRESSED archives in a local fetch cache
+    (reference/.vscode/settings.json:9 excludes `**/local/cache/**` from
+    the watcher), not as pre-inflated text. The fixture builds that cache
+    deterministically (APKINDEX.tar.gz — tarball member, the Alpine wire
+    format — and Packages.gz — bare gzip, the Debian wire format); the
+    engine ingests it through Engine.ingest_index_cache: one binaryFile
+    scan, a mapInPandas inflate stage (stdlib gzip/tarfile, bounded per
+    archive, shuffle-free), then the SAME normalized projections as the
+    plaintext ingest paths. The oracle parses the UNCOMPRESSED committed
+    samples — matching proves the decompress+parse pipeline is
+    byte-faithful end to end."""
+    import gzip
+    import io
+    import shutil
+    import tarfile
+
+    from pkg2_spark.queries.relational import fixture_path, fixture_ready
+
+    cache = fixture_path("pkg_index_cache", sf_dir)
+    if not fixture_ready(cache, sf_dir):
+        shutil.rmtree(cache, ignore_errors=True)
+        os.makedirs(cache, exist_ok=True)
+        apk_bytes = open(_APKINDEX_PATH, "rb").read()
+        buf = io.BytesIO()
+        # mtime/uid/gid pinned to zero: the fixture archive is bit-stable
+        # across builds, so fixture_ready reuse is safe.
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            ti = tarfile.TarInfo("APKINDEX")
+            ti.size = len(apk_bytes)
+            ti.mtime = 0
+            tf.addfile(ti, io.BytesIO(apk_bytes))
+        with open(os.path.join(cache, "APKINDEX.tar.gz"), "wb") as f:
+            f.write(gzip.compress(buf.getvalue(), mtime=0))
+        with open(os.path.join(cache, "Packages.gz"), "wb") as f:
+            f.write(gzip.compress(open(_PACKAGES_PATH, "rb").read(), mtime=0))
+        open(os.path.join(cache, "_SUCCESS"), "w").close()
+    eng = Engine(spark)
+    pkgs = eng.ingest_index_cache(cache)
+    return pkgs.select(
+        "distro", "name", "version", "arch",
+        F.to_json("depends").alias("depends"),
+        F.to_json("provides").alias("provides"),
+    )
+
+
+_MULTIVER_PATH = os.path.join(_REPO_DIR, "pkg2_spark", "data", "packages_multiver_sample.txt")
+
+
+@query(
+    "q_pkg_resolve_constrained",
+    oracle=f"""
+WITH RECURSIVE
+mv_stanzas AS (
+  SELECT unnest(string_split(content, chr(10) || chr(10))) AS stanza
+  FROM read_text('{_MULTIVER_PATH}')
+),
+mv_pkgs AS (
+  SELECT
+    regexp_extract(stanza, 'Package: ([^\\n]+)', 1) AS name,
+    regexp_extract(stanza, 'Version: ([^\\n]+)', 1) AS version,
+    regexp_extract(stanza, 'Depends: ([^\\n]+)', 1) AS deps_raw
+  FROM mv_stanzas WHERE trim(stanza) <> ''
+),
+atoms AS (
+  SELECT name AS src_name, version AS src_version,
+         trim(split_part(atom, ' (', 1)) AS dep_name,
+         regexp_extract(atom, '\\(([<>=]+) ', 1) AS op,
+         regexp_extract(atom, '\\([<>=]+ ([^)]+)\\)', 1) AS dver
+  FROM (
+    SELECT name, version,
+           unnest(list_filter(list_transform(string_split(deps_raw, ', '), x -> trim(x)), x -> x <> '')) AS atom
+    FROM mv_pkgs
+  )
+),
+edges AS (
+  SELECT DISTINCT a.src_name, a.src_version, p.name AS dst_name, p.version AS dst_version
+  FROM atoms a JOIN mv_pkgs p ON p.name = a.dep_name
+  WHERE a.op = ''
+     OR (a.op = '>=' AND {_VKEY_SQL.format(c="p.version")} >= {_VKEY_SQL.format(c="a.dver")})
+     OR (a.op = '<=' AND {_VKEY_SQL.format(c="p.version")} <= {_VKEY_SQL.format(c="a.dver")})
+     OR (a.op = '='  AND {_VKEY_SQL.format(c="p.version")} =  {_VKEY_SQL.format(c="a.dver")})
+     OR (a.op = '>>' AND {_VKEY_SQL.format(c="p.version")} >  {_VKEY_SQL.format(c="a.dver")})
+     OR (a.op = '<<' AND {_VKEY_SQL.format(c="p.version")} <  {_VKEY_SQL.format(c="a.dver")})
+),
+reach(name, version, depth) AS (
+  SELECT dst_name, dst_version, 1 FROM edges WHERE src_name = 'webapp'
+  UNION
+  SELECT e.dst_name, e.dst_version, r.depth + 1
+  FROM reach r JOIN edges e ON e.src_name = r.name AND e.src_version = r.version
+  WHERE r.depth < 10
+)
+SELECT name, version, CAST(min(depth) AS INTEGER) AS depth
+FROM reach GROUP BY name, version
+""",
+)
+def q_pkg_resolve_constrained(spark, sf_dir):
+    """Constraint-aware dependency resolution — the pkg2 resolver's real
+    semantics (SURVEY.md §1.1 [Tier C]): a depends atom 'libweb (>= 1.4)'
+    selects only the available VERSIONS satisfying the constraint under
+    numeric-aware version ordering, instead of treating depends as bare
+    names. The multi-version fixture makes the difference observable: the
+    closure from 'webapp' must include libweb 1.4-2/1.5-1 but NOT 1.2-1,
+    exactly one librt under an '=' pin, no tlslib at all (its only version
+    fails '>= 1.1'), and zlib1 2.1-1 via the unconstrained libweb 1.4-2
+    edge while libweb 1.5-1's '<< 2.0' admits only 1.9-1. Oracle: the same
+    parse + WITH RECURSIVE closure with the identical zero-padded
+    version-key comparison. Engine side: Engine.resolve_constrained — one
+    name-keyed equi-join builds version-level edges, then the
+    localCheckpoint-per-round BFS shared with Engine.resolve."""
+    eng = Engine(spark)
+    eng.ingest_debian_packages(_MULTIVER_PATH)
+    out = eng.resolve_constrained("webapp", max_depth=10)
+    return out.groupBy("name", "version").agg(
+        F.min("depth").cast("int").alias("depth")
+    )
+
+
+_MALFORMED_PATH = os.path.join(_REPO_DIR, "pkg2_spark", "data", "apkindex_malformed_sample.txt")
+
+
+@query(
+    "q_pkg_quarantine",
+    oracle=f"""
+WITH mal_stanzas AS (
+  SELECT unnest(string_split(content, chr(10) || chr(10))) AS stanza
+  FROM read_text('{_MALFORMED_PATH}')
+),
+cls AS (
+  SELECT CASE
+    WHEN NOT regexp_matches(stanza, '(?m)^P:.+') THEN 'missing_name'
+    WHEN NOT regexp_matches(stanza, '(?m)^V:.+') THEN 'missing_version'
+    WHEN regexp_matches(stanza, '(?m)^S:')
+         AND NOT regexp_matches(stanza, '(?m)^S:[0-9]+$') THEN 'bad_size'
+    ELSE 'ok' END AS reason
+  FROM mal_stanzas WHERE trim(stanza) <> ''
+)
+SELECT reason, count(*) AS n FROM cls GROUP BY reason
+""",
+)
+def q_pkg_quarantine(spark, sf_dir):
+    """Ingestion quarantine ledger — the classification counts a real index
+    pipeline tracks when upstream repos drift (q_src_corrupt's pattern
+    applied to the stanza parsers): a malformed-APKINDEX fixture with
+    missing P:/V: keys, a truncated block, and a non-numeric size is
+    classified per stanza by Engine.audit_apkindex; only 'ok' stanzas are
+    eligible for ingestion. First-match-wins classification makes the
+    counts deterministic; the oracle reruns the same rules in SQL."""
+    eng = Engine(spark)
+    return (
+        eng.audit_apkindex(_MALFORMED_PATH)
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

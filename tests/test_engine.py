@@ -322,3 +322,90 @@ def test_recurrence_and_graph_facade(spark, sf_dir):
         for r in eng.connected_components(edges).collect()
     }
     assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_resolve_constrained_semantics(spark):
+    # The ground-truth closure for the multi-version fixture, asserted
+    # independently of the DuckDB oracle (engine == oracle alone could
+    # share a parse bug): constraints select among versions, '=' pins one,
+    # an unsatisfiable atom drops the subtree, and depth is minimal.
+    import os
+
+    from pkg2_spark.engine import Engine
+    from pkg2_spark.queries.packages import _MULTIVER_PATH
+
+    eng = Engine(spark)
+    eng.ingest_debian_packages(_MULTIVER_PATH)
+    got = {
+        (r["name"], r["version"]): r["depth"]
+        for r in eng.resolve_constrained("webapp").collect()
+    }
+    assert got == {
+        ("libweb", "1.4-2"): 1,
+        ("libweb", "1.5-1"): 1,
+        ("librt", "2.1-3"): 1,
+        ("zlib1", "1.9-1"): 2,      # via both libweb edges; << 2.0 admits it
+        ("zlib1", "2.1-1"): 2,      # only via the unconstrained 1.4-2 edge
+        ("libc0", "1.1-1"): 2,      # librt (>= 1.0); zlib1 2.1-1's >= 2.0 fails
+    }
+    # tlslib's only version 1.0-5 fails 'tlslib (>= 1.1)' — absent entirely
+    assert not any(n == "tlslib" for n, _ in got)
+
+
+def test_ingest_index_cache_matches_plaintext(spark, tmp_path):
+    # The compressed-cache ingest must normalize to EXACTLY the plaintext
+    # parse: same rows for APKINDEX.tar.gz as ingest_apkindex on the .txt.
+    import gzip
+    import io
+    import tarfile
+
+    from pkg2_spark.engine import Engine
+    from pkg2_spark.queries.relational import _APKINDEX_PATH
+
+    data = open(_APKINDEX_PATH, "rb").read()
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        ti = tarfile.TarInfo("APKINDEX")
+        ti.size = len(data)
+        tf.addfile(ti, io.BytesIO(data))
+    (tmp_path / "APKINDEX.tar.gz").write_bytes(gzip.compress(buf.getvalue(), mtime=0))
+
+    eng = Engine(spark)
+    plain = eng.ingest_apkindex(_APKINDEX_PATH).orderBy("name").collect()
+    cached = (
+        eng.ingest_index_cache(str(tmp_path))
+        .drop("distro")
+        .orderBy("name")
+        .collect()
+    )
+    assert cached == plain
+
+
+def test_audit_apkindex_quarantine_counts(spark):
+    # Negative-path fixture: exact per-reason counts, and the 'ok' subset
+    # must be exactly the stanzas the ingest projection can parse fully.
+    from pkg2_spark.engine import Engine
+    from pkg2_spark.queries.packages import _MALFORMED_PATH
+
+    eng = Engine(spark)
+    audit = eng.audit_apkindex(_MALFORMED_PATH)
+    counts = {r["reason"]: 0 for r in audit.collect()}
+    for r in audit.collect():
+        counts[r["reason"]] = counts.get(r["reason"], 0) + 1
+    assert counts == {"ok": 2, "missing_name": 1, "missing_version": 2, "bad_size": 1}
+    ok_names = {
+        r["name"]
+        for r in Engine._apk_project(
+            audit.filter("reason = 'ok'").select("stanza")
+        ).collect()
+    }
+    assert ok_names == {"musl", "ok2"}
+
+
+def test_audit_clean_index_is_all_ok(spark):
+    from pkg2_spark.engine import Engine
+    from pkg2_spark.queries.relational import _APKINDEX_PATH
+
+    eng = Engine(spark)
+    reasons = {r["reason"] for r in eng.audit_apkindex(_APKINDEX_PATH).collect()}
+    assert reasons == {"ok"}

@@ -398,3 +398,21 @@ def test_winnow_matches_reference_and_covers_every_window(spark, sf_dir):
         assert all(any(x in sel_set for x in w) for w in windows)
         checked += 1
     assert checked > 0
+
+
+def test_dedup_incr_equals_batch_and_reuses_state(spark, sf_dir):
+    # The incremental contract: delta-vs-index dedup over persisted band /
+    # pair / cosine state must equal the one-shot batch recompute on the
+    # merged corpus, row for row (the DuckDB oracle re-proves this against
+    # the full-corpus SQL; here the two Spark paths are compared directly).
+    from pkg2_spark.queries.llm import q_llm_dedup_incr, q_llm_dedup_resolve
+
+    batch = {
+        (r["component"], r["n_members"], r["max_member"])
+        for r in q_llm_dedup_resolve(spark, sf_dir).collect()
+    }
+    incr = {
+        (r["component"], r["n_members"], r["max_member"])
+        for r in q_llm_dedup_incr(spark, sf_dir).collect()
+    }
+    assert incr == batch
