@@ -300,7 +300,11 @@ FROM code GROUP BY vec_id
 def q_vec_pq(spark, sf_dir):
     """Product quantization (PQ): split each 64-dim embedding into m=8
     subspaces of 8 dims, assign every subvector to its nearest sub-centroid
-    from a constant-16 hash-sampled codebook (stand-in for the per-subspace
+    from a constant-16 hash-sampled codebook (a FORMAT constant — the PQ
+    code width — not a blocking constant: unlike the IVF cell count, which
+    is data-derived so cells stay constant-sized, the sub-codebook size
+    fixes the compressed representation and deliberately does not grow
+    with n; stand-in for the per-subspace
     k-means codebook, exactly as q_llm_ann_ivf's coarse codebook), emit the
     8-byte code as positional checksums plus the total quantization error.
 

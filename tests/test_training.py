@@ -416,3 +416,29 @@ def test_dedup_incr_equals_batch_and_reuses_state(spark, sf_dir):
         for r in q_llm_dedup_incr(spark, sf_dir).collect()
     }
     assert incr == batch
+
+
+def test_ivf_k_derivation_and_cell_flatness(spark, sf_dir):
+    # The blocking constant is now data-derived: k = n // 256 in [16, 4096]
+    # from one corpus count. At driver scales the floor applies (so the
+    # historical constant-16 results are unchanged at sf0.01), and the
+    # expected cell size must stay bounded as the corpus grows — the
+    # property that keeps cell-pair work linear in n.
+    import os
+
+    import pyspark.sql.functions as F
+
+    from pkg2_spark.catalog import load_tables
+    from pkg2_spark.queries.llm import _IVF_TARGET_CELL, _ivf_assign, _ivf_k
+
+    for sf in ("sf0.001", "sf0.01"):
+        d = os.path.join(os.path.dirname(os.path.normpath(sf_dir)), sf)
+        e = load_tables(spark, d)["embeddings"]
+        n = e.count()
+        k = _ivf_k(e)
+        assert k == max(16, min(4096, n // _IVF_TARGET_CELL))
+        cells = _ivf_assign(e).groupBy("cid").count()
+        mean_cell = cells.agg(F.avg("count")).collect()[0][0]
+        # mean cell size = n / k <= max(target, n / 16 at the floor);
+        # above the floor it is <= target by construction
+        assert mean_cell <= max(_IVF_TARGET_CELL, n / 16.0) + 1
