@@ -21,6 +21,8 @@ same code runs over a directory of index files instead of one sample.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -220,6 +222,57 @@ class Engine:
         self._packages = pkgs
         self.register("packages", pkgs)
         return pkgs
+
+    def ingest_collection(self, config_path: str) -> DataFrame:
+        """Declarative source-collection ingestion — the data-driven analog
+        of pkg2's Starlark collection definitions
+        (reference/.vscode/settings.json:2-4 associates *.star with
+        starlark): a JSON config lists sources as {distro, format, path}
+        records and this method dispatches each to its format parser,
+        unioning everything into one normalized table with a leading
+        `distro` column (registered as `packages`). Paths resolve relative
+        to the config file, so a collection directory is self-contained.
+
+        Supported formats: apkindex, debian_packages, archdesc,
+        rpm_primary, index_cache (a compressed fetch-cache directory).
+        Adding a source is a config edit, not a code change — the pkg2
+        operational model."""
+        import json as _json
+
+        cfg = _json.loads(open(config_path).read())
+        base = os.path.dirname(os.path.abspath(config_path))
+        parsers = {
+            "apkindex": self.ingest_apkindex,
+            "debian_packages": self.ingest_debian_packages,
+            "archdesc": self.ingest_archdesc,
+            "rpm_primary": self.ingest_rpm_primary,
+        }
+        out: DataFrame | None = None
+        shared = ["name", "version", "arch", "size", "description",
+                  "depends", "provides"]
+        for src in cfg["sources"]:
+            fmt, path = src["format"], src["path"]
+            if not os.path.isabs(path):
+                path = os.path.join(base, path)
+            if fmt == "index_cache":
+                part = self.ingest_index_cache(path).drop("distro")
+            elif fmt in parsers:
+                part = parsers[fmt](path)
+            else:
+                raise ValueError(f"unknown source format: {fmt!r}")
+            part = part.select(
+                F.lit(src["distro"]).alias("distro"),
+                *[
+                    F.col(c) if c in part.columns
+                    else F.lit(None).cast("long").alias(c)
+                    for c in shared
+                ],
+            )
+            out = part if out is None else out.unionByName(part)
+        assert out is not None, "collection config lists no sources"
+        self._packages = out.drop("distro")
+        self.register("packages", self._packages)
+        return out
 
     def ingest_debian_packages(self, path: str) -> DataFrame:
         """Debian/Ubuntu Packages stanzas -> the same normalized schema.

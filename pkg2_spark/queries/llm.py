@@ -697,13 +697,24 @@ def _ivf_assign(e):
     to [16, 4096] — one count; see _IVF_K_SQL for the identical oracle
     arithmetic). Expected cell size stays ≈ 256 as the corpus grows, so
     cell-pair work downstream (q_llm_semdedup) stays linear in n instead
-    of quadratic under a constant k. O(n·k) against a true broadcast.
+    of quadratic under a constant k.
 
-    Row-local argmax (the q_vec_pq idiom): the codebook is collected into
-    one cid-sorted array row and each vector folds over it with strict >
-    (first wins on ties = lowest cid, identical to the oracle's ccos
-    DESC, cid ASC rank) — no n·k row explosion and no per-vector rank
-    window shuffle; the assignment runs at scan speed."""
+    WIDE-CODEGEN argmax, not the HOF fold: the round-6 decade probe
+    (SCALE_PROBE_DECADE.md) showed the row-local higher-order-function
+    form going superlinear the moment k grows — lambda HOFs are
+    INTERPRETED expressions, so assignment paid ~µs per (vector,
+    centroid) element instead of codegen arithmetic (42× wall per 10×
+    data). This form broadcasts the k centroid ROWS, scores the n·k
+    cross with the unpacked left-associative codegen cosine
+    (bit-identical to the HOF fold and DuckDB's list_cosine_similarity),
+    and takes the per-vector argmax as a MAP-COMBINABLE max(struct(ccos,
+    -cid)) hash aggregate — partial aggregation collapses each vector's
+    k scored rows map-side, so the shuffle carries n rows, there is no
+    rank window, and ties break exactly like the oracle's ccos DESC,
+    cid ASC rank (max of -cid = min cid)."""
+    from pkg2_spark.operators.similarity import unpack, wide_dot, wide_norm
+
+    dim = 64
     cents = (
         e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
         .orderBy(
@@ -711,32 +722,31 @@ def _ivf_assign(e):
             F.col("cid").asc_nulls_last(),
         )
         .limit(_ivf_k(e))
-        .agg(F.sort_array(F.collect_list(F.struct("cid", "cemb"))).alias("cents"))
     )
-    best = F.aggregate(
-        F.transform(
-            "cents",
-            lambda c: F.struct(
-                cosine4(F.col("embedding"), c["cemb"]).alias("ccos"),
-                c["cid"].alias("cid"),
-            ),
-        ),
-        F.struct(
-            F.lit(-2.0).cast("double").alias("ccos"),
-            F.lit(-1).cast("long").alias("cid"),
-        ),
-        lambda acc, s: F.when(s["ccos"] > acc["ccos"], s).otherwise(acc),
+    ve = e.selectExpr("vec_id", "embedding", *unpack("embedding", dim, "_v")).withColumn(
+        "_nv", wide_norm("_v", dim)
     )
-    return e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "embedding", best["cid"].alias("cid")
+    ce = cents.selectExpr("cid", *unpack("cemb", dim, "_c")).withColumn(
+        "_nc", wide_norm("_c", dim)
+    )
+    ccos = F.round(wide_dot("_v", "_c", dim) / (F.col("_nv") * F.col("_nc")), 4)
+    scored = ve.crossJoin(F.broadcast(ce)).select(
+        "vec_id",
+        "embedding",
+        F.struct(ccos.alias("ccos"), (-F.col("cid")).alias("ncid")).alias("sc"),
+    )
+    return scored.groupBy("vec_id", "embedding").agg(
+        (-F.max("sc")["ncid"]).cast("long").alias("cid")
     )
 
 
 def _ivf_search(e, n_probes: int = 5, k: int = 5):
     """The q_llm_ann_ivf pipeline as a reusable operator (also consumed by
     q_llm_ann_recall): derived-k hash-sampled centroids → broadcast
-    assignment → probe-cell ranking."""
-    assign = _ivf_assign(e)
+    assignment → probe-cell ranking. The assignment is localCheckpoint-ed:
+    probes and candidates both read it, and the checkpoint pays the n·k
+    scoring cross once instead of per reference."""
+    assign = _ivf_assign(e).localCheckpoint()
     probes = assign.filter(F.col("vec_id") < n_probes).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe"), F.col("cid").alias("pcid")
     )
@@ -815,7 +825,12 @@ def q_llm_semdedup(spark, sf_dir):
     from pkg2_spark.operators.similarity import cosine_on_pairs
 
     e = load_tables(spark, sf_dir)["embeddings"]
-    assign = _ivf_assign(e)
+    # localCheckpoint: the (vec_id, cid) assignment is referenced by BOTH
+    # sides of the band self-join (and transitively by every contraction
+    # round); materializing the n-row label frame pays the n·k scoring
+    # cross once instead of per reference — measured 8.0→3.7s at sf0.1,
+    # 40→18s at the sf1 decade probe.
+    assign = _ivf_assign(e).select("vec_id", "cid").localCheckpoint()
     bands = assign.select(
         "vec_id",
         F.lit(0).alias("band_id"),

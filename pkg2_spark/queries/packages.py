@@ -679,3 +679,44 @@ def q_pkg_quarantine(spark, sf_dir):
         .groupBy("reason")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_COLLECTION_PATH = os.path.join(_REPO_DIR, "pkg2_spark", "data", "collection_sample.json")
+
+
+@query(
+    "q_pkg_collection",
+    oracle=f"""
+WITH {_APK_PKGS_CTE.strip()},
+{_DEB_PKGS_CTE.strip()},
+{_ARCH_PKGS_CTE.strip()},
+{_RPM_PKGS_CTE.strip()},
+allp AS (
+  SELECT 'alpine' AS distro, arch, depends FROM apk_pkgs
+  UNION ALL SELECT 'debian', arch, depends FROM deb_pkgs
+  UNION ALL SELECT 'arch', arch, depends FROM arch_pkgs
+  UNION ALL SELECT 'fedora', arch, depends FROM rpm_pkgs
+)
+SELECT distro, count(*) AS n_pkgs,
+       CAST(count(DISTINCT arch) AS BIGINT) AS n_arches,
+       CAST(sum(len(depends)) AS BIGINT) AS n_dep_edges
+FROM allp GROUP BY distro
+""",
+)
+def q_pkg_collection(spark, sf_dir):
+    """Declarative collection ingestion end-to-end — pkg2 defined its
+    source collections as Starlark data (reference/.vscode/settings.json:2-4
+    wires *.star files), not code; Engine.ingest_collection is the analog:
+    a JSON config lists {distro, format, path} sources and the engine
+    dispatches each to its parser, unioning into one distro-tagged
+    normalized table. The query emits the per-distro ingestion summary
+    (package count, arch spread, dependency edges); the oracle re-parses
+    all four formats directly. Adding a repo to the engine is a config
+    edit — the operational property this gate protects."""
+    eng = Engine(spark)
+    pkgs = eng.ingest_collection(_COLLECTION_PATH)
+    return pkgs.groupBy("distro").agg(
+        F.count(F.lit(1)).alias("n_pkgs"),
+        F.countDistinct("arch").alias("n_arches"),
+        F.sum(F.size("depends")).alias("n_dep_edges"),
+    )

@@ -75,6 +75,10 @@ PYTHON_WHITELIST = {
     # the output depends on the previous OUTPUT, inexpressible as a window
     # frame (operators/recurrence.py)
     "q_ts_ema", "q_ts_cusum", "q_ts_holtwinters",
+    # compressed fetch-cache inflate: stdlib gzip/tarfile over binaryFile
+    # rows via mapInPandas — bounded per archive, shuffle-free, no JVM
+    # codec for tar members exists (engine.py::read_index_archives)
+    "q_pkg_gzindex",
 }
 
 # Plans built inside the streaming harness (writeStream), not visible here.
