@@ -54,6 +54,11 @@ TIER2 = [
     # and the IVF-cell semantic dedup
     "q_llm_keep_best",
     "q_llm_semdedup",
+    # round-6 additions: incremental dedup (delta-vs-persisted-index; the
+    # warm-up pays any state [re]build, timed runs measure the increment)
+    # and IVF search after the codegen-argmax rework the decade probe won
+    "q_llm_dedup_incr",
+    "q_llm_ann_ivf",
 ]
 
 # Complete TPC-H suite (22/22 shapes registered since round 5). Reported as
