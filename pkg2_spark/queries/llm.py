@@ -691,6 +691,19 @@ def q_llm_ann_ivf(spark, sf_dir):
     return _ivf_search(e)
 
 
+def _ivf_centroids(e):
+    """The derived-k md5-ranked centroid sample (cid, cemb) — the codebook
+    shared by assignment and the multi-probe cell scorer."""
+    return (
+        e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+        .orderBy(
+            F.md5(F.col("cid").cast("string")).asc_nulls_last(),
+            F.col("cid").asc_nulls_last(),
+        )
+        .limit(_ivf_k(e))
+    )
+
+
 def _ivf_assign(e):
     """Nearest-centroid assignment against a hash-sampled broadcast
     codebook whose size is DERIVED from the corpus (k = n // 256 clamped
@@ -715,14 +728,7 @@ def _ivf_assign(e):
     from pkg2_spark.operators.similarity import unpack, wide_dot, wide_norm
 
     dim = 64
-    cents = (
-        e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
-        .orderBy(
-            F.md5(F.col("cid").cast("string")).asc_nulls_last(),
-            F.col("cid").asc_nulls_last(),
-        )
-        .limit(_ivf_k(e))
-    )
+    cents = _ivf_centroids(e)
     ve = e.selectExpr("vec_id", "embedding", *unpack("embedding", dim, "_v")).withColumn(
         "_nv", wide_norm("_v", dim)
     )
@@ -1798,4 +1804,83 @@ def q_llm_dedup_incr(spark, sf_dir):
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.max("node").alias("max_member"),
+    )
+
+
+@query(
+    "q_llm_ann_mprobe",
+    oracle=f"""
+WITH {_IVF_ASSIGN_CTE},
+probes AS (
+  SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5
+),
+pcells AS (
+  SELECT probe_id, pe, cid AS cell,
+         round(list_cosine_similarity(CAST(pe AS DOUBLE[]),
+                                      CAST(cemb AS DOUBLE[])), 4) AS pcos
+  FROM probes CROSS JOIN cent
+  QUALIFY row_number() OVER (
+    PARTITION BY probe_id ORDER BY pcos DESC NULLS LAST, cid ASC NULLS LAST
+  ) <= 3
+),
+cands AS (
+  SELECT pc.probe_id, pc.cell, a.vec_id,
+         round(list_cosine_similarity(CAST(pc.pe AS DOUBLE[]),
+                                      CAST(a.embedding AS DOUBLE[])), 4) AS cos
+  FROM pcells pc JOIN assign a ON a.cid = pc.cell AND a.vec_id <> pc.probe_id
+)
+SELECT probe_id, cell, vec_id, cos FROM cands
+QUALIFY row_number() OVER (
+  PARTITION BY probe_id ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS LAST
+) <= 5
+""",
+)
+def q_llm_ann_mprobe(spark, sf_dir):
+    """Multi-probe IVF search (n_probe = 3): each query scores ALL k
+    centroids (a k-row broadcast — trivial), searches its top-3 cells
+    instead of only the nearest, and ranks the union. n_probe is THE
+    recall lever every production IVF deployment turns (recall lost at
+    cell boundaries comes back at 3× the candidate cost, still a tiny
+    fraction of the corpus); q_llm_ann_recall measures the single-probe
+    baseline this improves on — tests/test_operators.py asserts
+    multi-probe recall@5 >= single-probe recall@5 per probe.
+
+    Plan shape: centroid scoring is a 5×k broadcast cross; candidate
+    ranking is the cell-keyed equi-join against the checkpointed
+    assignment (paid once, shared shape with _ivf_search); the only
+    windows partition by probe_id over bounded candidate sets."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    assign = _ivf_assign(e).localCheckpoint()
+    cents = _ivf_centroids(e)
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    w_cell = Window.partitionBy("probe_id").orderBy(
+        F.col("pcos").desc_nulls_last(), F.col("cell").asc_nulls_last()
+    )
+    pcells = (
+        probes.crossJoin(F.broadcast(cents))
+        .select(
+            "probe_id", "pe",
+            F.col("cid").alias("cell"),
+            cosine4(F.col("pe"), F.col("cemb")).alias("pcos"),
+        )
+        .withColumn("prn", F.row_number().over(w_cell))
+        .filter(F.col("prn") <= 3)
+        .drop("prn", "pcos")
+    )
+    cands = pcells.join(
+        assign,
+        (F.col("cid") == F.col("cell")) & (F.col("vec_id") != F.col("probe_id")),
+    ).select(
+        "probe_id", "cell", "vec_id",
+        cosine4(F.col("pe"), F.col("embedding")).alias("cos"),
+    )
+    w_rank = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("vec_id").asc_nulls_last()
+    )
+    return (
+        cands.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
     )

@@ -746,3 +746,137 @@ def q_stream_hll(spark, sf_dir):
         F.col("n_exact").cast("long").alias("n_exact"),
         F.expr(f"{_HLL_NUMER} DIV harm DIV 1000000").cast("long").alias("hll_est"),
     )
+
+
+def _stream_dedup_oracle() -> str:
+    from pkg2_spark.operators.lsh import capped_bands_sql
+    from pkg2_spark.queries.llm import _BANDS_R, _BUCKET_CAP, _K, _TOK_SQL
+
+    mh = ", ".join(f"min(md5(token || ':{i}')) AS mh{i}" for i in range(_K))
+    band_exprs = ", ".join(
+        "md5({})".format(
+            " || '|' || ".join(f"mh{b * _BANDS_R + r}" for r in range(_BANDS_R))
+        )
+        for b in range(_K // _BANDS_R)
+    )
+    unnest_bands = (
+        "SELECT doc_id, u.band_id, u.band_key FROM ("
+        f"SELECT doc_id, unnest(list_transform([{band_exprs}], "
+        "(x, i) -> struct_pack(band_id := CAST(i - 1 AS INTEGER), band_key := x))) AS u "
+        "FROM {sig})"
+    )
+    return f"""
+ctok AS (
+  SELECT doc_id, unnest(list_distinct({_TOK_SQL})) AS token
+  FROM documents WHERE doc_id % 10 <> 0
+),
+csig AS (SELECT doc_id, {mh} FROM ctok GROUP BY doc_id),
+cbraw AS ({unnest_bands.format(sig="csig")}),
+{capped_bands_sql("doc_id", _BUCKET_CAP, source="cbraw")},
+dtok AS (
+  SELECT doc_id, unnest(list_distinct({_TOK_SQL})) AS token
+  FROM documents WHERE doc_id % 10 = 0
+),
+dsig AS (SELECT doc_id, {mh} FROM dtok GROUP BY doc_id),
+dbands AS ({unnest_bands.format(sig="dsig")}),
+sd_pairs AS (
+  SELECT DISTINCT d.doc_id AS delta_doc, c.doc_id AS corpus_doc
+  FROM dbands d JOIN cbands c USING (band_id, band_key)
+)
+SELECT delta_doc, count(*) AS n_candidates,
+       min(corpus_doc) AS min_cand, max(corpus_doc) AS max_cand
+FROM sd_pairs GROUP BY delta_doc
+"""
+
+
+@query(
+    "q_stream_dedup_index",
+    oracle=f"WITH {_stream_dedup_oracle().strip()}",
+)
+def q_stream_dedup_index(spark, sf_dir):
+    """ONLINE near-dup screening through real Structured Streaming — the
+    production ingest gate: new documents arrive as a STREAM and are
+    checked against a PERSISTED corpus band index by a stateless
+    stream-static equi-join (no watermark, no state store — the static
+    side is the state). q_llm_dedup_incr is the batch-shard twin; this is
+    the per-document-latency arm of the same index.
+
+    Stream-side MinHash is computed ROW-LOCALLY (array_min over the
+    hashed token array — values identical to the batch groupBy MinHash,
+    since min over duplicates equals min over distinct), so the stream
+    pipeline is a pure per-row projection into the join: at scale this
+    runs at ingest speed, partitioned by band key, with the corpus index
+    broadcast or co-partitioned as size dictates. The static index is
+    bucket-capped exactly like every batch pair join (hot boilerplate
+    buckets bound the per-document fan-out); the oracle recomputes both
+    sides in SQL and the availableNow replay must land on the identical
+    candidate rollup."""
+    import os
+
+    from pkg2_spark.operators.lsh import cap_band_buckets
+    from pkg2_spark.operators.text import (
+        lsh_bands,
+        minhash_signatures,
+        tokenize_distinct,
+    )
+    from pkg2_spark.queries.llm import _BANDS_R, _BUCKET_CAP, _K
+    from pkg2_spark.queries.relational import fixture_path, fixture_ready
+    from pkg2_spark.streaming.harness import run_to_memory
+
+    d = load_tables(spark, sf_dir)["documents"]
+    state = fixture_path("stream_dedup_index", sf_dir)
+    idx_p = os.path.join(state, "index")
+    delta_p = os.path.join(state, "delta")
+    if not fixture_ready(delta_p, sf_dir):
+        import shutil
+
+        shutil.rmtree(state, ignore_errors=True)
+        corpus = d.filter(F.col("doc_id") % 10 != 0)
+        bands_c = cap_band_buckets(
+            lsh_bands(minhash_signatures(tokenize_distinct(corpus), _K), _K, _BANDS_R),
+            "doc_id",
+            _BUCKET_CAP,
+        )
+        bands_c.write.parquet(idx_p)
+        d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text").write.parquet(
+            delta_p
+        )
+
+    idx = spark.read.parquet(idx_p).select(
+        F.col("doc_id").alias("corpus_doc"), "band_id", "band_key"
+    )
+    schema = spark.read.parquet(delta_p).schema
+    stream = spark.readStream.schema(schema).parquet(delta_p)
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+
+    def _mh(i: int):
+        # One-ARG lambda only: F.transform dispatches on lambda arity, and
+        # a second parameter (even defaulted) makes it the element-INDEX
+        # column — which silently corrupted the hash suffix here once.
+        suffix = F.lit(f":{i}")
+        return F.array_min(
+            F.transform(toks, lambda t: F.md5(F.concat(t, suffix)))
+        )
+
+    mhs = [_mh(i) for i in range(_K)]
+    band_keys = [
+        F.md5(F.concat_ws("|", *[mhs[b * _BANDS_R + r] for r in range(_BANDS_R)]))
+        for b in range(_K // _BANDS_R)
+    ]
+    sbands = stream.filter(F.size(toks) > 0).select(
+        F.col("doc_id").alias("delta_doc"),
+        F.posexplode(F.array(*band_keys)).alias("band_id", "band_key"),
+    )
+    joined = sbands.join(idx, ["band_id", "band_key"])
+    pairs = run_to_memory(
+        joined.select("delta_doc", "corpus_doc"), "dedup_idx", mode="append"
+    )
+    return (
+        pairs.distinct()
+        .groupBy("delta_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.min("corpus_doc").alias("min_cand"),
+            F.max("corpus_doc").alias("max_cand"),
+        )
+    )

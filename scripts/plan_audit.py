@@ -37,6 +37,8 @@ NLJ_WHITELIST = {
     "q_vec_adc": "1-row codebook + constant-5-query LUT broadcasts over the "
     "code scan (the PQ/IVF constant-fanout shape, three stages)",
     "q_llm_ann_recall": "same constant-k assignment + bounded probe cross scan",
+    "q_llm_ann_mprobe": "bounded 5-probe x derived-k centroid broadcast cross "
+    "(the cell scorer); candidate ranking is the cell-keyed equi-join",
     "q_llm_knn": "bounded probe set broadcast vs linear corpus scan",
     "q_llm_tfidf": "1-row doc-count scalar cross join (broadcast)",
     "q_win_dist": "1-row total cross join (broadcast)",

@@ -447,3 +447,35 @@ def test_resolve_components_distributed_and_local_finish_agree(spark):
         D._LOCAL_FINISH_EDGES = old
     assert hybrid == distributed
     assert hybrid[40] == 0 and hybrid[106] == 100 and hybrid[501] == 500
+
+
+def test_mprobe_recall_dominates_single_probe(spark, sf_dir):
+    # The reason multi-probe exists: per probe, recall@5 of the 3-cell
+    # search must be >= the single-cell search's (the candidate set is a
+    # superset, and both rank by the same exact cosine).
+    from pkg2_spark.catalog import load_tables
+    from pkg2_spark.operators.similarity import knn_bruteforce
+    from pkg2_spark.registry import all_queries
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_embedding")
+    )
+    exact = {
+        (r["probe_id"], r["vec_id"])
+        for r in knn_bruteforce(
+            e.select("vec_id", "embedding"), probes, k=5, dim=64
+        ).collect()
+    }
+    single = {
+        (r["probe_id"], r["vec_id"])
+        for r in all_queries()["q_llm_ann_ivf"](spark, sf_dir).collect()
+    }
+    multi = {
+        (r["probe_id"], r["vec_id"])
+        for r in all_queries()["q_llm_ann_mprobe"](spark, sf_dir).collect()
+    }
+    for pid in range(5):
+        hit_s = sum(1 for p, v in exact if p == pid and (p, v) in single)
+        hit_m = sum(1 for p, v in exact if p == pid and (p, v) in multi)
+        assert hit_m >= hit_s, (pid, hit_m, hit_s)
