@@ -481,22 +481,39 @@ class Engine:
 
     def depends_atoms(self) -> DataFrame:
         """Parsed constraint atoms: (src_name, src_version, dep_name, op,
-        dver). Debian syntax ('name (>= ver)', ops >=, <=, =, >>, <<); an
-        atom without a parenthesized constraint yields op = '' (matches any
+        dver). Two syntaxes, auto-detected per atom:
+
+        - Debian: ``name (>= ver)`` — ops >=, <=, =, >>, <<;
+        - Alpine/apk inline: ``name>=ver`` (no spaces) — ops >=, <=, =,
+          <, > (apk's fuzzy ``~`` is not modeled).
+
+        An atom without a constraint yields op = '' (matches any
         version). Requires an ingest path that preserves depends_raw."""
         p = self._pkgs()
         if "depends_raw" not in p.columns:
             raise ValueError("ingested index did not preserve raw depends atoms")
-        return p.select(
+        atoms = p.select(
             F.col("name").alias("src_name"),
             F.col("version").alias("src_version"),
             F.explode("depends_raw").alias("atom"),
-        ).select(
+        )
+        # apk inline form first: name stops at the first comparator char
+        # (apk names may contain ':' and '.', e.g. so:libssl.so.3, but
+        # never comparator characters).
+        apk_op = F.regexp_extract("atom", r"^[^<>=\s(]+([<>=]+)", 1)
+        is_apk = apk_op != ""
+        return atoms.select(
             "src_name",
             "src_version",
-            F.trim(F.split_part(F.col("atom"), F.lit(" ("), F.lit(1))).alias("dep_name"),
-            F.regexp_extract("atom", r"\(([<>=]+) ", 1).alias("op"),
-            F.regexp_extract("atom", r"\([<>=]+ ([^)]+)\)", 1).alias("dver"),
+            F.when(is_apk, F.regexp_extract("atom", r"^([^<>=\s(]+)", 1))
+            .otherwise(F.trim(F.split_part(F.col("atom"), F.lit(" ("), F.lit(1))))
+            .alias("dep_name"),
+            F.when(is_apk, apk_op)
+            .otherwise(F.regexp_extract("atom", r"\(([<>=]+) ", 1))
+            .alias("op"),
+            F.when(is_apk, F.regexp_extract("atom", r"^[^<>=\s(]+[<>=]+(.+)$", 1))
+            .otherwise(F.regexp_extract("atom", r"\([<>=]+ ([^)]+)\)", 1))
+            .alias("dver"),
         )
 
     def constrained_edges(self) -> DataFrame:
@@ -521,6 +538,8 @@ class Engine:
             | ((F.col("op") == "=") & (pk == ak))
             | ((F.col("op") == ">>") & (pk > ak))
             | ((F.col("op") == "<<") & (pk < ak))
+            | ((F.col("op") == ">") & (pk > ak))
+            | ((F.col("op") == "<") & (pk < ak))
         )
         return (
             atoms.join(prov, "dep_name")

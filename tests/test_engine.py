@@ -409,3 +409,40 @@ def test_audit_clean_index_is_all_ok(spark):
     eng = Engine(spark)
     reasons = {r["reason"] for r in eng.audit_apkindex(_APKINDEX_PATH).collect()}
     assert reasons == {"ok"}
+
+
+def test_resolve_constrained_apk_inline_atoms(spark, tmp_path):
+    # Alpine depends carry INLINE constraints ('musl>=1.2.4', no parens) —
+    # the atom parser auto-detects the form per atom and the closure
+    # honors them with the same version-key comparison.
+    from pkg2_spark.engine import Engine
+
+    idx = tmp_path / "APKINDEX"
+    idx.write_text(
+        "P:app\n"
+        "V:1.0-r0\n"
+        "A:x86_64\n"
+        "S:10\n"
+        "T:app\n"
+        "D:musl>=1.2 so:libfoo.so.1<2.0 ghost>=9\n"
+        "\n"
+        "P:musl\nV:1.1-r0\nA:x86_64\nS:1\nT:old musl\nD:\n"
+        "\n"
+        "P:musl\nV:1.2.4-r0\nA:x86_64\nS:1\nT:musl\nD:\n"
+        "\n"
+        "P:so:libfoo.so.1\nV:1.5-r0\nA:x86_64\nS:1\nT:provider ok\nD:\n"
+        "\n"
+        "P:so:libfoo.so.1\nV:2.1-r0\nA:x86_64\nS:1\nT:provider too new\nD:\n"
+        "\n"
+        "P:ghost\nV:1.0-r0\nA:x86_64\nS:1\nT:never satisfies\nD:\n"
+    )
+    eng = Engine(spark)
+    eng.ingest_apkindex(str(idx))
+    got = {
+        (r["name"], r["version"])
+        for r in eng.resolve_constrained("app").collect()
+    }
+    assert got == {
+        ("musl", "1.2.4-r0"),            # >=1.2 excludes 1.1
+        ("so:libfoo.so.1", "1.5-r0"),    # <2.0 excludes 2.1
+    }
