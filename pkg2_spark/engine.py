@@ -173,9 +173,11 @@ class Engine:
     def ingest_index_cache(self, path: str) -> DataFrame:
         """Ingest a cache dir of COMPRESSED indexes into the normalized
         package schema with a leading `distro` column, dispatching each
-        inflated member to its format parser by member name (APKINDEX ->
-        alpine, Packages -> debian). The cache-fed twin of the plaintext
-        ingest_* methods — same projections, same downstream queries."""
+        inflated member to its format parser by member name — all four
+        wire formats: APKINDEX(.tar.gz) -> alpine, Packages(.gz) ->
+        debian, */primary.xml(.gz) -> fedora, pacman db tarball members
+        (*/desc) -> arch. The cache-fed twin of the plaintext ingest_*
+        methods — same projections, same downstream queries."""
         texts = self.read_index_archives(path)
         apk = self._apk_project(
             self._explode_stanzas(texts.filter(F.col("member").startswith("APKINDEX")))
@@ -183,7 +185,30 @@ class Engine:
         deb = self._deb_project(
             self._explode_stanzas(texts.filter(F.col("member").startswith("Packages")))
         ).select(F.lit("debian").alias("distro"), "*")
-        pkgs = apk.unionByName(deb)
+        rpm = self._rpm_project(
+            texts.filter(F.col("member").contains("primary.xml"))
+            .select(F.explode(F.split("text", "</package>")).alias("blk"))
+            .filter(F.col("blk").contains("<name>"))
+        ).select(F.lit("fedora").alias("distro"), "*")
+        arch = self._arch_project(
+            texts.filter(
+                F.col("member").endswith("/desc") | (F.col("member") == "desc")
+            ).select(F.col("text").alias("blk"))
+        ).select(F.lit("arch").alias("distro"), "*")
+        shared = ["distro", "name", "version", "arch", "size", "description",
+                  "depends", "provides"]
+
+        def norm(part: DataFrame) -> DataFrame:
+            cols = [F.col(c) for c in shared]
+            cols.append(
+                F.col("depends_raw") if "depends_raw" in part.columns
+                else F.lit(None).cast("array<string>").alias("depends_raw")
+            )
+            return part.select(*cols)
+
+        pkgs = norm(apk)
+        for part in (deb, rpm, arch):
+            pkgs = pkgs.unionByName(norm(part))
         self._packages = pkgs.drop("distro")
         self.register("packages", self._packages)
         return pkgs
@@ -283,14 +308,9 @@ class Engine:
         self.register("packages", pkgs)
         return pkgs
 
-    def ingest_archdesc(self, path: str) -> DataFrame:
-        """Arch-style `desc` blocks (concatenated repo-db form) -> the same
-        normalized schema. Sections are %KEY% headers; multi-value sections
-        (DEPENDS/PROVIDES) run one entry per line until the next %KEY%."""
-        raw = self.spark.read.text(path, wholetext=True)
-        blocks = raw.select(
-            F.explode(F.split("value", "%FILENAME%")).alias("blk")
-        ).filter(F.trim("blk") != "")
+    @staticmethod
+    def _arch_project(blocks: DataFrame) -> DataFrame:
+        """Arch `desc` blocks (column ``blk``) -> normalized rows."""
 
         def sect(s: str) -> F.Column:
             return F.regexp_extract("blk", f"%{s}%\n([^\n]+)", 1)
@@ -306,7 +326,7 @@ class Engine:
                 )
             )
 
-        pkgs = blocks.select(
+        return blocks.select(
             sect("NAME").alias("name"),
             sect("VERSION").alias("version"),
             sect("ARCH").alias("arch"),
@@ -315,22 +335,23 @@ class Engine:
             multi("DEPENDS").alias("depends"),
             multi("PROVIDES").alias("provides"),
         )
+
+    def ingest_archdesc(self, path: str) -> DataFrame:
+        """Arch-style `desc` blocks (concatenated repo-db form) -> the same
+        normalized schema. Sections are %KEY% headers; multi-value sections
+        (DEPENDS/PROVIDES) run one entry per line until the next %KEY%."""
+        raw = self.spark.read.text(path, wholetext=True)
+        blocks = raw.select(
+            F.explode(F.split("value", "%FILENAME%")).alias("blk")
+        ).filter(F.trim("blk") != "")
+        pkgs = self._arch_project(blocks)
         self._packages = pkgs
         self.register("packages", pkgs)
         return pkgs
 
-    def ingest_rpm_primary(self, path: str) -> DataFrame:
-        """RPM repodata primary.xml -> the same normalized schema (fourth
-        index format: Fedora/RHEL/openSUSE). One <package> element per
-        record; requires/provides are <rpm:entry name="..."/> children of
-        their <rpm:requires>/<rpm:provides> sections. Parsed with the same
-        whole-file -> record explode -> regexp field extraction dataflow as
-        the other three formats — at repo scale the explode distributes and
-        a directory of per-repo XMLs parallelizes across files."""
-        raw = self.spark.read.text(path, wholetext=True)
-        blocks = raw.select(
-            F.explode(F.split("value", "</package>")).alias("blk")
-        ).filter(F.col("blk").contains("<name>"))
+    @staticmethod
+    def _rpm_project(blocks: DataFrame) -> DataFrame:
+        """RPM primary.xml <package> blocks (column ``blk``) -> rows."""
 
         def entries(section: str) -> F.Column:
             sec = F.regexp_extract("blk", f"(?s)<rpm:{section}>(.*?)</rpm:{section}>", 1)
@@ -360,6 +381,21 @@ class Engine:
             entries("provides").alias("provides"),
             entries("conflicts").alias("conflicts"),
         )
+        return pkgs
+
+    def ingest_rpm_primary(self, path: str) -> DataFrame:
+        """RPM repodata primary.xml -> the same normalized schema (fourth
+        index format: Fedora/RHEL/openSUSE). One <package> element per
+        record; requires/provides are <rpm:entry name="..."/> children of
+        their <rpm:requires>/<rpm:provides> sections. Parsed with the same
+        whole-file -> record explode -> regexp field extraction dataflow as
+        the other three formats — at repo scale the explode distributes and
+        a directory of per-repo XMLs parallelizes across files."""
+        raw = self.spark.read.text(path, wholetext=True)
+        blocks = raw.select(
+            F.explode(F.split("value", "</package>")).alias("blk")
+        ).filter(F.col("blk").contains("<name>"))
+        pkgs = self._rpm_project(blocks)
         self._packages = pkgs
         self.register("packages", pkgs)
         return pkgs

@@ -515,13 +515,21 @@ def q_pkg_outdated(spark, sf_dir):
     "q_pkg_gzindex",
     oracle=f"""
 WITH {_APK_PKGS_CTE.strip()},
-{_DEB_PKGS_CTE.strip()}
+{_DEB_PKGS_CTE.strip()},
+{_RPM_PKGS_CTE.strip()},
+{_ARCH_PKGS_CTE.strip()}
 SELECT 'alpine' AS distro, name, version, arch,
        to_json(depends) AS depends, to_json(provides) AS provides
 FROM apk_pkgs
 UNION ALL
 SELECT 'debian', name, version, arch, to_json(depends), '[]'
 FROM deb_pkgs
+UNION ALL
+SELECT 'fedora', name, version, arch, to_json(depends), to_json(provides)
+FROM rpm_pkgs
+UNION ALL
+SELECT 'arch', name, version, arch, to_json(depends), to_json(provides)
+FROM arch_pkgs
 """,
 )
 def q_pkg_gzindex(spark, sf_dir):
@@ -545,22 +553,42 @@ def q_pkg_gzindex(spark, sf_dir):
     from pkg2_spark.queries.relational import fixture_path, fixture_ready
 
     cache = fixture_path("pkg_index_cache", sf_dir)
-    if not fixture_ready(cache, sf_dir):
+    expected = ["APKINDEX.tar.gz", "Packages.gz", "primary.xml.gz", "core.db.tar.gz"]
+    if not fixture_ready(cache, sf_dir) or not all(
+        os.path.exists(os.path.join(cache, f)) for f in expected
+    ):
         shutil.rmtree(cache, ignore_errors=True)
         os.makedirs(cache, exist_ok=True)
-        apk_bytes = open(_APKINDEX_PATH, "rb").read()
-        buf = io.BytesIO()
-        # mtime/uid/gid pinned to zero: the fixture archive is bit-stable
-        # across builds, so fixture_ready reuse is safe.
-        with tarfile.open(fileobj=buf, mode="w") as tf:
-            ti = tarfile.TarInfo("APKINDEX")
-            ti.size = len(apk_bytes)
-            ti.mtime = 0
-            tf.addfile(ti, io.BytesIO(apk_bytes))
+
+        def tar_gz(members):
+            # mtime/uid/gid pinned to zero: the fixture archive is
+            # bit-stable across builds, so fixture_ready reuse is safe.
+            buf = io.BytesIO()
+            with tarfile.open(fileobj=buf, mode="w") as tf:
+                for mname, data in members:
+                    ti = tarfile.TarInfo(mname)
+                    ti.size = len(data)
+                    ti.mtime = 0
+                    tf.addfile(ti, io.BytesIO(data))
+            return gzip.compress(buf.getvalue(), mtime=0)
+
         with open(os.path.join(cache, "APKINDEX.tar.gz"), "wb") as f:
-            f.write(gzip.compress(buf.getvalue(), mtime=0))
+            f.write(tar_gz([("APKINDEX", open(_APKINDEX_PATH, "rb").read())]))
         with open(os.path.join(cache, "Packages.gz"), "wb") as f:
             f.write(gzip.compress(open(_PACKAGES_PATH, "rb").read(), mtime=0))
+        with open(os.path.join(cache, "primary.xml.gz"), "wb") as f:
+            f.write(gzip.compress(open(_RPMPRIMARY_PATH, "rb").read(), mtime=0))
+        # pacman sync DB: one desc member per package, exactly the wire
+        # layout (core.db.tar.gz); blocks from the concatenated sample.
+        blocks = [
+            b for b in open(_ARCHDESC_PATH).read().split("%FILENAME%")
+            if b.strip()
+        ]
+        with open(os.path.join(cache, "core.db.tar.gz"), "wb") as f:
+            f.write(tar_gz([
+                (f"pkg{i}/desc", ("%FILENAME%" + b).encode())
+                for i, b in enumerate(blocks)
+            ]))
         open(os.path.join(cache, "_SUCCESS"), "w").close()
     eng = Engine(spark)
     pkgs = eng.ingest_index_cache(cache)
