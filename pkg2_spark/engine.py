@@ -236,6 +236,23 @@ class Engine:
         )
         return s.select("stanza", reason.alias("reason"))
 
+    def audit_debian_packages(self, path: str) -> DataFrame:
+        """The same quarantine gate for Debian Packages stanzas: reason in
+        {ok, missing_name, missing_version, bad_size} (bad_size = an
+        Installed-Size line present but non-numeric)."""
+        s = self._stanzas(path)
+        reason = (
+            F.when(~F.col("stanza").rlike(r"(?m)^Package: .+"), F.lit("missing_name"))
+            .when(~F.col("stanza").rlike(r"(?m)^Version: .+"), F.lit("missing_version"))
+            .when(
+                F.col("stanza").rlike(r"(?m)^Installed-Size: ")
+                & ~F.col("stanza").rlike(r"(?m)^Installed-Size: [0-9]+$"),
+                F.lit("bad_size"),
+            )
+            .otherwise(F.lit("ok"))
+        )
+        return s.select("stanza", reason.alias("reason"))
+
     def ingest_apkindex(self, path: str) -> DataFrame:
         """Alpine APKINDEX stanzas -> normalized package table.
 

@@ -1,0 +1,119 @@
+"""Persisted LSH dedup index: build once, apply deltas forever.
+
+The production dedup shape is not "re-pair the corpus nightly" — it is a
+LONG-LIVED index that each new shard updates: band table, candidate pairs
+with (band_id, band_key) provenance, and verified cosines keyed by pair.
+``build_state`` materializes it from a corpus; ``apply_delta`` runs one
+increment — only the delta-touched buckets re-derive capped pairs, every
+other bucket's pairs and cosines are reused via anti-joins — and can
+COMMIT the merged state to a new version directory so the next shard
+starts from it. Chained increments stay EXACTLY equal to the one-shot
+batch recompute on the merged corpus (the bucket cap depends only on
+bucket membership, re-derived wherever membership changed), which
+tests/test_training.py proves by splitting one corpus into
+base + shard1 + shard2 and comparing against the full-batch run.
+
+Versioned directories rather than in-place mutation: state_v{N} is
+immutable once written (the q_sink_rollup pattern); a failed increment
+leaves the previous version intact.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pkg2_spark.operators.lsh import banded_pairs
+from pkg2_spark.operators.similarity import cosine_on_pairs, sign_lsh_bands
+
+BANDS = "bands"
+PROV = "cand_prov"
+VERIFIED = "verified"
+
+
+def build_state(
+    corpus: DataFrame,
+    out_dir: str,
+    dim: int = 64,
+    rows_per_band: int = 8,
+    cap: int = 64,
+) -> None:
+    """Materialize the dedup index for ``corpus`` (vec_id, embedding)."""
+    spark = corpus.sparkSession
+    bands = sign_lsh_bands(corpus, dim=dim, rows_per_band=rows_per_band)
+    bands.write.parquet(os.path.join(out_dir, BANDS))
+    banded_pairs(
+        bands, "vec_id", "id_a", "id_b", cap=cap, keep_provenance=True
+    ).write.parquet(os.path.join(out_dir, PROV))
+    cand = (
+        spark.read.parquet(os.path.join(out_dir, PROV))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    cosine_on_pairs(cand, corpus, "id_a", "id_b", dim=dim).write.parquet(
+        os.path.join(out_dir, VERIFIED)
+    )
+
+
+def read_state(spark: SparkSession, state_dir: str) -> dict[str, DataFrame]:
+    return {
+        name: spark.read.parquet(os.path.join(state_dir, name))
+        for name in (BANDS, PROV, VERIFIED)
+    }
+
+
+def apply_delta(
+    state_dir: str,
+    delta: DataFrame,
+    vectors: DataFrame,
+    commit_dir: str | None = None,
+    dim: int = 64,
+    rows_per_band: int = 8,
+    cap: int = 64,
+) -> DataFrame:
+    """One increment: dedup ``delta`` against the index at ``state_dir``.
+
+    Returns the verified pair frame (id_a, id_b, cos) for the MERGED
+    corpus — feed it to resolve_components for cluster labels. ``vectors``
+    must cover every id that can appear in a pair (corpus + delta).
+
+    With ``commit_dir`` set, the merged state (bands, pair provenance,
+    verified cosines) is also written there, so the next shard's
+    apply_delta runs against it — incremental forever, never a corpus
+    re-pair.
+    """
+    spark = delta.sparkSession
+    st = read_state(spark, state_dir)
+    bands_c, prov_c, ver_c = st[BANDS], st[PROV], st[VERIFIED]
+
+    bands_d = sign_lsh_bands(delta, dim=dim, rows_per_band=rows_per_band)
+    touched = bands_d.select("band_id", "band_key").distinct()
+    bands_touched = bands_c.join(
+        touched, ["band_id", "band_key"], "leftsemi"
+    ).unionByName(bands_d)
+    prov_new = banded_pairs(
+        bands_touched, "vec_id", "id_a", "id_b", cap=cap, keep_provenance=True
+    )
+    prov_keep = prov_c.join(touched, ["band_id", "band_key"], "left_anti")
+    cand = (
+        prov_keep.select("id_a", "id_b")
+        .union(prov_new.select("id_a", "id_b"))
+        .distinct()
+    )
+    fresh = cand.join(ver_c, ["id_a", "id_b"], "left_anti")
+    ver_fresh = cosine_on_pairs(fresh, vectors, "id_a", "id_b", dim=dim)
+    ver_all = ver_c.join(cand, ["id_a", "id_b"], "leftsemi").unionByName(ver_fresh)
+
+    if commit_dir is not None:
+        bands_c.unionByName(bands_d).write.parquet(os.path.join(commit_dir, BANDS))
+        prov_keep.unionByName(prov_new).write.parquet(os.path.join(commit_dir, PROV))
+        # keep EVERY computed cosine (not just current candidates): buckets
+        # only gain members, so a pair once discovered can be rediscovered
+        # by a later shard and its verification is then free.
+        ver_c.unionByName(ver_fresh).write.parquet(os.path.join(commit_dir, VERIFIED))
+        return spark.read.parquet(os.path.join(commit_dir, VERIFIED)).join(
+            cand, ["id_a", "id_b"], "leftsemi"
+        )
+    return ver_all

@@ -1755,7 +1755,7 @@ def q_llm_dedup_incr(spark, sf_dir):
     import shutil
 
     from pkg2_spark.operators.dedup import resolve_components
-    from pkg2_spark.operators.similarity import cosine_on_pairs, sign_lsh_bands
+    from pkg2_spark.operators.dedup_index import VERIFIED, apply_delta, build_state
     from pkg2_spark.queries.relational import fixture_path, fixture_ready
 
     e = load_tables(spark, sf_dir)["embeddings"]
@@ -1763,42 +1763,11 @@ def q_llm_dedup_incr(spark, sf_dir):
     delta = e.filter(F.col("vec_id") % 10 == 0)
 
     state = fixture_path("dedup_incr_state", sf_dir)
-    if not fixture_ready(os.path.join(state, "verified"), sf_dir):
+    if not fixture_ready(os.path.join(state, VERIFIED), sf_dir):
         shutil.rmtree(state, ignore_errors=True)
-        bands_c = sign_lsh_bands(corpus, dim=64, rows_per_band=8)
-        bands_c.write.parquet(os.path.join(state, "bands"))
-        prov_c = banded_pairs(
-            bands_c, "vec_id", "id_a", "id_b", cap=_BUCKET_CAP, keep_provenance=True
-        )
-        prov_c.write.parquet(os.path.join(state, "cand_prov"))
-        cand_c = spark.read.parquet(os.path.join(state, "cand_prov")).select(
-            "id_a", "id_b"
-        ).distinct()
-        cosine_on_pairs(cand_c, corpus, "id_a", "id_b", dim=64).write.parquet(
-            os.path.join(state, "verified")
-        )
+        build_state(corpus, state, cap=_BUCKET_CAP)
 
-    bands_c = spark.read.parquet(os.path.join(state, "bands"))
-    prov_c = spark.read.parquet(os.path.join(state, "cand_prov"))
-    ver_c = spark.read.parquet(os.path.join(state, "verified"))
-
-    bands_d = sign_lsh_bands(delta, dim=64, rows_per_band=8)
-    touched = bands_d.select("band_id", "band_key").distinct()
-    bands_touched = bands_c.join(
-        touched, ["band_id", "band_key"], "leftsemi"
-    ).unionByName(bands_d)
-    prov_new = banded_pairs(
-        bands_touched, "vec_id", "id_a", "id_b", cap=_BUCKET_CAP, keep_provenance=True
-    )
-    cand = (
-        prov_c.join(touched, ["band_id", "band_key"], "left_anti")
-        .select("id_a", "id_b")
-        .union(prov_new.select("id_a", "id_b"))
-        .distinct()
-    )
-    fresh = cand.join(ver_c, ["id_a", "id_b"], "left_anti")
-    ver_fresh = cosine_on_pairs(fresh, e, "id_a", "id_b", dim=64)
-    ver_all = ver_c.join(cand, ["id_a", "id_b"], "leftsemi").unionByName(ver_fresh)
+    ver_all = apply_delta(state, delta, e, cap=_BUCKET_CAP)
     edges = ver_all.filter(F.col("cos") >= 0.3)
     comp = resolve_components(edges, src="id_a", dst="id_b")
     return comp.groupBy("component").agg(

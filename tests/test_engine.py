@@ -446,3 +446,26 @@ def test_resolve_constrained_apk_inline_atoms(spark, tmp_path):
         ("musl", "1.2.4-r0"),            # >=1.2 excludes 1.1
         ("so:libfoo.so.1", "1.5-r0"),    # <2.0 excludes 2.1
     }
+
+
+def test_audit_debian_quarantine(spark, tmp_path):
+    # The Debian twin of the APKINDEX audit: same reason taxonomy over
+    # Packages stanzas, including a truncated block and a bad size.
+    from pkg2_spark.engine import Engine
+
+    p = tmp_path / "Packages"
+    p.write_text(
+        "Package: good\nVersion: 1.0-1\nArchitecture: amd64\n"
+        "Installed-Size: 10\nDescription: fine\n"
+        "\n"
+        "Version: 2.0-1\nArchitecture: amd64\nDescription: nameless\n"
+        "\n"
+        "Package: truncated\n"
+        "\n"
+        "Package: badsize\nVersion: 1.0-1\nInstalled-Size: lots\nDescription: x\n"
+    )
+    eng = Engine(spark)
+    counts = {}
+    for r in eng.audit_debian_packages(str(p)).collect():
+        counts[r["reason"]] = counts.get(r["reason"], 0) + 1
+    assert counts == {"ok": 1, "missing_name": 1, "missing_version": 1, "bad_size": 1}

@@ -442,3 +442,37 @@ def test_ivf_k_derivation_and_cell_flatness(spark, sf_dir):
         # mean cell size = n / k <= max(target, n / 16 at the floor);
         # above the floor it is <= target by construction
         assert mean_cell <= max(_IVF_TARGET_CELL, n / 16.0) + 1
+
+
+def test_dedup_index_chained_increments_equal_batch(spark, sf_dir, tmp_path):
+    # The state COMMIT contract: build on a base corpus, apply shard 1
+    # with commit, apply shard 2 against the COMMITTED state — the final
+    # pair set must equal the one-shot batch pipeline on the full corpus
+    # (bucket-cap evictions included: a later shard can push an earlier
+    # member out of a bucket's md5-ranked cap, and the re-derived touched
+    # buckets must reflect that).
+    import pyspark.sql.functions as F
+
+    from pkg2_spark.catalog import load_tables
+    from pkg2_spark.operators.dedup_index import apply_delta, build_state
+    from pkg2_spark.operators.lsh import banded_pairs
+    from pkg2_spark.operators.similarity import cosine_on_pairs, sign_lsh_bands
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    base = e.filter(F.col("vec_id") % 10 < 8)
+    shard1 = e.filter(F.col("vec_id") % 10 == 8)
+    shard2 = e.filter(F.col("vec_id") % 10 == 9)
+
+    v0 = str(tmp_path / "state_v0")
+    v1 = str(tmp_path / "state_v1")
+    build_state(base, v0)
+    apply_delta(v0, shard1, e, commit_dir=v1)
+    incr = apply_delta(v1, shard2, e)
+
+    bands_all = sign_lsh_bands(e, dim=64, rows_per_band=8)
+    cand_all = banded_pairs(bands_all, "vec_id", "id_a", "id_b", cap=64)
+    batch = cosine_on_pairs(cand_all, e, "id_a", "id_b", dim=64)
+
+    got = {(r["id_a"], r["id_b"], r["cos"]) for r in incr.collect()}
+    want = {(r["id_a"], r["id_b"], r["cos"]) for r in batch.collect()}
+    assert got == want and len(want) > 0
