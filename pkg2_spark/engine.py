@@ -691,6 +691,28 @@ class Engine:
         )
         return banded_pairs(bands, key, "doc_a", "doc_b", cap=cap)
 
+    def dedup_index_build(self, corpus: DataFrame, state_dir: str, **kw) -> None:
+        """Materialize the persisted embedding dedup index (band table +
+        pair provenance + verified cosines) — see operators/dedup_index.py."""
+        from pkg2_spark.operators.dedup_index import build_state
+
+        build_state(corpus, state_dir, **kw)
+
+    def dedup_index_apply(
+        self,
+        state_dir: str,
+        delta: DataFrame,
+        vectors: DataFrame,
+        commit_dir: str | None = None,
+        **kw,
+    ) -> DataFrame:
+        """Dedup one new shard against the persisted index; optionally
+        commit the merged state for the next shard. Returns verified pairs
+        (feed to near_dup_components for cluster labels)."""
+        from pkg2_spark.operators.dedup_index import apply_delta
+
+        return apply_delta(state_dir, delta, vectors, commit_dir=commit_dir, **kw)
+
     def sample(self, df: DataFrame, key: str, frac: float) -> DataFrame:
         from pkg2_spark.operators.sampling import hash_sample
 

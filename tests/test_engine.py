@@ -469,3 +469,20 @@ def test_audit_debian_quarantine(spark, tmp_path):
     for r in eng.audit_debian_packages(str(p)).collect():
         counts[r["reason"]] = counts.get(r["reason"], 0) + 1
     assert counts == {"ok": 1, "missing_name": 1, "missing_version": 1, "bad_size": 1}
+
+
+def test_dedup_index_facade(spark, sf_dir, tmp_path):
+    import pyspark.sql.functions as F
+
+    from pkg2_spark.catalog import load_tables
+    from pkg2_spark.engine import Engine
+
+    eng = Engine(spark)
+    e = load_tables(spark, sf_dir)["embeddings"]
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    delta = e.filter(F.col("vec_id") % 10 == 0)
+    state = str(tmp_path / "v0")
+    eng.dedup_index_build(base, state)
+    pairs = eng.dedup_index_apply(state, delta, e)
+    comp = eng.near_dup_components(pairs.filter(F.col("cos") >= 0.3), "id_a", "id_b")
+    assert comp.count() > 0
