@@ -97,10 +97,15 @@ def apply_delta(
         bands_touched, "vec_id", "id_a", "id_b", cap=cap, keep_provenance=True
     )
     prov_keep = prov_c.join(touched, ["band_id", "band_key"], "left_anti")
+    # localCheckpoint: the candidate frame is read by the fresh-pair
+    # anti-join AND the stored-cosine semi-join (and again by the commit
+    # path) — materializing the n_pairs-row frame pays the touched-bucket
+    # band join once instead of per reference.
     cand = (
         prov_keep.select("id_a", "id_b")
         .union(prov_new.select("id_a", "id_b"))
         .distinct()
+        .localCheckpoint()
     )
     fresh = cand.join(ver_c, ["id_a", "id_b"], "left_anti")
     ver_fresh = cosine_on_pairs(fresh, vectors, "id_a", "id_b", dim=dim)
