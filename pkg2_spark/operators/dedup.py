@@ -94,10 +94,16 @@ def resolve_components(
 ) -> DataFrame:
     """(node, component) for every node in `edges`; component = min node id
     reachable through the undirected pair graph."""
+    # localCheckpoint: `sym` is read three times below (round-0 labels +
+    # both sides of the edge contraction), and `edges` is typically the
+    # FULL banded+cosine-verified pair pipeline — materializing the
+    # symmetric edge list pays that pipeline once instead of per
+    # reference (same win as the incremental-dedup candidate frame).
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint()
     )
     # Fused round 0: every node's first label is min(self, direct
     # neighbors) straight off the edge list — one groupBy replaces an
