@@ -297,18 +297,28 @@ class Engine:
             if not os.path.isabs(path):
                 path = os.path.join(base, path)
             if fmt == "index_cache":
-                part = self.ingest_index_cache(path).drop("distro")
+                # A cache dir can hold several wire formats; keep the
+                # per-format distro tags ingest_index_cache derives rather
+                # than mislabeling every row with the one config distro.
+                part = self.ingest_index_cache(path)
+                distro_col = F.col("distro")
             elif fmt in parsers:
                 part = parsers[fmt](path)
+                distro_col = F.lit(src["distro"])
             else:
                 raise ValueError(f"unknown source format: {fmt!r}")
             part = part.select(
-                F.lit(src["distro"]).alias("distro"),
+                distro_col.alias("distro"),
                 *[
                     F.col(c) if c in part.columns
                     else F.lit(None).cast("long").alias(c)
                     for c in shared
                 ],
+                # Carry raw constraint atoms through (as ingest_index_cache's
+                # norm() does) so resolve_constrained works after a
+                # collection ingest.
+                F.col("depends_raw") if "depends_raw" in part.columns
+                else F.lit(None).cast("array<string>").alias("depends_raw"),
             )
             out = part if out is None else out.unionByName(part)
         assert out is not None, "collection config lists no sources"
@@ -536,9 +546,13 @@ class Engine:
         """Parsed constraint atoms: (src_name, src_version, dep_name, op,
         dver). Two syntaxes, auto-detected per atom:
 
-        - Debian: ``name (>= ver)`` — ops >=, <=, =, >>, <<;
+        - Debian: ``name (>= ver)`` — ops >=, <=, =, >>, <<; whitespace
+          around the operator is optional (dpkg accepts ``name (>=1.4)``),
+          and dpkg's legacy bare ``>``/``<`` mean inclusive >=/<= — both
+          are normalized at parse time;
         - Alpine/apk inline: ``name>=ver`` (no spaces) — ops >=, <=, =,
-          <, > (apk's fuzzy ``~`` is not modeled).
+          <, > (bare </> are STRICT in apk; apk's fuzzy ``~`` is not
+          modeled).
 
         An atom without a constraint yields op = '' (matches any
         version). Requires an ingest path that preserves depends_raw."""
@@ -555,17 +569,25 @@ class Engine:
         # never comparator characters).
         apk_op = F.regexp_extract("atom", r"^[^<>=\s(]+([<>=]+)", 1)
         is_apk = apk_op != ""
+        deb_op = F.regexp_extract("atom", r"\(\s*([<>=]+)\s*", 1)
+        # dpkg legacy: bare > / < written in Debian syntax mean >= / <=
+        # (apk's bare comparators stay strict on the is_apk branch).
+        deb_op = (
+            F.when(deb_op == ">", F.lit(">="))
+            .when(deb_op == "<", F.lit("<="))
+            .otherwise(deb_op)
+        )
         return atoms.select(
             "src_name",
             "src_version",
             F.when(is_apk, F.regexp_extract("atom", r"^([^<>=\s(]+)", 1))
-            .otherwise(F.trim(F.split_part(F.col("atom"), F.lit(" ("), F.lit(1))))
+            .otherwise(F.trim(F.split_part(F.col("atom"), F.lit("("), F.lit(1))))
             .alias("dep_name"),
-            F.when(is_apk, apk_op)
-            .otherwise(F.regexp_extract("atom", r"\(([<>=]+) ", 1))
-            .alias("op"),
+            F.when(is_apk, apk_op).otherwise(deb_op).alias("op"),
             F.when(is_apk, F.regexp_extract("atom", r"^[^<>=\s(]+[<>=]+(.+)$", 1))
-            .otherwise(F.regexp_extract("atom", r"\([<>=]+ ([^)]+)\)", 1))
+            .otherwise(
+                F.trim(F.regexp_extract("atom", r"\(\s*[<>=]+\s*([^)]+)\)", 1))
+            )
             .alias("dver"),
         )
 
@@ -610,8 +632,11 @@ class Engine:
         """Constraint-aware dependency closure from every version of
         ``package``: BFS over constrained_edges, nodes are (name, version),
         minimal depth per node. Same localCheckpoint-per-round discipline
-        as :meth:`resolve` (lineage would double per depth otherwise)."""
-        edges = self.constrained_edges().persist()
+        as :meth:`resolve` (lineage would double per depth otherwise).
+        The edge frame is materialized via localCheckpoint (not persist) so
+        a long-lived session serving per-request resolves does not
+        accumulate cached RDDs."""
+        edges = self.constrained_edges().localCheckpoint()
         frontier = (
             edges.filter(F.col("src_name") == package)
             .select(

@@ -619,9 +619,11 @@ mv_pkgs AS (
 ),
 atoms AS (
   SELECT name AS src_name, version AS src_version,
-         trim(split_part(atom, ' (', 1)) AS dep_name,
-         regexp_extract(atom, '\\(([<>=]+) ', 1) AS op,
-         regexp_extract(atom, '\\([<>=]+ ([^)]+)\\)', 1) AS dver
+         trim(split_part(atom, '(', 1)) AS dep_name,
+         CASE regexp_extract(atom, '\\(\\s*([<>=]+)\\s*', 1)
+           WHEN '>' THEN '>=' WHEN '<' THEN '<='
+           ELSE regexp_extract(atom, '\\(\\s*([<>=]+)\\s*', 1) END AS op,
+         trim(regexp_extract(atom, '\\(\\s*[<>=]+\\s*([^)]+)\\)', 1)) AS dver
   FROM (
     SELECT name, version,
            unnest(list_filter(list_transform(string_split(deps_raw, ', '), x -> trim(x)), x -> x <> '')) AS atom

@@ -60,9 +60,19 @@ class QueryService:
     {"endpoint": "search", "columns": [...], "rows": [...], "row_count": N}
     """
 
-    def __init__(self, engine: Engine, max_rows: int = DEFAULT_MAX_ROWS):
+    def __init__(
+        self,
+        engine: Engine,
+        max_rows: int = DEFAULT_MAX_ROWS,
+        allow_unsafe_sql: bool = False,
+    ):
         self.engine = engine
         self.max_rows = max_rows
+        # The sql endpoint is SELECT-only by default: a transport-exposed
+        # service must not accept DDL/DML (INSERT OVERWRITE, DROP, path-based
+        # reads) from untrusted parameters. Opt in explicitly for trusted
+        # embedders.
+        self.allow_unsafe_sql = allow_unsafe_sql
         self._endpoints = {
             "search": self._search,
             "whatprovides": self._whatprovides,
@@ -87,17 +97,20 @@ class QueryService:
                 f"unknown endpoint {endpoint!r}; available: {self.endpoints()}"
             )
         df = fn(params)
-        limited = df.limit(self.max_rows)
+        # Fetch one sentinel row past the cap so `truncated` is exact: a
+        # result with exactly max_rows rows is complete, not truncated.
+        limited = df.limit(self.max_rows + 1)
+        fetched = limited.collect()
         rows = [
             {k: _json_safe(v) for k, v in r.asDict().items()}
-            for r in limited.collect()
+            for r in fetched[: self.max_rows]
         ]
         return {
             "endpoint": endpoint,
             "columns": limited.columns,
             "rows": rows,
             "row_count": len(rows),
-            "truncated": len(rows) == self.max_rows,
+            "truncated": len(fetched) > self.max_rows,
         }
 
     # ----------------------------------------------------------- endpoints
@@ -132,8 +145,53 @@ class QueryService:
     def _latest(self, p: dict) -> DataFrame:
         return self.engine.latest_versions().select("name", "version", "arch")
 
+    # Statement forms allowed through the sql endpoint (query-only). Spark
+    # SQL queries start with one of these after comments are stripped.
+    _QUERY_HEADS = ("select", "with", "values", "table", "from", "(")
+    # Mutating / session-changing verbs rejected anywhere in the statement
+    # (word-bounded, so column names like `created_at` don't trip it).
+    _FORBIDDEN = (
+        "insert", "update", "delete", "merge", "drop", "create", "alter",
+        "truncate", "grant", "revoke", "set", "reset", "add", "load",
+        "analyze", "cache", "uncache", "refresh", "msck", "use",
+    )
+
+    @classmethod
+    def _reject_unsafe_sql(cls, query: str) -> None:
+        """Fail-closed SELECT-only filter for transport-exposed callers.
+
+        Strips comments, then requires a query-shaped head token, a single
+        statement, no mutating verbs, and no path-based table access
+        (``format.`/path```). Conservative by design: a legitimate query
+        containing e.g. the literal string 'DROP' is rejected — embedders
+        that need full SQL pass ``allow_unsafe_sql=True``.
+        """
+        import re
+
+        stripped = re.sub(r"--[^\n]*", " ", query)
+        stripped = re.sub(r"/\*.*?\*/", " ", stripped, flags=re.S)
+        body = stripped.strip().rstrip(";").strip()
+        if ";" in body:
+            raise ServiceError("sql endpoint accepts a single statement")
+        head = body.split(None, 1)[0].lower() if body else ""
+        if not (head.startswith("(") or head in cls._QUERY_HEADS):
+            raise ServiceError(
+                f"sql endpoint is SELECT-only; statement head {head!r} rejected"
+            )
+        lowered = body.lower()
+        for verb in cls._FORBIDDEN:
+            if re.search(rf"\b{verb}\b", lowered):
+                raise ServiceError(
+                    f"sql endpoint is SELECT-only; keyword {verb!r} rejected"
+                )
+        if re.search(r"\b(parquet|orc|csv|json|text|binaryfile|avro)\s*\.\s*`", lowered):
+            raise ServiceError("sql endpoint rejects path-based table access")
+
     def _sql(self, p: dict) -> DataFrame:
-        return self.engine.sql(self._require(p, "query"))
+        query = self._require(p, "query")
+        if not self.allow_unsafe_sql:
+            self._reject_unsafe_sql(query)
+        return self.engine.sql(query)
 
     def _table(self, p: dict) -> DataFrame:
         name = self._require(p, "name")

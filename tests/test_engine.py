@@ -486,3 +486,100 @@ def test_dedup_index_facade(spark, sf_dir, tmp_path):
     pairs = eng.dedup_index_apply(state, delta, e)
     comp = eng.near_dup_components(pairs.filter(F.col("cos") >= 0.3), "id_a", "id_b")
     assert comp.count() > 0
+
+
+def test_depends_atoms_nospace_and_legacy_ops(spark, tmp_path):
+    # dpkg accepts constraints without whitespace ('libweb (>=1.4)') and
+    # the legacy bare '>'/'<' mean INCLUSIVE >=/<= in Debian syntax; both
+    # must parse instead of silently degrading to match-any (op = '').
+    from pkg2_spark.engine import Engine
+
+    p = tmp_path / "Packages"
+    p.write_text(
+        "Package: app\nVersion: 1.0-1\nArchitecture: amd64\n"
+        "Installed-Size: 10\n"
+        "Depends: tight (>=1.4), legacy-hi (> 2.0), legacy-lo (< 3.0), "
+        "spaced ( >= 5.1 ), pinned(=7)\n"
+        "Description: constraint syntax corpus\n"
+    )
+    eng = Engine(spark)
+    eng.ingest_debian_packages(str(p))
+    atoms = {
+        r["dep_name"]: (r["op"], r["dver"])
+        for r in eng.depends_atoms().collect()
+    }
+    assert atoms == {
+        "tight": (">=", "1.4"),
+        "legacy-hi": (">=", "2.0"),   # dpkg legacy '>' == '>='
+        "legacy-lo": ("<=", "3.0"),   # dpkg legacy '<' == '<='
+        "spaced": (">=", "5.1"),
+        "pinned": ("=", "7"),
+    }
+
+
+def test_depends_atoms_legacy_ops_select_boundary_versions(spark, tmp_path):
+    # Behavioral check of the legacy mapping: '> 1.0' admits version 1.0
+    # itself in Debian syntax, while apk's inline 'dep>1.0' stays strict.
+    from pkg2_spark.engine import Engine
+
+    p = tmp_path / "Packages"
+    p.write_text(
+        "Package: app\nVersion: 1.0-1\nArchitecture: amd64\n"
+        "Installed-Size: 10\nDepends: dep (> 1.0)\nDescription: a\n"
+        "\n"
+        "Package: dep\nVersion: 1.0\nArchitecture: amd64\n"
+        "Installed-Size: 1\nDescription: boundary version\n"
+    )
+    eng = Engine(spark)
+    eng.ingest_debian_packages(str(p))
+    got = {
+        (r["name"], r["version"])
+        for r in eng.resolve_constrained("app").collect()
+    }
+    assert got == {("dep", "1.0")}
+
+
+def test_ingest_collection_keeps_cache_distros_and_raw_atoms(spark, tmp_path):
+    # An index_cache source holds several wire formats: the collection
+    # ingest must keep the per-format distro tags the cache reader derives
+    # (not relabel everything with the config's one distro), and must carry
+    # depends_raw through so resolve_constrained works after a collection
+    # ingest.
+    import gzip
+    import io
+    import json
+    import tarfile
+
+    from pkg2_spark.engine import Engine
+    from pkg2_spark.queries.packages import _MULTIVER_PATH
+    from pkg2_spark.queries.relational import _APKINDEX_PATH
+
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    data = open(_APKINDEX_PATH, "rb").read()
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        ti = tarfile.TarInfo("APKINDEX")
+        ti.size = len(data)
+        tf.addfile(ti, io.BytesIO(data))
+    (cache / "APKINDEX.tar.gz").write_bytes(gzip.compress(buf.getvalue(), mtime=0))
+    (cache / "Packages.gz").write_bytes(
+        gzip.compress(open(_MULTIVER_PATH, "rb").read(), mtime=0)
+    )
+    cfg = tmp_path / "collection.json"
+    cfg.write_text(json.dumps({
+        "collection": "t",
+        "sources": [
+            {"distro": "mislabel-me", "format": "index_cache", "path": "cache"},
+        ],
+    }))
+    eng = Engine(spark)
+    out = eng.ingest_collection(str(cfg))
+    distros = {r["distro"] for r in out.select("distro").distinct().collect()}
+    assert distros == {"alpine", "debian"}     # derived, not the config label
+    # depends_raw survived the shared-column normalization:
+    got = {
+        (r["name"], r["version"])
+        for r in eng.resolve_constrained("webapp").collect()
+    }
+    assert ("libweb", "1.4-2") in got and ("libweb", "1.2-1") not in got

@@ -75,3 +75,38 @@ def test_unknown_endpoint_and_missing_param_raise(spark, svc):
         svc.handle("search", {})
     with pytest.raises(ServiceError, match="invalid table name"):
         svc.handle("table", {"name": "x; drop"})
+
+
+def test_sql_endpoint_is_select_only_by_default(spark, svc):
+    svc.engine.ingest_apkindex(os.path.join(_DATA, "apkindex_sample.txt"))
+    for bad in [
+        "DROP TABLE packages",
+        "INSERT INTO packages VALUES (1)",
+        "CREATE TABLE t AS SELECT 1",
+        "SELECT 1; DROP TABLE packages",
+        "SET spark.sql.shuffle.partitions=1",
+        "SELECT * FROM parquet.`/etc/passwd`",
+    ]:
+        with pytest.raises(ServiceError):
+            svc.handle("sql", {"query": bad})
+    # query-shaped statements still pass
+    ok = svc.handle("sql", {"query": "WITH t AS (SELECT 1 AS x) SELECT x FROM t"})
+    assert ok["rows"] == [{"x": 1}]
+    # trusted embedders can opt out of the gate
+    unsafe = QueryService(svc.engine, max_rows=5, allow_unsafe_sql=True)
+    resp = unsafe.handle("sql", {"query": "SELECT 'DROP' AS created_at"})
+    assert resp["rows"] == [{"created_at": "DROP"}]
+
+
+def test_truncated_flag_exact_boundary(spark, svc):
+    # A result with exactly max_rows rows is complete — truncated False;
+    # one more row flips it. The sentinel fetch is limit(max_rows + 1).
+    svc.engine.ingest_apkindex(os.path.join(_DATA, "apkindex_sample.txt"))
+    exact = svc.handle("sql", {"query": (
+        "SELECT id FROM (SELECT explode(sequence(1, 5)) AS id)"
+    )})
+    assert exact["row_count"] == 5 and exact["truncated"] is False
+    over = svc.handle("sql", {"query": (
+        "SELECT id FROM (SELECT explode(sequence(1, 6)) AS id)"
+    )})
+    assert over["row_count"] == 5 and over["truncated"] is True
