@@ -18,17 +18,28 @@ from pkg2_spark.registry import query
 
 # Flagship: TPC-H Q1 shape — hash aggregate, 8 measures, 6 groups.
 # Validated cross-engine at sf0.1 by the survey session (SURVEY.md §2.4 ✅).
+# Sums follow the floor-scaled-integer discipline (per-row IEEE multiply +
+# floor to BIGINT, exact integer sum — the q_sql_tpch_q1 pattern): a
+# round(sum(double)) last digit is summation-order-dependent across engine
+# partitionings. Averages divide the bit-identical BIGINTs by count(*), so
+# both engines round the SAME double.
 _Q1_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  round(sum(l_quantity), 2) AS sum_qty,
-  round(sum(l_extendedprice), 2) AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-  round(avg(l_quantity), 4) AS avg_qty,
-  round(avg(l_extendedprice), 4) AS avg_price,
-  round(avg(l_discount), 4) AS avg_disc,
+  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2,
+  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    AS sum_base_price_e2,
+  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+       AS BIGINT) AS sum_disc_price_e4,
+  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000)
+                AS BIGINT)) AS BIGINT) AS sum_charge_e4,
+  round(CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+        / (100.0 * count(*)), 4) AS avg_qty,
+  round(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        / (100.0 * count(*)), 4) AS avg_price,
+  round(CAST(sum(CAST(floor(l_discount * 10000) AS BIGINT)) AS DOUBLE)
+        / (10000.0 * count(*)), 4) AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -36,22 +47,34 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def _floor_long(col: F.Column, scale: int) -> F.Column:
+    """Per-row floor-scaled BIGINT — one IEEE multiply (bit-identical on
+    both engines), then floor; sums over these are exact integers."""
+    return F.floor(col * scale).cast("long")
+
+
 @query("q_agg_group", oracle=_Q1_ORACLE)
 def q_agg_group(spark, sf_dir):
     l = load_tables(spark, sf_dir)["lineitem"]
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty_e2 = F.sum(_floor_long(F.col("l_quantity"), 100))
+    price_e2 = F.sum(_floor_long(F.col("l_extendedprice"), 100))
+    disc_e4 = F.sum(_floor_long(F.col("l_discount"), 10000))
+    cnt = F.count(F.lit(1))
     return (
         l.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            qty_e2.alias("sum_qty_e2"),
+            price_e2.alias("sum_base_price_e2"),
+            F.sum(_floor_long(disc_price, 10000)).alias("sum_disc_price_e4"),
+            F.sum(_floor_long(disc_price * (1 + F.col("l_tax")), 10000)).alias(
+                "sum_charge_e4"
+            ),
+            F.round(qty_e2.cast("double") / (100.0 * cnt), 4).alias("avg_qty"),
+            F.round(price_e2.cast("double") / (100.0 * cnt), 4).alias("avg_price"),
+            F.round(disc_e4.cast("double") / (10000.0 * cnt), 4).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
     )
 
@@ -62,8 +85,9 @@ def q_agg_group(spark, sf_dir):
 SELECT
   count(*) AS n_rows,
   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
-  round(sum(o_totalprice), 2) AS sum_price,
-  round(avg(o_totalprice), 4) AS avg_price,
+  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_e2,
+  round(CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        / (100.0 * count(*)), 4) AS avg_price,
   round(min(o_totalprice), 2) AS min_price,
   round(max(o_totalprice), 2) AS max_price
 FROM orders
@@ -71,11 +95,14 @@ FROM orders
 )
 def q_agg_global(spark, sf_dir):
     o = load_tables(spark, sf_dir)["orders"]
+    price_e2 = F.sum(_floor_long(F.col("o_totalprice"), 100))
     return o.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("o_custkey").alias("n_customers"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        price_e2.alias("sum_price_e2"),
+        F.round(price_e2.cast("double") / (100.0 * F.count(F.lit(1))), 4).alias(
+            "avg_price"
+        ),
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
@@ -84,23 +111,24 @@ def q_agg_global(spark, sf_dir):
 @query(
     "q_agg_having",
     oracle="""
-SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+SELECT c_mktsegment, count(*) AS n,
+       CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_bal_e2
 FROM customer
 GROUP BY c_mktsegment
-HAVING count(*) > 10 AND sum(c_acctbal) > 0
+HAVING count(*) > 10 AND sum(CAST(floor(c_acctbal * 100) AS BIGINT)) > 0
 """,
 )
 def q_agg_having(spark, sf_dir):
+    # The HAVING threshold compares the exact integer sum too: a float sum
+    # hovering at zero could flip the group in/out between partitionings.
     c = load_tables(spark, sf_dir)["customer"]
     return (
         c.groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
-            F.sum("c_acctbal").alias("_raw_bal"),
+            F.sum(_floor_long(F.col("c_acctbal"), 100)).alias("total_bal_e2"),
         )
-        .filter((F.col("n") > 10) & (F.col("_raw_bal") > 0))
-        .drop("_raw_bal")
+        .filter((F.col("n") > 10) & (F.col("total_bal_e2") > 0))
     )
 
 
@@ -132,7 +160,8 @@ SELECT
   l_returnflag,
   count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
   count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
-  round(sum(l_extendedprice) FILTER (WHERE l_tax > 0.04), 2) AS taxed_price,
+  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+           FILTER (WHERE l_tax > 0.04) AS BIGINT) AS taxed_price_e2,
   count(*) AS n
 FROM lineitem
 GROUP BY l_returnflag
@@ -143,9 +172,9 @@ def q_agg_filtered(spark, sf_dir):
     return l.groupBy("l_returnflag").agg(
         F.count_if(F.col("l_discount") > 0.05).alias("n_disc"),
         F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
-        F.round(
-            F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))), 2
-        ).alias("taxed_price"),
+        F.sum(
+            F.when(F.col("l_tax") > 0.04, _floor_long(F.col("l_extendedprice"), 100))
+        ).alias("taxed_price_e2"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -206,7 +235,7 @@ SELECT
   l_linestatus,
   CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
   CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
-  round(sum(l_quantity), 2) AS sum_qty,
+  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2,
   count(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -217,7 +246,7 @@ def q_agg_rollup(spark, sf_dir):
     return l.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.sum(_floor_long(F.col("l_quantity"), 100)).alias("sum_qty_e2"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -230,7 +259,7 @@ SELECT
   o_orderpriority,
   CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
   CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
-  round(sum(o_totalprice), 2) AS sum_price,
+  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_e2,
   count(*) AS n
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -241,7 +270,7 @@ def q_agg_cube(spark, sf_dir):
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.grouping("o_orderstatus").cast("int").alias("g_status"),
         F.grouping("o_orderpriority").cast("int").alias("g_prio"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.sum(_floor_long(F.col("o_totalprice"), 100)).alias("sum_price_e2"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -254,7 +283,7 @@ SELECT
   l_linestatus,
   CAST(grouping(l_returnflag) AS INTEGER) AS g_flag,
   CAST(grouping(l_linestatus) AS INTEGER) AS g_status,
-  round(sum(l_extendedprice), 2) AS sum_price
+  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_e2
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """,
@@ -268,7 +297,8 @@ def q_agg_gsets(spark, sf_dir):
           l_linestatus,
           CAST(grouping(l_returnflag) AS INT) AS g_flag,
           CAST(grouping(l_linestatus) AS INT) AS g_status,
-          round(sum(l_extendedprice), 2) AS sum_price
+          CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+            AS sum_price_e2
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """

@@ -233,7 +233,8 @@ def q_cdc_compact(spark, sf_dir):
     oracle="""
 SELECT o_orderpriority,
        count(*) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_e4
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority
 """,
@@ -256,9 +257,13 @@ def q_ivm_join(spark, sf_dir):
     l_delta = l.filter(F.col("l_linenumber") % 2 == 1)
 
     def j(a, b):
+        # Per-row floor-e4 BIGINT revenue: delta-term partial sums then merge
+        # EXACTLY (integer addition), the property IVM needs anyway.
         return a.join(b, a.o_orderkey == b.l_orderkey).select(
             "o_orderpriority",
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+            .cast("long")
+            .alias("rev_e4"),
         )
 
     view = (
@@ -269,7 +274,7 @@ def q_ivm_join(spark, sf_dir):
     )
     return view.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum("rev"), 2).alias("revenue"),
+        F.sum("rev_e4").alias("revenue_e4"),
     )
 
 

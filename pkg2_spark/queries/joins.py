@@ -27,7 +27,7 @@ from pkg2_spark.registry import query
 @query(
     "q_join_inner",
     oracle="""
-SELECT p_brand, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+SELECT p_brand, count(*) AS n, CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_e2
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_size < 10
 GROUP BY p_brand
@@ -42,7 +42,7 @@ def q_join_inner(spark, sf_dir):
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias("sum_qty_e2"),
         )
     )
 
@@ -50,7 +50,7 @@ def q_join_inner(spark, sf_dir):
 @query(
     "q_join_broadcast",
     oracle="""
-SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+SELECT n_name, count(*) AS n_cust, CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_e2
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """,
@@ -65,7 +65,7 @@ def q_join_broadcast(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+            F.sum(F.floor(F.col("c_acctbal") * 100).cast("long")).alias("sum_bal_e2"),
         )
     )
 
@@ -96,10 +96,10 @@ def q_join_smj(spark, sf_dir):
     oracle="""
 SELECT c_custkey,
        coalesce(o.n_orders, 0) AS n_orders,
-       round(coalesce(o.total, 0), 2) AS total_spent
+       coalesce(o.total_e2, 0) AS total_spent_e2
 FROM customer
 LEFT JOIN (
-  SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total
+  SELECT o_custkey, count(*) AS n_orders, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_e2
   FROM orders GROUP BY o_custkey
 ) o ON c_custkey = o.o_custkey
 """,
@@ -109,7 +109,7 @@ def q_join_left(spark, sf_dir):
     per_cust = (
         t["orders"]
         .groupBy("o_custkey")
-        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("total"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("total_e2"))
     )
     return (
         t["customer"]
@@ -117,7 +117,7 @@ def q_join_left(spark, sf_dir):
         .select(
             "c_custkey",
             F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
-            F.round(F.coalesce(F.col("total"), F.lit(0.0)), 2).alias("total_spent"),
+            F.coalesce(F.col("total_e2"), F.lit(0)).alias("total_spent_e2"),
         )
     )
 
@@ -345,7 +345,7 @@ def q_join_asof(spark, sf_dir):
     oracle="""
 SELECT n_name,
        count(*) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -372,9 +372,10 @@ def q_join_multiway(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+                .cast("long")
+            ).alias("revenue_e4"),
         )
     )
 
@@ -382,7 +383,7 @@ def q_join_multiway(spark, sf_dir):
 @query(
     "q_join_salted",
     oracle="""
-SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+SELECT o_orderpriority, count(*) AS n, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_e2
 FROM orders JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
 GROUP BY o_orderpriority
@@ -405,7 +406,7 @@ def q_join_salted(spark, sf_dir):
     joined = salted_join(o, c, on="custkey", salt_from=["o_orderkey"], salt_mod=8)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("sum_price_e2"),
     )
 
 

@@ -79,7 +79,7 @@ def fixture_ready(path: str, sf_dir: str, marker: str = "_SUCCESS") -> bool:
     "q_scan_parquet",
     oracle="""
 SELECT count(*) AS n_rows, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
-       round(sum(l_quantity), 2) AS total_qty
+       CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS total_qty_e2
 FROM lineitem
 """,
 )
@@ -88,7 +88,7 @@ def q_scan_parquet(spark, sf_dir):
     return l.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),
-        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias("total_qty_e2"),
     )
 
 
@@ -113,7 +113,7 @@ def q_scan_prune(spark, sf_dir):
 @query(
     "q_scan_filter_pushdown",
     oracle="""
-SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+SELECT o_orderpriority, count(*) AS n, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_e2
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND o_orderstatus = 'F'
@@ -130,7 +130,7 @@ def q_scan_filter_pushdown(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("sum_price_e2"),
         )
     )
 
@@ -212,7 +212,7 @@ def q_src_json(spark, sf_dir):
 @query(
     "q_src_orc",
     oracle="""
-SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+SELECT l_returnflag, count(*) AS n, CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_e2
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -225,7 +225,7 @@ def q_src_orc(spark, sf_dir):
     back = spark.read.orc(path)
     return back.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("sum_price_e2"),
     )
 
 
@@ -233,7 +233,7 @@ def q_src_orc(spark, sf_dir):
     "q_sink_parquet",
     oracle="""
 SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-       round(sum(o_totalprice), 2) AS sum_price
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_e2
 FROM orders
 GROUP BY o_orderstatus, o_orderpriority
 """,
@@ -248,7 +248,7 @@ def q_sink_parquet(spark, sf_dir):
     back = spark.read.parquet(path)
     return back.groupBy("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("sum_price_e2"),
     )
 
 
@@ -505,7 +505,7 @@ SELECT
   count(seg) AS n_seg_notnull,
   count(*) FILTER (WHERE seg IS NULL) AS n_seg_null,
   count(*) FILTER (WHERE seg IS NOT DISTINCT FROM 'MACHINERY') AS n_machinery,
-  round(sum(bal), 2) AS sum_bal_nonneg
+  CAST(sum(CAST(floor(bal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_nonneg_e2
 FROM t
 """,
 )
@@ -523,7 +523,7 @@ def q_filter_null(spark, sf_dir):
         F.count("seg").alias("n_seg_notnull"),
         F.count_if(F.col("seg").isNull()).alias("n_seg_null"),
         F.count_if(F.col("seg").eqNullSafe("MACHINERY")).alias("n_machinery"),
-        F.round(F.sum("bal"), 2).alias("sum_bal_nonneg"),
+        F.sum(F.floor(F.col("bal") * 100).cast("long")).alias("sum_bal_nonneg_e2"),
     )
 
 
@@ -602,7 +602,7 @@ def q_cast(spark, sf_dir):
 @query(
     "q_sink_bucketed",
     oracle="""
-SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+SELECT c_mktsegment, count(*) AS n_orders, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_e2
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """,
@@ -642,7 +642,7 @@ def q_sink_bucketed(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("revenue_e2"),
         )
     )
 
@@ -688,7 +688,7 @@ def q_src_binary(spark, sf_dir):
 SELECT lang,
        count(*) AS n,
        CAST(sum(CASE WHEN quality IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_quality,
-       round(sum(coalesce(quality, 0.0)), 2) AS sum_quality
+       CAST(sum(CAST(floor(coalesce(quality, 0.0) * 10000) AS BIGINT)) AS BIGINT) AS sum_quality_e4
 FROM (
   SELECT lang, NULL::DOUBLE AS quality FROM documents WHERE doc_id % 2 = 0
   UNION ALL
@@ -716,7 +716,7 @@ def q_src_evolving(spark, sf_dir):
     return back.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("quality").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_with_quality"),
-        F.round(F.sum(F.coalesce("quality", F.lit(0.0))), 2).alias("sum_quality"),
+        F.sum(F.floor(F.coalesce("quality", F.lit(0.0)) * 10000).cast("long")).alias("sum_quality_e4"),
     )
 
 
@@ -724,7 +724,7 @@ def q_src_evolving(spark, sf_dir):
     "q_sink_compact",
     oracle="""
 SELECT CAST(32 AS INTEGER) AS files_before, CAST(4 AS INTEGER) AS files_after,
-       count(*) AS n_rows, round(sum(l_extendedprice), 2) AS total_price
+       count(*) AS n_rows, CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_price_e2
 FROM lineitem
 """,
 )
@@ -748,12 +748,12 @@ def q_sink_compact(spark, sf_dir):
     back = spark.read.parquet(out)
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("total_price_e2"),
     ).select(
         F.lit(n_before).alias("files_before"),
         F.lit(n_after).alias("files_after"),
         "n_rows",
-        "total_price",
+        "total_price_e2",
     )
 
 

@@ -8,7 +8,10 @@ and must produce the batch answer — the batch/stream parity contract.
 Scale posture: tumbling/sliding aggs shuffle once on (window, key); session
 windows shuffle on user_id with per-key ordered state — exactly the shapes
 Structured Streaming incrementalizes with the state store at scale.
-Determinism: window bounds emitted as unix_micros, never strings (§2.13.2).
+Determinism: window bounds emitted as unix_micros, never strings (§2.13.2);
+value rollups sum floor-e2 BIGINTs (per-row IEEE multiply + floor, exact
+integer sum — the q_sql_tpch_q1 discipline), never round(sum(double)) whose
+last digit is summation-order-dependent across engine partitionings.
 """
 
 from __future__ import annotations
@@ -18,11 +21,20 @@ import pyspark.sql.functions as F
 from pkg2_spark.catalog import load_tables
 from pkg2_spark.registry import query
 
-_TUMBLE_ORACLE = """
+#: floor-e2 integer sum of a 2dp value column — Spark side of the shared
+#: determinism discipline (mirrors `CAST(sum(CAST(floor(c*100) AS BIGINT))
+#: AS BIGINT)` in every oracle below).
+def _sum_e2(col: str = "value", alias: str = "sum_value_e2") -> F.Column:
+    return F.sum(F.floor(F.col(col) * 100).cast("long")).alias(alias)
+
+
+_SUM_E2_SQL = "CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2"
+
+_TUMBLE_ORACLE = f"""
 SELECT epoch_us(date_trunc('hour', ts)) AS win_us,
        event_type,
        count(*) AS n,
-       round(sum(value), 2) AS sum_value
+       {_SUM_E2_SQL}
 FROM events
 GROUP BY 1, 2
 """
@@ -33,12 +45,12 @@ def q_stream_tumble(spark, sf_dir):
     e = load_tables(spark, sf_dir)["events"]
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _sum_e2())
         .select(
             F.unix_micros(F.col("w.start")).alias("win_us"),
             "event_type",
             "n",
-            "sum_value",
+            "sum_value_e2",
         )
     )
 
@@ -53,12 +65,12 @@ def q_stream_rt_tumble(spark, sf_dir):
     stream = events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _sum_e2())
         .select(
             F.unix_micros(F.col("w.start")).alias("win_us"),
             "event_type",
             "n",
-            "sum_value",
+            "sum_value_e2",
         )
     )
     return run_to_memory(agg, "rt_tumble")
@@ -71,7 +83,7 @@ WITH b AS (
 w AS (
   SELECT unnest([tb, tb - INTERVAL 5 MINUTE]) AS win_start, value FROM b
 )
-SELECT epoch_us(win_start) AS win_us, count(*) AS n, round(sum(value), 2) AS sum_value
+SELECT epoch_us(win_start) AS win_us, count(*) AS n, CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2
 FROM w GROUP BY 1
 """
 
@@ -83,8 +95,8 @@ def q_stream_slide(spark, sf_dir):
     e = load_tables(spark, sf_dir)["events"]
     return (
         e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(F.unix_micros(F.col("w.start")).alias("win_us"), "n", "sum_value")
+        .agg(F.count(F.lit(1)).alias("n"), _sum_e2())
+        .select(F.unix_micros(F.col("w.start")).alias("win_us"), "n", "sum_value_e2")
     )
 
 
@@ -109,7 +121,7 @@ SELECT user_id,
        epoch_us(min(ts)) AS session_start_us,
        epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2
 FROM i GROUP BY user_id, island
 """,
 )
@@ -119,13 +131,13 @@ def q_stream_session(spark, sf_dir):
     e = load_tables(spark, sf_dir)["events"]
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _sum_e2())
         .select(
             "user_id",
             F.unix_micros(F.col("w.start")).alias("session_start_us"),
             F.unix_micros(F.col("w.end")).alias("session_end_us"),
             "n_events",
-            "sum_value",
+            "sum_value_e2",
         )
     )
 
@@ -155,7 +167,7 @@ def q_stream_dedup(spark, sf_dir):
 @query(
     "q_stream_stateful",
     oracle="""
-SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+SELECT user_id, count(*) AS n_events, CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_value_e2
 FROM events
 WHERE user_id < 100
 GROUP BY user_id
@@ -193,7 +205,7 @@ islands AS (
   FROM flagged
 )
 SELECT user_id, epoch_us(min(ts)) AS session_start_us,
-       count(*) AS n_events, round(sum(value), 2) AS sum_value
+       count(*) AS n_events, CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2
 FROM islands GROUP BY user_id, sid
 """,
 )
@@ -209,12 +221,12 @@ def q_stream_rt_session(spark, sf_dir):
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), _sum_e2())
         .select(
             "user_id",
             F.unix_micros(F.col("w.start")).alias("session_start_us"),
             "n_events",
-            "sum_value",
+            "sum_value_e2",
         )
     )
     return run_to_memory(agg, "rt_session", mode="complete")
@@ -230,8 +242,8 @@ def q_stream_rt_slide(spark, sf_dir):
     stream = events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
-        .select(F.unix_micros(F.col("w.start")).alias("win_us"), "n", "sum_value")
+        .agg(F.count(F.lit(1)).alias("n"), _sum_e2())
+        .select(F.unix_micros(F.col("w.start")).alias("win_us"), "n", "sum_value_e2")
     )
     return run_to_memory(agg, "rt_slide")
 
@@ -333,7 +345,7 @@ def q_stream_rt_dedup(spark, sf_dir):
 @query(
     "q_stream_rt_enrich",
     oracle="""
-SELECT c.c_mktsegment AS segment, count(*) AS n, round(sum(e.value), 2) AS sum_value
+SELECT c.c_mktsegment AS segment, count(*) AS n, CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1
 """,
@@ -353,7 +365,7 @@ def q_stream_rt_enrich(spark, sf_dir):
     stream = events_stream(spark, sf_dir)
     enriched = stream.join(F.broadcast(dims), "user_id")
     agg = enriched.groupBy("segment").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+        F.count(F.lit(1)).alias("n"), _sum_e2()
     )
     return run_to_memory(agg, "rt_enrich")
 
@@ -361,7 +373,7 @@ def q_stream_rt_enrich(spark, sf_dir):
 @query(
     "q_stream_foreachbatch",
     oracle="""
-SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+SELECT event_type, count(*) AS n, CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2
 FROM events
 GROUP BY event_type
 """,
@@ -413,7 +425,7 @@ def q_stream_foreachbatch(spark, sf_dir):
             fh.write("complete\n")
     back = spark.read.parquet(path)
     return back.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+        F.count(F.lit(1)).alias("n"), _sum_e2()
     )
 
 
@@ -452,12 +464,12 @@ def q_stream_rt_multibatch(spark, sf_dir):
         stream = stream.withColumn("ts", _F.col("ts").cast(_TT()))
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _sum_e2())
         .select(
             F.unix_micros(F.col("w.start")).alias("win_us"),
             "event_type",
             "n",
-            "sum_value",
+            "sum_value_e2",
         )
     )
     return run_to_memory(agg, "rt_multibatch")
@@ -482,7 +494,8 @@ pairs AS (
 SELECT user_id,
        count(*) AS n_rows,
        CAST(sum(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
-       round(sum(coalesce(p_value, 0.0)), 2) AS sum_matched_value
+       CAST(sum(CAST(floor(coalesce(p_value, 0.0) * 100) AS BIGINT)) AS BIGINT)
+         AS sum_matched_value_e2
 FROM pairs GROUP BY user_id
 """,
 )
@@ -564,7 +577,9 @@ def q_stream_rt_join_left(spark, sf_dir):
     return pairs.groupBy(F.col("c_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("p_ts").isNotNull().cast("long")).alias("n_matched"),
-        F.round(F.sum(F.coalesce("p_value", F.lit(0.0))), 2).alias("sum_matched_value"),
+        F.sum(F.floor(F.coalesce("p_value", F.lit(0.0)) * 100).cast("long")).alias(
+            "sum_matched_value_e2"
+        ),
     )
 
 

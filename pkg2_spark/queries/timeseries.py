@@ -22,9 +22,12 @@ from pkg2_spark.registry import query
     "q_agg_pivot",
     oracle="""
 SELECT o_orderpriority,
-       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS f_price,
-       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS o_price,
-       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS p_price
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+            FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_price_e2,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+            FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_price_e2,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+            FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_price_e2
 FROM orders
 GROUP BY o_orderpriority
 """,
@@ -32,12 +35,13 @@ GROUP BY o_orderpriority
 def q_agg_pivot(spark, sf_dir):
     # Pivot with a DECLARED value list — one hash aggregate, no pre-scan for
     # distinct pivot values (the scale trap of pivot(col) without values).
+    # Cell sums follow the floor-e2 integer discipline (see aggregates.py).
     o = load_tables(spark, sf_dir)["orders"]
     return (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.round(F.sum("o_totalprice"), 2))
-        .withColumnsRenamed({"F": "f_price", "O": "o_price", "P": "p_price"})
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")))
+        .withColumnsRenamed({"F": "f_price_e2", "O": "o_price_e2", "P": "p_price_e2"})
     )
 
 
@@ -81,16 +85,16 @@ spine AS (
   FROM hours h, (SELECT DISTINCT event_type FROM events) et
 ),
 hourly AS (
-  SELECT date_trunc('hour', ts) AS hour_ts, event_type,
-         count(*) AS n, round(sum(value), 2) AS sum_value
+  SELECT date_trunc('hour', ts) AS hour_ts, event_type, count(*) AS n,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2
   FROM events GROUP BY 1, 2
 )
 SELECT epoch_us(s.hour_ts) AS hour_us, s.event_type,
        coalesce(h.n, 0) AS n,
-       last_value(h.sum_value IGNORE NULLS) OVER (
+       last_value(h.sum_value_e2 IGNORE NULLS) OVER (
          PARTITION BY s.event_type ORDER BY s.hour_ts ASC NULLS LAST
          ROWS UNBOUNDED PRECEDING
-       ) AS filled_value
+       ) AS filled_value_e2
 FROM spine s LEFT JOIN hourly h
   ON s.hour_ts = h.hour_ts AND s.event_type = h.event_type
 """,
@@ -104,7 +108,10 @@ def q_ts_gapfill(spark, sf_dir):
     e = load_tables(spark, sf_dir)["events"]
     hourly = (
         e.groupBy(F.date_trunc("hour", "ts").alias("hour_ts"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_value_e2"),
+        )
     )
     bounds = e.agg(
         F.date_trunc("hour", F.min("ts")).alias("t0"),
@@ -126,7 +133,7 @@ def q_ts_gapfill(spark, sf_dir):
         F.unix_micros("hour_ts").alias("hour_us"),
         "event_type",
         F.coalesce("n", F.lit(0)).alias("n"),
-        F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.last("sum_value_e2", ignorenulls=True).over(w).alias("filled_value_e2"),
     )
 
 
@@ -182,8 +189,8 @@ def q_dq_constraints(spark, sf_dir):
 @query(
     "q_ts_incremental",
     oracle="""
-SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
-       count(*) AS n, round(sum(value), 2) AS sum_value
+SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type, count(*) AS n,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2
 FROM events
 GROUP BY 1, 2
 """,
@@ -195,9 +202,9 @@ def q_ts_incremental(spark, sf_dir):
     high-water-mark pattern that turns a daily 100 TB reload into
     delta-sized work. The oracle aggregates everything directly, so the
     merge must reproduce the full answer exactly: partial counts add, and
-    partial double-sums regroup exactly because each (day, type) group's
-    addends are disjoint row sets whose 2dp-rounded total absorbs ulp
-    drift (same discipline as q_sink_rollup)."""
+    partial floor-e2 integer sums regroup EXACTLY (integer addition is
+    associative — the determinism discipline makes partial-aggregate
+    merging trivially correct, same as q_sink_rollup)."""
     e = load_tables(spark, sf_dir)["events"]
     # deterministic high-water mark: half-way hour of the time range
     hwm = F.to_timestamp(F.lit("2024-01-16 00:00:00"))
@@ -205,19 +212,25 @@ def q_ts_incremental(spark, sf_dir):
     snapshot = (
         e.filter(F.col("ts") < hwm)
         .groupBy(day, "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sv_e2"),
+        )
     )
     delta = (
         e.filter(F.col("ts") >= hwm)
         .groupBy(day, "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sv_e2"),
+        )
     )
     return (
         snapshot.unionByName(delta)
         .groupBy("day_us", "event_type")
         .agg(
             F.sum("n").alias("n"),
-            F.round(F.sum("sv"), 2).alias("sum_value"),
+            F.sum("sv_e2").alias("sum_value_e2"),
         )
     )
 
@@ -295,8 +308,8 @@ def q_events_funnel(spark, sf_dir):
 @query(
     "q_sink_rollup",
     oracle="""
-SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
-       count(*) AS n, round(sum(value), 2) AS sum_value
+SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type, count(*) AS n,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2
 FROM events
 GROUP BY 1, 2
 """,
@@ -306,18 +319,22 @@ def q_sink_rollup(spark, sf_dir):
     # the DAILY question from it (sum of partial sums + sum of counts) —
     # the OLAP pattern that turns a 100 TB fact scan into a rollup-table
     # scan for every coarser-grain query. Equality with the direct daily
-    # aggregate is exactly what the oracle checks. Rounding happens only at
-    # the final grain (partial sums stay raw doubles; summation regrouping
-    # is exact because doubles are summed in ascending-hour order both ways
-    # — and the 2dp round absorbs ulp drift).
+    # aggregate is exactly what the oracle checks. Partial sums are stored
+    # as floor-e2 BIGINTs, so regrouping at the coarser grain is EXACT
+    # integer addition — rollup merging needs no rounding discipline at all.
     from pkg2_spark.queries.relational import fixture_path, fixture_ready
 
     e = load_tables(spark, sf_dir)["events"]
-    path = fixture_path("sink_rollup", sf_dir)
+    # fixture name versioned (_e2) — the stored hourly schema changed when
+    # the rollup adopted integer partials; older tmp_io caches must not serve.
+    path = fixture_path("sink_rollup_e2", sf_dir)
     if not fixture_ready(path, sf_dir):
         hourly = e.groupBy(
             F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
-        ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_value_e2"),
+        )
         hourly.write.mode("overwrite").parquet(path)
     rolled = spark.read.parquet(path)
     return (
@@ -326,7 +343,7 @@ def q_sink_rollup(spark, sf_dir):
         )
         .agg(
             F.sum("n").alias("n"),
-            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+            F.sum("sum_value_e2").alias("sum_value_e2"),
         )
     )
 

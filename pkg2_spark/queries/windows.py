@@ -83,11 +83,11 @@ def q_win_topk_group(spark, sf_dir):
     "q_win_running",
     oracle="""
 SELECT o_custkey, o_orderkey,
-       round(sum(o_totalprice) OVER (
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
          PARTITION BY o_custkey
          ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC NULLS LAST
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ), 2) AS running_total,
+       ) AS BIGINT) AS running_total_e2,
        count(*) OVER (
          PARTITION BY o_custkey
          ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC NULLS LAST
@@ -103,10 +103,16 @@ def q_win_running(spark, sf_dir):
         .orderBy(F.col("o_orderdate").asc_nulls_last(), F.col("o_orderkey").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Floor-e2 BIGINT prefix sums: windowed float sums are frame-evaluation-
+    # order-dependent (DuckDB's segment-tree window aggregation sums in tree
+    # order, Spark accumulates linearly) — integer prefix sums are exact in
+    # both.
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .over(w)
+        .alias("running_total_e2"),
         F.count(F.lit(1)).over(w).alias("n_so_far"),
     )
 

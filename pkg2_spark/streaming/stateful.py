@@ -48,25 +48,33 @@ OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
         StructField("n_events", LongType()),
-        StructField("total_value", DoubleType()),
+        StructField("total_value_e2", LongType()),
     ]
 )
 
 STATE_SCHEMA = StructType(
-    [StructField("n", LongType()), StructField("total", DoubleType())]
+    [StructField("n", LongType()), StructField("total_e2", LongType())]
 )
 
 
 def _update_counters(
     key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    n, total = state.get if state.exists else (0, 0.0)
+    # State holds a floor-e2 integer total (per-row IEEE multiply + floor,
+    # exact integer accumulation): bit-identical to the batch/DuckDB
+    # floor-e2 sum regardless of the order micro-batches deliver rows —
+    # a float running total would be summation-order-dependent.
+    import numpy as np
+
+    n, total_e2 = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
+        total_e2 += int(
+            np.floor(pdf["value"].to_numpy() * 100).astype("int64").sum()
+        )
+    state.update((n, total_e2))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        {"user_id": [key[0]], "n_events": [n], "total_value_e2": [total_e2]}
     )
 
 

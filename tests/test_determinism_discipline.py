@@ -8,12 +8,13 @@ the floor-scaled-integer discipline (q_sql_tpch_q10, q_llm_colloc,
 q_kmeans_step): scale per-ROW (one IEEE multiply, bit-identical on both
 engines), floor to BIGINT, then sum exactly in integers.
 
-These tests freeze the status quo: every oracle that still emits a rounded
-float sum is grandfathered here (each has hash-matched repeatedly across
-driver rounds — their inputs are 2dp-quantized money/value columns whose
-sums stay far from boundaries at test scales), and ANY new occurrence
-fails until it either adopts the e4 discipline or is consciously added to
-the list with the same justification.
+Round 7 retired the grandfathered float-sum class entirely: every former
+round(sum(double)) oracle site (aggregates, scans, sinks, joins, windows,
+streaming rollups, IVM, gap-fill) now sums floor-scaled BIGINTs. The only
+remaining matches of the round(sum( pattern are ratios of EXACT INTEGER
+sums (counts / 0-1 indicators summed then divided) — those are order-
+invariant by construction and are whitelisted below; ANY new float-sum
+occurrence fails until it adopts the discipline.
 """
 
 from __future__ import annotations
@@ -30,23 +31,12 @@ from pkg2_spark.registry import all_oracles
 _ROUND_SUM = re.compile(r"round\s*\(\s*(?:100\.0*\s*\*\s*)?(?:CAST\s*\(\s*)?sum\s*\(", re.I)
 
 GRANDFATHERED = {
-    # §2.4/§2.2/§2.1 aggregates over 2dp-quantized money columns
-    "q_agg_cube", "q_agg_filtered", "q_agg_global", "q_agg_group",
-    "q_agg_gsets", "q_agg_having", "q_agg_pivot", "q_agg_rollup",
-    "q_filter_null", "q_scan_filter_pushdown", "q_scan_parquet",
-    "q_sink_bucketed", "q_sink_compact", "q_sink_parquet", "q_sink_rollup",
-    "q_src_evolving", "q_src_orc",
-    # joins / windows over the same columns
-    "q_join_broadcast", "q_join_inner", "q_join_multiway", "q_join_salted",
-    "q_win_running", "q_ivm_join",
-    # ratios of bounded small-count sums (≤ hundreds of terms, 4dp)
-    "q_llm_ann_recall", "q_llm_boiler", "q_llm_pack",
-    # streaming rollups over events.value (2dp-quantized)
-    "q_stream_foreachbatch", "q_stream_rt_enrich",
-    "q_stream_rt_join_left", "q_stream_rt_multibatch", "q_stream_rt_session",
-    "q_stream_rt_slide", "q_stream_rt_tumble", "q_stream_session",
-    "q_stream_slide", "q_stream_stateful", "q_stream_tumble",
-    "q_ts_gapfill", "q_ts_incremental",
+    # Ratios of EXACT INTEGER sums (sum of counts or 0/1 indicators, then
+    # one division + round): integer summation is order-invariant, so both
+    # engines divide/round the SAME value — not the float-sum flake class.
+    "q_llm_ann_recall",   # sum(0/1 hits) / 5.0          (llm.py)
+    "q_llm_boiler",       # sum(0/1 indicator) / count   (training.py)
+    "q_llm_pack",         # sum(int n_tok) / capacity    (training.py)
 }
 
 

@@ -242,12 +242,12 @@ def test_stateful_counters_carry_state_across_batches(spark, sf_dir):
     # that user; it must equal the batch GROUP BY over ALL events
     final = emitted.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
-        F.max("total_value").alias("total_value"),
+        F.max("total_value_e2").alias("total_value_e2"),
     )
     expected = e.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("total_value_e2"),
     )
-    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in final.collect()}
-    want = {r["user_id"]: (r["n_events"], r["total_value"]) for r in expected.collect()}
+    got = {r["user_id"]: (r["n_events"], r["total_value_e2"]) for r in final.collect()}
+    want = {r["user_id"]: (r["n_events"], r["total_value_e2"]) for r in expected.collect()}
     assert got == want
