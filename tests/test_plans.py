@@ -134,15 +134,32 @@ def test_embed_neardup_pair_stage_is_equi_join(spark, sf_dir):
 
 
 def test_ann_ivf_assignment_broadcasts_fixed_centroids(spark, sf_dir):
-    # Centroid assignment is an O(n·k) cross join against a CONSTANT-k (16)
-    # broadcast side — the broadcast must appear, and the expensive cell
-    # ranking join must be an equi-join (centroid-keyed), not a cross join:
-    # exactly one cross-join pattern per scoring pass, both against the
-    # fixed-size centroid table.
+    # Level-1 centroid assignment is an O(n·k1) cross join against the
+    # always-tiny broadcast codebook — the broadcast must appear; the
+    # level-2 re-assignment and the cell ranking join must be equi-joins
+    # (cell-keyed — the n/256-row sub-codebook is never broadcast by
+    # design, it shuffles on cid), not cross joins.
+    # The search plan's assignment input is localCheckpoint-ed (lineage
+    # truncates to Scan ExistingRDD), so assert the assignment stages on
+    # their own pre-checkpoint plans.
+    from pkg2_spark.catalog import load_tables
+    from pkg2_spark.queries.llm import _ivf_centroids, _nearest_wide
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    a1 = _nearest_wide(
+        e.select("vec_id", "embedding"), _ivf_centroids(e),
+        out_id="cid", cand_id="cid", cand_vec="cemb",
+    )
+    l1_plan = a1._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        a1._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastExchange" in l1_plan
+    assert any(j in l1_plan for j in ("BroadcastNestedLoopJoin", "BroadcastHashJoin"))
+    # level-2 scoring + the cell ranking join must be equi-joins, never a
+    # cartesian over the corpus
     plan = _plan(spark, sf_dir, "q_llm_ann_ivf")
-    assert "BroadcastExchange" in plan
-    assert any(j in plan for j in ("BroadcastNestedLoopJoin", "BroadcastHashJoin"))
-    assert "SortMergeJoin Inner" in plan or "ShuffledHashJoin" in plan or plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin Inner" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
 def test_lsh_pair_joins_are_band_keyed(spark, sf_dir):

@@ -419,11 +419,12 @@ def test_dedup_incr_equals_batch_and_reuses_state(spark, sf_dir):
 
 
 def test_ivf_k_derivation_and_cell_flatness(spark, sf_dir):
-    # The blocking constant is now data-derived: k = n // 256 in [16, 4096]
-    # from one corpus count. At driver scales the floor applies (so the
-    # historical constant-16 results are unchanged at sf0.01), and the
-    # expected cell size must stay bounded as the corpus grows — the
-    # property that keeps cell-pair work linear in n.
+    # Two-level codebook: k1 = k2 = max(4, floor(sqrt(n / 256))) from one
+    # (memoized) corpus count — final expected cell size n / (k1·k2) ≈ 256
+    # at EVERY n, with no clamp regime where cells grow (the r6 one-level
+    # formula pegged at k = 4096 past n ≈ 1M). The mean final cell must
+    # stay bounded by the target (plus the floor-driven slack at tiny n).
+    import math
     import os
 
     import pyspark.sql.functions as F
@@ -436,12 +437,14 @@ def test_ivf_k_derivation_and_cell_flatness(spark, sf_dir):
         e = load_tables(spark, d)["embeddings"]
         n = e.count()
         k = _ivf_k(e)
-        assert k == max(16, min(4096, n // _IVF_TARGET_CELL))
+        assert k == max(4, math.floor(math.sqrt(n / _IVF_TARGET_CELL)))
+        # memoized: a second call must not launch another count job
+        assert _ivf_k(e) == k
         cells = _ivf_assign(e).groupBy("cid").count()
         mean_cell = cells.agg(F.avg("count")).collect()[0][0]
-        # mean cell size = n / k <= max(target, n / 16 at the floor);
-        # above the floor it is <= target by construction
-        assert mean_cell <= max(_IVF_TARGET_CELL, n / 16.0) + 1
+        # mean final cell size ≈ n / (k1·k2); the +1 floor-division slack
+        # and empty-cell collapse keep it near the target at any n
+        assert mean_cell <= max(_IVF_TARGET_CELL, n / float(k * k)) + 1
 
 
 def test_dedup_index_chained_increments_equal_batch(spark, sf_dir, tmp_path):
