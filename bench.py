@@ -59,6 +59,10 @@ TIER2 = [
     # and IVF search after the codegen-argmax rework the decade probe won
     "q_llm_dedup_incr",
     "q_llm_ann_ivf",
+    # round-7 addition: the index lifecycle chain (compaction + GC); the
+    # warm-up pays the build→delta→compact fixture, timed runs measure the
+    # post-compaction increment
+    "q_llm_dedup_compact",
 ]
 
 # Complete TPC-H suite (22/22 shapes registered since round 5). Reported as

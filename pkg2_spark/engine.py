@@ -120,6 +120,54 @@ class Engine:
             atoms.alias("depends_raw"),
         )
 
+    def fetch_to_cache(
+        self,
+        urls: list[str],
+        cache_dir: str,
+        validate: bool = True,
+    ) -> list[str]:
+        """Fill a local index cache from repo URLs — the pkg2 lifecycle
+        stage AHEAD of :meth:`ingest_index_cache` (pkg2 fetched indexes
+        over HTTP into `local/cache/`, reference/.vscode/settings.json:9).
+
+        Transport-agnostic via urllib: ``file://`` is the in-sandbox
+        implementation (this container has no network), ``http(s)://``
+        rides the identical code path at deploy. Per-file atomicity
+        (write to `.tmp`, then rename) so a crashed fetch never leaves a
+        half-written archive a later ingest would trust; ``validate``
+        checks that a `.gz`/`.tgz` payload starts with the gzip magic —
+        a truncated download or an HTML error page must fail the fetch,
+        not poison the cache.
+
+        This is deliberately a driver-side loop: fetching is
+        control-plane work bounded by the URL list (one MB-scale index
+        per repo/arch — thousands at most), while the data-plane
+        inflate+parse stays distributed in ingest_index_cache. Returns
+        the fetched file paths."""
+        import urllib.parse
+        import urllib.request
+
+        os.makedirs(cache_dir, exist_ok=True)
+        fetched: list[str] = []
+        for url in urls:
+            name = os.path.basename(urllib.parse.urlparse(url).path)
+            if not name:
+                raise ValueError(f"cannot derive a cache file name from {url!r}")
+            with urllib.request.urlopen(url) as resp:  # noqa: S310
+                data = resp.read()
+            if validate and name.endswith((".gz", ".tgz")) and data[:2] != b"\x1f\x8b":
+                raise ValueError(
+                    f"fetched {url!r} is not gzip data (starts {data[:8]!r}); "
+                    "refusing to cache a corrupt or error-page payload"
+                )
+            dest = os.path.join(cache_dir, name)
+            tmp = dest + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, dest)
+            fetched.append(dest)
+        return fetched
+
     def read_index_archives(self, path: str) -> DataFrame:
         """Compressed repo-index cache dir -> (archive, member, text).
 

@@ -122,3 +122,51 @@ def apply_delta(
             cand, ["id_a", "id_b"], "leftsemi"
         )
     return ver_all
+
+
+def compact_state(
+    spark: SparkSession,
+    state_dir: str,
+    out_dir: str,
+    target_files: int = 8,
+) -> None:
+    """Compact one state version into a fresh right-sized directory.
+
+    Every committed version is self-contained, so a long chain of
+    ``state_v{N}`` directories carries N stale copies plus an
+    ever-growing verified store (apply_delta keeps every cosine ever
+    computed so rediscovery is free). Compaction is the lifecycle
+    counterweight:
+
+    - bands and pair provenance are rewritten through ``repartition``
+      (the q_sink_compact small-file treatment — a long commit chain
+      leaves delta-sized files behind);
+    - the verified store is GC'd to pairs still derivable from current
+      provenance. Dropping a stale cosine trades storage for a
+      deterministic recompute IF a later shard ever rediscovers the
+      pair, so compacted ≡ chained ≡ one-shot batch on every downstream
+      result (tests/test_training.py chains build → delta → compact →
+      delta against the full-batch oracle).
+
+    The output directory is a normal committed version: feed it to
+    apply_delta as ``state_dir`` and retire the superseded chain with
+    :func:`retire_versions`.
+    """
+    st = read_state(spark, state_dir)
+    cand = st[PROV].select("id_a", "id_b").distinct()
+    st[BANDS].repartition(target_files).write.parquet(os.path.join(out_dir, BANDS))
+    st[PROV].repartition(target_files).write.parquet(os.path.join(out_dir, PROV))
+    st[VERIFIED].join(cand, ["id_a", "id_b"], "leftsemi").repartition(
+        target_files
+    ).write.parquet(os.path.join(out_dir, VERIFIED))
+
+
+def retire_versions(version_dirs: list[str]) -> None:
+    """Delete superseded state versions (call only AFTER the compacted
+    head is fully written — parquet's _SUCCESS markers gate readers, so a
+    crash between compact and retire leaves a valid chain plus a valid
+    head, never a torn state)."""
+    import shutil
+
+    for d in version_dirs:
+        shutil.rmtree(d, ignore_errors=True)

@@ -511,9 +511,7 @@ def q_pkg_outdated(spark, sf_dir):
     )
 
 
-@query(
-    "q_pkg_gzindex",
-    oracle=f"""
+_ALL_FORMATS_ORACLE = f"""
 WITH {_APK_PKGS_CTE.strip()},
 {_DEB_PKGS_CTE.strip()},
 {_RPM_PKGS_CTE.strip()},
@@ -530,8 +528,10 @@ FROM rpm_pkgs
 UNION ALL
 SELECT 'arch', name, version, arch, to_json(depends), to_json(provides)
 FROM arch_pkgs
-""",
-)
+"""
+
+
+@query("q_pkg_gzindex", oracle=_ALL_FORMATS_ORACLE)
 def q_pkg_gzindex(spark, sf_dir):
     """Compressed fetch-cache ingestion — pkg2's real input shape: repo
     indexes arrive as COMPRESSED archives in a local fetch cache
@@ -545,6 +545,23 @@ def q_pkg_gzindex(spark, sf_dir):
     plaintext ingest paths. The oracle parses the UNCOMPRESSED committed
     samples — matching proves the decompress+parse pipeline is
     byte-faithful end to end."""
+    cache = _ensure_gz_cache(sf_dir)
+    eng = Engine(spark)
+    pkgs = eng.ingest_index_cache(cache)
+    return pkgs.select(
+        "distro", "name", "version", "arch",
+        F.to_json("depends").alias("depends"),
+        F.to_json("provides").alias("provides"),
+    )
+
+
+_GZ_CACHE_FILES = ["APKINDEX.tar.gz", "Packages.gz", "primary.xml.gz", "core.db.tar.gz"]
+
+
+def _ensure_gz_cache(sf_dir: str) -> str:
+    """Deterministic compressed-index cache fixture (all four wire formats),
+    shared by q_pkg_gzindex (direct ingest) and q_pkg_fetch (as the
+    'remote repo' a file:// fetch pulls from)."""
     import gzip
     import io
     import shutil
@@ -553,9 +570,8 @@ def q_pkg_gzindex(spark, sf_dir):
     from pkg2_spark.queries.relational import fixture_path, fixture_ready
 
     cache = fixture_path("pkg_index_cache", sf_dir)
-    expected = ["APKINDEX.tar.gz", "Packages.gz", "primary.xml.gz", "core.db.tar.gz"]
     if not fixture_ready(cache, sf_dir) or not all(
-        os.path.exists(os.path.join(cache, f)) for f in expected
+        os.path.exists(os.path.join(cache, f)) for f in _GZ_CACHE_FILES
     ):
         shutil.rmtree(cache, ignore_errors=True)
         os.makedirs(cache, exist_ok=True)
@@ -590,8 +606,30 @@ def q_pkg_gzindex(spark, sf_dir):
                 for i, b in enumerate(blocks)
             ]))
         open(os.path.join(cache, "_SUCCESS"), "w").close()
-    eng = Engine(spark)
-    pkgs = eng.ingest_index_cache(cache)
+    return cache
+
+
+@query("q_pkg_fetch", oracle=_ALL_FORMATS_ORACLE)
+def q_pkg_fetch(spark, sf_dir):
+    """The FETCH lifecycle stage ahead of the cache ingest — pkg2 filled its
+    local index cache over HTTP (reference/.vscode/settings.json:9 excludes
+    `**/local/cache/**`); Engine.fetch_to_cache is that stage with a
+    transport-agnostic urllib fetch: file:// in this sandbox (no network),
+    http(s):// at deploy through the SAME code path. The round trip
+    checked here: the gz fixture cache plays the 'remote repo', its four
+    archives are fetched by URL into a FRESH cache directory (atomic
+    tmp+rename per file, gzip-magic validation), and ingest_index_cache
+    over the fetched copy must parse every package against the
+    four-format plaintext oracle — proving fetch is byte-faithful."""
+    from pkg2_spark.engine import Engine as _Engine
+    from pkg2_spark.queries.relational import fixture_path
+
+    remote = _ensure_gz_cache(sf_dir)
+    urls = [f"file://{os.path.join(remote, f)}" for f in _GZ_CACHE_FILES]
+    fetched_dir = fixture_path("pkg_fetched_cache", sf_dir)
+    eng = _Engine(spark)
+    eng.fetch_to_cache(urls, fetched_dir)
+    pkgs = eng.ingest_index_cache(fetched_dir)
     return pkgs.select(
         "distro", "name", "version", "arch",
         F.to_json("depends").alias("depends"),

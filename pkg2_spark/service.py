@@ -118,11 +118,36 @@ class QueryService:
     def _require(params: dict, key: str) -> Any:
         if key not in params or params[key] in (None, ""):
             raise ServiceError(f"missing required parameter {key!r}")
-        return params[key]
+        v = params[key]
+        if not isinstance(v, str):
+            raise ServiceError(f"parameter {key!r} must be a string, got {type(v).__name__}")
+        return v
+
+    @staticmethod
+    def _int_param(params: dict, key: str, default: int, lo: int, hi: int) -> int:
+        """Bounded integer parameter: a transport hands everything over as
+        strings, so coerce — and refuse garbage or out-of-range values as a
+        BAD REQUEST (ServiceError), never a bare ValueError/500."""
+        raw = params.get(key, default)
+        try:
+            v = int(raw)
+        except (TypeError, ValueError):
+            raise ServiceError(f"parameter {key!r} must be an integer, got {raw!r}")
+        if not (lo <= v <= hi):
+            raise ServiceError(f"parameter {key!r} must be in [{lo}, {hi}], got {v}")
+        return v
 
     def _search(self, p: dict) -> DataFrame:
         pattern = self._require(p, "pattern")
-        return self.engine.search_packages(pattern, arch=p.get("arch")).select(
+        # A dangling escape ('abc\') is an invalid LIKE pattern — Spark
+        # raises at EXECUTION time, which a transport would surface as a
+        # 500; reject it here as the bad request it is.
+        if (len(pattern) - len(pattern.rstrip("\\"))) % 2 == 1:
+            raise ServiceError("parameter 'pattern' ends with a dangling escape")
+        arch = p.get("arch")
+        if arch is not None and not isinstance(arch, str):
+            raise ServiceError(f"parameter 'arch' must be a string, got {type(arch).__name__}")
+        return self.engine.search_packages(pattern, arch=arch).select(
             "name", "version", "arch", "description"
         )
 
@@ -134,12 +159,14 @@ class QueryService:
 
     def _resolve(self, p: dict) -> DataFrame:
         return self.engine.resolve(
-            self._require(p, "package"), max_depth=int(p.get("max_depth", 10))
+            self._require(p, "package"),
+            max_depth=self._int_param(p, "max_depth", 10, 1, 100),
         ).orderBy("depth", "node")
 
     def _resolve_constrained(self, p: dict) -> DataFrame:
         return self.engine.resolve_constrained(
-            self._require(p, "package"), max_depth=int(p.get("max_depth", 10))
+            self._require(p, "package"),
+            max_depth=self._int_param(p, "max_depth", 10, 1, 100),
         ).orderBy("depth", "name", "version")
 
     def _latest(self, p: dict) -> DataFrame:
@@ -198,6 +225,72 @@ class QueryService:
         if not name.replace("_", "").isalnum():
             raise ServiceError(f"invalid table name {name!r}")
         return self.engine.table(name)
+
+
+def make_http_server(service: QueryService, host: str = "127.0.0.1", port: int = 0):
+    """Wire :class:`QueryService` to the stdlib HTTP stack — the transport
+    layer pkg2's web UI sat on, kept deliberately trivial (the r6 VERDICT
+    note: transport is the easy part; handle() is the surface).
+
+    Routes: ``GET /endpoints`` lists endpoints; ``GET /<endpoint>?k=v``
+    and ``POST /<endpoint>`` (JSON body) dispatch to ``handle``. Errors
+    map to HTTP semantics: ServiceError -> 400 with a JSON error body,
+    anything else -> 500 (details logged server-side only — internals
+    never leak to the client). Returns an UNSTARTED ThreadingHTTPServer
+    bound to (host, port); call ``serve_forever()`` (typically on a
+    thread) and ``shutdown()`` to stop. port=0 binds an ephemeral port
+    (``server.server_address[1]`` reads it back).
+
+    The service stays SELECT-only unless the embedder opted into
+    ``allow_unsafe_sql`` — never expose an unsafe service on a real
+    network interface."""
+    import json as _json
+    import traceback
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qsl, urlparse
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = _json.dumps(payload).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _dispatch(self, endpoint: str, params: dict) -> None:
+            if endpoint == "endpoints":
+                self._reply(200, {"endpoints": service.endpoints()})
+                return
+            try:
+                self._reply(200, service.handle(endpoint, params))
+            except ServiceError as exc:
+                self._reply(400, {"error": str(exc)})
+            except Exception:
+                traceback.print_exc()
+                self._reply(500, {"error": "internal error"})
+
+        def do_GET(self):  # noqa: N802 (stdlib naming)
+            u = urlparse(self.path)
+            self._dispatch(u.path.strip("/"), dict(parse_qsl(u.query)))
+
+        def do_POST(self):  # noqa: N802
+            u = urlparse(self.path)
+            n = int(self.headers.get("Content-Length") or 0)
+            raw = self.rfile.read(n) if n else b"{}"
+            try:
+                params = _json.loads(raw or b"{}")
+                if not isinstance(params, dict):
+                    raise ValueError("body must be a JSON object")
+            except ValueError as exc:
+                self._reply(400, {"error": f"bad JSON body: {exc}"})
+                return
+            self._dispatch(u.path.strip("/"), params)
+
+    return ThreadingHTTPServer((host, port), Handler)
 
 
 def demo_requests() -> list[tuple[str, dict]]:

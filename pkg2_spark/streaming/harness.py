@@ -34,16 +34,22 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_runtime_confs(spark)
     src = os.path.join(sf_dir, "events.parquet")
     src_dir = os.path.join(IO_DIR, "stream_src", os.path.basename(os.path.normpath(sf_dir)))
-    os.makedirs(src_dir, exist_ok=True)
-    dst = os.path.join(src_dir, "events.parquet")
-    # Re-copy when the source file changed (the driver regenerates testdata
-    # between rounds; a stale copy would diverge from the schema read below).
-    if (
-        not os.path.exists(dst)
-        or os.path.getsize(dst) != os.path.getsize(src)
-        or os.path.getmtime(dst) < os.path.getmtime(src)
-    ):
-        shutil.copyfile(src, dst)
+    if os.path.isdir(src):
+        # Spark-written table (the synthetic decade replicas): already a
+        # directory of part files — stream straight from it, no copy.
+        src_dir = src
+    else:
+        os.makedirs(src_dir, exist_ok=True)
+        dst = os.path.join(src_dir, "events.parquet")
+        # Re-copy when the source file changed (the driver regenerates
+        # testdata between rounds; a stale copy would diverge from the
+        # schema read below).
+        if (
+            not os.path.exists(dst)
+            or os.path.getsize(dst) != os.path.getsize(src)
+            or os.path.getmtime(dst) < os.path.getmtime(src)
+        ):
+            shutil.copyfile(src, dst)
     schema = spark.read.parquet(src).schema
     raw = spark.readStream.schema(schema).parquet(src_dir)
     dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}

@@ -1,20 +1,24 @@
-"""Generate a synthetic sf1-equivalent dataset for the SCALE-PROBE DECADE.
+"""Generate synthetic decade datasets for the SCALE-PROBE DECADE runs.
 
-Usage: python scripts/make_sf1.py [out_dir]   (default <repo>/tmp_io/sf1)
+Usage:
+    python scripts/make_sf1.py                 # sf0.1 -> tmp_io/sf1  (10x)
+    python scripts/make_sf1.py --sf10          # tmp_io/sf1 -> tmp_io/sf10 (100x)
+    python scripts/make_sf1.py SRC OUT ENTITY_OFF FACT_OFF SUFFIX  # custom
 
 The driver's testdata stops at sf0.1; the scale claims that matter most
 (capped band-pair volume, contraction round counts, IVF cell flatness)
-deserve validation one decade further BEFORE a real cluster ever sees the
-code. This script replicates sf0.1 ten times entirely inside Spark (a
-cross join against a 10-row replica frame — no driver-side loops):
+deserve validation decades further BEFORE a real cluster ever sees the
+code. Each decade replicates its source ten times entirely inside Spark
+(a cross join against a 10-row replica frame — no driver-side loops):
 
 - fact/entity keys are offset per replica, so each replica is internally
-  referentially consistent and the keyspace grows 10x;
+  referentially consistent and the keyspace grows 10x (offsets scale with
+  the source keyspace so chained decades never collide);
 - document TEXT gets a per-replica suffix token (rep > 0), so replicas are
   NEAR-duplicates, not exact ones — minhash/winnow band buckets get ~10x
   denser, exactly the hot-bucket regime the _BUCKET_CAP exists for;
-- embeddings get a +rep*1e-5 per-coordinate nudge — same sign-LSH/IVF
-  cells at 10x density, same stress;
+- embeddings get a per-coordinate nudge (scaled down per decade) — same
+  sign-LSH/IVF cells at 10x density, same stress;
 - region/nation stay single-copy (broadcast dims are sf-invariant).
 
 This is PROBE data (Spark-side wall time only, no DuckDB oracle parity);
@@ -31,21 +35,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import pyspark.sql.functions as F  # noqa: E402
 
-SRC = "/root/testdata/sf0.1"
 REPS = 10
 
 
-def main() -> int:
-    from pkg2_spark.queries.relational import IO_DIR
-    from pkg2_spark.session import get_session
-
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else os.path.join(IO_DIR, "sf1")
-    spark = get_session(app_name="pkg2_spark_make_sf1")
-    spark.sparkContext.setLogLevel("ERROR")
+def replicate(spark, src_dir: str, out_dir: str, entity_off: int,
+              fact_off: int, suffix: str, nudge: float) -> None:
     rep = spark.range(REPS).select(F.col("id").cast("int").alias("rep"))
 
     def src(name):
-        return spark.read.parquet(os.path.join(SRC, f"{name}.parquet"))
+        return spark.read.parquet(os.path.join(src_dir, f"{name}.parquet"))
 
     def write(df, name):
         df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
@@ -58,7 +56,7 @@ def main() -> int:
     c = src("customer").crossJoin(rep)
     write(
         c.select(
-            (F.col("c_custkey") + r * 10_000_000).alias("c_custkey"),
+            (F.col("c_custkey") + r * entity_off).alias("c_custkey"),
             "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
         ),
         "customer",
@@ -66,7 +64,7 @@ def main() -> int:
     s = src("supplier").crossJoin(rep)
     write(
         s.select(
-            (F.col("s_suppkey") + r * 10_000_000).alias("s_suppkey"),
+            (F.col("s_suppkey") + r * entity_off).alias("s_suppkey"),
             "s_name", "s_nationkey", "s_acctbal",
         ),
         "supplier",
@@ -74,7 +72,7 @@ def main() -> int:
     p = src("part").crossJoin(rep)
     write(
         p.select(
-            (F.col("p_partkey") + r * 10_000_000).alias("p_partkey"),
+            (F.col("p_partkey") + r * entity_off).alias("p_partkey"),
             "p_name", "p_brand", "p_type", "p_size", "p_retailprice",
         ),
         "part",
@@ -82,8 +80,8 @@ def main() -> int:
     o = src("orders").crossJoin(rep)
     write(
         o.select(
-            (F.col("o_orderkey") + r * 100_000_000).alias("o_orderkey"),
-            (F.col("o_custkey") + r * 10_000_000).alias("o_custkey"),
+            (F.col("o_orderkey") + r * fact_off).alias("o_orderkey"),
+            (F.col("o_custkey") + r * entity_off).alias("o_custkey"),
             "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
         ),
         "orders",
@@ -91,9 +89,9 @@ def main() -> int:
     li = src("lineitem").crossJoin(rep)
     write(
         li.select(
-            (F.col("l_orderkey") + r * 100_000_000).alias("l_orderkey"),
-            (F.col("l_partkey") + r * 10_000_000).alias("l_partkey"),
-            (F.col("l_suppkey") + r * 10_000_000).alias("l_suppkey"),
+            (F.col("l_orderkey") + r * fact_off).alias("l_orderkey"),
+            (F.col("l_partkey") + r * entity_off).alias("l_partkey"),
+            (F.col("l_suppkey") + r * entity_off).alias("l_suppkey"),
             "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
             "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
         ),
@@ -102,20 +100,20 @@ def main() -> int:
     e = src("events").crossJoin(rep)
     write(
         e.select(
-            (F.col("event_id") + r * 100_000_000).alias("event_id"),
+            (F.col("event_id") + r * fact_off).alias("event_id"),
             "ts",
-            (F.col("user_id") + r * 10_000_000).alias("user_id"),
+            (F.col("user_id") + r * entity_off).alias("user_id"),
             "event_type", "value", "props",
         ),
         "events",
     )
     d = src("documents").crossJoin(rep)
     text = F.when(F.col("rep") == 0, F.col("text")).otherwise(
-        F.concat(F.col("text"), F.lit(" zz"), F.col("rep").cast("string"))
+        F.concat(F.col("text"), F.lit(f" {suffix}"), F.col("rep").cast("string"))
     )
     write(
         d.select(
-            (F.col("doc_id") + r * 10_000_000).alias("doc_id"),
+            (F.col("doc_id") + r * entity_off).alias("doc_id"),
             text.alias("text"),
             "lang", "source",
             F.length(text).cast("long").alias("n_chars"),
@@ -124,17 +122,53 @@ def main() -> int:
     )
     v = src("embeddings").crossJoin(rep)
     emb = F.transform(
-        "embedding", lambda x: (x + F.col("rep") * F.lit(1e-5)).cast("float")
+        "embedding", lambda x: (x + F.col("rep") * F.lit(nudge)).cast("float")
     )
     write(
         v.select(
-            (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
+            (F.col("vec_id") + r * entity_off).alias("vec_id"),
             emb.alias("embedding"),
             "label",
         ),
         "embeddings",
     )
-    print(f"sf1-equivalent written to {out_dir}")
+    print(f"decade replica written to {out_dir}")
+
+
+def main() -> int:
+    from pkg2_spark.queries.relational import IO_DIR
+    from pkg2_spark.session import get_session
+
+    spark = get_session(app_name="pkg2_spark_make_decade")
+    spark.sparkContext.setLogLevel("ERROR")
+    args = sys.argv[1:]
+    if "--sf10" in args:
+        # second decade: sf1 keys reach ~9e8 (facts) / ~9e7 (entities), so
+        # offsets jump a full magnitude past them; smaller embedding nudge
+        # keeps replicas inside the same cells at 100x density.
+        replicate(
+            spark,
+            src_dir=os.path.join(IO_DIR, "sf1"),
+            out_dir=os.path.join(IO_DIR, "sf10"),
+            entity_off=1_000_000_000,
+            fact_off=10_000_000_000,
+            suffix="yy",
+            nudge=1e-6,
+        )
+    elif len(args) >= 5:
+        replicate(spark, args[0], args[1], int(args[2]), int(args[3]),
+                  args[4], 1e-5)
+    else:
+        out_dir = args[0] if args else os.path.join(IO_DIR, "sf1")
+        replicate(
+            spark,
+            src_dir="/root/testdata/sf0.1",
+            out_dir=out_dir,
+            entity_off=10_000_000,
+            fact_off=100_000_000,
+            suffix="zz",
+            nudge=1e-5,
+        )
     return 0
 
 

@@ -81,6 +81,9 @@ PYTHON_WHITELIST = {
     # rows via mapInPandas — bounded per archive, shuffle-free, no JVM
     # codec for tar members exists (engine.py::read_index_archives)
     "q_pkg_gzindex",
+    # same inflate stage over the FETCHED cache copy (q_pkg_fetch runs
+    # fetch_to_cache, then the identical ingest_index_cache pipeline)
+    "q_pkg_fetch",
 }
 
 # Plans built inside the streaming harness (writeStream), not visible here.

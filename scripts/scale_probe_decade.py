@@ -1,21 +1,28 @@
-"""Scale-probe DECADE: sf0.1 -> synthetic sf1 (10x) for the heavy family.
+"""Scale-probe DECADE: sf0.1 -> sf1 (10x) -> sf10 (100x) for the heavy family.
 
-Usage: python scripts/make_sf1.py && python scripts/scale_probe_decade.py
-       [--out SCALE_PROBE_DECADE.md]
+Usage: python scripts/make_sf1.py && python scripts/make_sf1.py --sf10 &&
+       python scripts/scale_probe_decade.py [--out SCALE_PROBE_DECADE.md]
 
 The standard probe (scripts/scale_probe.py) spans sf0.001-0.1; this one
 validates the claims that only bite at density — capped band-pair volume,
 contraction/component growth, IVF cell flatness — one decade further on
 the tmp_io/sf1 replica set (near-duplicate replicas, so band buckets are
-~10x denser: the adversarial direction). Reports wall-time ratios per 10x
-data plus the STRUCTURAL counters behind the claims:
+~10x denser: the adversarial direction), and a SECOND decade (tmp_io/sf10)
+for the vector family, where the round-7 two-level quantizer must hold
+final cells ≈ 256 while the retired one-level formula would have kept
+growing them. Reports wall-time ratios per 10x data plus the STRUCTURAL
+counters behind the claims:
 
 - candidate-pair counts out of the capped sign-LSH/minhash joins (the
   quantity the _BUCKET_CAP bounds — superlinear growth here is the bug);
-- IVF codebook size / mean / max cell size (derived k must hold cells
-  ~constant);
+- IVF codebook size / mean / max FINAL cell size across all three scales
+  (two-level k must hold cells ~constant in BOTH decades);
 - component count out of dedup resolution (sanity that the denser corpus
   still resolves).
+
+The skew family (q_join_salted / q_agg_salted / q_stream_rt_join) rides
+the first decade: salting claims deserve the same empirical treatment as
+the dedup/ANN family (r6 VERDICT task #6).
 """
 
 from __future__ import annotations
@@ -40,6 +47,18 @@ PROBES = [
     "q_llm_ann_ivf",
     "q_graph_cc",
     "q_ts_ema",
+    # skew family: salted join/agg + the stream-stream interval join
+    "q_join_salted",
+    "q_agg_salted",
+    "q_stream_rt_join",
+]
+
+# second decade (sf1 -> sf10): the vector/dedup family whose flatness
+# claims the two-level quantizer carries
+PROBES_DEC2 = [
+    "q_llm_ann_ivf",
+    "q_llm_semdedup",
+    "q_llm_winnow_dup",
 ]
 
 
@@ -59,35 +78,48 @@ def main() -> int:
     from pkg2_spark.session import get_session
 
     sfs = ["/root/testdata/sf0.1", str(Path(IO_DIR) / "sf1")]
+    sf10 = str(Path(IO_DIR) / "sf10")
+    have_sf10 = (Path(sf10) / "embeddings.parquet").exists()
     spark = get_session(app_name="pkg2_spark_decade_probe")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
+    def timed(name: str, sf: str) -> float:
+        fn = queries[name]
+        fn(spark, sf).count()
+        times = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            fn(spark, sf).count()
+            times.append(time.monotonic() - t0)
+        return statistics.median(times)
+
     lines = [
-        "# SCALE_PROBE_DECADE — sf0.1 -> synthetic sf1 (10x, near-dup replicas)",
+        "# SCALE_PROBE_DECADE — sf0.1 -> sf1 (10x) -> sf10 (100x, near-dup replicas)",
         "",
         "Probe data: scripts/make_sf1.py (10 replicas of sf0.1; documents are",
         "NEAR-duplicates and embeddings sign-stable, so band buckets are ~10x",
-        "denser — the adversarial direction for pair joins). Median of 3 warm",
+        "denser — the adversarial direction for pair joins) and --sf10 (the",
+        "same construction chained one decade further). Median of 3 warm",
         "runs; ratio ≈10x = linear in data, >>10x = superlinear red flag.",
         "",
         "| query | sf0.1 | sf1 | ratio/10x |",
         "|---|---|---|---|",
     ]
     for name in PROBES:
-        row = {}
-        for sf in sfs:
-            fn = queries[name]
-            fn(spark, sf).count()
-            times = []
-            for _ in range(3):
-                t0 = time.monotonic()
-                fn(spark, sf).count()
-                times.append(time.monotonic() - t0)
-            row[sf] = statistics.median(times)
-        t1, t2 = row[sfs[0]], row[sfs[1]]
+        t1 = timed(name, sfs[0])
+        t2 = timed(name, sfs[1])
         lines.append(f"| {name} | {t1:.3f}s | {t2:.3f}s | {t2 / t1:.2f}x |")
         print(lines[-1])
+
+    if have_sf10:
+        lines += ["", "## Second decade: sf1 -> sf10 (vector family)", "",
+                  "| query | sf1 | sf10 | ratio/10x |", "|---|---|---|---|"]
+        for name in PROBES_DEC2:
+            t1 = timed(name, sfs[1])
+            t2 = timed(name, sf10)
+            lines.append(f"| {name} | {t1:.3f}s | {t2:.3f}s | {t2 / t1:.2f}x |")
+            print(lines[-1])
 
     lines += ["", "## Structural counters", "",
               "| counter | sf0.1 | sf1 | ratio |", "|---|---|---|---|"]
@@ -112,15 +144,21 @@ def main() -> int:
         return (_ivf_k(e), int(r[1]), int(r[2]))
 
     counter("capped sign-LSH candidate pairs", sign_pairs)
-    s1, s2 = (ivf_stats(sf) for sf in sfs)
-    for i, label in enumerate(("IVF k (derived)", "IVF mean cell", "IVF max cell")):
-        lines.append(f"| {label} | {s1[i]} | {s2[i]} | {s2[i] / max(s1[i], 1):.2f}x |")
-        print(lines[-1])
 
     def components(sf):
         return queries["q_llm_dedup_resolve"](spark, sf).count()
 
     counter("near-dup components resolved", components)
+
+    ivf_sfs = sfs + ([sf10] if have_sf10 else [])
+    stats = [ivf_stats(sf) for sf in ivf_sfs]
+    lines += ["", "## IVF two-level cell flatness (k1 = k2 = max(4, √(n/256)))",
+              "", "| scale | k (per level) | mean final cell | max final cell |",
+              "|---|---|---|---|"]
+    for sf, (k, mean_c, max_c) in zip(ivf_sfs, stats):
+        tag = Path(sf).name
+        lines.append(f"| {tag} | {k} | {mean_c} | {max_c} |")
+        print(lines[-1])
 
     lines += [
         "",
@@ -141,9 +179,16 @@ def main() -> int:
         "  INTO it — the one-time transition into saturation. Past it, pair",
         "  volume is bounded by #buckets x cap^2 (grows with bucket count,",
         "  i.e. linearly in corpus diversity), which is the cap's contract.",
-        "- Derived IVF k grows with n, holding mean cell ~flat at the",
-        "  target; components track the corpus (denser graph still resolves",
-        "  inside the contraction round budget).",
+        "- The two-level quantizer (round 7, k1 = k2 = max(4, √(n/256)))",
+        "  holds MEAN FINAL CELL ≈ target across BOTH probed decades with no",
+        "  clamp regime — the retired one-level formula would have pegged at",
+        "  k = 4096 past n ≈ 1M and let cells grow linearly from there.",
+        "  Components track the corpus (denser graph still resolves inside",
+        "  the contraction round budget).",
+        "- The skew family (q_join_salted / q_agg_salted / q_stream_rt_join)",
+        "  gets the same wall-clock treatment: the salted spray is a",
+        "  constant-factor replication, so ~linear decade ratios are the",
+        "  expected (and asserted) shape.",
         "",
     ]
     text = "\n".join(lines)

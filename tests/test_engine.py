@@ -583,3 +583,35 @@ def test_ingest_collection_keeps_cache_distros_and_raw_atoms(spark, tmp_path):
         for r in eng.resolve_constrained("webapp").collect()
     }
     assert ("libweb", "1.4-2") in got and ("libweb", "1.2-1") not in got
+
+
+def test_fetch_to_cache_roundtrip_and_negative_paths(spark, tmp_path):
+    # file:// fetch round trip: bytes land atomically and identically; a
+    # missing URL raises (urllib), and a corrupt .gz payload (HTML error
+    # page, truncated download) is refused instead of poisoning the cache.
+    import gzip
+    import urllib.error
+
+    import pytest as _pytest
+
+    from pkg2_spark.engine import Engine
+
+    src = tmp_path / "remote"
+    src.mkdir()
+    payload = gzip.compress(b"P:demo\nV:1.0-r0\nA:x86_64\nS:1\nT:d\nD:\n", mtime=0)
+    (src / "APKINDEX.tar.gz").write_bytes(payload)
+
+    eng = Engine(spark)
+    cache = tmp_path / "cache"
+    got = eng.fetch_to_cache([f"file://{src}/APKINDEX.tar.gz"], str(cache))
+    assert [p.split("/")[-1] for p in got] == ["APKINDEX.tar.gz"]
+    assert (cache / "APKINDEX.tar.gz").read_bytes() == payload
+    assert not list(cache.glob("*.tmp"))
+
+    with _pytest.raises(urllib.error.URLError):
+        eng.fetch_to_cache([f"file://{src}/missing.gz"], str(cache))
+
+    (src / "corrupt.gz").write_text("<html>503 Service Unavailable</html>")
+    with _pytest.raises(ValueError, match="not gzip"):
+        eng.fetch_to_cache([f"file://{src}/corrupt.gz"], str(cache))
+    assert not (cache / "corrupt.gz").exists()

@@ -110,3 +110,82 @@ def test_truncated_flag_exact_boundary(spark, svc):
         "SELECT id FROM (SELECT explode(sequence(1, 6)) AS id)"
     )})
     assert over["row_count"] == 5 and over["truncated"] is True
+
+
+def test_http_transport_round_trip(spark, svc):
+    # The stdlib transport: GET with query params, POST with JSON body,
+    # endpoint listing, and the error mapping (ServiceError -> 400 with a
+    # JSON error; unknown endpoint is a ServiceError too).
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from pkg2_spark.service import make_http_server
+
+    svc.engine.ingest_apkindex(os.path.join(_DATA, "apkindex_sample.txt"))
+    server = make_http_server(svc)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        eps = json.loads(urllib.request.urlopen(f"{base}/endpoints").read())
+        assert "search" in eps["endpoints"]
+
+        resp = json.loads(
+            urllib.request.urlopen(f"{base}/search?pattern=%25lib%25").read()
+        )
+        assert resp["endpoint"] == "search" and resp["row_count"] >= 1
+
+        req = urllib.request.Request(
+            f"{base}/sql",
+            data=json.dumps({"query": "SELECT 1 AS one"}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        resp = json.loads(urllib.request.urlopen(req).read())
+        assert resp["rows"] == [{"one": 1}]
+
+        for bad_url in (f"{base}/search", f"{base}/nope", f"{base}/sql?query=DROP%20TABLE%20x"):
+            try:
+                urllib.request.urlopen(bad_url)
+                raise AssertionError(f"{bad_url} should have failed")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+                assert "error" in json.loads(e.read())
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_handle_param_fuzz_raises_only_service_errors(spark, svc):
+    # Property: handle() either answers or raises ServiceError — a garbage
+    # parameter must never surface as a bare ValueError/TypeError (a
+    # transport maps ServiceError to 400; anything else becomes a 500).
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    svc.engine.ingest_debian_packages(os.path.join(_DATA, "packages_sample.txt"))
+    scalar = st.one_of(
+        st.none(), st.booleans(), st.integers(), st.floats(allow_nan=False),
+        st.text(max_size=20), st.lists(st.integers(), max_size=3),
+    )
+    params_st = st.dictionaries(
+        st.sampled_from(["pattern", "arch", "package", "capability",
+                         "max_depth", "name", "query", "junk"]),
+        scalar, max_size=4,
+    )
+
+    @settings(max_examples=30, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(endpoint=st.sampled_from(["search", "whatprovides", "whatdepends",
+                                     "resolve", "resolve_constrained",
+                                     "latest", "table", "nonsense"]),
+           params=params_st)
+    def run(endpoint, params):
+        try:
+            resp = svc.handle(endpoint, params)
+            assert resp["row_count"] == len(resp["rows"])
+        except ServiceError:
+            pass
+
+    run()

@@ -479,3 +479,52 @@ def test_dedup_index_chained_increments_equal_batch(spark, sf_dir, tmp_path):
     got = {(r["id_a"], r["id_b"], r["cos"]) for r in incr.collect()}
     want = {(r["id_a"], r["id_b"], r["cos"]) for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+def test_dedup_index_compaction_preserves_chain_equality(spark, sf_dir, tmp_path):
+    # The LIFECYCLE contract: build -> delta(commit) -> delta(commit) ->
+    # COMPACT -> retire superseded -> delta against the compacted head.
+    # Compaction rewrites bands/prov into right-sized files and GC's the
+    # verified store to currently-derivable pairs; the final pair set must
+    # STILL equal the one-shot batch on the full corpus (a GC'd stale
+    # cosine is recomputed deterministically iff rediscovered), and the
+    # retired versions must be gone from disk.
+    import os
+
+    import pyspark.sql.functions as F
+
+    from pkg2_spark.catalog import load_tables
+    from pkg2_spark.operators.dedup_index import (
+        apply_delta,
+        build_state,
+        compact_state,
+        retire_versions,
+    )
+    from pkg2_spark.operators.lsh import banded_pairs
+    from pkg2_spark.operators.similarity import cosine_on_pairs, sign_lsh_bands
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    base = e.filter(F.col("vec_id") % 10 < 7)
+    shard1 = e.filter(F.col("vec_id") % 10 == 7)
+    shard2 = e.filter(F.col("vec_id") % 10 == 8)
+    shard3 = e.filter(F.col("vec_id") % 10 == 9)
+
+    v0 = str(tmp_path / "state_v0")
+    v1 = str(tmp_path / "state_v1")
+    v2 = str(tmp_path / "state_v2")
+    v3 = str(tmp_path / "compacted")
+    build_state(base, v0)
+    apply_delta(v0, shard1, e.filter(F.col("vec_id") % 10 <= 7), commit_dir=v1)
+    apply_delta(v1, shard2, e.filter(F.col("vec_id") % 10 <= 8), commit_dir=v2)
+    compact_state(spark, v2, v3)
+    retire_versions([v0, v1, v2])
+    assert not os.path.exists(v0) and not os.path.exists(v2)
+    incr = apply_delta(v3, shard3, e)
+
+    bands_all = sign_lsh_bands(e, dim=64, rows_per_band=8)
+    cand_all = banded_pairs(bands_all, "vec_id", "id_a", "id_b", cap=64)
+    batch = cosine_on_pairs(cand_all, e, "id_a", "id_b", dim=64)
+
+    got = {(r["id_a"], r["id_b"], r["cos"]) for r in incr.collect()}
+    want = {(r["id_a"], r["id_b"], r["cos"]) for r in batch.collect()}
+    assert got == want and len(want) > 0
