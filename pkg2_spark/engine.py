@@ -563,7 +563,10 @@ class Engine:
             .join(providers, "capability")
             .select("src", F.col("provider").alias("dst"))
             .distinct()
-            .persist()
+            # localCheckpoint, not persist: the resolve endpoint is served
+            # per-request from a long-lived session — cached RDDs would
+            # accumulate (the resolve_constrained fix applied here too).
+            .localCheckpoint()
         )
         frontier = (
             edges.filter(F.col("src") == package)

@@ -73,7 +73,10 @@ FROM reach GROUP BY root, node
 """,
 )
 def q_graph_closure(spark, sf_dir):
-    edges = _edges(spark).distinct().persist()
+    # localCheckpoint, not persist: repeated invocations (bench loops,
+    # probes) would accumulate cached RDDs; checkpoint materializes the
+    # frame once for the loop's many reads and frees with the reference.
+    edges = _edges(spark).distinct().localCheckpoint()
     closure = edges.select(
         F.col("name").alias("root"), F.col("dep").alias("node"), F.lit(1).alias("depth")
     ).distinct().localCheckpoint()
@@ -292,7 +295,7 @@ def q_graph_triangles(spark, sf_dir):
     are exact integers throughout."""
     from pkg2_spark.catalog import load_tables
 
-    und = _cosupply_und(load_tables(spark, sf_dir)).persist()
+    und = _cosupply_und(load_tables(spark, sf_dir)).localCheckpoint()
     e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = und.select(F.col("a").alias("y2"), F.col("b").alias("z"))
     e3 = und.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
