@@ -755,7 +755,7 @@ def _ivf_centroids(e):
 
 
 def _nearest_wide(vecs, cands, out_id: str, cand_id: str, cand_vec: str,
-                  join_on=None, dim: int = 64):
+                  join_on=None, dim: int = 64, key: str = "vec_id"):
     """Per-vector nearest candidate via the wide-codegen argmax idiom.
 
     WIDE-CODEGEN argmax, not the HOF fold: the round-6 decade probe
@@ -775,13 +775,20 @@ def _nearest_wide(vecs, cands, out_id: str, cand_id: str, cand_vec: str,
     ``join_on=None`` broadcasts the candidate frame and crosses (level-1:
     the codebook is always tiny); a join column name makes it a key-keyed
     equi-join (level-2: the n/256-row sub-codebook shuffles on the cell
-    key alongside the members — never broadcast, survives any n)."""
+    key alongside the members — never broadcast, survives any n).
+
+    The argmax aggregates on ``key`` ALONE — a narrow unique long — and
+    returns just (key, out_id); callers re-join any wide payload on the
+    key. Grouping must stay HashAggregate-able: carrying the embedding
+    array in the grouping key demotes the plan to SortAggregate (arrays
+    are not hash-agg key types), i.e. TWO full sorts of the n·k scored
+    rows with an array comparator — measured 4x the cost of the scoring
+    itself at the sf10 probe scale (13 s vs ~3 s for level 1)."""
     from pkg2_spark.operators.similarity import unpack, wide_dot, wide_norm
 
-    keep = list(vecs.columns)
-    ve = vecs.selectExpr(*keep, *unpack("embedding", dim, "_v")).withColumn(
-        "_nv", wide_norm("_v", dim)
-    )
+    ve = vecs.selectExpr(
+        key, *([join_on] if join_on else []), *unpack("embedding", dim, "_v")
+    ).withColumn("_nv", wide_norm("_v", dim))
     cand_cols = [cand_id] + ([f"{join_on} AS _jk"] if join_on else [])
     ce = cands.selectExpr(*cand_cols, *unpack(cand_vec, dim, "_c")).withColumn(
         "_nc", wide_norm("_c", dim)
@@ -791,12 +798,11 @@ def _nearest_wide(vecs, cands, out_id: str, cand_id: str, cand_vec: str,
         scored = ve.crossJoin(F.broadcast(ce))
     else:
         scored = ve.join(ce, F.col(join_on) == F.col("_jk"))
-    group_cols = [c for c in keep if c != join_on]
     scored = scored.select(
-        *group_cols,
+        key,
         F.struct(cos.alias("cos"), (-F.col(cand_id)).alias("nid")).alias("sc"),
     )
-    return scored.groupBy(*group_cols).agg(
+    return scored.groupBy(key).agg(
         (-F.max("sc")["nid"]).cast("long").alias(out_id)
     )
 
@@ -815,9 +821,10 @@ def _ivf_two_level(e):
     (search/semdedup/mprobe) transitively reuses the paid n·k1 cross."""
     k = _ivf_k(e)
     cents = _ivf_centroids(e)
-    a1 = _nearest_wide(
-        e.select("vec_id", "embedding"), cents, out_id="cid",
-        cand_id="cid", cand_vec="cemb",
+    ev = e.select("vec_id", "embedding")
+    a1 = ev.join(
+        _nearest_wide(ev, cents, out_id="cid", cand_id="cid", cand_vec="cemb"),
+        "vec_id",
     ).localCheckpoint()
     w = Window.partitionBy("cid").orderBy(
         F.md5(F.col("vec_id").cast("string")).asc_nulls_last(),
@@ -832,9 +839,12 @@ def _ivf_two_level(e):
             F.col("embedding").alias("semb"),
         )
     )
-    assign = _nearest_wide(
-        a1.withColumnRenamed("cid", "c2id"), cent2, out_id="cid",
-        cand_id="scid", cand_vec="semb", join_on="c2id",
+    assign = a1.select("vec_id", "embedding").join(
+        _nearest_wide(
+            a1.withColumnRenamed("cid", "c2id"), cent2, out_id="cid",
+            cand_id="scid", cand_vec="semb", join_on="c2id",
+        ),
+        "vec_id",
     )
     return cents, a1, cent2, assign
 
