@@ -139,20 +139,48 @@ class Engine:
         a truncated download or an HTML error page must fail the fetch,
         not poison the cache.
 
+        Cache names are the URL basename when that is unambiguous, but
+        distinct URLs sharing a basename are the NORM for real repos
+        (every Alpine repo/arch index is `APKINDEX.tar.gz`), so a
+        basename-only scheme silently overwrites siblings. A
+        `_fetch_manifest.json` sidecar (underscore-prefixed — Spark's
+        binaryFile scan ignores `_`/`.` files, so ingest never sees it)
+        records name -> source URL; any URL whose basename is already
+        claimed by a DIFFERENT URL — within this call or by an earlier
+        one — gets `md5(url)[:10]` spliced in BEFORE the last extension
+        (`APKINDEX.tar-ab12cd34ef.gz`): the leading stem and trailing
+        extension both survive, so ingest's member-name dispatch
+        (startswith/contains on APKINDEX/Packages/primary.xml) and the
+        gzip-magic validation both keep working. Re-fetching the same
+        URL refreshes in place.
+
         This is deliberately a driver-side loop: fetching is
         control-plane work bounded by the URL list (one MB-scale index
         per repo/arch — thousands at most), while the data-plane
         inflate+parse stays distributed in ingest_index_cache. Returns
         the fetched file paths."""
+        import hashlib
+        import json
         import urllib.parse
         import urllib.request
 
         os.makedirs(cache_dir, exist_ok=True)
+        manifest_path = os.path.join(cache_dir, "_fetch_manifest.json")
+        claimed: dict[str, str] = {}
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                claimed = json.load(f)
+
         fetched: list[str] = []
         for url in urls:
-            name = os.path.basename(urllib.parse.urlparse(url).path)
-            if not name:
+            base = os.path.basename(urllib.parse.urlparse(url).path)
+            if not base:
                 raise ValueError(f"cannot derive a cache file name from {url!r}")
+            name = base
+            if claimed.get(name, url) != url:
+                root, ext = os.path.splitext(base)
+                tag = hashlib.md5(url.encode()).hexdigest()[:10]
+                name = f"{root}-{tag}{ext}"
             with urllib.request.urlopen(url) as resp:  # noqa: S310
                 data = resp.read()
             if validate and name.endswith((".gz", ".tgz")) and data[:2] != b"\x1f\x8b":
@@ -165,7 +193,13 @@ class Engine:
             with open(tmp, "wb") as f:
                 f.write(data)
             os.replace(tmp, dest)
+            claimed[name] = url
             fetched.append(dest)
+
+        mtmp = manifest_path + ".tmp"
+        with open(mtmp, "w") as f:
+            json.dump(claimed, f, indent=0, sort_keys=True)
+        os.replace(mtmp, manifest_path)
         return fetched
 
     def read_index_archives(self, path: str) -> DataFrame:

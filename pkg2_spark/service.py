@@ -96,11 +96,30 @@ class QueryService:
             raise ServiceError(
                 f"unknown endpoint {endpoint!r}; available: {self.endpoints()}"
             )
-        df = fn(params)
-        # Fetch one sentinel row past the cap so `truncated` is exact: a
-        # result with exactly max_rows rows is complete, not truncated.
-        limited = df.limit(self.max_rows + 1)
-        fetched = limited.collect()
+        # Plan + execute under a bad-request boundary: an analysis/parse
+        # error here means the PARAMETERS were bad in a way the per-endpoint
+        # validators didn't anticipate (the query shapes themselves are
+        # fixed and tested) — that is a 400, not a 500. Genuinely internal
+        # failures (Py4J faults, executor loss) are not Analysis errors and
+        # still propagate to the transport's 500 path.
+        from pyspark.errors import AnalysisException, ParseException
+
+        try:
+            df = fn(params)
+            # Fetch one sentinel row past the cap so `truncated` is exact: a
+            # result with exactly max_rows rows is complete, not truncated.
+            limited = df.limit(self.max_rows + 1)
+            fetched = limited.collect()
+        except ServiceError:
+            raise
+        except (AnalysisException, ParseException) as exc:
+            # getCondition (4.x) / getErrorClass (3.x) name the error class
+            # without the full internal message — enough for the client,
+            # nothing leaked.
+            cond = getattr(exc, "getCondition", getattr(exc, "getErrorClass", lambda: None))()
+            raise ServiceError(
+                f"invalid request to {endpoint!r}: {cond or type(exc).__name__}"
+            ) from exc
         rows = [
             {k: _json_safe(v) for k, v in r.asDict().items()}
             for r in fetched[: self.max_rows]
@@ -181,6 +200,14 @@ class QueryService:
         "insert", "update", "delete", "merge", "drop", "create", "alter",
         "truncate", "grant", "revoke", "set", "reset", "add", "load",
         "analyze", "cache", "uncache", "refresh", "msck", "use",
+        # Escape hatches out of pure-relational SQL: reflect()/java_method()
+        # call arbitrary static Java methods (e.g. System.getenv — info
+        # disclosure through a "safe" endpoint), and the java_import-free
+        # config readers leak session state. Blocklists are inherently
+        # incomplete; embedders exposing this on a real network should front
+        # it with an allowlist of tables + functions.
+        "reflect", "java_method", "current_user", "session_user",
+        "input_file_name", "input_file_block_start", "input_file_block_length",
     )
 
     @classmethod
@@ -222,7 +249,13 @@ class QueryService:
 
     def _table(self, p: dict) -> DataFrame:
         name = self._require(p, "name")
-        if not name.replace("_", "").isalnum():
+        # Strict SQL-identifier shape: letter/underscore head, then word
+        # chars. `.isalnum()` was too weak — it admits digit-leading names
+        # ('0'), which spark.table() rejects with a raw ParseException
+        # (a 500 through the transport instead of the 400 this is).
+        import re
+
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
             raise ServiceError(f"invalid table name {name!r}")
         return self.engine.table(name)
 

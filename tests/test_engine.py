@@ -615,3 +615,53 @@ def test_fetch_to_cache_roundtrip_and_negative_paths(spark, tmp_path):
     with _pytest.raises(ValueError, match="not gzip"):
         eng.fetch_to_cache([f"file://{src}/corrupt.gz"], str(cache))
     assert not (cache / "corrupt.gz").exists()
+
+
+def test_fetch_to_cache_basename_collisions_do_not_overwrite(spark, tmp_path):
+    # Distinct repo URLs sharing a basename are the norm (every Alpine
+    # repo/arch index is APKINDEX.tar.gz); each must land as its own cache
+    # file — within one call AND across calls — and ingest must see the
+    # union, never a silent last-writer-wins.
+    import gzip
+
+    from pkg2_spark.engine import Engine
+
+    payloads = {}
+    for repo, pkg in [("main", "alpha"), ("community", "beta"), ("testing", "gamma")]:
+        d = tmp_path / repo / "x86_64"
+        d.mkdir(parents=True)
+        payloads[repo] = gzip.compress(
+            f"P:{pkg}\nV:1.0-r0\nA:x86_64\nS:1\nT:d\nD:\n".encode(), mtime=0
+        )
+        (d / "APKINDEX.tar.gz").write_bytes(payloads[repo])
+
+    eng = Engine(spark)
+    cache = tmp_path / "cache"
+    # Two colliding URLs in ONE call, a third collision in a LATER call.
+    got1 = eng.fetch_to_cache(
+        [f"file://{tmp_path}/main/x86_64/APKINDEX.tar.gz",
+         f"file://{tmp_path}/community/x86_64/APKINDEX.tar.gz"],
+        str(cache),
+    )
+    got2 = eng.fetch_to_cache(
+        [f"file://{tmp_path}/testing/x86_64/APKINDEX.tar.gz"], str(cache)
+    )
+    names = [p.split("/")[-1] for p in got1 + got2]
+    assert len(set(names)) == 3, names
+    assert "APKINDEX.tar.gz" in names  # first claimant keeps the plain name
+    stored = sorted(p.read_bytes() for p in cache.glob("APKINDEX*"))
+    assert stored == sorted(payloads.values())
+
+    # Re-fetching the SAME url refreshes in place — no new file.
+    again = eng.fetch_to_cache(
+        [f"file://{tmp_path}/main/x86_64/APKINDEX.tar.gz"], str(cache)
+    )
+    assert again == [got1[0]]
+    assert len(list(cache.glob("APKINDEX*"))) == 3
+
+    # The manifest sidecar is underscore-prefixed, so the binaryFile scan
+    # (and thus ingest) never sees it; all three packages parse.
+    pkgs = eng.ingest_index_cache(str(cache))
+    assert sorted(r["name"] for r in pkgs.select("name").collect()) == [
+        "alpha", "beta", "gamma"
+    ]
