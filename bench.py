@@ -58,10 +58,13 @@ TIER2 = [
     # warm-up pays any state [re]build, timed runs measure the increment)
     # and IVF search after the codegen-argmax rework the decade probe won
     "q_llm_dedup_incr",
-    # NOTE r7: ann_ivf pays ~+0.5s at sf0.1 vs r6 — the second quantizer
-    # level (two extra exchanges at a scale where k1 = k2 = 4). Deliberate:
-    # the same swap took the decade ratio 10.38x -> 2.07x per 10x data and
-    # removed the k-clamp regime entirely (SCALE_PROBE_DECADE.md).
+    # NOTE r7: the second quantizer level cost ~+0.5s at sf0.1 but took the
+    # decade ratio 10.38x -> 2.07x and removed the k-clamp regime. r8: the
+    # tree is THREE-level (Θ(n^{4/3}) assignment, SCALE_PROBE_DECADE.md)
+    # and construction is memoized per (session, corpus) — within one bench
+    # process the IVF family (ann_ivf here, semdedup above) shares a single
+    # build, which is the production posture (an index is built once and
+    # served many times); the decade probe times construction explicitly.
     "q_llm_ann_ivf",
     # round-7 addition: the index lifecycle chain (compaction + GC); the
     # warm-up pays the build→delta→compact fixture, timed runs measure the

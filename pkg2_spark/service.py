@@ -260,12 +260,107 @@ class QueryService:
         return self.engine.table(name)
 
 
+# The browsable UI pkg2 shipped over its query service [SURVEY.md §1.1,
+# Tier C] — one dependency-free static page over the JSON endpoints: an
+# endpoint picker + parameter box and a result grid. Served at GET / (and
+# /ui) by make_http_server; everything it does goes through the same
+# handle() dispatch the programmatic clients use, so it adds NO new
+# attack surface beyond rendering (results are inserted with
+# textContent, never innerHTML, so row values can't inject markup).
+UI_PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>pkg2_spark query service</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:2rem;max-width:72rem}
+ h1{font-size:1.2rem} form{margin:.8rem 0;display:flex;gap:.5rem;flex-wrap:wrap}
+ input,select,button{font:inherit;padding:.3rem .5rem}
+ input#param{flex:1;min-width:16rem}
+ table{border-collapse:collapse;margin-top:1rem;font-size:.9rem}
+ th,td{border:1px solid #ccc;padding:.25rem .6rem;text-align:left}
+ th{background:#f2f2f2} #status{color:#666;margin-left:.5rem}
+ #error{color:#b00020;white-space:pre-wrap}
+</style></head><body>
+<h1>pkg2_spark query service</h1>
+<form id="f">
+ <select id="endpoint"></select>
+ <input id="param" placeholder="parameter (see placeholder per endpoint)">
+ <button type="submit">Run</button><span id="status"></span>
+</form>
+<div id="error"></div>
+<table id="grid" hidden><thead></thead><tbody></tbody></table>
+<script>
+"use strict";
+// endpoint -> [param name, placeholder]; latest takes no parameter.
+const PARAMS = {
+  search: ["pattern", "SQL LIKE pattern, e.g. lib%"],
+  whatprovides: ["capability", "e.g. so:libssl.so.3"],
+  whatdepends: ["package", "package name"],
+  resolve: ["package", "package name"],
+  resolve_constrained: ["package", "package name"],
+  latest: [null, "(no parameter)"],
+  table: ["name", "registered table name"],
+  sql: ["query", "SELECT-only SQL"],
+};
+const sel = document.getElementById("endpoint"),
+      inp = document.getElementById("param"),
+      status = document.getElementById("status"),
+      err = document.getElementById("error"),
+      grid = document.getElementById("grid");
+fetch("endpoints").then(r => r.json()).then(d => {
+  for (const e of d.endpoints) {
+    const o = document.createElement("option");
+    o.value = o.textContent = e;
+    sel.appendChild(o);
+  }
+  hint();
+});
+function hint() {
+  const p = PARAMS[sel.value] || ["param", ""];
+  inp.placeholder = p[1];
+  inp.disabled = p[0] === null;
+}
+sel.addEventListener("change", hint);
+document.getElementById("f").addEventListener("submit", async ev => {
+  ev.preventDefault();
+  err.textContent = ""; grid.hidden = true; status.textContent = "running…";
+  const p = PARAMS[sel.value] || ["param", ""];
+  const q = p[0] === null ? "" :
+    "?" + encodeURIComponent(p[0]) + "=" + encodeURIComponent(inp.value);
+  try {
+    const resp = await fetch(sel.value + q);
+    const data = await resp.json();
+    if (!resp.ok) { err.textContent = data.error || resp.statusText; status.textContent = ""; return; }
+    const thead = grid.querySelector("thead"), tbody = grid.querySelector("tbody");
+    thead.textContent = ""; tbody.textContent = "";
+    const hr = document.createElement("tr");
+    for (const c of data.columns) {
+      const th = document.createElement("th"); th.textContent = c; hr.appendChild(th);
+    }
+    thead.appendChild(hr);
+    for (const row of data.rows) {
+      const tr = document.createElement("tr");
+      for (const c of data.columns) {
+        const td = document.createElement("td");
+        const v = row[c];
+        td.textContent = v === null ? "" : (typeof v === "object" ? JSON.stringify(v) : String(v));
+        tr.appendChild(td);
+      }
+      tbody.appendChild(tr);
+    }
+    grid.hidden = false;
+    status.textContent = data.row_count + " row(s)" + (data.truncated ? " (truncated)" : "");
+  } catch (e) { err.textContent = String(e); status.textContent = ""; }
+});
+</script></body></html>
+"""
+
+
 def make_http_server(service: QueryService, host: str = "127.0.0.1", port: int = 0):
     """Wire :class:`QueryService` to the stdlib HTTP stack — the transport
     layer pkg2's web UI sat on, kept deliberately trivial (the r6 VERDICT
     note: transport is the easy part; handle() is the surface).
 
-    Routes: ``GET /endpoints`` lists endpoints; ``GET /<endpoint>?k=v``
+    Routes: ``GET /`` (and ``/ui``) serves the browsable UI page
+    (UI_PAGE); ``GET /endpoints`` lists endpoints; ``GET /<endpoint>?k=v``
     and ``POST /<endpoint>`` (JSON body) dispatch to ``handle``. Errors
     map to HTTP semantics: ServiceError -> 400 with a JSON error body,
     anything else -> 500 (details logged server-side only — internals
@@ -308,7 +403,16 @@ def make_http_server(service: QueryService, host: str = "127.0.0.1", port: int =
 
         def do_GET(self):  # noqa: N802 (stdlib naming)
             u = urlparse(self.path)
-            self._dispatch(u.path.strip("/"), dict(parse_qsl(u.query)))
+            path = u.path.strip("/")
+            if path in ("", "ui"):
+                body = UI_PAGE.encode("utf-8")
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
+            self._dispatch(path, dict(parse_qsl(u.query)))
 
         def do_POST(self):  # noqa: N802
             u = urlparse(self.path)

@@ -8,7 +8,7 @@ validates the claims that only bite at density — capped band-pair volume,
 contraction/component growth, IVF cell flatness — one decade further on
 the tmp_io/sf1 replica set (near-duplicate replicas, so band buckets are
 ~10x denser: the adversarial direction), and a SECOND decade (tmp_io/sf10)
-for the vector family, where the round-7 two-level quantizer must hold
+for the vector family, where the round-8 three-level quantizer must hold
 final cells ≈ 256 while the retired one-level formula would have kept
 growing them. Reports wall-time ratios per 10x data plus the STRUCTURAL
 counters behind the claims:
@@ -16,7 +16,7 @@ counters behind the claims:
 - candidate-pair counts out of the capped sign-LSH/minhash joins (the
   quantity the _BUCKET_CAP bounds — superlinear growth here is the bug);
 - IVF codebook size / mean / max FINAL cell size across all three scales
-  (two-level k must hold cells ~constant in BOTH decades);
+  (three-level k must hold cells ~constant in BOTH decades);
 - component count out of dedup resolution (sanity that the denser corpus
   still resolves).
 
@@ -54,7 +54,7 @@ PROBES = [
 ]
 
 # second decade (sf1 -> sf10): the vector/dedup family whose flatness
-# claims the two-level quantizer carries
+# claims the three-level quantizer carries
 PROBES_DEC2 = [
     "q_llm_ann_ivf",
     "q_llm_semdedup",
@@ -72,7 +72,12 @@ def main() -> int:
     from pkg2_spark.catalog import load_tables
     from pkg2_spark.operators.lsh import banded_pairs
     from pkg2_spark.operators.similarity import sign_lsh_bands
-    from pkg2_spark.queries.llm import _BUCKET_CAP, _ivf_assign, _ivf_k
+    from pkg2_spark.queries.llm import (
+        _BUCKET_CAP,
+        _ivf_assign,
+        _ivf_ks,
+        ivf_invalidate,
+    )
     from pkg2_spark.queries.relational import IO_DIR
     from pkg2_spark.registry import all_queries
     from pkg2_spark.session import get_session
@@ -85,10 +90,16 @@ def main() -> int:
     queries = all_queries()
 
     def timed(name: str, sf: str) -> float:
+        # ivf_invalidate before EVERY run: the session-scoped quantizer
+        # memo (r8) would otherwise serve runs 2..N from the checkpointed
+        # assignment and the probe would stop measuring CONSTRUCTION —
+        # the quantity whose scaling this probe exists to bound.
         fn = queries[name]
+        ivf_invalidate()
         fn(spark, sf).count()
         times = []
         for _ in range(3):
+            ivf_invalidate()
             t0 = time.monotonic()
             fn(spark, sf).count()
             times.append(time.monotonic() - t0)
@@ -141,7 +152,8 @@ def main() -> int:
         r = cells.agg(
             F.count(F.lit(1)), F.avg("count"), F.max("count")
         ).first()
-        return (_ivf_k(e), int(r[1]), int(r[2]))
+        k12, k3 = _ivf_ks(e)
+        return (f"{k12}/{k12}/{k3}", int(r[1]), int(r[2]))
 
     counter("capped sign-LSH candidate pairs", sign_pairs)
 
@@ -152,8 +164,9 @@ def main() -> int:
 
     ivf_sfs = sfs + ([sf10] if have_sf10 else [])
     stats = [ivf_stats(sf) for sf in ivf_sfs]
-    lines += ["", "## IVF two-level cell flatness (k1 = k2 = max(4, √(n/256)))",
-              "", "| scale | k (per level) | mean final cell | max final cell |",
+    lines += ["", "## IVF three-level cell flatness "
+              "(k1 = k2 = max(2, icbrt(n/256)), k3 = (n/256)/(k1·k2))",
+              "", "| scale | k1/k2/k3 | mean final cell | max final cell |",
               "|---|---|---|---|"]
     for sf, (k, mean_c, max_c) in zip(ivf_sfs, stats):
         tag = Path(sf).name
@@ -179,29 +192,30 @@ def main() -> int:
         "  INTO it — the one-time transition into saturation. Past it, pair",
         "  volume is bounded by #buckets x cap^2 (grows with bucket count,",
         "  i.e. linearly in corpus diversity), which is the cap's contract.",
-        "- The two-level quantizer (round 7, k1 = k2 = max(4, √(n/256)))",
-        "  holds MEAN FINAL CELL ≈ target across BOTH probed decades with no",
-        "  clamp regime — the retired one-level formula would have pegged at",
-        "  k = 4096 past n ≈ 1M and let cells grow linearly from there.",
+        "- The three-level quantizer (round 8, k1 = k2 = max(2,",
+        "  icbrt(n/256)), k3 correcting the product to n/256) holds MEAN",
+        "  FINAL CELL ≈ target across the probed decades with no clamp",
+        "  regime — one-level pegged at k = 4096 past n ≈ 1M and let cells",
+        "  grow linearly; two-level kept cells flat but paid a Θ(n^1.5/16)",
+        "  assignment term (measured 11.7-12.1x second-decade tails in r7).",
         "  Components track the corpus (denser graph still resolves inside",
         "  the contraction round budget).",
         "- The skew family (q_join_salted / q_agg_salted / q_stream_rt_join)",
         "  gets the same wall-clock treatment: the salted spray is a",
         "  constant-factor replication, so ~linear decade ratios are the",
         "  expected (and asserted) shape.",
-        "- Second-decade ann_ivf/semdedup land at ~11.7-12.1x per 10x —",
-        "  the PRICED-IN cost of flat cells, not a regression: two-level",
-        "  assignment scores n·(k1+k2) pairs = Θ(n^1.5/16), so the",
-        "  assignment term alone grows 10·√10 ≈ 31.6x per decade while the",
-        "  scan/join/pair work stays linear; the observed ~1.2x-over-linear",
-        "  blend says the linear work still dominates at 2M vectors. The",
-        "  alternative regimes both lose WORSE: constant or clamped k keeps",
-        "  assignment linear but lets cells (and per-probe scan + dedup",
-        "  recall loss) grow without bound. The production levers past",
-        "  ~10^9 vectors: more levels (L-level cost n·L·(n/256)^(1/L) — a",
-        "  3-level tree turns the per-decade assignment growth into",
-        "  10·10^(1/3) ≈ 21.5x on a far smaller constant) and a",
-        "  k-means-refined codebook (q_kmeans_step is the builder).",
+        "- Second-decade ann_ivf/semdedup: the r7 two-level quantizer",
+        "  measured 11.74x/12.05x per 10x here — the Θ(n^1.5/16) assignment",
+        "  term (grows 10·√10 ≈ 31.6x per decade) blending with linear",
+        "  scan/join work. The r8 three-level tree cuts assignment to",
+        "  n·(k1+k2+k3) ≈ 3n·(n/256)^(1/3) — subterm growth 10^(4/3) ≈",
+        "  21.5x on a much smaller constant (26x cheaper at n = 10^12) —",
+        "  so the blended decade ratio should sit near-linear through",
+        "  ~10^9 vectors. Constant or clamped k would keep assignment",
+        "  linear but let cells (and per-probe scan + dedup recall loss)",
+        "  grow without bound. The remaining lever past that: a",
+        "  k-means-refined codebook (q_kmeans_step is the builder), which",
+        "  also balances cells.",
         "- Max final cell grows with scale (hash-sampled centroids do not",
         "  BALANCE cells; the replica construction concentrates near-dups",
         "  in the same region). Pair work stays bounded regardless — the",

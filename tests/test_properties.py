@@ -239,3 +239,17 @@ def test_local_union_find_matches_bfs_reference(edges):
             want[x] = m
         seen |= comp
     assert got == want
+
+
+@given(st.integers(min_value=0, max_value=10**15))
+@settings(max_examples=500, deadline=None)
+def test_icbrt_is_exact_integer_cube_root(m):
+    # The IVF k-derivation depends on icbrt being EXACT in both engines:
+    # the pow(m, 1/3) seed may round either way, and the integer cube
+    # comparisons must correct it. Property: k^3 <= m < (k+1)^3.
+    from pkg2_spark.queries.llm import _icbrt
+
+    k = _icbrt(m)
+    assert k >= 0
+    assert k**3 <= m
+    assert (k + 1) ** 3 > m

@@ -153,6 +153,18 @@ def test_http_transport_round_trip(spark, svc):
             except urllib.error.HTTPError as e:
                 assert e.code == 400
                 assert "error" in json.loads(e.read())
+
+        # The browsable UI: GET / serves the page, and the page's own
+        # round trip (fetch /endpoints, then /search?pattern=...) is the
+        # exact request sequence already asserted above — so serving the
+        # page + the working endpoints IS the UI contract.
+        for ui_url in (f"{base}/", f"{base}/ui"):
+            page = urllib.request.urlopen(ui_url)
+            assert page.headers.get_content_type() == "text/html"
+            html = page.read().decode("utf-8")
+            assert "pkg2_spark query service" in html
+            # the page drives the same endpoints the API test exercised
+            assert 'fetch("endpoints")' in html and "textContent" in html
     finally:
         server.shutdown()
         server.server_close()

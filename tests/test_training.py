@@ -419,32 +419,41 @@ def test_dedup_incr_equals_batch_and_reuses_state(spark, sf_dir):
 
 
 def test_ivf_k_derivation_and_cell_flatness(spark, sf_dir):
-    # Two-level codebook: k1 = k2 = max(4, floor(sqrt(n / 256))) from one
-    # (memoized) corpus count — final expected cell size n / (k1·k2) ≈ 256
-    # at EVERY n, with no clamp regime where cells grow (the r6 one-level
-    # formula pegged at k = 4096 past n ≈ 1M). The mean final cell must
-    # stay bounded by the target (plus the floor-driven slack at tiny n).
-    import math
+    # Three-level codebook: k1 = k2 = max(2, icbrt(n // 256)) and
+    # k3 = max(2, (n // 256) / (k1·k2)) from one (memoized) corpus count —
+    # k3 corrects the k^3 cubing gap so the final expected cell size
+    # n / (k1·k2·k3) ≈ 256 at EVERY n, with no clamp regime where cells
+    # grow (r6: one-level pegged at k = 4096 past n ≈ 1M; r7: two-level
+    # kept cells flat but paid a Θ(n^1.5) assignment term). The mean
+    # final cell must stay bounded by the target (plus the floor-driven
+    # slack at tiny n).
     import os
 
     import pyspark.sql.functions as F
 
     from pkg2_spark.catalog import load_tables
-    from pkg2_spark.queries.llm import _IVF_TARGET_CELL, _ivf_assign, _ivf_k
+    from pkg2_spark.queries.llm import (
+        _IVF_TARGET_CELL,
+        _icbrt,
+        _ivf_assign,
+        _ivf_ks,
+    )
 
     for sf in ("sf0.001", "sf0.01"):
         d = os.path.join(os.path.dirname(os.path.normpath(sf_dir)), sf)
         e = load_tables(spark, d)["embeddings"]
         n = e.count()
-        k = _ivf_k(e)
-        assert k == max(4, math.floor(math.sqrt(n / _IVF_TARGET_CELL)))
+        m = n // _IVF_TARGET_CELL
+        k12, k3 = _ivf_ks(e)
+        assert k12 == max(2, _icbrt(m))
+        assert k3 == max(2, m // (k12 * k12))
         # memoized: a second call must not launch another count job
-        assert _ivf_k(e) == k
+        assert _ivf_ks(e) == (k12, k3)
         cells = _ivf_assign(e).groupBy("cid").count()
         mean_cell = cells.agg(F.avg("count")).collect()[0][0]
-        # mean final cell size ≈ n / (k1·k2); the +1 floor-division slack
+        # mean final cell size ≈ n / (k1·k2·k3); the floor-division slack
         # and empty-cell collapse keep it near the target at any n
-        assert mean_cell <= max(_IVF_TARGET_CELL, n / float(k * k)) + 1
+        assert mean_cell <= max(_IVF_TARGET_CELL, n / float(k12 * k12 * k3)) + 1
 
 
 def test_dedup_index_chained_increments_equal_batch(spark, sf_dir, tmp_path):
