@@ -1565,6 +1565,135 @@ def q_llm_ann_recall(spark, sf_dir):
     )
 
 
+@query(
+    "q_llm_ivf_refine",
+    oracle=f"""
+WITH seeds AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+  QUALIFY row_number() OVER (
+    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC NULLS LAST, vec_id ASC NULLS LAST
+  ) <= {_IVF_K12_SQL}
+),
+q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000) AS BIGINT)) AS qe
+  FROM embeddings
+),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, s.cid,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(s.cemb AS DOUBLE[])), 4) AS ccos
+    FROM embeddings e CROSS JOIN seeds s
+    QUALIFY row_number() OVER (
+      PARTITION BY e.vec_id ORDER BY ccos DESC NULLS LAST, cid ASC NULLS LAST
+    ) = 1
+  )
+),
+dims AS (
+  SELECT a1.cid, i.i AS pos,
+         CAST(floor(CAST(sum(q.qe[i.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+  FROM a1 JOIN q USING (vec_id) CROSS JOIN generate_series(1, 64) AS i(i)
+  GROUP BY a1.cid, i.i
+),
+refined AS (
+  SELECT cid, list(cv ORDER BY pos ASC) AS rc FROM dims GROUP BY cid
+),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT q.vec_id, r.cid,
+           round(list_cosine_similarity(
+             list_transform(q.qe, x -> CAST(x AS DOUBLE)),
+             list_transform(r.rc, x -> CAST(x AS DOUBLE))), 4) AS rcos
+    FROM q CROSS JOIN refined r
+    QUALIFY row_number() OVER (
+      PARTITION BY q.vec_id ORDER BY rcos DESC NULLS LAST, cid ASC NULLS LAST
+    ) = 1
+  )
+)
+SELECT s.cid,
+       CAST(coalesce(c1.n, 0) AS BIGINT) AS n_seed,
+       CAST(coalesce(c2.n, 0) AS BIGINT) AS n_refined,
+       r.rc[1] AS c0_micro, r.rc[2] AS c1_micro
+FROM seeds s
+LEFT JOIN (SELECT cid, count(*) AS n FROM a1 GROUP BY cid) c1 ON c1.cid = s.cid
+LEFT JOIN (SELECT cid, count(*) AS n FROM a2 GROUP BY cid) c2 ON c2.cid = s.cid
+LEFT JOIN refined r ON r.cid = s.cid
+""",
+)
+def q_llm_ivf_refine(spark, sf_dir):
+    """One spherical-k-means refinement step over the DERIVED level-1 IVF
+    codebook — the codebook-quality lever the scale probe names (the md5
+    hash sample does not BALANCE cells; Lloyd refinement does): assign
+    every vector to its nearest md5-sampled seed by cosine (the exact
+    assignment the IVF tree uses), recenter each cell as the per-dimension
+    integer-micro mean (floor-scaled BIGINTs — exact under any partition
+    summation order, the q_kmeans_step discipline), re-assign against the
+    refined centroids, and report per-seed-cell membership before/after
+    plus the first two refined components. A production deployment
+    iterates exactly this dataflow until the balance converges, then
+    feeds the refined codebook to _ivf_tree.
+
+    Scale shape: seed scoring and re-assignment are the wide-codegen
+    broadcast argmax (`_nearest_wide` — k1 = icbrt(n/256) rows is always
+    broadcastable); the recenter is posexplode -> ONE map-combinable hash
+    agg on (cid, pos) (64·k1 reduce keys, the heavy summing happens
+    map-side) -> collect_list re-pack of k1 arrays. Micro-unit cosines
+    stay exact in doubles: |dot| <= 64·(2e6)^2 ≈ 2.6e14 < 2^53."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    seeds = _ivf_centroids(e)
+    ev = e.select("vec_id", "embedding")
+    a1 = _nearest_wide(ev, seeds, out_id="cid", cand_id="cid", cand_vec="cemb")
+    qe = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * F.lit(1000000.0)).cast("long"),
+    )
+    q = e.select("vec_id", qe.alias("qe"))
+    dims = (
+        a1.join(q, "vec_id")
+        .select("cid", F.posexplode("qe").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("cv")
+        )
+    )
+    refined = dims.groupBy("cid").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+        ).alias("rc")
+    )
+    qd = q.select(
+        "vec_id", F.transform("qe", lambda x: x.cast("double")).alias("embedding")
+    )
+    rcands = refined.select(
+        "cid", F.transform("rc", lambda x: x.cast("double")).alias("rcemb")
+    )
+    a2 = _nearest_wide(qd, rcands, out_id="cid", cand_id="cid", cand_vec="rcemb")
+    c1 = a1.groupBy("cid").agg(F.count(F.lit(1)).alias("n1"))
+    c2 = a2.groupBy("cid").agg(F.count(F.lit(1)).alias("n2"))
+    rsel = refined.select(
+        "cid",
+        F.element_at("rc", 1).alias("c0_micro"),
+        F.element_at("rc", 2).alias("c1_micro"),
+    )
+    return (
+        seeds.select("cid")
+        .join(c1, "cid", "left")
+        .join(c2, "cid", "left")
+        .join(rsel, "cid", "left")
+        .select(
+            "cid",
+            F.coalesce("n1", F.lit(0)).cast("long").alias("n_seed"),
+            F.coalesce("n2", F.lit(0)).cast("long").alias("n_refined"),
+            "c0_micro",
+            "c1_micro",
+        )
+    )
+
+
 _EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
 _PHONE_RE = "[+][0-9][0-9]{6,}"
 

@@ -39,6 +39,9 @@ NLJ_WHITELIST = {
     "q_llm_ann_recall": "same constant-k assignment + bounded probe cross scan",
     "q_llm_ann_mprobe": "bounded 5-probe x derived-k centroid broadcast cross "
     "(the cell scorer); candidate ranking is the cell-keyed equi-join",
+    "q_llm_ivf_refine": "two derived-k1 (= icbrt(n/256), broadcastable at "
+    "every n) codebook broadcast crosses — the seed and refined Lloyd "
+    "assignments; recenter itself is a keyed hash agg",
     "q_llm_knn": "bounded probe set broadcast vs linear corpus scan",
     "q_llm_tfidf": "1-row doc-count scalar cross join (broadcast)",
     "q_win_dist": "1-row total cross join (broadcast)",
