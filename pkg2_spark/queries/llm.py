@@ -2321,3 +2321,181 @@ def q_llm_ann_mprobe(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .drop("rn")
     )
+
+
+# Unigram-LM surprisal band thresholds (mean_milli units: 1000 × mean
+# bits-per-token). FORMAT constants like the PQ code width, not data-derived:
+# the middle band is what a CCNet-style perplexity filter KEEPS (head =
+# boilerplate-repetitive, tail = noise). Calibrated once against the
+# synthetic corpus (sf0.01 quartiles 5012/5029/5050) so each band is
+# populated; a production deployment retunes them per corpus from the
+# q_llm_datacard distribution.
+_LM_HEAD_MILLI = 5010
+_LM_TAIL_MILLI = 5060
+
+
+@query(
+    "q_llm_unigram_lm",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS token FROM documents),
+cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+n AS (SELECT count(*) AS nt FROM tok),
+sc AS (
+  SELECT tok.doc_id, length(bin(CAST(n.nt // cnt.c AS BIGINT))) AS s
+  FROM tok JOIN cnt USING (token) CROSS JOIN n
+),
+d AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(s) AS BIGINT) AS surprisal_sum,
+         CAST((1000 * sum(s)) // count(*) AS BIGINT) AS mean_milli
+  FROM sc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, surprisal_sum, mean_milli,
+       CASE WHEN mean_milli < {_LM_HEAD_MILLI} THEN 'head'
+            WHEN mean_milli <= {_LM_TAIL_MILLI} THEN 'middle'
+            ELSE 'tail' END AS band
+FROM d
+""",
+)
+def q_llm_unigram_lm(spark, sf_dir):
+    """Unigram-LM perplexity-proxy quality filter — the corpus-LM filtering
+    stage of a CCNet/Gopher-style pretraining pipeline: train a unigram LM
+    on the corpus itself (token counts), score every document by its mean
+    per-token surprisal, and bucket docs into head/middle/tail perplexity
+    bands (such pipelines keep the middle band: head is boilerplate, tail
+    is noise).
+
+    Determinism: per-token surprisal is the BIT LENGTH of the integer
+    inverse probability, length(bin(N div cnt)) = floor(log2(N/cnt)) + 1
+    — pure integer arithmetic in both engines (no libm log whose last-ulp
+    rounding could straddle a floor boundary), and integer sums are
+    order-independent, so the doc scores are bit-identical under any
+    partitioning. mean_milli = (1000·sum) div n_tokens stays integral.
+
+    Scale shape: token explode → one token-keyed hash-agg for the LM
+    (map-side combinable) → token-keyed join back (the TF-IDF topology) →
+    one doc-keyed hash-agg; the corpus total is a broadcast scalar. No
+    windows, no per-doc state beyond the running sums — at 100 TB the LM
+    table is vocabulary-sized and every shuffle is on a high-cardinality
+    key."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = tokenize(d)
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    n = tok.agg(F.count(F.lit(1)).alias("nt"))
+    sc = (
+        tok.join(cnt, "token")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", F.expr("length(bin(nt div c))").alias("s"))
+    )
+    agg = sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("s").cast("long").alias("surprisal_sum"),
+        F.expr("(1000 * sum(s)) div count(1)").cast("long").alias("mean_milli"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "surprisal_sum",
+        "mean_milli",
+        F.when(F.col("mean_milli") < _LM_HEAD_MILLI, F.lit("head"))
+        .when(F.col("mean_milli") <= _LM_TAIL_MILLI, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("band"),
+    )
+
+
+_SPAN = 8  # tokens per duplicated-span shingle
+
+
+@query(
+    "q_llm_span_dedup",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOK_SQL} AS toks FROM documents
+),
+occ AS (
+  SELECT doc_id, len(toks) AS n_tokens, sp.p AS p, sp.h AS h FROM (
+    SELECT doc_id, toks,
+           unnest(list_transform(generate_series(1, len(toks) - {_SPAN - 1}),
+             p -> struct_pack(p := p,
+               h := md5(array_to_string(
+                 toks[CAST(p AS INTEGER) : CAST(p + {_SPAN - 1} AS INTEGER)], ' '))))) AS sp
+    FROM t WHERE len(toks) >= {_SPAN}
+  )
+),
+dup AS (SELECT h FROM occ GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+dupocc AS (SELECT o.doc_id, o.n_tokens, o.p FROM occ o JOIN dup USING (h)),
+spans AS (
+  SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_dup_spans
+  FROM dupocc GROUP BY doc_id
+),
+cover AS (
+  SELECT DISTINCT doc_id, d.p + g.i AS pos
+  FROM dupocc d CROSS JOIN (SELECT unnest(generate_series(0, {_SPAN - 1})) AS i) g
+),
+cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS covered_tokens FROM cover GROUP BY doc_id)
+SELECT s.doc_id, s.n_tokens, s.n_dup_spans, c.covered_tokens,
+       CAST((1000 * c.covered_tokens) // s.n_tokens AS BIGINT) AS coverage_milli
+FROM spans s JOIN cov c USING (doc_id)
+""",
+)
+def q_llm_span_dedup(spark, sf_dir):
+    """Duplicated-span coverage — the exact-substring dedup signal (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    approximated at _SPAN=8-token shingle granularity instead of suffix
+    arrays, which don't distribute): find every 8-token span that
+    occurs verbatim in ≥ 2 distinct documents, then report, per affected
+    document, how many duplicated spans it contains and what fraction of
+    its tokens (milli-units, integer) lie inside at least one duplicated
+    span. A pretraining pipeline cuts or down-weights high-coverage docs —
+    doc-level near-dup (MinHash) misses cross-doc boilerplate that this
+    catches.
+
+    Scale shape: positional shingle explode (one row per token, like the
+    n-gram path) → one shingle-keyed hash-agg for the cross-doc duplicate
+    set → shingle-keyed join back → a bounded ×8 position-cover
+    explode deduped by (doc, pos) → doc-keyed hash-aggs. Every shuffle is
+    on a high-cardinality key (shingle hash / doc_id); no windows, no
+    all-pairs anywhere. Integer outputs are partitioning-independent."""
+    d = load_tables(spark, sf_dir)["documents"]
+    t = d.select("doc_id", tokens_col().alias("toks")).filter(F.size("toks") >= _SPAN)
+    occ = t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (_SPAN - 1)),
+                lambda p: F.struct(
+                    p.alias("p"),
+                    F.md5(F.concat_ws(" ", F.slice("toks", p, _SPAN))).alias("h"),
+                ),
+            )
+        ).alias("sp"),
+    ).select("doc_id", "n_tokens", F.col("sp.p").alias("p"), F.col("sp.h").alias("h"))
+    dup = (
+        occ.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dupocc = occ.join(dup, "h")
+    spans = dupocc.groupBy("doc_id").agg(
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_dup_spans"),
+    )
+    cov = (
+        dupocc.select(
+            "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + (_SPAN - 1))).alias("pos")
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    return spans.join(cov, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_dup_spans",
+        "covered_tokens",
+        F.expr("(1000 * covered_tokens) div n_tokens").alias("coverage_milli"),
+    )

@@ -557,6 +557,206 @@ def q_vec_adc(spark, sf_dir):
     )
 
 
+_RES_D2_SQL = """list_aggregate(list_transform(generate_series(1, 8),
+           i -> ({a}[CAST({s} * 8 + i AS INTEGER)] - {b}[CAST({s} * 8 + i AS INTEGER)])
+              * ({a}[CAST({s} * 8 + i AS INTEGER)] - {b}[CAST({s} * 8 + i AS INTEGER)])),
+           'sum')"""
+
+
+def _ivfpq_oracle() -> str:
+    from pkg2_spark.queries.llm import _IVF_ASSIGN_CTE
+
+    return f"""
+WITH {_IVF_ASSIGN_CTE},
+withres AS (
+  SELECT a.vec_id, a.cid,
+         list_transform(generate_series(1, 64),
+           i -> CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+              - CAST(ce.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS res
+  FROM assign a JOIN embeddings ce ON ce.vec_id = a.cid
+),
+cb AS (
+  SELECT row_number() OVER (
+    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC NULLS LAST, vec_id ASC NULLS LAST
+  ) AS pos, res
+  FROM withres
+  QUALIFY row_number() OVER (
+    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC NULLS LAST, vec_id ASC NULLS LAST
+  ) <= 16
+),
+sub AS (SELECT unnest(generate_series(0, 7)) AS s),
+d AS (
+  SELECT w.vec_id, w.cid, sub.s, cb.pos,
+         {_RES_D2_SQL.format(a="w.res", b="cb.res", s="sub.s")} AS d2
+  FROM withres w CROSS JOIN cb CROSS JOIN sub
+),
+code AS (
+  SELECT vec_id, cid, s, pos FROM d
+  QUALIFY row_number() OVER (
+    PARTITION BY vec_id, s ORDER BY d2 ASC NULLS LAST, pos ASC NULLS LAST
+  ) = 1
+),
+probes AS (SELECT vec_id AS probe_id, cid AS pcid, res AS pres FROM withres WHERE vec_id < 5),
+lut AS (
+  SELECT p.probe_id, sub.s, cb.pos,
+         {_RES_D2_SQL.format(a="p.pres", b="cb.res", s="sub.s")} AS d2
+  FROM probes p CROSS JOIN cb CROSS JOIN sub
+),
+adc AS (
+  SELECT p.probe_id, c.cid AS cell, c.vec_id,
+         CAST(sum(CAST(floor(l.d2 * 10000) AS BIGINT)) AS BIGINT) AS adc_e4
+  FROM code c
+  JOIN probes p ON p.pcid = c.cid AND p.probe_id <> c.vec_id
+  JOIN lut l ON l.probe_id = p.probe_id AND l.s = c.s AND l.pos = c.pos
+  GROUP BY p.probe_id, c.cid, c.vec_id
+),
+top3 AS (
+  SELECT probe_id, cell, vec_id, adc_e4,
+         row_number() OVER (
+           PARTITION BY probe_id ORDER BY adc_e4 ASC NULLS LAST, vec_id ASC NULLS LAST
+         ) AS rnk
+  FROM adc
+  QUALIFY row_number() OVER (
+    PARTITION BY probe_id ORDER BY adc_e4 ASC NULLS LAST, vec_id ASC NULLS LAST
+  ) <= 3
+)
+SELECT t.probe_id, t.cell, CAST(t.rnk AS INTEGER) AS rank, t.vec_id, t.adc_e4,
+       CAST(floor(list_aggregate(list_transform(generate_series(1, 64),
+         i -> (CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+               - CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE))
+            * (CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+               - CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE))),
+         'sum') * 10000) AS BIGINT) AS exact_e4
+FROM top3 t
+JOIN embeddings a ON a.vec_id = t.probe_id
+JOIN embeddings b ON b.vec_id = t.vec_id
+"""
+
+
+@query("q_vec_ivfpq", oracle=_ivfpq_oracle())
+def q_vec_ivfpq(spark, sf_dir):
+    """IVFADC — the full FAISS-style composite index, assembling the three
+    standalone arms into the architecture a production vector deployment
+    actually runs: the three-level IVF coarse quantizer (q_llm_ann_ivf)
+    prunes candidates to the probe's final cell, product quantization over
+    RESIDUALS (embedding − assigned centroid, the formulation FAISS
+    deploys: on clustered corpora residuals live at cell-radius magnitude,
+    so the same 16-entry codebook quantizes them far more finely than raw
+    vectors — on THIS near-uniform synthetic corpus cells are loose and
+    residual norms measure ~1.3× the unit raw norms, so the win doesn't
+    show at test scale; the architecture, not a data-dependent error
+    delta, is the contract), and the per-probe ADC lookup-table scan
+    (q_vec_adc) ranks the cell's members from their 8-byte codes alone.
+    Emits each probe's top-3 in-cell ADC neighbors with the true
+    full-precision distance alongside (both floor-e4) — the recall-quality
+    row an IVFADC deployment monitors.
+
+    Scale shape: the cell assignment is the memoized, checkpointed
+    three-level tree (shared with the whole IVF family — no re-paid
+    scoring cross); residuals come from one centroid-keyed equi-join
+    (n/256 join keys — never broadcast); PQ encoding is row-local
+    higher-order arithmetic against the ONE-row broadcast residual
+    codebook (constant 16×8 work per vector — the q_vec_pq plan: encode
+    runs at scan speed); the ADC scan joins the 5-row broadcast LUT frame
+    against the probed cells only, so scored rows ≈ probes × 256 at every
+    n. The only rank window partitions by probe over ≤ cell-sized
+    candidate sets.
+
+    Determinism: residuals are exact double subtractions (float→double is
+    value-preserving), d2 folds run in the same sequential element order
+    as DuckDB's list_aggregate sum, codebook positions are the md5-rank
+    shared with q_vec_pq/q_vec_adc, and argmin tie-breaks use strict-<
+    over ascending pos — bit-identical codes, LUTs, and ADC sums."""
+    from pkg2_spark.queries.llm import _ivf_assign
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    assign = _ivf_assign(e)
+    ce = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
+    withres = assign.join(ce, "cid").select(
+        "vec_id",
+        "cid",
+        F.zip_with(
+            "embedding", "cemb", lambda x, y: x.cast("double") - y.cast("double")
+        ).alias("res"),
+    )
+    cb = (
+        withres.select(
+            F.md5(F.col("vec_id").cast("string")).alias("mkey"),
+            F.col("vec_id").alias("cbid"),
+            "res",
+        )
+        .orderBy(F.col("mkey").asc_nulls_last(), F.col("cbid").asc_nulls_last())
+        .limit(16)
+        .agg(F.sort_array(F.collect_list(F.struct("mkey", "cbid", "res"))).alias("cb"))
+    )
+    d2s = (
+        "aggregate(zip_with(slice({a}, s * 8 + 1, 8), slice({b}, s * 8 + 1, 8),"
+        " (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc2, v) -> acc2 + v)"
+    )
+    codes = F.expr(
+        "transform(sequence(0, 7), s -> aggregate("
+        " zip_with(cb, sequence(1, 16), (c, i) -> named_struct('cres', c.res, 'pos', i)),"
+        " named_struct('d2', CAST('Infinity' AS DOUBLE), 'pos', -1),"
+        f" (acc, p) -> IF({d2s.format(a='res', b='p.cres')} < acc.d2,"
+        f" named_struct('d2', {d2s.format(a='res', b='p.cres')}, 'pos', p.pos), acc)).pos)"
+    )
+    corpus = withres.crossJoin(F.broadcast(cb)).select("vec_id", "cid", codes.alias("codes"))
+    lut = F.expr(
+        "transform(sequence(0, 7), s -> transform(cb, c -> "
+        + d2s.format(a="pres", b="c.res")
+        + "))"
+    )
+    qlut = (
+        withres.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("cid").alias("pcid"),
+            F.col("res").alias("pres"),
+        )
+        .crossJoin(F.broadcast(cb))
+        .select("probe_id", "pcid", lut.alias("lut"))
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(qlut),
+            (F.col("cid") == F.col("pcid")) & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .select(
+            "probe_id",
+            F.col("cid").alias("cell"),
+            "vec_id",
+            F.expr(
+                "aggregate(zip_with(codes, sequence(1, 8), (p, s) ->"
+                " CAST(floor(element_at(element_at(lut, s), p) * 10000) AS BIGINT)),"
+                " CAST(0 AS BIGINT), (a, v) -> a + v)"
+            ).alias("adc_e4"),
+        )
+    )
+    w_rank = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_e4").asc_nulls_last(), F.col("vec_id").asc_nulls_last()
+    )
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select("probe_id", "cell", F.col("rank").cast("int").alias("rank"), "vec_id", "adc_e4")
+    )
+    qv = e.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qv"))
+    nv = e.select("vec_id", F.col("embedding").alias("nv"))
+    exact = F.expr(
+        "CAST(floor(aggregate(zip_with(qv, nv, (x, y) ->"
+        " (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (a, v) -> a + v) * 10000) AS BIGINT)"
+    )
+    return (
+        F.broadcast(ranked)
+        .join(qv, "probe_id")
+        .join(nv, "vec_id")
+        .select("probe_id", "cell", "rank", "vec_id", "adc_e4", exact.alias("exact_e4"))
+    )
+
+
 @query(
     "q_kmeans_step",
     oracle="""

@@ -44,6 +44,11 @@ NLJ_WHITELIST = {
     "assignments; recenter itself is a keyed hash agg",
     "q_llm_knn": "bounded probe set broadcast vs linear corpus scan",
     "q_llm_tfidf": "1-row doc-count scalar cross join (broadcast)",
+    "q_llm_unigram_lm": "1-row corpus-token-total scalar cross join "
+    "(broadcast; the q_llm_tfidf shape)",
+    "q_vec_ivfpq": "1-row residual codebook broadcast over the PQ encode "
+    "scan + the same for the 5-probe LUT build (the q_vec_adc shape); the "
+    "ADC scan itself is the cell-keyed equi-join",
     "q_win_dist": "1-row total cross join (broadcast)",
     "q_agg_mode": "1-row total cross join (broadcast)",
     "q_ts_gapfill": "spine construction: bounded hours x categories cross "

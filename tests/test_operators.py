@@ -479,3 +479,43 @@ def test_mprobe_recall_dominates_single_probe(spark, sf_dir):
         hit_s = sum(1 for p, v in exact if p == pid and (p, v) in single)
         hit_m = sum(1 for p, v in exact if p == pid and (p, v) in multi)
         assert hit_m >= hit_s, (pid, hit_m, hit_s)
+
+
+def test_unigram_lm_bands_and_integer_surprisal(spark, sf_dir):
+    # Every doc gets a row; min per-token surprisal is 1 bit (the corpus's
+    # most common token still has N div cnt >= 1 -> bin length >= 1), so
+    # mean_milli >= 1000 and surprisal_sum >= n_tokens; bands must agree
+    # with the declared thresholds; all outputs are integers (no float can
+    # reach the driver hash).
+    from pkg2_spark.queries.llm import _LM_HEAD_MILLI, _LM_TAIL_MILLI
+    from pkg2_spark.registry import all_queries
+
+    rows = all_queries()["q_llm_unigram_lm"](spark, sf_dir).collect()
+    n_docs = load_tables(spark, sf_dir)["documents"].count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r["surprisal_sum"] >= r["n_tokens"] >= 1
+        assert r["mean_milli"] >= 1000
+        assert isinstance(r["surprisal_sum"], int) and isinstance(r["mean_milli"], int)
+        want = (
+            "head"
+            if r["mean_milli"] < _LM_HEAD_MILLI
+            else ("middle" if r["mean_milli"] <= _LM_TAIL_MILLI else "tail")
+        )
+        assert r["band"] == want
+    assert {r["band"] for r in rows} >= {"head", "middle"}  # bands populated
+
+
+def test_span_dedup_coverage_bounds_and_cross_doc(spark, sf_dir):
+    # A duplicated span must implicate >= 2 docs; per-doc coverage is
+    # bounded by both the doc length and 8 tokens per reported span; the
+    # milli ratio is exact integer arithmetic.
+    from pkg2_spark.registry import all_queries
+
+    rows = all_queries()["q_llm_span_dedup"](spark, sf_dir).collect()
+    assert len(rows) >= 2  # cross-doc duplicates exist in pairs
+    for r in rows:
+        assert 1 <= r["n_dup_spans"]
+        assert 8 <= r["covered_tokens"] <= min(r["n_tokens"], 8 * r["n_dup_spans"])
+        assert 0 < r["coverage_milli"] <= 1000
+        assert r["coverage_milli"] == (1000 * r["covered_tokens"]) // r["n_tokens"]
