@@ -1752,3 +1752,293 @@ def q_llm_simpson(spark, sf_dir):
         .orderBy(F.col("simpson_e4").desc(), F.col("doc_id").asc())
         .limit(25)
     )
+
+
+_BPE_ORACLE = """
+WITH words AS (
+  SELECT token AS w, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS token
+        FROM documents)
+  GROUP BY token
+),
+seg AS (SELECT w, freq, string_split(w, '') AS syms, len(string_split(w, '')) AS n FROM words),
+pairs AS (
+  SELECT sym_pair, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, unnest(list_transform(generate_series(1, n - 1),
+      i -> syms[CAST(i AS INTEGER)] || '+' || syms[CAST(i + 1 AS INTEGER)])) AS sym_pair
+    FROM seg WHERE n >= 2
+  ) GROUP BY sym_pair
+),
+merge AS (
+  SELECT string_split(sym_pair, '+')[1] AS ma, string_split(sym_pair, '+')[2] AS mb,
+         sym_pair, cnt
+  FROM pairs ORDER BY cnt DESC, sym_pair ASC LIMIT 1
+),
+applied AS (
+  SELECT s.w, s.freq,
+         CASE WHEN m.ma <> m.mb THEN
+           len(list_filter(generate_series(1, s.n - 1),
+             i -> s.syms[CAST(i AS INTEGER)] = m.ma AND s.syms[CAST(i + 1 AS INTEGER)] = m.mb))
+         ELSE
+           len(list_filter(generate_series(1, s.n),
+             i -> s.syms[CAST(i AS INTEGER)] = m.ma
+              AND (CAST(i AS INTEGER) - coalesce(list_max(list_filter(generate_series(1, i),
+                    j -> s.syms[CAST(j AS INTEGER)] <> m.ma)), 0)) % 2 = 0))
+         END AS merges
+  FROM seg s CROSS JOIN merge m
+  WHERE s.n >= 2
+),
+before20 AS (
+  SELECT 'pair_before' AS phase,
+         CAST(row_number() OVER (ORDER BY cnt DESC, sym_pair ASC) AS INTEGER) AS rank,
+         sym_pair AS item, cnt
+  FROM pairs
+  QUALIFY row_number() OVER (ORDER BY cnt DESC, sym_pair ASC) <= 20
+),
+mrow AS (SELECT 'merge' AS phase, CAST(1 AS INTEGER) AS rank, sym_pair AS item, cnt FROM merge),
+after20 AS (
+  SELECT 'word_after' AS phase,
+         CAST(row_number() OVER (ORDER BY merges DESC, w ASC) AS INTEGER) AS rank,
+         w AS item, merges AS cnt
+  FROM applied WHERE merges > 0
+  QUALIFY row_number() OVER (ORDER BY merges DESC, w ASC) <= 20
+),
+stats AS (
+  SELECT 'stats' AS phase, CAST(1 AS INTEGER) AS rank, 'weighted_merges' AS item,
+         CAST(sum(freq * merges) AS BIGINT) AS cnt
+  FROM applied
+)
+SELECT * FROM before20 UNION ALL SELECT * FROM mrow
+UNION ALL SELECT * FROM after20 UNION ALL SELECT * FROM stats
+"""
+
+
+@query("q_llm_bpe_step", oracle=_BPE_ORACLE)
+def q_llm_bpe_step(spark, sf_dir):
+    """One BPE merge step — tokenizer TRAINING as a distributed counting
+    workload (the q_kmeans_step / q_llm_ivf_refine pattern: the iteration
+    builder as a first-class differential-checked operator; real BPE
+    training loops this step vocab-size times): count corpus word
+    frequencies, count adjacent symbol-pair frequencies weighted by word
+    freq, select the argmax pair (count DESC, pair ASC — the
+    deterministic tie-break every BPE implementation needs), and APPLY
+    the merge greedily left-to-right to the vocabulary. Emits the top-20
+    pairs before the merge, the selected merge, the top-20 words by
+    merges applied, and the weighted merge total.
+
+    Greedy non-overlapping apply without a sequential fold: occurrences
+    of pair (a,b) can only overlap when a = b (occurrence positions p and
+    p+1 require syms[p+1] = b = a), so merges-per-word is exact counting
+    — a ≠ b: every occurrence merges; a = b: within each maximal run of
+    a's, greedy takes floor(run/2) = the positions whose backward run
+    length is even. Both are row-local higher-order filters (words are
+    ≤ ~20 symbols; the nested scan is bounded by construction).
+
+    Scale shape: the corpus-sized work is ONE token explode + hash-agg
+    (map-combinable) into the word-frequency table; everything after is
+    VOCABULARY-sized (word types, not occurrences — bounded at any corpus
+    scale). Pair counting is explode → hash-agg; the argmax and top-20s
+    are TakeOrderedAndProject (per-partition partial top-k, no global
+    sort); the 1-row merge frame broadcasts onto the vocab scan. Integer
+    counts everywhere — partitioning-independent."""
+    d = load_tables(spark, sf_dir)["documents"]
+    words = (
+        d.select(F.explode(tokens_col("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # split(w, '(?!$)') — Spark's split keeps a trailing empty element for
+    # the '' pattern under its limit=-1 default; the lookahead excludes the
+    # end-of-string match so both engines see the same symbol list.
+    seg = words.select(
+        "w", "freq", F.expr("split(w, '(?!$)')").alias("syms")
+    ).withColumn("n", F.size("syms"))
+    pairs = (
+        seg.filter(F.col("n") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, n - 1),"
+                    " i -> element_at(syms, i) || '+' || element_at(syms, i + 1))"
+                )
+            ).alias("sym_pair"),
+        )
+        .groupBy("sym_pair")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+    )
+    merge = (
+        pairs.orderBy(F.col("cnt").desc(), F.col("sym_pair").asc())
+        .limit(1)
+        .select(
+            F.expr("split_part(sym_pair, '+', 1)").alias("ma"),
+            F.expr("split_part(sym_pair, '+', 2)").alias("mb"),
+            "sym_pair",
+            "cnt",
+        )
+    )
+    applied = (
+        seg.filter(F.col("n") >= 2)
+        .crossJoin(F.broadcast(merge))
+        .select(
+            "w",
+            "freq",
+            F.expr(
+                "CASE WHEN ma <> mb THEN"
+                " size(filter(sequence(1, n - 1),"
+                "  i -> element_at(syms, i) = ma AND element_at(syms, i + 1) = mb))"
+                " ELSE"
+                " size(filter(sequence(1, n),"
+                "  i -> element_at(syms, i) = ma"
+                "   AND (i - coalesce(array_max(filter(sequence(1, i),"
+                "         j -> element_at(syms, j) != ma)), 0)) % 2 = 0))"
+                " END"
+            ).cast("long").alias("merges"),
+        )
+    )
+    w20p = Window.orderBy(F.col("cnt").desc(), F.col("item").asc())
+    before20 = (
+        pairs.orderBy(F.col("cnt").desc(), F.col("sym_pair").asc())
+        .limit(20)
+        .select(F.col("sym_pair").alias("item"), "cnt")
+        .select(
+            F.lit("pair_before").alias("phase"),
+            F.row_number().over(w20p).cast("int").alias("rank"),
+            "item",
+            "cnt",
+        )
+    )
+    mrow = merge.select(
+        F.lit("merge").alias("phase"),
+        F.lit(1).cast("int").alias("rank"),
+        F.col("sym_pair").alias("item"),
+        "cnt",
+    )
+    w20w = Window.orderBy(F.col("cnt").desc(), F.col("item").asc())
+    after20 = (
+        applied.filter(F.col("merges") > 0)
+        .orderBy(F.col("merges").desc(), F.col("w").asc())
+        .limit(20)
+        .select(F.col("w").alias("item"), F.col("merges").alias("cnt"))
+        .select(
+            F.lit("word_after").alias("phase"),
+            F.row_number().over(w20w).cast("int").alias("rank"),
+            "item",
+            "cnt",
+        )
+    )
+    stats = applied.agg(
+        F.sum(F.col("freq") * F.col("merges")).cast("long").alias("cnt")
+    ).select(
+        F.lit("stats").alias("phase"),
+        F.lit(1).cast("int").alias("rank"),
+        F.lit("weighted_merges").alias("item"),
+        "cnt",
+    )
+    return before20.unionAll(mrow).unionAll(after20).unionAll(stats)
+
+
+_DRIFT_ORACLE = """
+WITH spine AS (
+  SELECT d.dim, b.bucket
+  FROM (SELECT unnest(generate_series(1, 8)) AS dim) d
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS bucket) b
+),
+vals AS (
+  SELECT vec_id % 2 AS half, g.dim,
+         CAST(least(greatest(floor((CAST(embedding[CAST(g.dim AS INTEGER)] AS DOUBLE)
+           + 1.0) * 4), 0), 7) AS BIGINT) AS bucket
+  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS dim) g
+),
+cnt AS (
+  SELECT dim, bucket,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM vals GROUP BY dim, bucket
+),
+tot AS (
+  SELECT CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM embeddings
+),
+j AS (
+  SELECT s.dim, s.bucket,
+         coalesce(c.n_base, 0) AS n_base, coalesce(c.n_cur, 0) AS n_cur,
+         CAST(coalesce(c.n_base, 0) * 1000000 // t.a AS BIGINT) AS pa_e6,
+         CAST(coalesce(c.n_cur, 0) * 1000000 // t.b AS BIGINT) AS pb_e6
+  FROM spine s LEFT JOIN cnt c ON c.dim = s.dim AND c.bucket = s.bucket
+  CROSS JOIN tot t
+)
+SELECT CAST(dim AS INTEGER) AS dim, CAST(bucket AS INTEGER) AS bucket,
+       n_base, n_cur, pa_e6, pb_e6,
+       CAST((pa_e6 - pb_e6) * (pa_e6 - pb_e6) // (pa_e6 + pb_e6 + 1) AS BIGINT) AS contrib
+FROM j
+"""
+
+
+@query("q_dq_embdrift", oracle=_DRIFT_ORACLE)
+def q_dq_embdrift(spark, sf_dir):
+    """Embedding-distribution drift monitor — the snapshot-over-snapshot
+    data-quality gate a production embedding pipeline runs before trusting
+    a refreshed corpus (model re-embeds, upstream data shifts, a bad batch
+    lands): bucket each monitored dimension (first 8) into 8 fixed value
+    buckets over [-1, 1], count per (dim, bucket) for the base and current
+    snapshot halves (vec_id parity stands in for two snapshot tags), and
+    emit per-cell proportions plus an integer chi-square-style drift
+    contribution ((pa-pb)^2 / (pa+pb+1) in e6 proportion units — the
+    PSI-shaped signal without PSI's ln, which would put a libm rounding
+    boundary inside a floored output). The 8x8 spine left-join keeps
+    empty cells as explicit zero rows so the monitoring surface is
+    schema-stable.
+
+    Scale shape: one bounded x8 dimension explode -> (dim, bucket) hash
+    agg (map-combinable, 64 groups) -> broadcast 2-scalar totals -> the
+    constant 64-row spine join. At 100 TB this is a single scan + one
+    64-group aggregate; bucket boundaries are FIXED (floor((v+1)*4)) so
+    no quantile pass is needed and both engines bucket bit-identically
+    (float->double exact, one IEEE multiply)."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    spine = (
+        spark.range(1, 9)
+        .select(F.col("id").cast("long").alias("dim"))
+        .crossJoin(spark.range(0, 8).select(F.col("id").cast("long").alias("bucket")))
+    )
+    vals = e.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, 8), d -> named_struct('dim', CAST(d AS BIGINT),"
+                " 'bucket', CAST(least(greatest(floor((CAST(element_at(embedding, d)"
+                " AS DOUBLE) + 1.0) * 4), 0), 7) AS BIGINT)))"
+            )
+        ).alias("db"),
+    ).select("half", F.col("db.dim").alias("dim"), F.col("db.bucket").alias("bucket"))
+    cnt = vals.groupBy("dim", "bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long").alias("n_base"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long").alias("n_cur"),
+    )
+    tot = e.agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0)).cast("long").alias("b"),
+    )
+    j = (
+        spine.join(cnt, ["dim", "bucket"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dim",
+            "bucket",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+            F.expr("coalesce(n_base, 0) * 1000000 div a").alias("pa_e6"),
+            F.expr("coalesce(n_cur, 0) * 1000000 div b").alias("pb_e6"),
+        )
+    )
+    return j.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_base",
+        "n_cur",
+        "pa_e6",
+        "pb_e6",
+        F.expr("(pa_e6 - pb_e6) * (pa_e6 - pb_e6) div (pa_e6 + pb_e6 + 1)").alias("contrib"),
+    )

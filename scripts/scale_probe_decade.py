@@ -51,6 +51,12 @@ PROBES = [
     "q_join_salted",
     "q_agg_salted",
     "q_stream_rt_join",
+    # round-8 additions: the IVFADC composite (residual join + row-local
+    # PQ encode + cell-keyed ADC on top of the timed tree construction)
+    # and the two linear text passes (explode -> hash-agg topologies)
+    "q_vec_ivfpq",
+    "q_llm_unigram_lm",
+    "q_llm_span_dedup",
 ]
 
 # second decade (sf1 -> sf10): the vector/dedup family whose flatness
@@ -59,6 +65,7 @@ PROBES_DEC2 = [
     "q_llm_ann_ivf",
     "q_llm_semdedup",
     "q_llm_winnow_dup",
+    "q_vec_ivfpq",
 ]
 
 

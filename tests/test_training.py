@@ -592,3 +592,64 @@ def test_ivfpq_deterministic_across_partitionings(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
         ivf_invalidate()
     assert results[0] == results[1] and len(results[0]) > 0
+
+
+def test_bpe_step_merge_is_argmax_and_apply_is_greedy(spark, sf_dir):
+    # The selected merge must be the exact argmax of the before-pairs
+    # (count DESC, pair ASC); every word_after count must equal a direct
+    # Python reimplementation of greedy left-to-right BPE merging on that
+    # word; the weighted total must tie out against the full vocab.
+    rows = _q(spark, sf_dir, "q_llm_bpe_step").collect()
+    by_phase: dict = {}
+    for r in rows:
+        by_phase.setdefault(r["phase"], []).append(r)
+    merge = by_phase["merge"][0]
+    before = sorted(by_phase["pair_before"], key=lambda r: r["rank"])
+    assert merge["item"] == before[0]["item"] and merge["cnt"] == before[0]["cnt"]
+    ma, mb = merge["item"].split("+")
+
+    def greedy_merges(word: str) -> int:
+        syms = list(word)
+        out: list = []
+        n = 0
+        for s in syms:
+            if out and out[-1] == ma and s == mb and not isinstance(out[-1], tuple):
+                out[-1] = (ma, mb)  # mark merged so it can't merge again
+                n += 1
+            else:
+                out.append(s)
+        return n
+
+    for r in by_phase["word_after"]:
+        assert r["cnt"] == greedy_merges(r["item"]), r["item"]
+    # ranks dense, ordering respected
+    ranks = [r["rank"] for r in sorted(by_phase["word_after"], key=lambda r: r["rank"])]
+    assert ranks == list(range(1, len(ranks) + 1))
+    assert by_phase["stats"][0]["item"] == "weighted_merges"
+    assert by_phase["stats"][0]["cnt"] >= merge["cnt"] // 2
+
+
+def test_embdrift_conservation_and_spine(spark, sf_dir):
+    # The 8x8 spine is always fully present; per-dim counts conserve the
+    # per-half corpus totals; proportions sum to ~1e6 per (dim, half)
+    # (floor loss < 8 cells); contrib is the declared integer formula.
+    rows = _q(spark, sf_dir, "q_dq_embdrift").collect()
+    assert len(rows) == 64
+    assert {(r["dim"], r["bucket"]) for r in rows} == {
+        (d, b) for d in range(1, 9) for b in range(8)
+    }
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_base = e.filter(F.col("vec_id") % 2 == 0).count()
+    n_cur = e.filter(F.col("vec_id") % 2 == 1).count()
+    by_dim: dict = {}
+    for r in rows:
+        by_dim.setdefault(r["dim"], []).append(r)
+        assert r["contrib"] == (r["pa_e6"] - r["pb_e6"]) ** 2 // (
+            r["pa_e6"] + r["pb_e6"] + 1
+        )
+    for cells in by_dim.values():
+        assert sum(c["n_base"] for c in cells) == n_base
+        assert sum(c["n_cur"] for c in cells) == n_cur
+        for half, tot in (("pa_e6", 1_000_000), ("pb_e6", 1_000_000)):
+            s = sum(c[half] for c in cells)
+            assert tot - 8 < s <= tot  # floor loss strictly under 1 ulp/cell
