@@ -2042,3 +2042,232 @@ def q_dq_embdrift(spark, sf_dir):
         "pb_e6",
         F.expr("(pa_e6 - pb_e6) * (pa_e6 - pb_e6) div (pa_e6 + pb_e6 + 1)").alias("contrib"),
     )
+
+
+_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+_BG_PEN = 2  # stupid-backoff penalty in surprisal bits (integer stand-in
+# for -log2(alpha) with alpha = 0.25; KenLM-style pipelines use 0.4)
+
+_BIGRAM_LM_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+trn AS (SELECT doc_id, toks FROM t WHERE doc_id % 50 = 0),
+scr AS (SELECT doc_id, toks FROM t WHERE doc_id % 50 <> 0),
+tok1 AS (SELECT unnest(toks) AS w FROM trn),
+cnt1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM tok1 GROUP BY w),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM tok1),
+bg AS (
+  SELECT u.w1 || ' ' || u.w2 AS bg2, CAST(count(*) AS BIGINT) AS c2 FROM (
+    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+      i -> struct_pack(w1 := toks[CAST(i AS INTEGER)],
+                       w2 := toks[CAST(i + 1 AS INTEGER)]))) AS u
+    FROM trn WHERE len(toks) >= 2
+  ) GROUP BY bg2
+),
+sp AS (
+  SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+      i -> struct_pack(w1 := toks[CAST(i AS INTEGER)],
+                       w2 := toks[CAST(i + 1 AS INTEGER)]))) AS u
+    FROM scr WHERE len(toks) >= 2
+  )
+),
+sc AS (
+  SELECT sp.doc_id,
+         CASE WHEN b.c2 IS NOT NULL THEN length(bin(CAST(ca.c1 // b.c2 AS BIGINT)))
+              WHEN cb.c1 IS NOT NULL THEN length(bin(CAST(n.nt // cb.c1 AS BIGINT))) + {_BG_PEN}
+              ELSE length(bin(n.nt)) + {_BG_PEN} END AS s,
+         CASE WHEN b.c2 IS NOT NULL THEN 2
+              WHEN cb.c1 IS NOT NULL THEN 1 ELSE 0 END AS kind
+  FROM sp
+  LEFT JOIN bg b ON sp.w1 || ' ' || sp.w2 = b.bg2
+  LEFT JOIN cnt1 ca ON sp.w1 = ca.w
+  LEFT JOIN cnt1 cb ON sp.w2 = cb.w
+  CROSS JOIN n
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN kind = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN kind = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+       CAST(sum(CASE WHEN kind = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(s) AS BIGINT) AS surprisal_sum,
+       CAST((1000 * sum(s)) // count(*) AS BIGINT) AS mean_milli
+FROM sc GROUP BY doc_id
+"""
+
+
+@query("q_llm_bigram_lm", oracle=_BIGRAM_LM_ORACLE)
+def q_llm_bigram_lm(spark, sf_dir):
+    """Bigram LM with stupid backoff over a held-out split — the KenLM-style
+    corpus-LM quality filter one rung up from q_llm_unigram_lm, with the
+    train/score separation that makes backoff REAL: train token + adjacent-
+    pair counts on a 2% doc sample (doc_id % 50 == 0 — production LM
+    filters train on a corpus sample, not the corpus), score the rest;
+    the sparse LM leaves genuinely unseen bigrams and tokens. A scored
+    bigram seen in training costs bitlen(c1(w1) div c2(w1,w2)) bits
+    (~-log2 P(w2|w1)); unseen context backs off to the unigram
+    bitlen(N div c1(w2)) plus a flat integer penalty; an unseen w2 pays the
+    full bitlen(N) plus penalty. Per scored doc: pair counts by kind
+    (hit/backoff/oov — the coverage triple a filtering run monitors) and
+    the mean-milli surprisal score. All bit-length integer arithmetic
+    (no libm log near a floor boundary, the q_llm_unigram_lm rule).
+
+    Scale shape: train side is two explode → hash-agg passes (token LM is
+    vocabulary-sized, bigram LM is pair-vocabulary-sized); score side is
+    one row-local pair explode joined back on three high-cardinality keys
+    (bigram, w1, w2 — the TF-IDF topology three times) plus a broadcast
+    1-row corpus total, then one doc-keyed hash-agg. No windows, no
+    driver-side state; every shuffle key grows with vocabulary, not
+    corpus size."""
+    d = load_tables(spark, sf_dir)["documents"]
+    t = d.select("doc_id", tokens_col("text").alias("toks")).withColumn(
+        "n", F.size("toks")
+    )
+    trn = t.filter(F.col("doc_id") % 50 == 0)
+    scr = t.filter((F.col("doc_id") % 50 != 0) & (F.col("n") >= 2))
+    tok1 = trn.select(F.explode("toks").alias("w"))
+    cnt1 = tok1.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    n = tok1.agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    pair_expr = (
+        "transform(sequence(1, n - 1), i -> named_struct("
+        "'w1', element_at(toks, i), 'w2', element_at(toks, i + 1)))"
+    )
+    bgc = (
+        trn.filter(F.col("n") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("u"))
+        .select(F.concat_ws(" ", F.col("u.w1"), F.col("u.w2")).alias("bg2"))
+        .groupBy("bg2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+    sp = scr.select("doc_id", F.explode(F.expr(pair_expr)).alias("u")).select(
+        "doc_id", F.col("u.w1").alias("w1"), F.col("u.w2").alias("w2")
+    )
+    ca = cnt1.select(F.col("w").alias("wa"), F.col("c1").alias("ca1"))
+    cb = cnt1.select(F.col("w").alias("wb"), F.col("c1").alias("cb1"))
+    sc = (
+        sp.join(bgc, F.concat_ws(" ", "w1", "w2") == F.col("bg2"), "left")
+        .join(ca, F.col("w1") == F.col("wa"), "left")
+        .join(cb, F.col("w2") == F.col("wb"), "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN c2 IS NOT NULL THEN length(bin(ca1 div c2))"
+                f" WHEN cb1 IS NOT NULL THEN length(bin(nt div cb1)) + {_BG_PEN}"
+                f" ELSE length(bin(nt)) + {_BG_PEN} END"
+            ).alias("s"),
+            F.expr(
+                "CASE WHEN c2 IS NOT NULL THEN 2"
+                " WHEN cb1 IS NOT NULL THEN 1 ELSE 0 END"
+            ).alias("kind"),
+        )
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("kind") == 2, 1).otherwise(0)).cast("long").alias("n_hits"),
+        F.sum(F.when(F.col("kind") == 1, 1).otherwise(0)).cast("long").alias("n_backoff"),
+        F.sum(F.when(F.col("kind") == 0, 1).otherwise(0)).cast("long").alias("n_oov"),
+        F.sum("s").cast("long").alias("surprisal_sum"),
+        F.expr("(1000 * sum(s)) div count(1)").cast("long").alias("mean_milli"),
+    )
+
+
+_LSH_CALIB_ORACLE = f"""
+WITH {{bands}},
+t AS (
+  SELECT doc_id, source, list_distinct({_TOKS}) AS toks FROM documents
+),
+truth AS (
+  SELECT doc_a, doc_b, CAST((1000 * ni) // (la + lb - ni) AS BIGINT) AS j_milli FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS ni,
+           len(a.toks) AS la, len(b.toks) AS lb
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+  ) WHERE la + lb - ni > 0
+),
+lshp AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+flagged AS (
+  SELECT tr.j_milli, CASE WHEN l.doc_a IS NULL THEN 0 ELSE 1 END AS caught
+  FROM truth tr LEFT JOIN lshp l ON tr.doc_a = l.doc_a AND tr.doc_b = l.doc_b
+)
+SELECT CAST(least(j_milli // 100, 9) AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(caught) AS BIGINT) AS n_caught,
+       CAST((1000 * sum(caught)) // count(*) AS BIGINT) AS catch_milli,
+       CAST(min(j_milli) AS BIGINT) AS min_j_milli,
+       CAST(max(j_milli) AS BIGINT) AS max_j_milli
+FROM flagged GROUP BY bucket
+"""
+
+
+@query(
+    "q_llm_lsh_calib",
+    oracle=_LSH_CALIB_ORACLE.format(bands=_llm_bands_cte().strip()),
+)
+def q_llm_lsh_calib(spark, sf_dir):
+    """MinHash-LSH S-curve calibration — the measured collision table that
+    tells a production dedup whether its (K, r, b) banding actually catches
+    the Jaccard range it was tuned for: for every ground-truth pair (the
+    source-blocked exact token-set Jaccard of q_llm_jaccard, the attainable
+    evaluation set; a 100 TB deployment runs this on a sampled block),
+    bucket the exact Jaccard into deciles and report, per bucket, how many
+    pairs the UNCAPPED band equi-join (the q_llm_neardup_pairs candidate
+    set) discovered. Low buckets measure the false-positive mass the
+    verify stage must absorb; high buckets measure recall — the two
+    numbers that decide whether to move r/b before a full-corpus run.
+
+    Scale shape: ground truth is the source-blocked pair join (linear per
+    block, sampled in production); the LSH side is the standard
+    (band_id, band_key) equi-join; the flag join is pair-keyed; the final
+    aggregate has ≤ 10 groups. Integer milli-Jaccard (1000·|∩| div |∪|)
+    and integer catch rates — partitioning-independent."""
+    from pkg2_spark.operators.text import lsh_bands, minhash_signatures, tokenize_distinct
+
+    d = load_tables(spark, sf_dir)["documents"]
+    t = d.select("doc_id", "source", F.array_distinct(tokens_col()).alias("toks"))
+    a = t.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"), F.col("toks").alias("ta")
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"), F.col("toks").alias("tb")
+    )
+    ni = F.size(F.array_intersect("ta", "tb"))
+    denom = F.size("ta") + F.size("tb") - ni
+    truth = (
+        a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", ni.alias("ni"), denom.alias("denom"))
+        .filter(F.col("denom") > 0)
+        .select("doc_a", "doc_b", F.expr("CAST(1000 * ni AS BIGINT) div denom").alias("j_milli"))
+    )
+    bands = lsh_bands(minhash_signatures(tokenize_distinct(d), 8), 8, 4)
+    ba = bands.select(F.col("doc_id").alias("la"), "band_id", "band_key")
+    bb = bands.select(
+        F.col("doc_id").alias("lb"), F.col("band_id").alias("bid2"), F.col("band_key").alias("bkey2")
+    )
+    lshp = (
+        ba.join(
+            bb,
+            (F.col("band_id") == F.col("bid2"))
+            & (F.col("band_key") == F.col("bkey2"))
+            & (F.col("la") < F.col("lb")),
+        )
+        .select("la", "lb")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    flagged = truth.join(
+        lshp, (F.col("doc_a") == F.col("la")) & (F.col("doc_b") == F.col("lb")), "left"
+    ).select("j_milli", F.coalesce("hit", F.lit(0)).alias("caught"))
+    return flagged.groupBy(
+        F.expr("CAST(least(j_milli div 100, 9) AS INT)").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("caught").cast("long").alias("n_caught"),
+        F.expr("(1000 * sum(caught)) div count(1)").cast("long").alias("catch_milli"),
+        F.min("j_milli").cast("long").alias("min_j_milli"),
+        F.max("j_milli").cast("long").alias("max_j_milli"),
+    )

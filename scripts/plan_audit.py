@@ -50,6 +50,9 @@ NLJ_WHITELIST = {
     "cross join (broadcast; the q_dq_benford shape)",
     "q_llm_bpe_step": "1-row argmax-merge broadcast cross onto the "
     "vocabulary scan; pair counting itself is explode -> hash-agg",
+    "q_llm_bigram_lm": "1-row train-token-total scalar cross join "
+    "(broadcast; the q_llm_unigram_lm shape); the three LM joins are "
+    "high-cardinality equi-joins",
     "q_vec_ivfpq": "1-row residual codebook broadcast over the PQ encode "
     "scan + the same for the 5-probe LUT build (the q_vec_adc shape); the "
     "ADC scan itself is the cell-keyed equi-join",

@@ -653,3 +653,65 @@ def test_embdrift_conservation_and_spine(spark, sf_dir):
         for half, tot in (("pa_e6", 1_000_000), ("pb_e6", 1_000_000)):
             s = sum(c[half] for c in cells)
             assert tot - 8 < s <= tot  # floor loss strictly under 1 ulp/cell
+
+
+def test_bigram_lm_kinds_partition_and_reimplementation(spark, sf_dir):
+    # n_pairs must partition exactly into hits/backoff/oov; mean_milli must
+    # be the declared integer formula; and one scored doc's surprisal must
+    # match a direct Python reimplementation of the stupid-backoff scorer
+    # built from the same 2% train sample.
+    rows = _q(spark, sf_dir, "q_llm_bigram_lm").collect()
+    assert rows
+    total_hits = sum(r["n_hits"] for r in rows)
+    total_backoff = sum(r["n_backoff"] for r in rows)
+    assert total_hits > 0 and total_backoff > 0  # both LM arms exercised
+    for r in rows:
+        assert r["n_pairs"] == r["n_hits"] + r["n_backoff"] + r["n_oov"]
+        assert r["mean_milli"] == (1000 * r["surprisal_sum"]) // r["n_pairs"]
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    toks = {d["doc_id"]: [t for t in d["text"].lower().split(" ") if t] for d in docs}
+    cnt1: dict = {}
+    cnt2: dict = {}
+    nt = 0
+    for did, ts in toks.items():
+        if did % 50 != 0:
+            continue
+        for w in ts:
+            cnt1[w] = cnt1.get(w, 0) + 1
+            nt += 1
+        for a, b in zip(ts, ts[1:]):
+            cnt2[(a, b)] = cnt2.get((a, b), 0) + 1
+
+    def score(ts):
+        s = 0
+        for a, b in zip(ts, ts[1:]):
+            if (a, b) in cnt2:
+                s += len(bin(cnt1[a] // cnt2[(a, b)])) - 2
+            elif b in cnt1:
+                s += len(bin(nt // cnt1[b])) - 2 + 2
+            else:
+                s += len(bin(nt)) - 2 + 2
+        return s
+
+    for r in rows[:20]:
+        assert r["surprisal_sum"] == score(toks[r["doc_id"]]), r["doc_id"]
+
+
+def test_lsh_calib_s_curve_and_bucket_bounds(spark, sf_dir):
+    # Buckets must respect their decile bounds, rates must be the declared
+    # integer formula, and the measured curve must actually be an S: the
+    # top-Jaccard bucket catches more than the bottom one.
+    rows = _q(spark, sf_dir, "q_llm_lsh_calib").collect()
+    assert rows
+    by_bucket = {r["bucket"]: r for r in rows}
+    for r in rows:
+        assert 0 <= r["bucket"] <= 9
+        assert 0 <= r["n_caught"] <= r["n_pairs"]
+        assert r["catch_milli"] == (1000 * r["n_caught"]) // r["n_pairs"]
+        lo = r["bucket"] * 100
+        hi = 1000 if r["bucket"] == 9 else r["bucket"] * 100 + 99
+        assert lo <= r["min_j_milli"] <= r["max_j_milli"] <= hi
+    hi_b = max(by_bucket)
+    lo_b = min(by_bucket)
+    assert by_bucket[hi_b]["catch_milli"] > by_bucket[lo_b]["catch_milli"]
