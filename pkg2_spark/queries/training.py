@@ -2271,3 +2271,296 @@ def q_llm_lsh_calib(spark, sf_dir):
         F.min("j_milli").cast("long").alias("min_j_milli"),
         F.max("j_milli").cast("long").alias("max_j_milli"),
     )
+
+
+_NB_PEN = 2  # unseen-token smoothing penalty in surprisal bits
+
+_NB_LANGID_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+trn AS (SELECT doc_id, lang, toks FROM t WHERE doc_id % 10 = 0),
+scr AS (SELECT doc_id, lang, toks FROM t WHERE doc_id % 10 <> 0),
+classes AS (
+  SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_docs_c FROM trn GROUP BY lang
+),
+ndocs AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM trn),
+tokc AS (
+  SELECT lang AS cls, u AS token, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT lang, unnest(toks) AS u FROM trn) GROUP BY cls, token
+),
+totc AS (SELECT cls, CAST(sum(c) AS BIGINT) AS nc FROM tokc GROUP BY cls),
+sp AS (SELECT doc_id, unnest(toks) AS token FROM scr WHERE len(toks) > 0),
+scored AS (
+  SELECT sp.doc_id, cl.cls,
+         CAST(sum(CASE WHEN tc.c IS NOT NULL THEN length(bin(CAST(tt.nc // tc.c AS BIGINT)))
+                       ELSE length(bin(tt.nc)) + {_NB_PEN} END) AS BIGINT) AS tok_s
+  FROM sp
+  CROSS JOIN classes cl
+  JOIN totc tt ON tt.cls = cl.cls
+  LEFT JOIN tokc tc ON tc.cls = cl.cls AND tc.token = sp.token
+  GROUP BY sp.doc_id, cl.cls
+),
+withprior AS (
+  SELECT s.doc_id, s.cls,
+         s.tok_s + length(bin(CAST(n.nd // c.n_docs_c AS BIGINT))) AS s
+  FROM scored s JOIN classes c ON s.cls = c.cls CROSS JOIN ndocs n
+),
+best AS (
+  SELECT doc_id, cls AS pred FROM (
+    SELECT doc_id, cls,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY s ASC NULLS LAST, cls ASC NULLS LAST) AS rn
+    FROM withprior
+  ) WHERE rn = 1
+),
+conf AS (
+  SELECT d.lang AS true_lang, b.pred AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM scr d JOIN best b ON d.doc_id = b.doc_id
+  GROUP BY true_lang, pred_lang
+)
+SELECT true_lang, pred_lang, n_docs,
+       CAST((1000 * n_docs) // sum(n_docs) OVER (PARTITION BY true_lang) AS BIGINT)
+         AS row_milli
+FROM conf
+"""
+
+
+@query("q_llm_nb_langid", oracle=_NB_LANGID_ORACLE)
+def q_llm_nb_langid(spark, sf_dir):
+    """Naive-Bayes language classifier with held-out evaluation — the
+    trained-classifier stand-in for the fasttext lang-ID/quality step of a
+    CCNet/RedPajama pipeline (q_llm_langid is the 5-marker heuristic; this
+    is the full-vocabulary model): train per-class token likelihoods and
+    class priors on a 10% doc sample, score every held-out doc by total
+    integer surprisal (bit-length arithmetic, the q_llm_unigram_lm rule:
+    seen token costs bitlen(Nc div cnt), unseen costs bitlen(Nc) + flat
+    penalty, plus the bitlen class-prior term), predict argmin with a
+    deterministic tie-break, and emit the confusion matrix with per-true-
+    class row percentages — the evaluation surface a classifier gate
+    reports before it filters a corpus.
+
+    Scale shape: training is one explode → (class, token) hash-agg
+    (vocabulary × #classes sized); scoring explodes held-out tokens once,
+    crosses with the CONSTANT class list (bounded ×|classes|, broadcast),
+    left-joins the (class, token) likelihood table on a high-cardinality
+    key, and hash-aggs per (doc, class); the argmin is a per-doc window
+    over ≤|classes| rows; the confusion output is |classes|² rows at any
+    corpus size. Integer surprisal sums — partitioning-independent."""
+    d = load_tables(spark, sf_dir)["documents"]
+    t = d.select("doc_id", "lang", tokens_col("text").alias("toks"))
+    trn = t.filter(F.col("doc_id") % 10 == 0)
+    scr = t.filter((F.col("doc_id") % 10 != 0) & (F.size("toks") > 0))
+    classes = trn.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_c")
+    )
+    ndocs = trn.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    tokc = (
+        trn.select(F.col("lang").alias("cls"), F.explode("toks").alias("token"))
+        .groupBy("cls", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    totc = tokc.groupBy("cls").agg(F.sum("c").cast("long").alias("nc"))
+    sp = scr.select("doc_id", F.explode("toks").alias("token"))
+    cl = F.broadcast(classes.join(totc, "cls").select("cls", "n_docs_c", "nc"))
+    scored = (
+        sp.crossJoin(cl)
+        .join(
+            tokc.select(F.col("cls").alias("tcls"), F.col("token").alias("ttok"), "c"),
+            (F.col("cls") == F.col("tcls")) & (F.col("token") == F.col("ttok")),
+            "left",
+        )
+        .groupBy("doc_id", "cls", "nc", "n_docs_c")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN c IS NOT NULL THEN length(bin(nc div c))"
+                    f" ELSE length(bin(nc)) + {_NB_PEN} END"
+                )
+            ).cast("long").alias("tok_s")
+        )
+    )
+    withprior = scored.crossJoin(F.broadcast(ndocs)).select(
+        "doc_id",
+        "cls",
+        (F.col("tok_s") + F.expr("length(bin(nd div n_docs_c))")).alias("s"),
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(
+        F.col("s").asc_nulls_last(), F.col("cls").asc_nulls_last()
+    )
+    best = (
+        withprior.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cls").alias("pred"))
+    )
+    conf = (
+        scr.select("doc_id", "lang")
+        .join(best, "doc_id")
+        .groupBy(F.col("lang").alias("true_lang"), F.col("pred").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    w_row = Window.partitionBy("true_lang")
+    return conf.select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        F.expr("CAST(1000 * n_docs AS BIGINT)")
+        .alias("_num")
+        .cast("long"),
+        F.sum("n_docs").over(w_row).alias("_den"),
+    ).select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        F.expr("_num div _den").cast("long").alias("row_milli"),
+    )
+
+
+def _ivf_incr_oracle() -> str:
+    from pkg2_spark.queries.llm import _IVF_ASSIGN_CTE
+
+    base_cte = _IVF_ASSIGN_CTE.replace("embeddings", "base")
+    return f"""
+WITH base AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
+delta AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+{base_cte},
+d1 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT d.vec_id, d.embedding, c.cid,
+           round(list_cosine_similarity(CAST(d.embedding AS DOUBLE[]),
+                                        CAST(c.cemb AS DOUBLE[])), 4) AS ccos
+    FROM delta d CROSS JOIN cent c
+    QUALIFY row_number() OVER (
+      PARTITION BY d.vec_id ORDER BY ccos DESC NULLS LAST, c.cid ASC NULLS LAST
+    ) = 1
+  )
+),
+d2 AS (
+  SELECT vec_id, embedding, scid FROM (
+    SELECT a.vec_id, a.embedding, c2.scid,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(c2.semb AS DOUBLE[])), 4) AS scos
+    FROM d1 a JOIN cent2 c2 ON c2.c2id = a.cid
+    QUALIFY row_number() OVER (
+      PARTITION BY a.vec_id ORDER BY scos DESC NULLS LAST, scid ASC NULLS LAST
+    ) = 1
+  )
+),
+d3 AS (
+  SELECT vec_id, sscid AS cid FROM (
+    SELECT a.vec_id, c3.sscid,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(c3.ssemb AS DOUBLE[])), 4) AS sscos
+    FROM d2 a JOIN cent3 c3 ON c3.c3id = a.scid
+    QUALIFY row_number() OVER (
+      PARTITION BY a.vec_id ORDER BY sscos DESC NULLS LAST, sscid ASC NULLS LAST
+    ) = 1
+  )
+),
+bc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_base FROM assign GROUP BY cid),
+dc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_delta FROM d3 GROUP BY cid),
+cells AS (
+  SELECT 'cell' AS phase,
+         CAST(row_number() OVER (ORDER BY dc.n_delta DESC, dc.cid ASC) AS INTEGER) AS rank,
+         CAST(dc.cid AS BIGINT) AS cid,
+         coalesce(bc.n_base, 0) AS n_base, dc.n_delta,
+         CAST((1000 * dc.n_delta) // greatest(coalesce(bc.n_base, 0), 1) AS BIGINT)
+           AS growth_milli
+  FROM dc LEFT JOIN bc ON bc.cid = dc.cid
+  QUALIFY row_number() OVER (ORDER BY dc.n_delta DESC, dc.cid ASC) <= 20
+),
+summary AS (
+  SELECT 'summary' AS phase, CAST(1 AS INTEGER) AS rank, CAST(-1 AS BIGINT) AS cid,
+         (SELECT CAST(count(*) AS BIGINT) FROM base) AS n_base,
+         (SELECT CAST(count(*) AS BIGINT) FROM delta) AS n_delta,
+         CAST((1000 * (SELECT count(*) FROM delta)) //
+              (SELECT count(*) FROM base) AS BIGINT) AS growth_milli
+)
+SELECT * FROM cells UNION ALL SELECT * FROM summary
+"""
+
+
+@query("q_vec_ivf_incr", oracle=_ivf_incr_oracle())
+def q_vec_ivf_incr(spark, sf_dir):
+    """Incremental IVF index maintenance — the SERVING-path operation the
+    batch-rebuild family doesn't cover: a delta batch of new vectors
+    (vec_id % 10 == 0 stands in for today's ingest) is routed down the
+    EXISTING three-level centroid tree built on the base corpus — no
+    rebuild, no re-assignment of base vectors — and the operator emits the
+    occupancy report an index maintainer watches: top-20 cells by delta
+    arrivals (base size, delta size, integer growth-milli) plus a summary
+    row. The q_llm_dedup_incr pattern applied to the ANN index: deltas
+    touch only the cells they land in; rebuild (q_llm_ivf_refine /
+    q_kmeans_step) is a separate, scheduled operation triggered when this
+    report shows cells drifting past their target size.
+
+    Scale shape: the base tree is the memoized checkpointed construction
+    shared with the IVF family (built once per corpus per session); the
+    delta descent costs |delta|·(k1+k2+k3) via the same wide-codegen
+    broadcast/cell-keyed argmax levels as construction — independent of
+    base size; occupancy is two hash-aggs on cid; the report is
+    TakeOrderedAndProject top-20 + a broadcast 2-scalar summary.
+    Integer counts — partitioning-independent."""
+    from pkg2_spark.queries.llm import (
+        _IVF_BCAST_ROWS,
+        _ivf_ks,
+        _ivf_tree,
+        _nearest_wide,
+    )
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    delta = e.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    cents, _a1, cent2, _a2, cent3, assign = _ivf_tree(base)
+    k12, k3 = _ivf_ks(base)
+    d1 = delta.join(
+        _nearest_wide(delta, cents, out_id="cid", cand_id="cid", cand_vec="cemb"),
+        "vec_id",
+    )
+    d2 = delta.join(
+        _nearest_wide(
+            d1.withColumnRenamed("cid", "c2id"), cent2, out_id="scid",
+            cand_id="scid", cand_vec="semb", join_on="c2id",
+            broadcast_cands=k12 * k12 <= _IVF_BCAST_ROWS,
+        ),
+        "vec_id",
+    )
+    d3 = _nearest_wide(
+        d2.withColumnRenamed("scid", "c3id"), cent3, out_id="cid",
+        cand_id="sscid", cand_vec="ssemb", join_on="c3id",
+        broadcast_cands=k12 * k12 * k3 <= _IVF_BCAST_ROWS,
+    )
+    bc = assign.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_base"))
+    dc = d3.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_delta"))
+    w20 = Window.orderBy(F.col("n_delta").desc(), F.col("cid").asc())
+    cells = (
+        dc.join(bc, "cid", "left")
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+            "n_delta",
+        )
+        .orderBy(F.col("n_delta").desc(), F.col("cid").asc())
+        .limit(20)
+        .select(
+            F.lit("cell").alias("phase"),
+            F.row_number().over(w20).cast("int").alias("rank"),
+            "cid",
+            "n_base",
+            "n_delta",
+            F.expr("(1000 * n_delta) div greatest(n_base, 1)").cast("long")
+            .alias("growth_milli"),
+        )
+    )
+    nb = base.agg(F.count(F.lit(1)).cast("long").alias("tb"))
+    nd = delta.agg(F.count(F.lit(1)).cast("long").alias("td"))
+    summary = (
+        nb.crossJoin(F.broadcast(nd))
+        .select(
+            F.lit("summary").alias("phase"),
+            F.lit(1).cast("int").alias("rank"),
+            F.lit(-1).cast("long").alias("cid"),
+            F.col("tb").alias("n_base"),
+            F.col("td").alias("n_delta"),
+            F.expr("(1000 * td) div tb").cast("long").alias("growth_milli"),
+        )
+    )
+    return cells.unionAll(summary)

@@ -53,6 +53,12 @@ NLJ_WHITELIST = {
     "q_llm_bigram_lm": "1-row train-token-total scalar cross join "
     "(broadcast; the q_llm_unigram_lm shape); the three LM joins are "
     "high-cardinality equi-joins",
+    "q_llm_nb_langid": "bounded x|classes| class-list broadcast cross over "
+    "the scored-token explode + 1-row train-doc-total broadcast cross; the "
+    "likelihood join is a high-cardinality (class, token) equi-join",
+    "q_vec_ivf_incr": "the IVF-family derived-k codebook broadcast crosses "
+    "(base-tree construction + the delta level-1 descent) + a 1-row "
+    "2-scalar summary cross; levels 2/3 are cell-keyed equi-joins",
     "q_vec_ivfpq": "1-row residual codebook broadcast over the PQ encode "
     "scan + the same for the 5-probe LUT build (the q_vec_adc shape); the "
     "ADC scan itself is the cell-keyed equi-join",

@@ -57,6 +57,13 @@ PROBES = [
     "q_vec_ivfpq",
     "q_llm_unigram_lm",
     "q_llm_span_dedup",
+    # q_llm_bigram_lm rides along (three LM joins over the pair explode);
+    # q_llm_lsh_calib is deliberately NOT probed: its ground-truth side is
+    # the exact source-blocked pair join (the embed_neardup-style exact
+    # diagnostic arm, run on a sampled block in production), so decade
+    # ratios would measure the documented O(block²) truth set, not a
+    # production pass.
+    "q_llm_bigram_lm",
 ]
 
 # second decade (sf1 -> sf10): the vector/dedup family whose flatness

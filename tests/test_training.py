@@ -715,3 +715,77 @@ def test_lsh_calib_s_curve_and_bucket_bounds(spark, sf_dir):
     hi_b = max(by_bucket)
     lo_b = min(by_bucket)
     assert by_bucket[hi_b]["catch_milli"] > by_bucket[lo_b]["catch_milli"]
+
+
+def test_nb_langid_confusion_matches_reimplementation(spark, sf_dir):
+    # Full Python reimplementation of the NB train/score on the same split;
+    # the operator's confusion matrix must equal it cell-for-cell, and
+    # row_milli must be the declared integer row-percentage.
+    rows = _q(spark, sf_dir, "q_llm_nb_langid").collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    toks = {
+        d["doc_id"]: ([t for t in d["text"].lower().split(" ") if t], d["lang"])
+        for d in docs
+    }
+    cnt: dict = {}
+    nc: dict = {}
+    ndc: dict = {}
+    for did, (ts, lang) in toks.items():
+        if did % 10 != 0:
+            continue
+        ndc[lang] = ndc.get(lang, 0) + 1
+        for w in ts:
+            cnt[(lang, w)] = cnt.get((lang, w), 0) + 1
+            nc[lang] = nc.get(lang, 0) + 1
+    nd = sum(ndc.values())
+    bl = lambda x: len(bin(x)) - 2  # noqa: E731
+    conf: dict = {}
+    for did, (ts, lang) in toks.items():
+        if did % 10 == 0 or not ts:
+            continue
+        best = None
+        for cls in sorted(nc):
+            s = bl(nd // ndc[cls])
+            for w in ts:
+                c = cnt.get((cls, w))
+                s += bl(nc[cls] // c) if c else bl(nc[cls]) + 2
+            if best is None or s < best[0]:
+                best = (s, cls)
+        conf[(lang, best[1])] = conf.get((lang, best[1]), 0) + 1
+    got = {(r["true_lang"], r["pred_lang"]): r["n_docs"] for r in rows}
+    assert got == conf
+    row_tot: dict = {}
+    for (tl, _), n in got.items():
+        row_tot[tl] = row_tot.get(tl, 0) + n
+    for r in rows:
+        assert r["row_milli"] == (1000 * r["n_docs"]) // row_tot[r["true_lang"]]
+
+
+def test_ivf_incr_occupancy_and_summary(spark, sf_dir):
+    # The summary row must conserve the corpus split; cell rows must be
+    # dense-ranked by delta arrivals; when fewer than 20 cells are touched
+    # the cell deltas must sum to the full delta batch; growth_milli is
+    # the declared integer formula.
+    from pkg2_spark.queries.llm import ivf_invalidate
+
+    ivf_invalidate()
+    rows = _q(spark, sf_dir, "q_vec_ivf_incr").collect()
+    cells = [r for r in rows if r["phase"] == "cell"]
+    summary = [r for r in rows if r["phase"] == "summary"]
+    assert len(summary) == 1 and cells
+    s = summary[0]
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    nd = e.filter(F.col("vec_id") % 10 == 0).count()
+    assert s["n_base"] == n - nd and s["n_delta"] == nd
+    assert s["growth_milli"] == (1000 * nd) // (n - nd)
+    ranks = [r["rank"] for r in sorted(cells, key=lambda r: r["rank"])]
+    assert ranks == list(range(1, len(ranks) + 1))
+    deltas = [r["n_delta"] for r in sorted(cells, key=lambda r: r["rank"])]
+    assert deltas == sorted(deltas, reverse=True)
+    for r in cells:
+        assert r["n_delta"] >= 1 and r["cid"] >= 0
+        assert r["growth_milli"] == (1000 * r["n_delta"]) // max(r["n_base"], 1)
+    if len(cells) < 20:
+        assert sum(r["n_delta"] for r in cells) == nd
