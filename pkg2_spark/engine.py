@@ -578,6 +578,52 @@ class Engine:
             .drop("rn")
         )
 
+    def index_delta(self, old: DataFrame, new: DataFrame) -> DataFrame:
+        """Snapshot diff between two index versions of the SAME repository —
+        the CDC payload a mirror/scanner consumes per sync: which (name,
+        arch) rows were added, removed, upgraded, or downgraded between the
+        old and new snapshot. Each side is first reduced to its latest
+        version per (name, arch) (an index can legitimately carry several
+        builds of one package); version ordering rides on the numeric-aware
+        version_key with the raw string as tiebreak, so the classification
+        is deterministic and engine-portable. Unchanged rows are excluded —
+        the output is the change feed, not a full reconciliation dump.
+
+        Scale posture: two map-combinable row_number windows keyed by
+        (name, arch) + one full-outer equi-join on the same high-cardinality
+        natural key — no broadcast of anything corpus-sized, no skew (one
+        row per package per side after the latest-reduction)."""
+
+        def latest(df: DataFrame, tag: str) -> DataFrame:
+            w = Window.partitionBy("name", "arch").orderBy(
+                version_key(F.col("version")).desc_nulls_last(),
+                F.col("version").desc_nulls_last(),
+            )
+            return (
+                df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("name", "arch", F.col("version").alias(f"{tag}_version"))
+            )
+
+        o, n = latest(old, "old"), latest(new, "new")
+        joined = o.join(n, ["name", "arch"], "full_outer")
+        ok, nk = version_key(F.col("old_version")), version_key(F.col("new_version"))
+        change = (
+            F.when(F.col("old_version").isNull(), F.lit("added"))
+            .when(F.col("new_version").isNull(), F.lit("removed"))
+            .when(F.col("old_version") == F.col("new_version"), F.lit("unchanged"))
+            .when(
+                (nk > ok) | ((nk == ok) & (F.col("new_version") > F.col("old_version"))),
+                F.lit("upgraded"),
+            )
+            .otherwise(F.lit("downgraded"))
+        )
+        return (
+            joined.withColumn("change", change)
+            .filter(F.col("change") != "unchanged")
+            .select("name", "arch", "old_version", "new_version", "change")
+        )
+
     def resolve(self, package: str, max_depth: int = 10) -> DataFrame:
         """Dependency closure (BFS over depends, so:* capabilities resolved
         through provides). Returns (node, depth) with minimal depth."""

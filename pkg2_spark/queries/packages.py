@@ -788,3 +788,82 @@ def q_pkg_collection(spark, sf_dir):
         F.countDistinct("arch").alias("n_arches"),
         F.sum(F.size("depends")).alias("n_dep_edges"),
     )
+
+
+_APKINDEX_V2_PATH = os.path.join(
+    _REPO_DIR, "pkg2_spark", "data", "apkindex_v2_sample.txt"
+)
+
+
+def _apk_nva_cte(path: str, prefix: str) -> str:
+    """APKINDEX (name, version, arch) parse CTE pair for a given snapshot
+    file — the minimal projection q_pkg_delta's oracle needs, one instance
+    per snapshot."""
+    return f"""
+{prefix}_stanzas AS (
+  SELECT unnest(string_split(content, chr(10) || chr(10))) AS stanza
+  FROM read_text('{path}')
+),
+{prefix}_pkgs AS (
+  SELECT
+    regexp_extract(stanza, 'P:([^\\n]+)', 1) AS name,
+    regexp_extract(stanza, 'V:([^\\n]+)', 1) AS version,
+    regexp_extract(stanza, 'A:([^\\n]+)', 1) AS arch
+  FROM {prefix}_stanzas WHERE trim(stanza) <> ''
+)
+"""
+
+
+_OLD_VKEY = _VKEY_SQL.format(c="old_version")
+_NEW_VKEY = _VKEY_SQL.format(c="new_version")
+
+
+@query(
+    "q_pkg_delta",
+    oracle=f"""
+WITH {_apk_nva_cte(_APKINDEX_PATH, "snap_a").strip()},
+{_apk_nva_cte(_APKINDEX_V2_PATH, "snap_b").strip()},
+old_latest AS (
+  SELECT name, arch, version AS old_version FROM snap_a_pkgs
+  QUALIFY row_number() OVER (
+    PARTITION BY name, arch
+    ORDER BY {_VKEY_SQL.format(c="version")} DESC, version DESC) = 1
+),
+new_latest AS (
+  SELECT name, arch, version AS new_version FROM snap_b_pkgs
+  QUALIFY row_number() OVER (
+    PARTITION BY name, arch
+    ORDER BY {_VKEY_SQL.format(c="version")} DESC, version DESC) = 1
+),
+classified AS (
+  SELECT name, arch, old_version, new_version,
+    CASE
+      WHEN old_version IS NULL THEN 'added'
+      WHEN new_version IS NULL THEN 'removed'
+      WHEN old_version = new_version THEN 'unchanged'
+      WHEN {_NEW_VKEY} > {_OLD_VKEY}
+        OR ({_NEW_VKEY} = {_OLD_VKEY} AND new_version > old_version)
+        THEN 'upgraded'
+      ELSE 'downgraded'
+    END AS change
+  FROM old_latest FULL JOIN new_latest USING (name, arch)
+)
+SELECT name, arch, old_version, new_version, change
+FROM classified WHERE change <> 'unchanged'
+""",
+)
+def q_pkg_delta(spark, sf_dir):
+    """Index-snapshot delta — CDC applied to the package domain (the
+    q_cdc_* treatment on pkg2's own data): diff two temporal snapshots of
+    one repository's APKINDEX into the added/removed/upgraded/downgraded
+    change feed a mirror sync or vulnerability scanner consumes. Each side
+    reduces to latest-per-(name, arch) first (indexes legitimately carry
+    multiple builds), then one full-outer equi-join classifies via the
+    numeric-aware version key (1.37.0-r1 > 1.36.1-r5 numerically, not
+    lexically). Complements q_pkg_outdated (cross-distro, same instant)
+    with the within-repo, across-time axis. Scale: both windows and the
+    join are keyed by (name, arch) — map-combinable, broadcast-free."""
+    eng = Engine(spark)
+    old = eng.ingest_apkindex(_APKINDEX_PATH)
+    new = eng.ingest_apkindex(_APKINDEX_V2_PATH)
+    return eng.index_delta(old, new)

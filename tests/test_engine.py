@@ -665,3 +665,31 @@ def test_fetch_to_cache_basename_collisions_do_not_overwrite(spark, tmp_path):
     assert sorted(r["name"] for r in pkgs.select("name").collect()) == [
         "alpha", "beta", "gamma"
     ]
+
+
+def test_index_delta_classification(spark):
+    # Hand-derivable ground truth over the two committed APKINDEX
+    # snapshots: upgrade rides the numeric version key (1.37.0-r1 >
+    # 1.36.1-r5 > 1.36.1-r2), openssl is the downgrade branch, python3
+    # moves per-arch (aarch64 removed, x86_64 upgraded), and unchanged
+    # rows (alpine-baselayout, curl) must NOT appear in the feed.
+    from pkg2_spark.queries.packages import _APKINDEX_V2_PATH
+
+    eng = Engine(spark)
+    old = eng.ingest_apkindex(_APKINDEX_PATH)
+    new = eng.ingest_apkindex(_APKINDEX_V2_PATH)
+    rows = {
+        (r["name"], r["arch"]): (r["old_version"], r["new_version"], r["change"])
+        for r in eng.index_delta(old, new).collect()
+    }
+    assert rows[("musl", "x86_64")] == ("1.2.4-r0", "1.2.4-r2", "upgraded")
+    # old side's latest busybox build is 1.36.1-r2; v2's is 1.37.0-r1
+    assert rows[("busybox", "x86_64")] == ("1.36.1-r2", "1.37.0-r1", "upgraded")
+    assert rows[("openssl", "x86_64")] == ("3.1.2-r0", "3.0.10-r0", "downgraded")
+    assert rows[("python3", "aarch64")] == ("3.11.4-r1", None, "removed")
+    assert rows[("python3", "x86_64")] == ("3.10.13-r0", "3.12.0-r0", "upgraded")
+    assert rows[("libffi", "x86_64")] == (None, "3.4.4-r2", "added")
+    assert rows[("ca-certificates", "x86_64")] == (None, "20230506-r0", "added")
+    assert ("alpine-baselayout", "x86_64") not in rows
+    assert ("curl", "aarch64") not in rows
+    assert len(rows) == 8
