@@ -2499,3 +2499,321 @@ def q_llm_span_dedup(spark, sf_dir):
         "covered_tokens",
         F.expr("(1000 * covered_tokens) div n_tokens").alias("coverage_milli"),
     )
+
+
+_BM25_TERMS = ("join", "hash", "vector")  # fixed seed query (mid/high-df terms)
+
+
+@query(
+    "q_llm_bm25",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS token FROM documents),
+dl  AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS s,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tok),
+qt  AS (SELECT unnest({list(_BM25_TERMS)!r}) AS token),
+tf  AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM tok JOIN qt USING (token) GROUP BY doc_id, token),
+df  AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok JOIN qt USING (token) GROUP BY token),
+term AS (
+  SELECT tf.doc_id,
+    CAST(floor(CAST(1000000 AS DOUBLE) *
+      (CAST(2 * (tot.n - df.df) + 1 AS DOUBLE) / CAST(2 * df.df + 1 AS DOUBLE)) *
+      (CAST(22 * tf.tf * tot.s AS DOUBLE) /
+       CAST(10 * tot.s * tf.tf + 3 * tot.s + 9 * dl.dl * tot.n AS DOUBLE))
+    ) AS BIGINT) AS term_e6
+  FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN tot
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms,
+         CAST(sum(term_e6) AS BIGINT) AS score_e6
+  FROM term GROUP BY doc_id
+)
+SELECT doc_id, n_terms, score_e6, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    ORDER BY score_e6 DESC NULLS LAST, doc_id ASC NULLS LAST) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 20
+""",
+)
+def q_llm_bm25(spark, sf_dir):
+    """BM25 lexical relevance ranking (Robertson/Sparck-Jones, k1=1.2,
+    b=0.75) — the seed-corpus retrieval scorer a data-selection pipeline
+    uses to rank a raw corpus against a quality seed query before
+    importance sampling. Top-20 documents for a fixed 3-term query.
+
+    Determinism: BOTH factors are exact integer ratios evaluated as one
+    IEEE double division each — idf is the rational Robertson odds
+    (2(N−df)+1)/(2df+1) (no libm log anywhere), and the tf saturation
+    term tf(k1+1)/(tf + k1(1−b+b·dl/avgdl)) is multiplied through by
+    10·S (S = corpus token count) into 22·tf·S / (10·S·tf + 3·S + 9·dl·N),
+    every operand an exact ≤2^53 integer. The identical expression text on
+    both engines makes the e6-floored term scores bit-identical, and the
+    per-doc score is an integer sum over ≤3 terms — order-independent.
+
+    Scale shape: the tf/df aggregates run only over rows matching the
+    (broadcast-small) query-term set — the token-keyed shuffle carries
+    |terms|·n_docs rows, not the corpus; dl is one doc-keyed hash-agg;
+    corpus totals are a broadcast scalar; final ranking is top-k
+    (TakeOrderedAndProject), never a global sort."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tok = tokenize(d)
+    qtok = tok.filter(F.col("token").isin(*_BM25_TERMS))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    tot = tok.agg(
+        F.count(F.lit(1)).cast("long").alias("s"),
+        F.countDistinct("doc_id").cast("long").alias("n"),
+    )
+    tf = qtok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df = qtok.groupBy("token").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    term = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(floor(CAST(1000000 AS DOUBLE) *"
+                " (CAST(2 * (n - df) + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE)) *"
+                " (CAST(22 * tf * s AS DOUBLE) /"
+                "  CAST(10 * s * tf + 3 * s + 9 * dl * n AS DOUBLE))) AS BIGINT)"
+            ).alias("term_e6"),
+        )
+    )
+    scored = term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms"),
+        F.sum("term_e6").cast("long").alias("score_e6"),
+    )
+    topk = scored.orderBy(
+        F.col("score_e6").desc_nulls_last(), F.col("doc_id").asc_nulls_last()
+    ).limit(20)
+    w = Window.orderBy(F.col("score_e6").desc_nulls_last(), F.col("doc_id").asc_nulls_last())
+    return topk.select(
+        "doc_id", "n_terms", "score_e6", F.row_number().over(w).cast("int").alias("rank")
+    )
+
+
+@query(
+    "q_llm_containment",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, source, list_distinct({_TOK_SQL}) AS toks FROM documents
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS ni,
+         len(a.toks) AS la, len(b.toks) AS lb
+  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+),
+m AS (
+  SELECT doc_a, doc_b, CAST(ni AS INTEGER) AS n_common,
+         CAST((1000 * ni) // la AS BIGINT) AS cont_a_milli,
+         CAST((1000 * ni) // lb AS BIGINT) AS cont_b_milli,
+         CAST((1000 * ni) // (la + lb - ni) AS BIGINT) AS jaccard_milli
+  FROM p WHERE ni > 0
+)
+SELECT doc_a, doc_b, n_common, cont_a_milli, cont_b_milli, jaccard_milli,
+       CASE WHEN cont_a_milli >= cont_b_milli THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+FROM m
+WHERE greatest(cont_a_milli, cont_b_milli) >= 900 AND jaccard_milli < 800
+""",
+)
+def q_llm_containment(spark, sf_dir):
+    """Set-containment (inclusion) detection — the asymmetric companion to
+    Jaccard near-dup: C(A,B) = |A∩B|/|A| finds documents whose token set is
+    (nearly) CONTAINED in another's even when symmetric Jaccard is low —
+    quotes, excerpts, and page-in-boilerplate inclusions that MinHash
+    (which estimates Jaccard) systematically misses. Emits source-blocked
+    pairs with one-sided containment ≥ 0.9 that Jaccard < 0.8 would NOT
+    flag as near-dups, plus the dominant inclusion direction.
+
+    Determinism: all three scores are floor-scaled integer milli-units of
+    exact set cardinalities — no floats anywhere.
+
+    Scale shape: same blocked-pair topology as q_llm_jaccard (the blocking
+    key keeps the pair space linear per block; an unblocked corpus goes
+    through the LSH band path first, then this verifier runs per candidate
+    pair) — one equi-join on the block key, row-local array intersection,
+    no shuffle wider than the block join."""
+    d = load_tables(spark, sf_dir)["documents"]
+    t = d.select("doc_id", "source", F.array_distinct(tokens_col()).alias("toks"))
+    a = t.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"), F.col("toks").alias("ta")
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"), F.col("toks").alias("tb")
+    )
+    ni = F.size(F.array_intersect("ta", "tb"))
+    m = (
+        a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select(
+            "doc_a",
+            "doc_b",
+            ni.alias("n_common"),
+            F.expr("(1000 * size(array_intersect(ta, tb))) div size(ta)")
+            .cast("long")
+            .alias("cont_a_milli"),
+            F.expr("(1000 * size(array_intersect(ta, tb))) div size(tb)")
+            .cast("long")
+            .alias("cont_b_milli"),
+            F.expr(
+                "(1000 * size(array_intersect(ta, tb)))"
+                " div (size(ta) + size(tb) - size(array_intersect(ta, tb)))"
+            )
+            .cast("long")
+            .alias("jaccard_milli"),
+        )
+        .filter(F.col("n_common") > 0)
+    )
+    return m.filter(
+        (F.greatest("cont_a_milli", "cont_b_milli") >= 900) & (F.col("jaccard_milli") < 800)
+    ).select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        "cont_a_milli",
+        "cont_b_milli",
+        "jaccard_milli",
+        F.when(F.col("cont_a_milli") >= F.col("cont_b_milli"), F.lit("a_in_b"))
+        .otherwise(F.lit("b_in_a"))
+        .alias("direction"),
+    )
+
+
+_ENT_LO_MILLI = 4200  # below: repetitive / degenerate character stream
+_ENT_HI_MILLI = 4850  # above: near-uniform noise (random-ish bytes)
+
+
+@query(
+    "q_llm_entropy",
+    oracle=f"""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(replace(lower(text), ' ', ''), '')) AS c
+  FROM documents
+),
+cnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k FROM ch GROUP BY doc_id, c),
+tot AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n FROM cnt GROUP BY doc_id),
+s AS (
+  SELECT cnt.doc_id, max(tot.n) AS n_chars_sig,
+         CAST(sum(k * length(bin(CAST(tot.n // k AS BIGINT)))) AS BIGINT) AS bits_sum
+  FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id
+)
+SELECT doc_id, n_chars_sig, bits_sum,
+       CAST((1000 * bits_sum) // n_chars_sig AS BIGINT) AS mean_milli,
+       CASE WHEN (1000 * bits_sum) // n_chars_sig < {_ENT_LO_MILLI} THEN 'low'
+            WHEN (1000 * bits_sum) // n_chars_sig <= {_ENT_HI_MILLI} THEN 'mid'
+            ELSE 'high' END AS band
+FROM s
+""",
+)
+def q_llm_entropy(spark, sf_dir):
+    """Character-entropy gibberish gate — the byte/char-level quality
+    filter a pretraining pipeline runs BEFORE tokenization (catches
+    base64 blobs, binary spill, and aaaa-style degenerate text that the
+    token-level filters never see): per-document mean character surprisal
+    over the non-space character distribution, banded low / mid / high —
+    the low band is repetitive, the high band near-uniform noise, and the
+    corpus keeps the middle.
+
+    Determinism: the same integer bit-length surprisal trick as
+    q_llm_unigram_lm — per-char surprisal is length(bin(n div k)) =
+    floor(log2(n/k)) + 1, pure integer arithmetic (no libm log whose
+    last-ulp rounding could straddle a floor), and integer sums are
+    partitioning-independent.
+
+    Scale shape: char explode (bounded ×n_chars, same order as the token
+    explode every text op already pays) → one (doc, char)-keyed hash-agg
+    (map-combinable, ≤ alphabet rows per doc out) → two doc-keyed
+    hash-aggs. No windows, no corpus-wide state — the per-doc alphabet is
+    ≤ a few hundred rows regardless of corpus size."""
+    d = load_tables(spark, sf_dir)["documents"]
+    ch = d.select(
+        "doc_id",
+        F.explode(F.split(F.replace(F.lower("text"), F.lit(" "), F.lit("")), "")).alias("c"),
+    )
+    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("k").cast("long").alias("n"))
+    s = (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_chars_sig"),
+            F.sum(F.expr("k * length(bin(n div k))")).cast("long").alias("bits_sum"),
+        )
+    )
+    mean = F.expr("(1000 * bits_sum) div n_chars_sig")
+    return s.select(
+        "doc_id",
+        "n_chars_sig",
+        "bits_sum",
+        mean.cast("long").alias("mean_milli"),
+        F.when(mean < _ENT_LO_MILLI, F.lit("low"))
+        .when(mean <= _ENT_HI_MILLI, F.lit("mid"))
+        .otherwise(F.lit("high"))
+        .alias("band"),
+    )
+
+
+@query(
+    "q_llm_vocab_coverage",
+    oracle=f"""
+WITH tok AS (SELECT unnest({_TOK_SQL}) AS token FROM documents),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS s FROM cnt),
+r AS (
+  SELECT token, c,
+         CAST(row_number() OVER (ORDER BY c DESC, token ASC) AS INTEGER) AS rank,
+         CAST(sum(c) OVER (ORDER BY c DESC, token ASC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM cnt
+)
+SELECT rank, token, c, cum,
+       CAST((1000 * cum) // tot.s AS BIGINT) AS coverage_milli,
+       (1000 * cum) // tot.s >= 990 AS tail_reached
+FROM r CROSS JOIN tot
+WHERE rank <= 50
+""",
+)
+def q_llm_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve — the tokenizer-sizing report: rank the
+    corpus vocabulary by frequency and emit the cumulative
+    fraction-of-all-token-occurrences each prefix of the vocabulary
+    covers (milli-units). The knee of this curve (tail_reached = the 99.0%
+    line) is how a pipeline picks its tokenizer vocab size / OOV cutoff
+    before a BPE train (q_llm_bpe_step is the train step this feeds).
+
+    Determinism: coverage is floor-scaled integer milli of exact integer
+    counts; the (c DESC, token ASC) total order is unambiguous.
+
+    Scale shape: one token-keyed hash-agg (map-combinable) reduces the
+    corpus to VOCABULARY-sized rows; the running-sum window then runs over
+    that vocab table, not the corpus — at 100 TB the vocab is ≤ tens of
+    millions of rows, and Spark executes the global-order window as a
+    range-partitioned sort over that reduced table; the grand total is a
+    broadcast scalar; output is the top-50 prefix."""
+    d = load_tables(spark, sf_dir)["documents"]
+    cnt = tokenize(d).groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = cnt.agg(F.sum("c").cast("long").alias("s"))
+    w = Window.orderBy(F.col("c").desc(), F.col("token").asc())
+    r = cnt.select(
+        "token",
+        "c",
+        F.row_number().over(w).cast("int").alias("rank"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("cum"),
+    )
+    cov = F.expr("(1000 * cum) div s")
+    return (
+        r.filter(F.col("rank") <= 50)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "token",
+            "c",
+            "cum",
+            cov.cast("long").alias("coverage_milli"),
+            (cov >= 990).alias("tail_reached"),
+        )
+    )

@@ -519,3 +519,82 @@ def test_span_dedup_coverage_bounds_and_cross_doc(spark, sf_dir):
         assert 8 <= r["covered_tokens"] <= min(r["n_tokens"], 8 * r["n_dup_spans"])
         assert 0 < r["coverage_milli"] <= 1000
         assert r["coverage_milli"] == (1000 * r["covered_tokens"]) // r["n_tokens"]
+
+
+def test_bm25_rank_and_rational_scoring(spark, sf_dir):
+    # Top-20, contiguous ranks, scores non-increasing along rank with the
+    # doc_id tiebreak; every score is a positive integer (the e6-floored
+    # rational BM25 terms — no float reaches the driver hash); n_terms is
+    # bounded by the fixed query length.
+    from pkg2_spark.queries.llm import _BM25_TERMS
+    from pkg2_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["q_llm_bm25"](spark, sf_dir).collect(), key=lambda r: r["rank"]
+    )
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= 20
+    for prev, cur in zip(rows, rows[1:]):
+        assert (prev["score_e6"], -prev["doc_id"]) >= (cur["score_e6"], -cur["doc_id"])
+    for r in rows:
+        assert isinstance(r["score_e6"], int) and r["score_e6"] > 0
+        assert 1 <= r["n_terms"] <= len(_BM25_TERMS)
+
+
+def test_containment_asymmetry_vs_jaccard(spark, sf_dir):
+    # Every emitted pair is a high-inclusion / low-Jaccard pair by the
+    # declared thresholds; containment dominates Jaccard on the containing
+    # side (|A∩B|/|A| >= |A∩B|/|A∪B| always); direction names the more
+    # contained side.
+    from pkg2_spark.registry import all_queries
+
+    rows = all_queries()["q_llm_containment"](spark, sf_dir).collect()
+    assert rows, "synthetic corpus has inclusion pairs"
+    for r in rows:
+        hi = max(r["cont_a_milli"], r["cont_b_milli"])
+        assert hi >= 900 and r["jaccard_milli"] < 800
+        assert hi >= r["jaccard_milli"]
+        want = "a_in_b" if r["cont_a_milli"] >= r["cont_b_milli"] else "b_in_a"
+        assert r["direction"] == want
+
+
+def test_entropy_bands_and_bounds(spark, sf_dir):
+    # Every doc gets a row; mean surprisal is >= 1000 milli-bits (even a
+    # one-symbol doc pays bin-length 1) and <= 1000 * bits of the per-doc
+    # alphabet ceiling; bands agree with the declared thresholds.
+    from pkg2_spark.queries.llm import _ENT_HI_MILLI, _ENT_LO_MILLI
+    from pkg2_spark.registry import all_queries
+
+    rows = all_queries()["q_llm_entropy"](spark, sf_dir).collect()
+    n_docs = load_tables(spark, sf_dir)["documents"].count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r["bits_sum"] >= r["n_chars_sig"] >= 1
+        assert r["mean_milli"] == (1000 * r["bits_sum"]) // r["n_chars_sig"]
+        assert r["mean_milli"] >= 1000
+        want = (
+            "low"
+            if r["mean_milli"] < _ENT_LO_MILLI
+            else ("mid" if r["mean_milli"] <= _ENT_HI_MILLI else "high")
+        )
+        assert r["band"] == want
+
+
+def test_vocab_coverage_monotone_curve(spark, sf_dir):
+    # Ranks are contiguous from 1, counts non-increasing, cumulative sums
+    # strictly increasing and consistent, coverage monotone ending at 1000
+    # when rank 50 exhausts the vocabulary.
+    from pkg2_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["q_llm_vocab_coverage"](spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert rows[0]["rank"] == 1 and rows[0]["cum"] == rows[0]["c"]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["rank"] == prev["rank"] + 1
+        assert cur["c"] <= prev["c"]
+        assert cur["cum"] == prev["cum"] + cur["c"]
+        assert cur["coverage_milli"] >= prev["coverage_milli"]
+    if len(rows) < 50:  # vocabulary exhausted inside the window
+        assert rows[-1]["coverage_milli"] == 1000 and rows[-1]["tail_reached"]
