@@ -46,6 +46,10 @@ NLJ_WHITELIST = {
     "q_llm_tfidf": "1-row doc-count scalar cross join (broadcast)",
     "q_llm_unigram_lm": "1-row corpus-token-total scalar cross join "
     "(broadcast; the q_llm_tfidf shape)",
+    "q_llm_bm25": "1-row corpus-totals scalar cross join "
+    "(broadcast; the q_llm_tfidf shape)",
+    "q_llm_vocab_coverage": "1-row grand-total scalar cross join over the "
+    "vocab-reduced table (broadcast; the q_llm_tfidf shape)",
     "q_dq_embdrift": "constant 8x8 spine cross + 1-row snapshot-totals "
     "cross join (broadcast; the q_dq_benford shape)",
     "q_llm_bpe_step": "1-row argmax-merge broadcast cross onto the "
