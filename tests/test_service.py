@@ -201,3 +201,54 @@ def test_handle_param_fuzz_raises_only_service_errors(spark, svc):
             pass
 
     run()
+
+
+class TestCli:
+    """python -m pkg2_spark — the one-shot CLI over the same service path."""
+
+    def _run(self, spark, argv):
+        import io
+
+        from pkg2_spark.__main__ import main
+        from pkg2_spark.engine import Engine
+
+        buf = io.StringIO()
+        rc = main(argv, engine=Engine(spark), out=buf)
+        return rc, buf.getvalue()
+
+    def test_search_renders_table(self, spark):
+        idx = os.path.join(_DATA, "apkindex_sample.txt")
+        rc, out = self._run(spark, ["search", "mus%", "--index", idx])
+        assert rc == 0
+        lines = out.splitlines()
+        assert lines[0].split()[:2] == ["name", "version"]
+        assert any(line.startswith("musl") for line in lines[2:])
+
+    def test_json_envelope_matches_service(self, spark):
+        idx = os.path.join(_DATA, "apkindex_sample.txt")
+        rc, out = self._run(spark, ["--json", "sql",
+                                    "SELECT count(*) AS n FROM packages",
+                                    "--index", idx])
+        assert rc == 0
+        env = json.loads(out)
+        assert env["endpoint"] == "sql" and env["columns"] == ["n"]
+        assert env["rows"][0]["n"] > 0 and env["truncated"] is False
+
+    def test_bad_request_is_exit_2_not_traceback(self, spark):
+        idx = os.path.join(_DATA, "apkindex_sample.txt")
+        rc, _ = self._run(spark, ["table", "0", "--index", idx])
+        assert rc == 2
+
+    def test_query_subcommand_runs_registry_entry(self, spark):
+        rc, out = self._run(spark, ["--json", "query", "q_llm_vocab_coverage",
+                                    "--sf-dir", "/root/testdata/sf0.001",
+                                    "--max-rows", "5"])
+        assert rc == 0
+        env = json.loads(out)
+        assert env["columns"][0] == "rank" and env["row_count"] == 5
+
+    def test_queries_listing(self, spark):
+        rc, out = self._run(spark, ["queries"])
+        assert rc == 0
+        names = out.split()
+        assert "q_llm_bm25" in names and len(names) >= 250
