@@ -1336,3 +1336,108 @@ def q_events_rfm(spark, sf_dir):
             F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
         ).cast("int"),
     )
+
+
+_SAX_SEGMENTS = 16  # PAA word length
+_SAX_ALPHABET = "abcd"  # 4 rank-quartile symbols
+
+
+@query(
+    "q_ts_sax",
+    oracle=f"""
+WITH d AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+seg AS (
+  SELECT event_type, CAST((rn * {_SAX_SEGMENTS}) // n AS INTEGER) AS seg,
+         CAST(sum(v) AS BIGINT) AS seg_sum_e2, CAST(count(*) AS BIGINT) AS seg_n
+  FROM d GROUP BY event_type, (rn * {_SAX_SEGMENTS}) // n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type
+    ORDER BY CAST(seg_sum_e2 AS DOUBLE) / seg_n ASC NULLS LAST, seg ASC NULLS LAST
+  ) AS r
+  FROM seg
+),
+sym AS (
+  SELECT event_type, seg, seg_n, seg_sum_e2,
+         substr('{_SAX_ALPHABET}',
+                CAST(((r - 1) * {len(_SAX_ALPHABET)}) // {_SAX_SEGMENTS} + 1 AS INTEGER),
+                1) AS symbol
+  FROM ranked
+),
+words AS (
+  SELECT event_type, string_agg(symbol, '' ORDER BY seg) AS word
+  FROM sym GROUP BY event_type
+)
+SELECT sym.event_type, seg, seg_n, seg_sum_e2, symbol, words.word
+FROM sym JOIN words USING (event_type)
+""",
+)
+def q_ts_sax(spark, sf_dir):
+    """SAX symbolization (Lin et al.'s PAA + symbol coding, with
+    rank-adaptive breakpoints) — the time-series fingerprint that motif
+    discovery, seasonality clustering, and whole-series similarity search
+    run on: each event-type series is PAA-compressed into 16 equal-count
+    segments, and segment means are coded into a 4-letter alphabet by
+    RANK quartile (data-adaptive breakpoints — the fixed-Gaussian variant
+    assumes z-normalized data; rank coding gives the same
+    equiprobable-symbol property exactly, without a variance/sqrt whose
+    float accumulation would be partition-order-dependent). Output: one
+    row per segment with its symbol, plus the assembled per-series word —
+    two series sharing a word prefix have matching temporal shapes.
+
+    Determinism: segment sums/counts are exact integers; the only float
+    is the single division seg_sum/seg_n per segment (16 per series),
+    identical text in both engines; rank ties break on segment index.
+
+    Scale shape: one per-series ordered window assigns positions (the
+    standard ts-op sort, range-partitioned by Spark); segments reduce via
+    a (type, seg)-keyed map-combinable hash-agg to SEGMENTS rows per
+    series; ranking and word assembly run over those 16-row groups —
+    corpus-sized work is one sort + one agg, everything after is
+    series-count-sized."""
+    e = load_tables(spark, sf_dir)["events"]
+    wpos = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = e.select(
+        "event_type",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("v"),
+        (F.row_number().over(wpos) - 1).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    seg = (
+        d.groupBy("event_type", F.expr(f"CAST((rn * {_SAX_SEGMENTS}) div n AS INT)").alias("seg"))
+        .agg(
+            F.sum("v").cast("long").alias("seg_sum_e2"),
+            F.count(F.lit(1)).cast("long").alias("seg_n"),
+        )
+    )
+    wrank = Window.partitionBy("event_type").orderBy(
+        (F.col("seg_sum_e2").cast("double") / F.col("seg_n")).asc_nulls_last(),
+        F.col("seg").asc_nulls_last(),
+    )
+    sym = seg.withColumn("r", F.row_number().over(wrank)).select(
+        "event_type",
+        "seg",
+        "seg_n",
+        "seg_sum_e2",
+        F.expr(
+            f"substr('{_SAX_ALPHABET}',"
+            f" CAST(((r - 1) * {len(_SAX_ALPHABET)}) div {_SAX_SEGMENTS} + 1 AS INT), 1)"
+        ).alias("symbol"),
+    )
+    wword = Window.partitionBy("event_type")
+    return sym.withColumn(
+        "word",
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "symbol")).over(wword)),
+                lambda x: x["symbol"],
+            ),
+            "",
+        ),
+    )

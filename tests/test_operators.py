@@ -598,3 +598,28 @@ def test_vocab_coverage_monotone_curve(spark, sf_dir):
         assert cur["coverage_milli"] >= prev["coverage_milli"]
     if len(rows) < 50:  # vocabulary exhausted inside the window
         assert rows[-1]["coverage_milli"] == 1000 and rows[-1]["tail_reached"]
+
+
+def test_sax_word_equiprobable_symbols(spark, sf_dir):
+    # 16 segments per series; rank-quartile coding emits exactly 4 of each
+    # symbol per word; the word column equals the seg-ordered symbol
+    # concatenation; segment counts cover the series exactly.
+    from collections import Counter
+
+    from pkg2_spark.queries.timeseries import _SAX_ALPHABET, _SAX_SEGMENTS
+    from pkg2_spark.registry import all_queries
+
+    rows = all_queries()["q_ts_sax"](spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    n_events = load_tables(spark, sf_dir)["events"].count()
+    assert sum(r["seg_n"] for r in rows) == n_events
+    for typ, segs in by_type.items():
+        segs.sort(key=lambda r: r["seg"])
+        assert [r["seg"] for r in segs] == list(range(_SAX_SEGMENTS))
+        word = "".join(r["symbol"] for r in segs)
+        assert all(r["word"] == word for r in segs)
+        counts = Counter(word)
+        per = _SAX_SEGMENTS // len(_SAX_ALPHABET)
+        assert all(counts[s] == per for s in _SAX_ALPHABET), (typ, word)
