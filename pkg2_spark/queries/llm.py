@@ -2817,3 +2817,169 @@ def q_llm_vocab_coverage(spark, sf_dir):
             (cov >= 990).alias("tail_reached"),
         )
     )
+
+
+@query(
+    "q_llm_filter_funnel",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, n_chars, {_TOK_SQL} AS toks FROM documents
+),
+lengate AS (
+  SELECT doc_id,
+         len(toks) BETWEEN 5 AND 1000 AS g1,
+         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE) / n_chars > 0.5 AS g2
+  FROM t
+),
+ch AS (
+  SELECT doc_id, unnest(string_split(replace(lower(text), ' ', ''), '')) AS c FROM documents
+),
+ccnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k FROM ch GROUP BY doc_id, c),
+ctot AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n FROM ccnt GROUP BY doc_id),
+ent AS (
+  SELECT ccnt.doc_id,
+         (1000 * sum(k * length(bin(CAST(ctot.n // k AS BIGINT))))) // max(ctot.n) AS em
+  FROM ccnt JOIN ctot USING (doc_id) GROUP BY ccnt.doc_id
+),
+tok AS (SELECT doc_id, unnest({_TOK_SQL}) AS token FROM documents),
+cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+ntot AS (SELECT count(*) AS nt FROM tok),
+sc AS (SELECT tok.doc_id, length(bin(CAST(ntot.nt // cnt.c AS BIGINT))) AS s
+       FROM tok JOIN cnt USING (token) CROSS JOIN ntot),
+lm AS (SELECT doc_id, (1000 * sum(s)) // count(*) AS mm FROM sc GROUP BY doc_id),
+gates AS (
+  SELECT l.doc_id, g1, g2,
+         ent.em BETWEEN {_ENT_LO_MILLI} AND {_ENT_HI_MILLI} AS g3,
+         lm.mm BETWEEN {_LM_HEAD_MILLI} AND {_LM_TAIL_MILLI} AS g4
+  FROM lengate l JOIN ent ON l.doc_id = ent.doc_id JOIN lm ON l.doc_id = lm.doc_id
+)
+SELECT s.stage, s.stage_name,
+       CAST(s.n_in AS BIGINT) AS n_in, CAST(s.n_in - s.n_out AS BIGINT) AS n_killed,
+       CAST(s.n_out AS BIGINT) AS n_out,
+       CAST((1000 * (s.n_in - s.n_out)) // s.n_in AS BIGINT) AS kill_milli
+FROM (
+  SELECT 1 AS stage, 'length' AS stage_name, count(*) AS n_in,
+         sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS n_out FROM gates
+  UNION ALL
+  SELECT 2, 'alpha_ratio', sum(CASE WHEN g1 THEN 1 ELSE 0 END),
+         sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) FROM gates
+  UNION ALL
+  SELECT 3, 'char_entropy', sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END),
+         sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END) FROM gates
+  UNION ALL
+  SELECT 4, 'unigram_lm_band', sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END),
+         sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1 ELSE 0 END) FROM gates
+) s
+""",
+)
+def q_llm_filter_funnel(spark, sf_dir):
+    """Filter-stack attrition funnel — THE datacard table of a corpus
+    cleaning run: apply the quality gates in pipeline order (length →
+    alpha ratio → char-entropy band → unigram-LM perplexity band) and
+    report, per stage, how many documents entered, were killed, and
+    survived (integer milli kill rate). This is the composition the
+    standalone gates (q_llm_quality, q_llm_entropy, q_llm_unigram_lm)
+    exist to feed — a pipeline operator reads this table to decide which
+    stage is over/under-firing before committing a multi-day 100 TB run.
+
+    Determinism: every gate is the exact integer/boolean predicate of its
+    standalone operator (identical thresholds, shared constants); the
+    funnel rows are sums of boolean conjunctions — order-independent.
+
+    Scale shape: the three per-doc gate frames are each one map-combinable
+    doc-keyed agg (token counts, char counts, LM join — the same shuffles
+    their standalone ops pay) joined doc-keyed; the funnel itself is ONE
+    global agg producing a 1-row frame of running conjunction counts,
+    exploded row-locally into the 4 stage rows — no second pass over the
+    corpus, constant-size output at any scale."""
+    d = load_tables(spark, sf_dir)["documents"]
+    t = d.select("doc_id", "text", "n_chars", tokens_col().alias("toks"))
+    lengate = t.select(
+        "doc_id",
+        F.expr("size(toks) BETWEEN 5 AND 1000").alias("g1"),
+        (
+            F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double")
+            / F.col("n_chars")
+            > 0.5
+        ).alias("g2"),
+    )
+    ch = d.select(
+        "doc_id",
+        F.explode(F.split(F.replace(F.lower("text"), F.lit(" "), F.lit("")), "")).alias("c"),
+    )
+    ccnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    ctot = ccnt.groupBy("doc_id").agg(F.sum("k").cast("long").alias("n"))
+    ent = (
+        ccnt.join(ctot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("(1000 * sum(k * length(bin(n div k)))) div max(n)").alias("em"),
+        )
+    )
+    tok = tokenize(d)
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    ntot = tok.agg(F.count(F.lit(1)).alias("nt"))
+    sc = (
+        tok.join(cnt, "token")
+        .crossJoin(F.broadcast(ntot))
+        .select("doc_id", F.expr("length(bin(nt div c))").alias("s"))
+    )
+    lm = sc.groupBy("doc_id").agg(F.expr("(1000 * sum(s)) div count(1)").alias("mm"))
+    gates = (
+        lengate.join(ent, "doc_id")
+        .join(lm, "doc_id")
+        .select(
+            "doc_id",
+            "g1",
+            "g2",
+            F.col("em").between(_ENT_LO_MILLI, _ENT_HI_MILLI).alias("g3"),
+            F.col("mm").between(_LM_HEAD_MILLI, _LM_TAIL_MILLI).alias("g4"),
+        )
+    )
+    one = gates.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("g1").cast("long")).alias("s1"),
+        F.sum((F.col("g1") & F.col("g2")).cast("long")).alias("s2"),
+        F.sum((F.col("g1") & F.col("g2") & F.col("g3")).cast("long")).alias("s3"),
+        F.sum((F.col("g1") & F.col("g2") & F.col("g3") & F.col("g4")).cast("long")).alias(
+            "s4"
+        ),
+    )
+    stages = one.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("stage"),
+                    F.lit("length").alias("stage_name"),
+                    F.col("n0").alias("n_in"),
+                    F.col("s1").alias("n_out"),
+                ),
+                F.struct(
+                    F.lit(2).alias("stage"),
+                    F.lit("alpha_ratio").alias("stage_name"),
+                    F.col("s1").alias("n_in"),
+                    F.col("s2").alias("n_out"),
+                ),
+                F.struct(
+                    F.lit(3).alias("stage"),
+                    F.lit("char_entropy").alias("stage_name"),
+                    F.col("s2").alias("n_in"),
+                    F.col("s3").alias("n_out"),
+                ),
+                F.struct(
+                    F.lit(4).alias("stage"),
+                    F.lit("unigram_lm_band").alias("stage_name"),
+                    F.col("s3").alias("n_in"),
+                    F.col("s4").alias("n_out"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.*")
+    return stages.select(
+        "stage",
+        "stage_name",
+        F.col("n_in").cast("long").alias("n_in"),
+        (F.col("n_in") - F.col("n_out")).cast("long").alias("n_killed"),
+        F.col("n_out").cast("long").alias("n_out"),
+        F.expr("(1000 * (n_in - n_out)) div n_in").cast("long").alias("kill_milli"),
+    )

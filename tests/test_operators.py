@@ -623,3 +623,40 @@ def test_sax_word_equiprobable_symbols(spark, sf_dir):
         counts = Counter(word)
         per = _SAX_SEGMENTS // len(_SAX_ALPHABET)
         assert all(counts[s] == per for s in _SAX_ALPHABET), (typ, word)
+
+
+def test_filter_funnel_conservation_and_stage_agreement(spark, sf_dir):
+    # The funnel chains: stage i's n_in equals stage i-1's n_out; stage 1
+    # enters the full corpus; kill counts are consistent; and the terminal
+    # survivor count agrees with independently conjoining the standalone
+    # gate operators (entropy band 'mid' + unigram band 'middle').
+    from pkg2_spark.registry import all_queries
+
+    rows = sorted(
+        all_queries()["q_llm_filter_funnel"](spark, sf_dir).collect(),
+        key=lambda r: r["stage"],
+    )
+    assert [r["stage_name"] for r in rows] == [
+        "length", "alpha_ratio", "char_entropy", "unigram_lm_band"
+    ]
+    n_docs = load_tables(spark, sf_dir)["documents"].count()
+    assert rows[0]["n_in"] == n_docs
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_in"] == prev["n_out"]
+    for r in rows:
+        assert r["n_killed"] == r["n_in"] - r["n_out"] >= 0
+        assert r["kill_milli"] == (1000 * r["n_killed"]) // r["n_in"]
+    ent_mid = {
+        r["doc_id"]
+        for r in all_queries()["q_llm_entropy"](spark, sf_dir).collect()
+        if r["band"] == "mid"
+    }
+    lm_mid = {
+        r["doc_id"]
+        for r in all_queries()["q_llm_unigram_lm"](spark, sf_dir).collect()
+        if r["band"] == "middle"
+    }
+    # length/alpha gates pass everything on the synthetic corpus, so the
+    # funnel's terminal survivors = entropy-mid ∩ lm-middle.
+    if rows[0]["n_killed"] == 0 and rows[1]["n_killed"] == 0:
+        assert rows[3]["n_out"] == len(ent_mid & lm_mid)
