@@ -135,6 +135,36 @@ def replicate(spark, src_dir: str, out_dir: str, entity_off: int,
     print(f"decade replica written to {out_dir}")
 
 
+def replicate_embeddings(spark, src_dir: str, out_dir: str, entity_off: int,
+                         nudge: float) -> None:
+    """Third-decade VECTOR-ONLY replica: the sf100 probe exists to bound the
+    IVF family's Θ(n^{4/3}) assignment growth, which reads embeddings alone —
+    replicating the fact tables another decade would cost ~12 GB and minutes
+    of write time for queries the third decade doesn't probe."""
+    rep = spark.range(REPS).select(F.col("id").cast("int").alias("rep"))
+    r = F.col("rep").cast("long")
+    v = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet")).crossJoin(rep)
+    emb = F.transform(
+        "embedding", lambda x: (x + F.col("rep") * F.lit(nudge)).cast("float")
+    )
+    out = v.select(
+        (F.col("vec_id") + r * entity_off).alias("vec_id"),
+        emb.alias("embedding"),
+        "label",
+    )
+    out.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+    print(f"embeddings: {out.count()} rows -> {out_dir}")
+    # load_tables registers all ten tables eagerly; the non-vector tables
+    # symlink back to the source decade so the catalog resolves without
+    # paying another 12 GB replica for tables the vector probes never scan.
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "documents"):
+        link = os.path.join(out_dir, f"{name}.parquet")
+        target = os.path.relpath(os.path.join(src_dir, f"{name}.parquet"), out_dir)
+        if not os.path.lexists(link):
+            os.symlink(target, link)
+
+
 def main() -> int:
     from pkg2_spark.queries.relational import IO_DIR
     from pkg2_spark.session import get_session
@@ -142,7 +172,18 @@ def main() -> int:
     spark = get_session(app_name="pkg2_spark_make_decade")
     spark.sparkContext.setLogLevel("ERROR")
     args = sys.argv[1:]
-    if "--sf10" in args:
+    if "--sf100-vec" in args:
+        # third decade, embeddings only: sf10 vec_ids < 1e10, so the offset
+        # jumps another magnitude; nudge shrinks a decade further so the
+        # replicas stay inside the same cells at 1000x density.
+        replicate_embeddings(
+            spark,
+            src_dir=os.path.join(IO_DIR, "sf10"),
+            out_dir=os.path.join(IO_DIR, "sf100"),
+            entity_off=100_000_000_000,
+            nudge=1e-7,
+        )
+    elif "--sf10" in args:
         # second decade: sf1 keys reach ~9e8 (facts) / ~9e7 (entities), so
         # offsets jump a full magnitude past them; smaller embedding nudge
         # keeps replicas inside the same cells at 100x density.

@@ -27,6 +27,7 @@ the dedup/ANN family (r6 VERDICT task #6).
 
 from __future__ import annotations
 
+import os
 import statistics
 import sys
 import time
@@ -75,6 +76,15 @@ PROBES_DEC2 = [
     "q_vec_ivfpq",
 ]
 
+# third decade (sf10 -> sf100, EMBEDDINGS-ONLY replica — make_sf1.py
+# --sf100-vec): just the pure-vector operators; winnow is a text op and the
+# sf100 replica deliberately carries no documents.
+PROBES_DEC3 = [
+    "q_llm_ann_ivf",
+    "q_llm_semdedup",
+    "q_vec_ivfpq",
+]
+
 
 def main() -> int:
     out_path = None
@@ -99,6 +109,12 @@ def main() -> int:
     sfs = ["/root/testdata/sf0.1", str(Path(IO_DIR) / "sf1")]
     sf10 = str(Path(IO_DIR) / "sf10")
     have_sf10 = (Path(sf10) / "embeddings.parquet").exists()
+    # Probe-only heap bump: the product default (8g) is right-sized for the
+    # driver's sf0.1 runs, but the sf100 vector probes put ~2M-vector
+    # shuffle+sort buffers in one JVM and 8g dies in GCLocker retries.
+    # A real cluster spreads this across executors; one local JVM standing
+    # in for the fleet gets the fleet's memory.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_session(app_name="pkg2_spark_decade_probe")
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
@@ -140,9 +156,23 @@ def main() -> int:
     if have_sf10:
         lines += ["", "## Second decade: sf1 -> sf10 (vector family)", "",
                   "| query | sf1 | sf10 | ratio/10x |", "|---|---|---|---|"]
+        dec2_sf10: dict[str, float] = {}
         for name in PROBES_DEC2:
             t1 = timed(name, sfs[1])
             t2 = timed(name, sf10)
+            dec2_sf10[name] = t2
+            lines.append(f"| {name} | {t1:.3f}s | {t2:.3f}s | {t2 / t1:.2f}x |")
+            print(lines[-1])
+
+    sf100 = str(Path(IO_DIR) / "sf100")
+    have_sf100 = have_sf10 and (Path(sf100) / "embeddings.parquet").exists()
+    if have_sf100:
+        lines += ["", "## Third decade: sf10 -> sf100 "
+                  "(embeddings-only replica, pure-vector operators)", "",
+                  "| query | sf10 | sf100 | ratio/10x |", "|---|---|---|---|"]
+        for name in PROBES_DEC3:
+            t1 = dec2_sf10[name]
+            t2 = timed(name, sf100)
             lines.append(f"| {name} | {t1:.3f}s | {t2:.3f}s | {t2 / t1:.2f}x |")
             print(lines[-1])
 
@@ -176,7 +206,9 @@ def main() -> int:
 
     counter("near-dup components resolved", components)
 
-    ivf_sfs = sfs + ([sf10] if have_sf10 else [])
+    ivf_sfs = (
+        sfs + ([sf10] if have_sf10 else []) + ([sf100] if have_sf100 else [])
+    )
     stats = [ivf_stats(sf) for sf in ivf_sfs]
     lines += ["", "## IVF three-level cell flatness "
               "(k1 = k2 = max(2, icbrt(n/256)), k3 = (n/256)/(k1·k2))",
