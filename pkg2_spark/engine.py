@@ -578,6 +578,38 @@ class Engine:
             .drop("rn")
         )
 
+    def match_advisories(self, adv_path: str) -> DataFrame:
+        """Security-advisory audit — pkg2's secdb consumer: join the
+        ingested package table against an advisory feed ({cve, name,
+        fixed_version} records) and classify every installed build as
+        vulnerable (version < fixed_version on the numeric-aware key,
+        raw-string tiebreak) or patched. One row per (installed build ×
+        advisory for its package) — an index can carry several builds and
+        a package several advisories, and an auditor wants each cell.
+
+        Scale posture: the advisory feed is bounded (thousands of rows) →
+        broadcast hash join on name against the arbitrarily-large package
+        table; classification is row-local expression arithmetic."""
+        if self._packages is None:
+            raise ValueError("ingest an index before matching advisories")
+        adv = self.spark.read.option("multiLine", "true").json(adv_path).select(
+            "cve", "name", "fixed_version"
+        )
+        pk, fk = version_key(F.col("version")), version_key(F.col("fixed_version"))
+        status = (
+            F.when(
+                (pk < fk) | ((pk == fk) & (F.col("version") < F.col("fixed_version"))),
+                F.lit("vulnerable"),
+            )
+            .otherwise(F.lit("patched"))
+        )
+        return (
+            self._packages.select("name", "arch", "version")
+            .join(F.broadcast(adv), "name")
+            .select("name", "arch", "version", "cve", "fixed_version",
+                    status.alias("status"))
+        )
+
     def index_delta(self, old: DataFrame, new: DataFrame) -> DataFrame:
         """Snapshot diff between two index versions of the SAME repository —
         the CDC payload a mirror/scanner consumes per sync: which (name,

@@ -867,3 +867,46 @@ def q_pkg_delta(spark, sf_dir):
     old = eng.ingest_apkindex(_APKINDEX_PATH)
     new = eng.ingest_apkindex(_APKINDEX_V2_PATH)
     return eng.index_delta(old, new)
+
+
+_ADVISORIES_PATH = os.path.join(
+    _REPO_DIR, "pkg2_spark", "data", "advisories_sample.json"
+)
+
+_PKG_VKEY = _VKEY_SQL.format(c="version")
+_FIX_VKEY = _VKEY_SQL.format(c="fixed_version")
+
+
+@query(
+    "q_pkg_advisories",
+    oracle=f"""
+WITH {_apk_nva_cte(_APKINDEX_PATH, "snap").strip()},
+adv AS (
+  SELECT cve, name, fixed_version
+  FROM read_json('{_ADVISORIES_PATH}', format='array',
+                 columns={{'cve': 'VARCHAR', 'name': 'VARCHAR',
+                           'fixed_version': 'VARCHAR'}})
+)
+SELECT p.name, p.arch, p.version, a.cve, a.fixed_version,
+       CASE WHEN {_PKG_VKEY} < {_FIX_VKEY}
+              OR ({_PKG_VKEY} = {_FIX_VKEY} AND p.version < a.fixed_version)
+            THEN 'vulnerable' ELSE 'patched' END AS status
+FROM snap_pkgs p JOIN adv a USING (name)
+""",
+)
+def q_pkg_advisories(spark, sf_dir):
+    """Security-advisory audit — the secdb consumer a distro mirror runs
+    per sync (pkg2's domain: Alpine publishes exactly this {package,
+    fixed-version} feed): every installed build of an advised package is
+    classified vulnerable/patched by comparing its version to the
+    advisory's fixed_version on the numeric-aware key (3.0.10-r0 <
+    3.1.0-r0 numerically; raw-string tiebreak for equal keys). One row
+    per (build × advisory): openssl carries TWO advisories, so one
+    installed build can be patched against one CVE and vulnerable to the
+    next — the per-cell verdict an auditor wants.
+
+    Scale: bounded advisory feed broadcast against the arbitrarily-large
+    package table; row-local classification (Engine.match_advisories)."""
+    eng = Engine(spark)
+    eng.ingest_apkindex(_APKINDEX_PATH)
+    return eng.match_advisories(_ADVISORIES_PATH)

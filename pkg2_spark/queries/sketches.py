@@ -557,3 +557,125 @@ def q_sketch_bitmap(spark, sf_dir):
     return b.groupBy("l_returnflag").agg(
         F.sum(F.expr("bitmap_count(bm)")).cast("long").alias("n_distinct")
     )
+
+
+@query(
+    "q_sketch_kmv_intersect",
+    oracle=f"""
+WITH d AS (
+  SELECT DISTINCT l_returnflag AS g, md5(CAST(l_orderkey AS VARCHAR)) AS h
+  FROM lineitem
+),
+kmin AS (
+  SELECT g, h FROM d
+  QUALIFY row_number() OVER (PARTITION BY g ORDER BY h ASC NULLS LAST) <= {_K}
+),
+syn AS (SELECT g, list(h ORDER BY h) AS ks FROM kmin GROUP BY g),
+pairs AS (
+  SELECT a.g AS g_a, b.g AS g_b, a.ks AS ka, b.ks AS kb,
+         list_sort(list_distinct(list_concat(a.ks, b.ks)))[1:{_K}] AS comb
+  FROM syn a JOIN syn b ON a.g < b.g
+),
+est AS (
+  SELECT g_a, g_b,
+         len(list_intersect(comb, list_intersect(ka, kb))) AS n_match,
+         CAST({_NUM} // ({_v32_sql(f'comb[{_K}]')}) AS BIGINT) AS est_union
+  FROM pairs
+),
+exact AS (
+  SELECT a.g AS g_a, b.g AS g_b, count(*) AS nx
+  FROM (SELECT DISTINCT l_returnflag AS g, l_orderkey AS o FROM lineitem) a
+  JOIN (SELECT DISTINCT l_returnflag AS g, l_orderkey AS o FROM lineitem) b
+    ON a.o = b.o AND a.g < b.g
+  GROUP BY a.g, b.g
+)
+SELECT e.g_a, e.g_b, CAST(e.n_match AS INTEGER) AS n_match, e.est_union,
+       CAST((e.n_match * e.est_union) // {_K} AS BIGINT) AS est_intersect,
+       CAST(x.nx AS BIGINT) AS n_exact,
+       CAST(abs((e.n_match * e.est_union) // {_K} - x.nx) * 10000 // x.nx
+            AS BIGINT) AS err_bp
+FROM est e JOIN exact x ON e.g_a = x.g_a AND e.g_b = x.g_b
+""",
+)
+def q_sketch_kmv_intersect(spark, sf_dir):
+    """KMV set-INTERSECTION estimation (Beyer et al.'s K-Minimum-Values
+    set-operation estimators) — the sketch answer to "how much do these
+    two partitions/days/corpora overlap?" without a distinct-pair join:
+    per-group synopses (k smallest hashes of each group's orderkey set)
+    combine row-locally — union synopsis = k smallest of the two lists'
+    union, match fraction ρ = |combined ∩ both synopses| / k, and
+    est_intersect = (n_match · est_union) div k, all exact integer
+    arithmetic after md5. The exact intersection (a distinct self-join)
+    rides along as the QA arm with the error in basis points — same
+    contract as q_sketch_kmv's est/exact/err row.
+
+    Scale shape: each synopsis is the q_sketch_kmv two-stage k-min (every
+    task's state ≤ k hashes, merge is an array fold); the pair combine is
+    ROW-LOCAL list arithmetic on k-sized arrays — estimating the overlap
+    of two 10-billion-key sets moves 2·k hashes, not the keys. The exact
+    arm (the only corpus-sized join) exists for the QA row and is dropped
+    in production use.
+
+    Determinism: md5 order statistics and integer DIV throughout — the
+    whole sketch is deterministic, so it hash-matches the oracle exactly
+    (the q_sketch_kmv argument)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    d = (
+        li.select(
+            F.col("l_returnflag").alias("g"),
+            F.md5(F.col("l_orderkey").cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    part = d.groupBy("g", F.pmod(F.xxhash64("h"), F.lit(64)).alias("salt")).agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, _K).alias("ks")
+    )
+    syn = part.groupBy("g").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("ks"))), 1, _K).alias("ks")
+    )
+    a = syn.select(F.col("g").alias("g_a"), F.col("ks").alias("ka"))
+    b = syn.select(F.col("g").alias("g_b"), F.col("ks").alias("kb"))
+    pairs = a.join(b, F.col("g_a") < F.col("g_b")).select(
+        "g_a",
+        "g_b",
+        "ka",
+        "kb",
+        F.expr(f"slice(array_sort(array_distinct(concat(ka, kb))), 1, {_K})").alias(
+            "comb"
+        ),
+    )
+    est = pairs.select(
+        "g_a",
+        "g_b",
+        F.expr("size(array_intersect(comb, array_intersect(ka, kb)))")
+        .cast("int")
+        .alias("n_match"),
+        F.expr(f"CAST({_NUM} div ({_v32_spark(f'element_at(comb, {_K})')}) AS BIGINT)").alias(
+            "est_union"
+        ),
+    )
+    keys = li.select(F.col("l_returnflag").alias("g"), F.col("l_orderkey").alias("o")).distinct()
+    xa = keys.select(F.col("g").alias("g_a"), "o")
+    xb = keys.select(F.col("g").alias("g_b"), F.col("o").alias("o2"))
+    exact = (
+        xa.join(xb, (F.col("o") == F.col("o2")) & (F.col("g_a") < F.col("g_b")))
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    return (
+        est.join(exact, ["g_a", "g_b"])
+        .select(
+            "g_a",
+            "g_b",
+            "n_match",
+            "est_union",
+            F.expr(f"CAST((n_match * est_union) div {_K} AS BIGINT)").alias(
+                "est_intersect"
+            ),
+            "n_exact",
+            F.expr(
+                f"CAST(abs((n_match * est_union) div {_K} - n_exact) * 10000"
+                " div n_exact AS BIGINT)"
+            ).alias("err_bp"),
+        )
+    )

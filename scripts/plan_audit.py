@@ -48,8 +48,13 @@ NLJ_WHITELIST = {
     "(broadcast; the q_llm_tfidf shape)",
     "q_llm_bm25": "1-row corpus-totals scalar cross join "
     "(broadcast; the q_llm_tfidf shape)",
+    "q_sketch_kmv_intersect": "synopsis pair join: |groups| k-hash arrays "
+    "(3 rows here) theta-joined on g_a < g_b — bounded by the GROUP count, "
+    "never the corpus; the corpus-sized exact arm is an equi-join",
     "q_llm_vocab_coverage": "1-row grand-total scalar cross join over the "
     "vocab-reduced table (broadcast; the q_llm_tfidf shape)",
+    "q_llm_filter_funnel": "1-row corpus-token-total scalar cross join "
+    "inside the unigram-LM gate (broadcast; the q_llm_unigram_lm shape)",
     "q_dq_embdrift": "constant 8x8 spine cross + 1-row snapshot-totals "
     "cross join (broadcast; the q_dq_benford shape)",
     "q_llm_bpe_step": "1-row argmax-merge broadcast cross onto the "

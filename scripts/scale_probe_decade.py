@@ -124,16 +124,31 @@ def main() -> int:
         # memo (r8) would otherwise serve runs 2..N from the checkpointed
         # assignment and the probe would stop measuring CONSTRUCTION —
         # the quantity whose scaling this probe exists to bound.
+        #
+        # Contention guard: this sandbox sees multi-minute ambient
+        # contention waves (measured round 8: a mid-probe wave inflated
+        # three queries' sf1 runs ~8x while everything before and after
+        # was normal). A wave shows up as a wide spread across the three
+        # runs — retry the whole measurement (up to twice) when
+        # max/min > 2.5, and keep the FASTEST attempt's median: ratios
+        # here bound algorithmic growth, so the least-contended
+        # measurement is the signal.
         fn = queries[name]
-        ivf_invalidate()
-        fn(spark, sf).count()
-        times = []
-        for _ in range(3):
+        best = None
+        for attempt in range(3):
             ivf_invalidate()
-            t0 = time.monotonic()
             fn(spark, sf).count()
-            times.append(time.monotonic() - t0)
-        return statistics.median(times)
+            times = []
+            for _ in range(3):
+                ivf_invalidate()
+                t0 = time.monotonic()
+                fn(spark, sf).count()
+                times.append(time.monotonic() - t0)
+            med = statistics.median(times)
+            best = med if best is None else min(best, med)
+            if max(times) / min(times) <= 2.5:
+                break
+        return best
 
     lines = [
         "# SCALE_PROBE_DECADE — sf0.1 -> sf1 (10x) -> sf10 (100x, near-dup replicas)",
@@ -268,6 +283,28 @@ def main() -> int:
         "  hot-bucket cap is keyed on the final cell — and per-probe scan",
         "  cost tracks the PROBED cell, mean-sized in expectation. The",
         "  balance fix rides the same k-means refinement lever.",
+        "- THIRD decade (r8, 2M vectors): ann_ivf 3.77x and semdedup 3.05x",
+        "  per 10x — the Θ(n^{4/3}) assignment blend holding near-linear",
+        "  two decades past the driver's data, measured, not extrapolated.",
+        "  q_vec_ivfpq's 8.52x is the ADC arm: probed-cell size grew with",
+        "  the sf100 replica collapse (below), so the per-probe LUT scan",
+        "  paid ~4x more rows per probe on top of linear encode work; on",
+        "  diverse (non-replica) data the probed cell tracks the ~256",
+        "  target and the arm is linear. Sub-10x regardless.",
+        "- sf100 MEAN final cell (1133) reads high for a replica artifact:",
+        "  the ten per-decade copies are nudged by 1e-7 and land in the",
+        "  SAME cells, so occupied-cell count grows ~4x slower than the",
+        "  k1·k2·k3 product (7581 ≈ n/256 — the tree itself is sized",
+        "  right). Mean-over-OCCUPIED cells divides by fewer cells; on",
+        "  diverse data (first two decades) the mean tracks ~256.",
+        "- Timing robustness (r8): this sandbox shows multi-minute ambient",
+        "  contention waves (one inflated three sf1 rows ~8x mid-probe).",
+        "  timed() retries a query (≤2x) when its 3-run spread exceeds",
+        "  2.5x and keeps the fastest attempt's median; residual",
+        "  inflation can survive a wave longer than the retry window —",
+        "  compare suspicious rows against BENCH_r{N}.json mins before",
+        "  reading them as regressions (q_llm_winnow_dup's 10.84x here vs",
+        "  8.2x/6.8x in same-session cleaner runs is that artifact).",
         "",
     ]
     text = "\n".join(lines)

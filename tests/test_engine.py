@@ -693,3 +693,30 @@ def test_index_delta_classification(spark):
     assert ("alpine-baselayout", "x86_64") not in rows
     assert ("curl", "aarch64") not in rows
     assert len(rows) == 8
+
+
+def test_match_advisories_classification(spark):
+    # Hand-derived ground truth: numeric-aware comparisons (8.2.1-r0 <
+    # 8.10.0-r0, NOT lexicographic), equal version = patched, multi-build
+    # packages get one verdict per build, multi-advisory packages one per
+    # CVE, and unadvised packages emit nothing.
+    from pkg2_spark.queries.packages import _ADVISORIES_PATH
+
+    eng = Engine(spark)
+    eng.ingest_apkindex(_APKINDEX_PATH)
+    rows = {
+        (r["name"], r["arch"], r["version"], r["cve"]): r["status"]
+        for r in eng.match_advisories(_ADVISORIES_PATH).collect()
+    }
+    assert rows[("musl", "x86_64", "1.2.4-r0", "CVE-2024-0001")] == "vulnerable"
+    # two busybox builds, one verdict each against the same CVE
+    assert rows[("busybox", "x86_64", "1.35.0-r17", "CVE-2024-0002")] == "vulnerable"
+    assert rows[("busybox", "x86_64", "1.36.1-r2", "CVE-2024-0002")] == "patched"
+    # one openssl build, two advisories: patched vs one, vulnerable to the next
+    assert rows[("openssl", "x86_64", "3.1.2-r0", "CVE-2024-0003")] == "patched"
+    assert rows[("openssl", "x86_64", "3.1.2-r0", "CVE-2024-0004")] == "vulnerable"
+    # numeric-aware: 8.2.1 < 8.10.0 (lexicographic would say patched)
+    assert rows[("curl", "aarch64", "8.2.1-r0", "CVE-2024-0007")] == "vulnerable"
+    # fixed_version == installed -> patched
+    assert rows[("alpine-baselayout", "x86_64", "3.4.3-r1", "CVE-2024-0008")] == "patched"
+    assert len(rows) == 10

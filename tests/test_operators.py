@@ -660,3 +660,22 @@ def test_filter_funnel_conservation_and_stage_agreement(spark, sf_dir):
     # funnel's terminal survivors = entropy-mid ∩ lm-middle.
     if rows[0]["n_killed"] == 0 and rows[1]["n_killed"] == 0:
         assert rows[3]["n_out"] == len(ent_mid & lm_mid)
+
+
+def test_kmv_intersect_estimator_consistency(spark, sf_dir):
+    # n_match is bounded by k; the intersection estimate never exceeds the
+    # union estimate; err_bp is consistent with the reported columns; and
+    # with full-overlap synopses (n_match = k) the estimate equals the
+    # union estimate exactly.
+    from pkg2_spark.queries.sketches import _K
+    from pkg2_spark.registry import all_queries
+
+    rows = all_queries()["q_sketch_kmv_intersect"](spark, sf_dir).collect()
+    assert len(rows) == 3  # C(3 returnflag groups, 2)
+    for r in rows:
+        assert 0 <= r["n_match"] <= _K
+        assert r["est_intersect"] == (r["n_match"] * r["est_union"]) // _K
+        assert r["est_intersect"] <= r["est_union"]
+        assert r["err_bp"] == abs(r["est_intersect"] - r["n_exact"]) * 10000 // r["n_exact"]
+        if r["n_match"] == _K:
+            assert r["est_intersect"] == r["est_union"]

@@ -455,3 +455,56 @@ def test_recurrence_folds_are_partition_level(spark, sf_dir):
         assert "MapInPandas" in plan, name
         assert "FlatMapGroupsInPandas" not in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_bm25_topk_and_broadcast_shape(spark, sf_dir):
+    # Ranking must be top-k (TakeOrderedAndProject), never a global sort of
+    # the scored corpus; the df side broadcasts; no unbounded cartesian
+    # (the 1-row totals cross join is BroadcastNestedLoopJoin by
+    # construction and whitelisted in plan_audit).
+    plan = _plan(spark, sf_dir, "q_llm_bm25")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_coverage_window_runs_on_reduced_vocab(spark, sf_dir):
+    # The running-sum window must sit ABOVE the token hash-agg (vocab-sized
+    # input), and the corpus must reduce through a partial aggregate first.
+    plan = _plan(spark, sf_dir, "q_llm_vocab_coverage")
+    assert "Window" in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_pair_join_is_equi_on_block_key(spark, sf_dir):
+    # The pair space must come from an equi-join on the blocking key —
+    # never a cartesian/nested-loop over the corpus.
+    plan = _plan(spark, sf_dir, "q_llm_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_entropy_is_hash_aggs_no_window_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_llm_entropy")
+    assert "HashAggregate" in plan
+    assert "Window" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_advisories_broadcast_the_feed(spark, sf_dir):
+    # The bounded advisory feed must broadcast against the package table.
+    plan = _plan(spark, sf_dir, "q_pkg_advisories")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_is_single_global_agg_plus_explode(spark, sf_dir):
+    # The stage table must come from ONE aggregate exploded row-locally —
+    # a Generate node over the 1-row conjunction counts, no second corpus
+    # pass (no union of four scans of documents).
+    plan = _plan(spark, sf_dir, "q_llm_filter_funnel")
+    assert "Generate" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
