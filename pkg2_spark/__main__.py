@@ -134,7 +134,15 @@ def main(argv: Sequence[str] | None = None, engine=None, out=None) -> int:
     from pkg2_spark.service import QueryService, ServiceError, make_http_server
 
     eng = engine if engine is not None else Engine()
-    _ingest(eng, args.format, args.index)
+    # Ingest failures (missing path, unparseable index) get the same
+    # one-line exit-2 envelope as ServiceError — a CLI user should never
+    # see a raw Spark traceback for a bad --index argument.
+    try:
+        _ingest(eng, args.format, args.index)
+    except Exception as exc:  # noqa: BLE001 — boundary: any ingest failure
+        msg = str(exc).strip().splitlines()[0] if str(exc).strip() else type(exc).__name__
+        print(f"error: ingest failed: {msg}", file=sys.stderr)
+        return 2
 
     if args.command == "serve":
         svc = QueryService(eng, max_rows=args.max_rows)

@@ -596,8 +596,14 @@ class Engine:
             "cve", "name", "fixed_version"
         )
         pk, fk = version_key(F.col("version")), version_key(F.col("fixed_version"))
+        # A null/absent fixed_version is the standard "no fix released yet"
+        # advisory shape (Alpine secdb '0'/missing entries). The comparison
+        # predicate is NULL there, so an otherwise("patched") would silently
+        # fail OPEN in a security audit — classify it explicitly as
+        # 'unfixed' before any version arithmetic runs.
         status = (
-            F.when(
+            F.when(F.col("fixed_version").isNull(), F.lit("unfixed"))
+            .when(
                 (pk < fk) | ((pk == fk) & (F.col("version") < F.col("fixed_version"))),
                 F.lit("vulnerable"),
             )

@@ -2728,10 +2728,15 @@ def q_llm_entropy(spark, sf_dir):
     hash-aggs. No windows, no corpus-wide state — the per-doc alphabet is
     ≤ a few hundred rows regardless of corpus size."""
     d = load_tables(spark, sf_dir)["documents"]
+    # split on '(?!$)' not '': the empty pattern's trailing-element
+    # behavior differs across Spark versions, while the end-of-string
+    # lookahead yields exactly the per-char list under BOTH semantics.
     ch = d.select(
         "doc_id",
-        F.explode(F.split(F.replace(F.lower("text"), F.lit(" "), F.lit("")), "")).alias("c"),
-    )
+        F.explode(
+            F.expr("split(replace(lower(text), ' ', ''), '(?!$)')")
+        ).alias("c"),
+    ).filter(F.col("c") != "")
     cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).cast("long").alias("k"))
     tot = cnt.groupBy("doc_id").agg(F.sum("k").cast("long").alias("n"))
     s = (
@@ -2903,10 +2908,13 @@ def q_llm_filter_funnel(spark, sf_dir):
             > 0.5
         ).alias("g2"),
     )
+    # same version-robust '(?!$)' char split as q_llm_entropy
     ch = d.select(
         "doc_id",
-        F.explode(F.split(F.replace(F.lower("text"), F.lit(" "), F.lit("")), "")).alias("c"),
-    )
+        F.explode(
+            F.expr("split(replace(lower(text), ' ', ''), '(?!$)')")
+        ).alias("c"),
+    ).filter(F.col("c") != "")
     ccnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).cast("long").alias("k"))
     ctot = ccnt.groupBy("doc_id").agg(F.sum("k").cast("long").alias("n"))
     ent = (

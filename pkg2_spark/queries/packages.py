@@ -888,7 +888,8 @@ adv AS (
                            'fixed_version': 'VARCHAR'}})
 )
 SELECT p.name, p.arch, p.version, a.cve, a.fixed_version,
-       CASE WHEN {_PKG_VKEY} < {_FIX_VKEY}
+       CASE WHEN a.fixed_version IS NULL THEN 'unfixed'
+            WHEN {_PKG_VKEY} < {_FIX_VKEY}
               OR ({_PKG_VKEY} = {_FIX_VKEY} AND p.version < a.fixed_version)
             THEN 'vulnerable' ELSE 'patched' END AS status
 FROM snap_pkgs p JOIN adv a USING (name)
@@ -903,7 +904,10 @@ def q_pkg_advisories(spark, sf_dir):
     3.1.0-r0 numerically; raw-string tiebreak for equal keys). One row
     per (build × advisory): openssl carries TWO advisories, so one
     installed build can be patched against one CVE and vulnerable to the
-    next — the per-cell verdict an auditor wants.
+    next — the per-cell verdict an auditor wants. A null fixed_version
+    (advisory published, no fix released — Alpine secdb's '0'/absent
+    shape) is a distinct 'unfixed' status: it must NOT fall through to
+    'patched' when the version comparison evaluates to NULL.
 
     Scale: bounded advisory feed broadcast against the arbitrarily-large
     package table; row-local classification (Engine.match_advisories)."""

@@ -1847,9 +1847,9 @@ def q_llm_bpe_step(spark, sf_dir):
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    # split(w, '(?!$)') — Spark's split keeps a trailing empty element for
-    # the '' pattern under its limit=-1 default; the lookahead excludes the
-    # end-of-string match so both engines see the same symbol list.
+    # split(w, '(?!$)') — the empty pattern's trailing-element behavior
+    # differs across Spark versions; the end-of-string lookahead yields
+    # exactly the per-char symbol list under both semantics.
     seg = words.select(
         "w", "freq", F.expr("split(w, '(?!$)')").alias("syms")
     ).withColumn("n", F.size("syms"))

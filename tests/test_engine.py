@@ -719,4 +719,7 @@ def test_match_advisories_classification(spark):
     assert rows[("curl", "aarch64", "8.2.1-r0", "CVE-2024-0007")] == "vulnerable"
     # fixed_version == installed -> patched
     assert rows[("alpine-baselayout", "x86_64", "3.4.3-r1", "CVE-2024-0008")] == "patched"
-    assert len(rows) == 10
+    # null fixed_version (no fix released yet) must NOT fail open to
+    # 'patched' — it is a distinct 'unfixed' verdict.
+    assert rows[("musl", "x86_64", "1.2.4-r0", "CVE-2024-0009")] == "unfixed"
+    assert len(rows) == 11

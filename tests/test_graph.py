@@ -61,7 +61,37 @@ def test_kcore_partition_and_conservation(spark, sf_dir):
         assert 0 <= r["peel_round"] <= _KCORE_ROUNDS
         if not r["in_core"]:
             assert r["resid_degree"] == 0
-        else:
-            assert 0 <= r["resid_degree"] < len(core)
-    # the synthetic graph peels non-trivially: both classes populated
-    assert core and len(core) < n_nodes or not core
+    # Non-vacuous ground truth: replay the bounded synchronous peel in
+    # pure Python on the collected edge list and compare node-by-node.
+    # (At sf0.001 the 4-core is genuinely empty — 10 nodes — so a
+    # "both classes populated" assertion cannot hold here; an exact
+    # replay catches a peel-everything regression just as well.)
+    from pkg2_spark.queries.graph import _KCORE_K
+
+    edges = {(r["a"], r["b"]) for r in und.collect()}
+    alive = {n for e in edges for n in e}
+    assert len(alive) == n_nodes
+    expected = {}
+    live_edges = set(edges)
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        deg = {n: 0 for n in alive}
+        for a, b in live_edges:
+            deg[a] += 1
+            deg[b] += 1
+        dropped = {n for n in alive if deg[n] < _KCORE_K}
+        for n in dropped:
+            expected[n] = (rnd, 0, False)
+        alive -= dropped
+        live_edges = {(a, b) for a, b in live_edges if a in alive and b in alive}
+    deg = {n: 0 for n in alive}
+    for a, b in live_edges:
+        deg[a] += 1
+        deg[b] += 1
+    for n in alive:
+        expected[n] = (0, deg[n], True)
+    got = {
+        r["s_suppkey"]: (r["peel_round"], r["resid_degree"], r["in_core"])
+        for r in rows
+    }
+    assert got == expected
+    assert len(core) == len(alive)

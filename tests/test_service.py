@@ -239,6 +239,17 @@ class TestCli:
         rc, _ = self._run(spark, ["table", "0", "--index", idx])
         assert rc == 2
 
+    def test_bad_index_path_is_exit_2_not_traceback(self, spark, capsys):
+        # Ingest failures ride the same one-line error envelope as request
+        # errors — a nonexistent --index must not dump a Spark traceback.
+        rc, _ = self._run(
+            spark, ["search", "mus%", "--index", "/nonexistent/APKINDEX"]
+        )
+        assert rc == 2
+        err = capsys.readouterr().err
+        assert err.startswith("error: ingest failed:")
+        assert "\n" == err[-1] and err.count("\n") == 1
+
     def test_query_subcommand_runs_registry_entry(self, spark):
         rc, out = self._run(spark, ["--json", "query", "q_llm_vocab_coverage",
                                     "--sf-dir", "/root/testdata/sf0.001",
