@@ -629,33 +629,46 @@ def q_llm_embed_neardup(spark, sf_dir):
 # (r7 watch item). The three-level tree cuts that term to Θ(n^{4/3}):
 #
 #   m  = n // 256            (target final-cell count, integer)
-#   k1 = k2 = max(2, icbrt(m))
-#   k3 = max(2, m // (k1·k2))   — corrects the k^3 cubing gap so
-#                                  k1·k2·k3 ≈ m (mean cell ≈ 256 at EVERY
-#                                  n: 62/250/312/274/264/257 measured at
-#                                  n = 500/2k/20k/200k/2M/10^9)
+#   k1 = max(2, icbrt(m))    md5-hash-sampled level-1 centroids
 #
-# Level 1: k1 md5-hash-sampled centroids, ALWAYS broadcast (k1 = m^{1/3}
-# ≈ 1.6k rows even at n = 10^12), one wide-codegen pass over n·k1 scored
-# rows. Level 2: k2 md5-ranked member sub-centroids per level-1 cell
-# (k1·k2 = m^{2/3} rows); level 3: k3 per level-2 cell (k1·k2·k3 ≈ m
-# rows). Levels 2/3 join their codebook to the members on the PARENT cell
-# id: broadcast while the codebook is small (≤ _IVF_BCAST_ROWS — at mid
-# scale the parent-key count k1 or k1·k2 is tiny, so a key-partitioned
-# shuffle would cap parallelism at the key count), shuffling equi-join
-# once it outgrows the hint (by then the key count is ≥ √_IVF_BCAST_ROWS,
-# enough partitions for any cluster). Final cell id = the level-3
-# sub-centroid's vec_id (globally unique). Assignment cost is
-# n·(k1+k2+k3) ≈ 3n·(n/256)^{1/3}: 26× cheaper than two-level at
-# n = 10^12, and the per-decade growth of the assignment subterm falls
-# 10^{3/2} ≈ 31.6× → 10^{4/3} ≈ 21.5×. icbrt is EXACT in both engines:
-# a pow(m, 1/3) seed corrected by integer cube comparisons (pow is within
-# 1 ulp ≪ 0.5 absolute at these magnitudes, and the correction is pure
-# integer arithmetic — no reliance on libm rounding). The md5 sample
-# stands in for a k-means codebook; q_kmeans_step is the refinement
-# builder a production deployment would iterate.
+# Level 1: k1 centroids, ALWAYS broadcast (k1 = m^{1/3} ≈ 1.6k rows even
+# at n = 10^12), one wide-codegen pass over n·k1 scored rows. Levels 2/3
+# use PROPORTIONAL allocation (round 9 — the fixed per-parent k of r8 let
+# final cells inherit parent skew: max 11295 vs mean 1133 at the sf100
+# probe): each parent cell gets ~cell_size/target md5-ranked member seeds
+# (target t2 = 256·k1 at level 2, 256 at level 3), so a parent twice the
+# size gets twice the children and the EXPECTED child size is the target
+# at every n. The level-3 seed assignment is then Lloyd-REFINED once
+# (assign members to seeds → recenter each seed cell as the
+# per-dimension integer-micro mean, the q_llm_ivf_refine dataflow →
+# re-assign against the refined codebook): hash-sampled member seeds do
+# not balance dense regions; the recentered means do measurably better
+# and are the codebook a production deployment would keep iterating.
+# Residual imbalance (a genuinely dense region nearest ONE centroid —
+# no centroid scheme can split what cosine cannot distinguish) is
+# bounded DETERMINISTICALLY by an occupancy cap: a final cell holding
+# > 2·256 members is md5-slot-split into ~cell/256 slots
+# (slot = hex32(md5(vec_id)) mod slots — engine-portable, key-stable,
+# shuffle-free), so max final cell ≤ ~1.5× target REGARDLESS of data
+# geometry — the posting-list cap every production IVF deploys. Final
+# cid = quantizer_cell_id (the refined centroid's seed vec_id, globally
+# unique) × 32768 + slot; quantizer cell = cid div 32768.
+#
+# Levels 2/3 join their codebook to the members on the PARENT cell id:
+# broadcast while the codebook is small (≤ _IVF_BCAST_ROWS — at mid
+# scale the parent-key count is tiny, so a key-partitioned shuffle would
+# cap parallelism at the key count), shuffling equi-join once it
+# outgrows the hint (by then there are ≥ √_IVF_BCAST_ROWS keys — enough
+# partitions for any cluster). Assignment cost stays n·(k1+k2+k3+k3) ≈
+# 4n·(n/256)^{1/3} (one extra level-3 pass for the Lloyd re-assignment);
+# the recenter is one map-combinable (cell, dim)-keyed hash agg. icbrt
+# is EXACT in both engines: a pow(m, 1/3) seed corrected by integer cube
+# comparisons (pow is within 1 ulp ≪ 0.5 absolute at these magnitudes,
+# and the correction is pure integer arithmetic — no reliance on libm
+# rounding).
 _IVF_TARGET_CELL = 256
 _IVF_BCAST_ROWS = 65536
+_IVF_SLOT_BASE = 32768  # final cid = quantizer_cell_id * base + slot
 _IVF_M_SQL = f"(SELECT count(*) // {_IVF_TARGET_CELL} FROM embeddings)"
 _IVF_K12_SQL = (
     "(SELECT GREATEST(2, CASE WHEN (c+1)*(c+1)*(c+1) <= m THEN c+1 "
@@ -663,10 +676,8 @@ _IVF_K12_SQL = (
     "FROM (SELECT m, CAST(round(pow(m, 1.0/3.0)) AS BIGINT) AS c "
     f"FROM (SELECT {_IVF_M_SQL} AS m)))"
 )
-_IVF_K3_SQL = (
-    f"(SELECT GREATEST(2, m // (k12*k12)) "
-    f"FROM (SELECT {_IVF_M_SQL} AS m, {_IVF_K12_SQL} AS k12))"
-)
+# level-2 seed target: t2 = 256·k1 members per level-2 cell
+_IVF_T2_SQL = f"({_IVF_TARGET_CELL} * {_IVF_K12_SQL})"
 
 
 def _icbrt(m: int) -> int:
@@ -715,7 +726,11 @@ def ivf_invalidate() -> None:
 
 
 def _ivf_ks(e) -> tuple[int, int]:
-    """(k12, k3) for the corpus — one count job per corpus per session."""
+    """(k12, k3) for the corpus — one count job per corpus per session.
+    k12 sizes the level-1 codebook and the level-2 seed target; k3 is the
+    LEGACY fixed-allocation per-parent count, retained as the expected
+    children-per-level-2-cell figure for probes/tests (actual level-2/3
+    allocation is proportional to cell size — see _sub_centroids)."""
     ent = _ivf_memo(e)
     if "ks" not in ent:
         m = e.count() // _IVF_TARGET_CELL
@@ -729,11 +744,18 @@ def _ivf_k(e) -> int:
     return _ivf_ks(e)[0]
 
 
-# Three-level hash-sampled quantizer — the coarse-quantization stage shared
-# by IVF search (q_llm_ann_ivf / q_llm_ann_recall / q_llm_ann_mprobe) and
-# cluster-blocked semantic dedup (q_llm_semdedup). `assign` exposes the
-# FINAL (vec_id, embedding, cid) labeling, cid = nearest level-3
-# sub-centroid's vec_id, so downstream CTEs are agnostic to the level count.
+# Three-level quantizer — the coarse-quantization stage shared by IVF
+# search (q_llm_ann_ivf / q_llm_ann_recall / q_llm_ann_mprobe), the IVFADC
+# composite (q_vec_ivfpq), incremental maintenance (q_vec_ivf_incr), and
+# cluster-blocked semantic dedup (q_llm_semdedup). Structure (see the
+# module design block above): md5-sampled level-1 codebook → proportional
+# member-seed levels 2/3 → ONE Lloyd refinement of the level-3 codebook →
+# md5-slot occupancy cap. `assign` exposes the FINAL (vec_id, embedding,
+# cid) labeling with cid = refined-centroid-seed vec_id × 32768 + slot;
+# `cent3` carries the REFINED level-3 codebook (c3id = parent level-2
+# cell, sscid = quantizer cell id, ssemb = refined centroid, DOUBLE[]);
+# `cellslots` maps quantizer cell → slot count (1 unless occupancy-capped)
+# so downstream CTEs can route probes to a slot.
 _IVF_ASSIGN_CTE = f"""cent AS (
   SELECT vec_id AS cid, embedding AS cemb FROM embeddings
   QUALIFY row_number() OVER (
@@ -750,11 +772,15 @@ assign1 AS (
   ) = 1
 ),
 cent2 AS (
-  SELECT cid AS c2id, vec_id AS scid, embedding AS semb FROM assign1
-  QUALIFY row_number() OVER (
-    PARTITION BY cid
-    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC NULLS LAST, vec_id ASC NULLS LAST
-  ) <= {_IVF_K12_SQL}
+  SELECT cid AS c2id, vec_id AS scid, embedding AS semb FROM (
+    SELECT cid, vec_id, embedding,
+           row_number() OVER (
+             PARTITION BY cid
+             ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC NULLS LAST,
+                      vec_id ASC NULLS LAST) AS rn,
+           count(*) OVER (PARTITION BY cid) AS n
+    FROM assign1
+  ) WHERE rn <= GREATEST(1, (n + {_IVF_T2_SQL} // 2) // {_IVF_T2_SQL})
 ),
 assign2 AS (
   SELECT vec_id, embedding, scid FROM (
@@ -767,23 +793,73 @@ assign2 AS (
     ) = 1
   )
 ),
-cent3 AS (
-  SELECT scid AS c3id, vec_id AS sscid, embedding AS ssemb FROM assign2
-  QUALIFY row_number() OVER (
-    PARTITION BY scid
-    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC NULLS LAST, vec_id ASC NULLS LAST
-  ) <= {_IVF_K3_SQL}
+cent3s AS (
+  SELECT scid AS c3id, vec_id AS sscid, embedding AS ssemb FROM (
+    SELECT scid, vec_id, embedding,
+           row_number() OVER (
+             PARTITION BY scid
+             ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC NULLS LAST,
+                      vec_id ASC NULLS LAST) AS rn,
+           count(*) OVER (PARTITION BY scid) AS n
+    FROM assign2
+  ) WHERE rn <= GREATEST(1, (n + {_IVF_TARGET_CELL // 2}) // {_IVF_TARGET_CELL})
 ),
-assign AS (
-  SELECT vec_id, embedding, sscid AS cid FROM (
+assign3s AS (
+  SELECT vec_id, embedding, sscid FROM (
     SELECT a.vec_id, a.embedding, c3.sscid,
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(c3.ssemb AS DOUBLE[])), 4) AS sscos
+    FROM assign2 a JOIN cent3s c3 ON c3.c3id = a.scid
+    QUALIFY row_number() OVER (
+      PARTITION BY a.vec_id ORDER BY sscos DESC NULLS LAST, sscid ASC NULLS LAST
+    ) = 1
+  )
+),
+q3 AS (
+  SELECT sscid,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1000000) AS BIGINT)) AS qe
+  FROM assign3s
+),
+rdims AS (
+  SELECT sscid, i.i AS pos,
+         CAST(floor(CAST(sum(qe[i.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+  FROM q3 CROSS JOIN generate_series(1, 64) AS i(i)
+  GROUP BY sscid, i.i
+),
+refined3 AS (
+  SELECT sscid, list(CAST(cv AS DOUBLE) / 1000000.0 ORDER BY pos ASC) AS remb
+  FROM rdims GROUP BY sscid
+),
+cent3 AS (
+  SELECT s.c3id, s.sscid, r.remb AS ssemb
+  FROM cent3s s JOIN refined3 r ON r.sscid = s.sscid
+),
+assign0 AS (
+  SELECT vec_id, embedding, sscid AS qcid FROM (
+    SELECT a.vec_id, a.embedding, c3.sscid,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        c3.ssemb), 4) AS sscos
     FROM assign2 a JOIN cent3 c3 ON c3.c3id = a.scid
     QUALIFY row_number() OVER (
       PARTITION BY a.vec_id ORDER BY sscos DESC NULLS LAST, sscid ASC NULLS LAST
     ) = 1
   )
+),
+cellslots AS (
+  SELECT qcid,
+         CASE WHEN count(*) <= {2 * _IVF_TARGET_CELL} THEN 1
+              ELSE LEAST({_IVF_SLOT_BASE - 1},
+                         (count(*) + {_IVF_TARGET_CELL // 2}) // {_IVF_TARGET_CELL})
+         END AS slots
+  FROM assign0 GROUP BY qcid
+),
+assign AS (
+  SELECT a.vec_id, a.embedding,
+         a.qcid * {_IVF_SLOT_BASE} + CASE WHEN s.slots = 1 THEN 0
+           ELSE ('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8))::BIGINT % s.slots
+         END AS cid
+  FROM assign0 a JOIN cellslots s USING (qcid)
 )"""
 
 
@@ -804,15 +880,16 @@ QUALIFY row_number() OVER (
 """,
 )
 def q_llm_ann_ivf(spark, sf_dir):
-    """IVF-style ANN: coarse-quantize with the three-level tree codebook
-    whose size is DERIVED from the corpus (k1 = k2 = icbrt(n/256),
-    k3 = (n/256)/(k1·k2) — deterministic hash samples standing in for a
-    k-means codebook), search only the probe's final cell. The scale path
-    for similarity search: assignment is O(n·(k1+k2+k3)) = O(n^{4/3})
-    total; cells stay ≈ 256 vectors in expectation at EVERY n (constant k
-    makes cells linear in n; the two-level √(n/256) design kept cells
-    flat but paid Θ(n^1.5) assignment — the r7 watch item), and the
-    ranking join is centroid-keyed, not a cross join."""
+    """IVF-style ANN: coarse-quantize with the three-level tree whose size
+    is DERIVED from the corpus (k1 = icbrt(n/256) md5-sampled level-1
+    centroids; levels 2/3 allocate ~cell/target member seeds per parent;
+    the level-3 codebook is Lloyd-refined once and oversized cells are
+    md5-slot-capped — see the module design block), search only the
+    probe's final cell. The scale path for similarity search: assignment
+    is O(n·(k1+k2+2·k3)) = O(n^{4/3}) total; MEAN final cell ≈ 256 at
+    every n by proportional allocation and MAX final cell ≤ ~1.5× target
+    by the occupancy cap (r9 probe: max/mean 18.2 → 2.25 at sf10), and
+    the ranking join is centroid-keyed, not a cross join."""
     e = load_tables(spark, sf_dir)["embeddings"]
     return _ivf_search(e)
 
@@ -892,17 +969,27 @@ def _nearest_wide(vecs, cands, out_id: str, cand_id: str, cand_vec: str,
 
 
 def _sub_centroids(parent, parent_col: str, out_parent: str, out_id: str,
-                   out_vec: str, limit: int):
-    """k md5-ranked member sub-centroids per parent cell (rank window over
-    one row per member — the capped-bands idiom, not a per-candidate
-    window)."""
+                   out_vec: str, target: int):
+    """~cell_size/target md5-ranked member sub-centroid SEEDS per parent
+    cell — PROPORTIONAL allocation (round-half-up, ≥ 1 per parent): a
+    parent twice the size gets twice the children, so expected child-cell
+    size tracks `target` regardless of parent skew. (The r8 fixed
+    per-parent k let final cells inherit the parents' imbalance — max
+    11295 vs mean 1133 at the sf100 probe.) One rank window + one count
+    window over the SAME partition key — a single shuffle, the
+    capped-bands idiom, not a per-candidate window."""
     w = Window.partitionBy(parent_col).orderBy(
         F.md5(F.col("vec_id").cast("string")).asc_nulls_last(),
         F.col("vec_id").asc_nulls_last(),
     )
+    wc = Window.partitionBy(parent_col)
     return (
         parent.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= limit)
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .filter(
+            F.col("_rn")
+            <= F.expr(f"greatest(1, (_n + {target // 2}) div {target})")
+        )
         .select(
             F.col(parent_col).alias(out_parent),
             F.col("vec_id").alias(out_id),
@@ -913,57 +1000,180 @@ def _sub_centroids(parent, parent_col: str, out_parent: str, out_id: str,
 
 def _ivf_tree(e):
     """The three-level quantizer pipeline, MEMOIZED per (session, corpus):
-    returns (cents, assign1, cent2, assign2, cent3, assign) where `assign`
-    carries the FINAL (vec_id, embedding, cid) labeling (cid = nearest
-    level-3 sub-centroid's vec_id — globally unique).
+    returns (cents, assign1, cent2, assign2, cent3, assign) where `cent3`
+    is the Lloyd-REFINED level-3 codebook (c3id = parent level-2 cell,
+    sscid = quantizer cell id, ssemb = refined centroid as array<double>)
+    and `assign` carries the FINAL (vec_id, embedding, cid) labeling with
+    cid = sscid × _IVF_SLOT_BASE + occupancy slot (see the module design
+    block: proportional seed allocation → one Lloyd step → md5-slot cap).
 
-    Level 1 is the broadcast k1-codebook argmax; levels 2/3 select k2/k3
-    md5-ranked member sub-centroids per parent cell and re-assign members
+    Level 1 is the broadcast k1-codebook argmax; levels 2/3 allocate
+    ~cell/target md5-ranked member seeds per parent and re-assign members
     within their cell via the parent-keyed join (broadcast while the
-    codebook is ≤ _IVF_BCAST_ROWS — see _nearest_wide). Each assignment
-    level is localCheckpoint-ed, and the whole tuple lives in the IVF
-    memo: ann_ivf / ann_recall / ann_mprobe / semdedup over the same
-    corpus in a session share ONE construction instead of each re-paying
-    the n·(k1+k2+k3) scoring cross (the r7 verdict's +1 s sf0.1
-    regression was exactly this re-payment, four times over)."""
+    codebook is ≤ _IVF_BCAST_ROWS — see _nearest_wide; gated on the
+    COUNTED codebook size since allocation is data-proportional). The
+    level-3 seed assignment is recentered once (integer-micro means — the
+    q_llm_ivf_refine dataflow, exact under any partition summation order)
+    and members re-assigned against the refined codebook; cells above
+    2× target are md5-slot-split so max final cell is bounded at ~1.5×
+    target regardless of data geometry. Each corpus-sized frame is
+    localCheckpoint-ed and the whole tuple lives in the IVF memo:
+    ann_ivf / ann_recall / ann_mprobe / semdedup / ivfpq / ivf_incr over
+    the same corpus in a session share ONE construction instead of each
+    re-paying the n·(k1+k2+2·k3) scoring passes."""
     ent = _ivf_memo(e)
     if "tree" in ent:
         return ent["tree"]
-    k12, k3 = _ivf_ks(e)
+    k12, _k3 = _ivf_ks(e)
+    c = _IVF_TARGET_CELL
     cents = _ivf_centroids(e)
     ev = e.select("vec_id", "embedding")
     a1 = ev.join(
         _nearest_wide(ev, cents, out_id="cid", cand_id="cid", cand_vec="cemb"),
         "vec_id",
     ).localCheckpoint()
-    cent2 = _sub_centroids(a1, "cid", "c2id", "scid", "semb", k12)
+    cent2 = _sub_centroids(a1, "cid", "c2id", "scid", "semb", c * k12)
+    n2 = cent2.count()
     a2 = a1.select("vec_id", "embedding").join(
         _nearest_wide(
             a1.withColumnRenamed("cid", "c2id"), cent2, out_id="scid",
             cand_id="scid", cand_vec="semb", join_on="c2id",
-            broadcast_cands=k12 * k12 <= _IVF_BCAST_ROWS,
+            broadcast_cands=n2 <= _IVF_BCAST_ROWS,
         ),
         "vec_id",
     ).localCheckpoint()
-    cent3 = _sub_centroids(a2, "scid", "c3id", "sscid", "ssemb", k3)
-    assign = a2.select("vec_id", "embedding").join(
+    cent3s = _sub_centroids(a2, "scid", "c3id", "sscid", "ssemb", c)
+    n3 = cent3s.count()
+    bc3 = n3 <= _IVF_BCAST_ROWS
+    ent["sizes"] = (n2, n3)
+    a3s = a2.join(
         _nearest_wide(
-            a2.withColumnRenamed("scid", "c3id"), cent3, out_id="cid",
+            a2.withColumnRenamed("scid", "c3id"), cent3s, out_id="sscid",
             cand_id="sscid", cand_vec="ssemb", join_on="c3id",
-            broadcast_cands=k12 * k12 * k3 <= _IVF_BCAST_ROWS,
+            broadcast_cands=bc3,
         ),
         "vec_id",
-    ).localCheckpoint()
+    )
+    # ONE Lloyd step over the seed assignment: per-(cell, dim)
+    # integer-micro mean (map-combinable hash agg; exact in doubles —
+    # |sum| ≤ n_cell·2e6 ≪ 2^53), re-packed per cell, scaled back to raw
+    # units by an exact-IEEE /1e6. Seeds that attracted no member (a
+    # rounding tie handed their self-assignment to a sibling) drop out.
+    q3 = a3s.select(
+        "sscid",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * F.lit(1000000.0)).cast("long"),
+        ).alias("qe"),
+    )
+    rdims = (
+        q3.select("sscid", F.posexplode("qe").alias("pos", "v"))
+        .groupBy("sscid", "pos")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("cv")
+        )
+    )
+    refined3 = rdims.groupBy("sscid").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: s["cv"].cast("double") / F.lit(1000000.0),
+        ).alias("remb")
+    )
+    cent3 = (
+        cent3s.select("c3id", "sscid")
+        .join(refined3, "sscid")
+        .select("c3id", "sscid", F.col("remb").alias("ssemb"))
+        .localCheckpoint()
+    )
+    a0 = a2.select("vec_id", "embedding").join(
+        _nearest_wide(
+            a2.withColumnRenamed("scid", "c3id"), cent3, out_id="qcid",
+            cand_id="sscid", cand_vec="ssemb", join_on="c3id",
+            broadcast_cands=bc3,
+        ),
+        "vec_id",
+    )
+    # Occupancy cap: one qcid-keyed count window (no extra agg+join pass)
+    # → slot = hex32(md5(vec_id)) mod slots for cells above 2× target.
+    wq = Window.partitionBy("qcid")
+    slots = F.when(F.col("_cn") <= 2 * c, F.lit(1)).otherwise(
+        F.least(
+            F.lit(_IVF_SLOT_BASE - 1),
+            F.expr(f"(_cn + {c // 2}) div {c}"),
+        )
+    ).cast("long")
+    slot = F.when(F.col("_slots") == 1, F.lit(0).cast("long")).otherwise(
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % F.col("_slots")
+    )
+    assign = (
+        a0.withColumn("_cn", F.count(F.lit(1)).over(wq))
+        .withColumn("_slots", slots)
+        .select(
+            "vec_id",
+            "embedding",
+            (F.col("qcid") * _IVF_SLOT_BASE + slot).cast("long").alias("cid"),
+        )
+        .localCheckpoint()
+    )
     ent["tree"] = (cents, a1, cent2, a2, cent3, assign)
     return ent["tree"]
 
 
+def _ivf_sizes(e) -> tuple[int, int]:
+    """(level-2, level-3) codebook row counts for the corpus — the
+    broadcast-gating inputs (allocation is data-proportional, so sizes
+    are measured at construction, not derived from k)."""
+    ent = _ivf_memo(e)
+    if "sizes" not in ent:
+        _ivf_tree(e)
+    return ent["sizes"]
+
+
+def _ivf_cellslots(e):
+    """Quantizer-cell → slot-count map (qcid, slots), derived from the
+    final assignment (grouping by cid div _IVF_SLOT_BASE recovers exactly
+    the per-quantizer-cell occupancy the cap was computed from).
+    Memoized + checkpointed alongside the tree: multi-probe search joins
+    its beam against this to route each probe to a slot of a foreign
+    cell."""
+    ent = _ivf_memo(e)
+    if "cellslots" not in ent:
+        assign = _ivf_tree(e)[5]
+        c = _IVF_TARGET_CELL
+        ent["cellslots"] = (
+            assign.groupBy(
+                F.expr(f"cid div {_IVF_SLOT_BASE}").alias("qcid")
+            )
+            .agg(F.count(F.lit(1)).alias("_cn"))
+            .select(
+                "qcid",
+                F.when(F.col("_cn") <= 2 * c, F.lit(1))
+                .otherwise(
+                    F.least(
+                        F.lit(_IVF_SLOT_BASE - 1),
+                        F.expr(f"(_cn + {c // 2}) div {c}"),
+                    )
+                )
+                .cast("long")
+                .alias("slots"),
+            )
+            .localCheckpoint()
+        )
+    return ent["cellslots"]
+
+
 def _ivf_assign(e):
     """Final three-level cell labeling (vec_id, embedding, cid) — see
-    _ivf_tree for the structure and the module header for the
-    k1 = k2 = icbrt(n/256), k3 = (n/256)/(k1·k2) design that keeps final
-    cells ≈ 256 at every n. Checkpointed + memoized: repeated calls on
-    the same corpus return the same materialized frame."""
+    _ivf_tree for the structure and the module header for the design
+    (proportional allocation keeps MEAN final cell ≈ 256 at every n; the
+    Lloyd step balances dense regions; the md5-slot cap bounds MAX at
+    ~1.5× target). Checkpointed + memoized: repeated calls on the same
+    corpus return the same materialized frame."""
     return _ivf_tree(e)[5]
 
 
@@ -2224,19 +2434,25 @@ pcells2 AS (
   ) <= 3
 ),
 pcells AS (
-  SELECT probe_id, pe, sscid AS cell,
-         round(list_cosine_similarity(CAST(pe AS DOUBLE[]),
-                                      CAST(ssemb AS DOUBLE[])), 4) AS sscos
+  SELECT probe_id, pe, sscid AS qcell,
+         round(list_cosine_similarity(CAST(pe AS DOUBLE[]), ssemb), 4) AS sscos
   FROM pcells2 JOIN cent3 ON cent3.c3id = pcells2.scid
   QUALIFY row_number() OVER (
     PARTITION BY probe_id ORDER BY sscos DESC NULLS LAST, sscid ASC NULLS LAST
   ) <= 3
 ),
+pcands AS (
+  SELECT pc.probe_id, pc.pe,
+         pc.qcell * {_IVF_SLOT_BASE} + CASE WHEN cs.slots = 1 THEN 0
+           ELSE ('0x' || substr(md5(CAST(pc.probe_id AS VARCHAR)), 1, 8))::BIGINT
+                % cs.slots END AS cell
+  FROM pcells pc JOIN cellslots cs ON cs.qcid = pc.qcell
+),
 cands AS (
   SELECT pc.probe_id, pc.cell, a.vec_id,
          round(list_cosine_similarity(CAST(pc.pe AS DOUBLE[]),
                                       CAST(a.embedding AS DOUBLE[])), 4) AS cos
-  FROM pcells pc JOIN assign a ON a.cid = pc.cell AND a.vec_id <> pc.probe_id
+  FROM pcands pc JOIN assign a ON a.cid = pc.cell AND a.vec_id <> pc.probe_id
 )
 SELECT probe_id, cell, vec_id, cos FROM cands
 QUALIFY row_number() OVER (
@@ -2248,8 +2464,11 @@ def q_llm_ann_mprobe(spark, sf_dir):
     """Multi-probe IVF search (n_probe = 3) over the THREE-LEVEL
     quantizer: each query scores the k1 level-1 centroids (broadcast —
     trivial), descends into its top-3 level-1 cells, scores those cells'
-    sub-centroids (≤ 3·k2 rows per probe), descends again into the top-3
-    level-2 cells (≤ 3·k3 rows), and searches the top-3 FINAL sub-cells.
+    sub-centroids, descends again into the top-3 level-2 cells (scoring
+    the REFINED level-3 codebook), and searches the top-3 FINAL sub-cells
+    — routed through the occupancy cap: each beamed quantizer cell is
+    searched at ONE md5 slot (hex32(md5(probe)) mod slots), so the
+    per-probe scan stays ≤ ~1.5× target even over a collapsed cell.
     This is the hierarchical beam every tree-IVF deployment probes with;
     n_probe stays THE recall lever (recall lost at cell boundaries comes
     back at 3× the candidate cost) — tests/test_operators.py asserts
@@ -2293,20 +2512,37 @@ def q_llm_ann_mprobe(spark, sf_dir):
         .drop("srn", "scos")
     )
     w_sub3 = Window.partitionBy("probe_id").orderBy(
-        F.col("sscos").desc_nulls_last(), F.col("cell").asc_nulls_last()
+        F.col("sscos").desc_nulls_last(), F.col("qcell").asc_nulls_last()
     )
     pcells = (
         F.broadcast(pcells2).join(cent3, F.col("c3id") == F.col("scid"))
         .select(
             "probe_id", "pe",
-            F.col("sscid").alias("cell"),
+            F.col("sscid").alias("qcell"),
             cosine4(F.col("pe"), F.col("ssemb")).alias("sscos"),
         )
         .withColumn("ssrn", F.row_number().over(w_sub3))
         .filter(F.col("ssrn") <= 3)
         .drop("ssrn", "sscos")
     )
-    cands = pcells.join(
+    # Route each probe to ONE md5 slot of each beamed quantizer cell (the
+    # occupancy cap bounds the per-probe scan at ~1.5× target even when a
+    # dense region collapsed into one quantizer cell).
+    cs = _ivf_cellslots(e)
+    pslot = F.when(F.col("slots") == 1, F.lit(0).cast("long")).otherwise(
+        F.conv(
+            F.substring(F.md5(F.col("probe_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % F.col("slots")
+    )
+    pcands = (
+        F.broadcast(pcells).join(cs, F.col("qcid") == F.col("qcell"))
+        .select(
+            "probe_id", "pe",
+            (F.col("qcell") * _IVF_SLOT_BASE + pslot).cast("long").alias("cell"),
+        )
+    )
+    cands = pcands.join(
         assign,
         (F.col("cid") == F.col("cell")) & (F.col("vec_id") != F.col("probe_id")),
     ).select(

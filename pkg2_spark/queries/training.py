@@ -564,16 +564,17 @@ _RES_D2_SQL = """list_aggregate(list_transform(generate_series(1, 8),
 
 
 def _ivfpq_oracle() -> str:
-    from pkg2_spark.queries.llm import _IVF_ASSIGN_CTE
+    from pkg2_spark.queries.llm import _IVF_ASSIGN_CTE, _IVF_SLOT_BASE
 
+    _IVF_SLOT_BASE_SQL = _IVF_SLOT_BASE
     return f"""
 WITH {_IVF_ASSIGN_CTE},
 withres AS (
   SELECT a.vec_id, a.cid,
          list_transform(generate_series(1, 64),
            i -> CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
-              - CAST(ce.embedding[CAST(i AS INTEGER)] AS DOUBLE)) AS res
-  FROM assign a JOIN embeddings ce ON ce.vec_id = a.cid
+              - c3.ssemb[CAST(i AS INTEGER)]) AS res
+  FROM assign a JOIN cent3 c3 ON c3.sscid = a.cid // {_IVF_SLOT_BASE_SQL}
 ),
 cb AS (
   SELECT row_number() OVER (
@@ -667,17 +668,24 @@ def q_vec_ivfpq(spark, sf_dir):
     as DuckDB's list_aggregate sum, codebook positions are the md5-rank
     shared with q_vec_pq/q_vec_adc, and argmin tie-breaks use strict-<
     over ascending pos — bit-identical codes, LUTs, and ADC sums."""
-    from pkg2_spark.queries.llm import _ivf_assign
+    from pkg2_spark.queries.llm import _IVF_SLOT_BASE, _ivf_tree
 
     e = load_tables(spark, sf_dir)["embeddings"]
-    assign = _ivf_assign(e)
-    ce = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb"))
-    withres = assign.join(ce, "cid").select(
-        "vec_id",
-        "cid",
-        F.zip_with(
-            "embedding", "cemb", lambda x, y: x.cast("double") - y.cast("double")
-        ).alias("res"),
+    _cents, _a1, _cent2, _a2, cent3, assign = _ivf_tree(e)
+    # Residuals vs the REFINED quantizer centroid (cent3.ssemb, already
+    # double) — slots of one quantizer cell share its centroid, so the
+    # lookup keys on cid div slot-base.
+    ce = cent3.select(F.col("sscid").alias("qcid"), F.col("ssemb").alias("cemb"))
+    withres = (
+        assign.withColumn("qcid", F.expr(f"cid div {_IVF_SLOT_BASE}"))
+        .join(ce, "qcid")
+        .select(
+            "vec_id",
+            "cid",
+            F.zip_with(
+                "embedding", "cemb", lambda x, y: x.cast("double") - y
+            ).alias("res"),
+        )
     )
     cb = (
         withres.select(
@@ -2415,8 +2423,9 @@ def q_llm_nb_langid(spark, sf_dir):
 
 
 def _ivf_incr_oracle() -> str:
-    from pkg2_spark.queries.llm import _IVF_ASSIGN_CTE
+    from pkg2_spark.queries.llm import _IVF_ASSIGN_CTE, _IVF_SLOT_BASE
 
+    _IVF_SLOT_BASE_SQL = _IVF_SLOT_BASE
     base_cte = _IVF_ASSIGN_CTE.replace("embeddings", "base")
     return f"""
 WITH base AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
@@ -2455,7 +2464,8 @@ d3 AS (
     ) = 1
   )
 ),
-bc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_base FROM assign GROUP BY cid),
+bc AS (SELECT cid // {_IVF_SLOT_BASE_SQL} AS cid, CAST(count(*) AS BIGINT) AS n_base
+       FROM assign GROUP BY 1),
 dc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_delta FROM d3 GROUP BY cid),
 cells AS (
   SELECT 'cell' AS phase,
@@ -2501,7 +2511,8 @@ def q_vec_ivf_incr(spark, sf_dir):
     Integer counts — partitioning-independent."""
     from pkg2_spark.queries.llm import (
         _IVF_BCAST_ROWS,
-        _ivf_ks,
+        _IVF_SLOT_BASE,
+        _ivf_sizes,
         _ivf_tree,
         _nearest_wide,
     )
@@ -2510,7 +2521,7 @@ def q_vec_ivf_incr(spark, sf_dir):
     base = e.filter(F.col("vec_id") % 10 != 0)
     delta = e.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
     cents, _a1, cent2, _a2, cent3, assign = _ivf_tree(base)
-    k12, k3 = _ivf_ks(base)
+    n2, n3 = _ivf_sizes(base)
     d1 = delta.join(
         _nearest_wide(delta, cents, out_id="cid", cand_id="cid", cand_vec="cemb"),
         "vec_id",
@@ -2519,16 +2530,21 @@ def q_vec_ivf_incr(spark, sf_dir):
         _nearest_wide(
             d1.withColumnRenamed("cid", "c2id"), cent2, out_id="scid",
             cand_id="scid", cand_vec="semb", join_on="c2id",
-            broadcast_cands=k12 * k12 <= _IVF_BCAST_ROWS,
+            broadcast_cands=n2 <= _IVF_BCAST_ROWS,
         ),
         "vec_id",
     )
     d3 = _nearest_wide(
         d2.withColumnRenamed("scid", "c3id"), cent3, out_id="cid",
         cand_id="sscid", cand_vec="ssemb", join_on="c3id",
-        broadcast_cands=k12 * k12 * k3 <= _IVF_BCAST_ROWS,
+        broadcast_cands=n3 <= _IVF_BCAST_ROWS,
     )
-    bc = assign.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_base"))
+    # Occupancy at QUANTIZER-cell granularity (slots of one cell share a
+    # centroid; a maintainer watches the cell, not its cap slots).
+    bc = (
+        assign.groupBy(F.expr(f"cid div {_IVF_SLOT_BASE}").alias("cid"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_base"))
+    )
     dc = d3.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_delta"))
     w20 = Window.orderBy(F.col("n_delta").desc(), F.col("cid").asc())
     cells = (
