@@ -347,15 +347,77 @@ class Engine:
         self.register("packages", pkgs)
         return pkgs
 
-    def ingest_collection(self, config_path: str) -> DataFrame:
-        """Declarative source-collection ingestion — the data-driven analog
-        of pkg2's Starlark collection definitions
+    @staticmethod
+    def _eval_starlark_config(text: str, path: str) -> dict:
+        """Restricted Starlark-subset evaluator for *.star collection
+        definitions — pkg2 configured ingestion in Starlark
         (reference/.vscode/settings.json:2-4 associates *.star with
-        starlark): a JSON config lists sources as {distro, format, path}
-        records and this method dispatches each to its format parser,
-        unioning everything into one normalized table with a leading
-        `distro` column (registered as `packages`). Paths resolve relative
-        to the config file, so a collection directory is self-contained.
+        starlark). The subset a DECLARATIVE collection file needs — and
+        the only thing evaluated — is `name = <literal>` assignments over
+        string/number/bool/None/list/dict literals, references to
+        previously assigned names, and `+` concatenation (the idiomatic
+        Starlark way to compose source lists). Pure AST walk: no exec, no
+        eval, no calls, no imports/load(), no control flow — a config
+        file that tries is rejected with the offending construct named,
+        which is the safety posture a config language embedded in a
+        service must have."""
+        import ast
+
+        tree = ast.parse(text, filename=path)
+        env: dict = {}
+
+        def ev(node):
+            if isinstance(node, ast.Constant):
+                return node.value
+            if isinstance(node, ast.Name):
+                if node.id in env:
+                    return env[node.id]
+                raise ValueError(f"{path}: undefined name {node.id!r}")
+            if isinstance(node, (ast.List, ast.Tuple)):
+                return [ev(e) for e in node.elts]
+            if isinstance(node, ast.Dict):
+                return {ev(k): ev(v) for k, v in zip(node.keys, node.values)}
+            if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Add):
+                return ev(node.left) + ev(node.right)
+            if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+                return -ev(node.operand)
+            raise ValueError(
+                f"{path}: unsupported Starlark construct "
+                f"{type(node).__name__} (the collection subset is "
+                "literal assignments only)"
+            )
+
+        for stmt in tree.body:
+            if (
+                isinstance(stmt, ast.Assign)
+                and len(stmt.targets) == 1
+                and isinstance(stmt.targets[0], ast.Name)
+            ):
+                env[stmt.targets[0].id] = ev(stmt.value)
+            elif isinstance(stmt, ast.Expr) and isinstance(
+                stmt.value, ast.Constant
+            ):
+                continue  # bare docstring — Starlark files open with one
+            else:
+                raise ValueError(
+                    f"{path}: unsupported statement "
+                    f"{type(stmt).__name__} (only `name = <literal>` "
+                    "assignments are evaluated)"
+                )
+        return env
+
+    def ingest_collection(self, config_path: str) -> DataFrame:
+        """Declarative source-collection ingestion — pkg2's Starlark
+        collection definitions (reference/.vscode/settings.json:2-4
+        associates *.star with starlark): a config lists sources as
+        {distro, format, path} records and this method dispatches each to
+        its format parser, unioning everything into one normalized table
+        with a leading `distro` column (registered as `packages`). Paths
+        resolve relative to the config file, so a collection directory is
+        self-contained. Two equivalent config syntaxes: *.star (the pkg2
+        language — evaluated by the restricted literal-subset walker
+        above, no code execution) and JSON; both must define
+        `sources = [{distro, format, path}, ...]`.
 
         Supported formats: apkindex, debian_packages, archdesc,
         rpm_primary, index_cache (a compressed fetch-cache directory).
@@ -363,7 +425,11 @@ class Engine:
         operational model."""
         import json as _json
 
-        cfg = _json.loads(open(config_path).read())
+        raw = open(config_path).read()
+        if config_path.endswith(".star"):
+            cfg = self._eval_starlark_config(raw, config_path)
+        else:
+            cfg = _json.loads(raw)
         base = os.path.dirname(os.path.abspath(config_path))
         parsers = {
             "apkindex": self.ingest_apkindex,

@@ -2441,12 +2441,38 @@ pcells AS (
     PARTITION BY probe_id ORDER BY sscos DESC NULLS LAST, sscid ASC NULLS LAST
   ) <= 3
 ),
+slotted AS (
+  SELECT probe_id, pe, qcell, sscos, slots,
+         unnest(generate_series(0, slots - 1)) AS slot,
+         ('0x' || substr(md5(CAST(probe_id AS VARCHAR)), 1, 8))::BIGINT
+           % slots AS pslot
+  FROM (SELECT pc.probe_id, pc.pe, pc.qcell, pc.sscos, cs.slots
+        FROM pcells pc JOIN cellslots cs ON cs.qcid = pc.qcell)
+),
+own AS (
+  SELECT vec_id AS probe_id, embedding AS pe, cid AS cell
+  FROM assign WHERE vec_id < 5
+),
+beam2 AS (
+  SELECT s.probe_id, s.pe, s.qcell * {_IVF_SLOT_BASE} + s.slot AS cell,
+         s.sscos, s.qcell, s.slot, s.pslot
+  FROM slotted s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM own o
+    WHERE o.probe_id = s.probe_id
+      AND o.cell = s.qcell * {_IVF_SLOT_BASE} + s.slot
+  )
+  QUALIFY row_number() OVER (
+    PARTITION BY s.probe_id
+    ORDER BY s.sscos DESC NULLS LAST, s.qcell ASC NULLS LAST,
+             CASE WHEN s.slot = s.pslot THEN 0 ELSE 1 END ASC,
+             s.slot ASC NULLS LAST
+  ) <= 2
+),
 pcands AS (
-  SELECT pc.probe_id, pc.pe,
-         pc.qcell * {_IVF_SLOT_BASE} + CASE WHEN cs.slots = 1 THEN 0
-           ELSE ('0x' || substr(md5(CAST(pc.probe_id AS VARCHAR)), 1, 8))::BIGINT
-                % cs.slots END AS cell
-  FROM pcells pc JOIN cellslots cs ON cs.qcid = pc.qcell
+  SELECT probe_id, pe, cell FROM own
+  UNION ALL
+  SELECT probe_id, pe, cell FROM beam2
 ),
 cands AS (
   SELECT pc.probe_id, pc.cell, a.vec_id,
@@ -2465,10 +2491,12 @@ def q_llm_ann_mprobe(spark, sf_dir):
     quantizer: each query scores the k1 level-1 centroids (broadcast —
     trivial), descends into its top-3 level-1 cells, scores those cells'
     sub-centroids, descends again into the top-3 level-2 cells (scoring
-    the REFINED level-3 codebook), and searches the top-3 FINAL sub-cells
-    — routed through the occupancy cap: each beamed quantizer cell is
-    searched at ONE md5 slot (hex32(md5(probe)) mod slots), so the
-    per-probe scan stays ≤ ~1.5× target even over a collapsed cell.
+    the REFINED level-3 codebook), and searches the top-3 FINAL cells —
+    which, under the occupancy cap, are SLOT-cells: a capped quantizer
+    cell's slots share its centroid, so they outrank farther foreign
+    cells in the beam (ranked cos DESC, cell ASC, probe's own md5 slot
+    first, slot ASC). Per-probe scan stays ≤ 3 × ~1.5× target even over
+    a collapsed cell.
     This is the hierarchical beam every tree-IVF deployment probes with;
     n_probe stays THE recall lever (recall lost at cell boundaries comes
     back at 3× the candidate cost) — tests/test_operators.py asserts
@@ -2523,25 +2551,66 @@ def q_llm_ann_mprobe(spark, sf_dir):
         )
         .withColumn("ssrn", F.row_number().over(w_sub3))
         .filter(F.col("ssrn") <= 3)
-        .drop("ssrn", "sscos")
+        .drop("ssrn")
     )
-    # Route each probe to ONE md5 slot of each beamed quantizer cell (the
-    # occupancy cap bounds the per-probe scan at ~1.5× target even when a
-    # dense region collapsed into one quantizer cell).
+    # The occupancy cap makes SLOTS the true final cells, so the beam is
+    # over slot-cells — and the probe's OWN assigned cell is ALWAYS
+    # searched (rank 0), with the top-2 remaining slot-cells beside it.
+    # Both halves matter, measured at the sf10 replica corpus: routing
+    # each beamed cell to one md5 slot let the probe's own slot lose the
+    # draw (multi 0.64 < single 0.84), and ranking ties at round-4 cosine
+    # across near-identical refined centroids broke toward min cell id,
+    # pushing the ASSIGNED cell out of the beam entirely. Own-cell-first
+    # is the production IVF posture (the nearest list is always scanned;
+    # n_probe extends it) and makes multi-probe's candidate set a strict
+    # superset of single-probe's — recall >= single structurally.
+    # Slot-cell ranking: centroid cos DESC, cell ASC, probe's own md5
+    # slot first, slot ASC — deterministic, oracle-mirrored.
     cs = _ivf_cellslots(e)
-    pslot = F.when(F.col("slots") == 1, F.lit(0).cast("long")).otherwise(
-        F.conv(
-            F.substring(F.md5(F.col("probe_id").cast("string")), 1, 8), 16, 10
-        ).cast("long")
-        % F.col("slots")
+    own = assign.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pe"),
+        F.col("cid").alias("cell"),
     )
-    pcands = (
+    slotted = (
         F.broadcast(pcells).join(cs, F.col("qcid") == F.col("qcell"))
         .select(
-            "probe_id", "pe",
-            (F.col("qcell") * _IVF_SLOT_BASE + pslot).cast("long").alias("cell"),
+            "probe_id", "pe", "qcell", "sscos", "slots",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("slots") - 1)
+            ).alias("slot"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("probe_id").cast("string")), 1, 8
+                    ),
+                    16, 10,
+                ).cast("long")
+                % F.col("slots")
+            ).alias("pslot"),
+        )
+        .withColumn(
+            "cell",
+            (F.col("qcell") * _IVF_SLOT_BASE + F.col("slot")).cast("long"),
         )
     )
+    w_slot = Window.partitionBy("probe_id").orderBy(
+        F.col("sscos").desc_nulls_last(),
+        F.col("qcell").asc_nulls_last(),
+        F.when(F.col("slot") == F.col("pslot"), F.lit(0)).otherwise(F.lit(1)).asc(),
+        F.col("slot").asc_nulls_last(),
+    )
+    beam2 = (
+        slotted.join(
+            own.select(F.col("probe_id").alias("o_pid"), F.col("cell").alias("o_cell")),
+            (F.col("probe_id") == F.col("o_pid")) & (F.col("cell") == F.col("o_cell")),
+            "left_anti",
+        )
+        .withColumn("srn", F.row_number().over(w_slot))
+        .filter(F.col("srn") <= 2)
+        .select("probe_id", "pe", "cell")
+    )
+    pcands = own.unionByName(beam2)
     cands = pcands.join(
         assign,
         (F.col("cid") == F.col("cell")) & (F.col("vec_id") != F.col("probe_id")),

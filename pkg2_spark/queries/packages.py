@@ -790,6 +790,48 @@ def q_pkg_collection(spark, sf_dir):
     )
 
 
+_COLLECTION_STAR_PATH = _COLLECTION_PATH.replace(".json", ".star")
+
+
+@query(
+    "q_pkg_collection_star",
+    oracle=f"""
+WITH {_APK_PKGS_CTE.strip()},
+{_DEB_PKGS_CTE.strip()},
+{_ARCH_PKGS_CTE.strip()},
+{_RPM_PKGS_CTE.strip()},
+allp AS (
+  SELECT 'alpine' AS distro, arch, depends FROM apk_pkgs
+  UNION ALL SELECT 'debian', arch, depends FROM deb_pkgs
+  UNION ALL SELECT 'arch', arch, depends FROM arch_pkgs
+  UNION ALL SELECT 'fedora', arch, depends FROM rpm_pkgs
+)
+SELECT distro, count(*) AS n_pkgs,
+       CAST(count(DISTINCT arch) AS BIGINT) AS n_arches,
+       CAST(sum(len(depends)) AS BIGINT) AS n_dep_edges
+FROM allp GROUP BY distro
+""",
+)
+def q_pkg_collection_star(spark, sf_dir):
+    """Collection ingestion from a STARLARK definition — pkg2's actual
+    config language (reference/.vscode/settings.json:2-4 wires *.star to
+    starlark). collection_sample.star defines the same four sources as
+    the JSON sample, composed the idiomatic Starlark way (per-source
+    dicts bound to names, source lists concatenated with +); the
+    restricted evaluator (Engine._eval_starlark_config — literal
+    assignments only, a pure AST walk with no code execution) feeds the
+    identical dispatch as q_pkg_collection, so the oracle is the same
+    four-format re-parse. Language parity with pkg2's .star configs,
+    with the injection-safety a service-embedded config reader needs."""
+    eng = Engine(spark)
+    pkgs = eng.ingest_collection(_COLLECTION_STAR_PATH)
+    return pkgs.groupBy("distro").agg(
+        F.count(F.lit(1)).alias("n_pkgs"),
+        F.countDistinct("arch").alias("n_arches"),
+        F.sum(F.size("depends")).alias("n_dep_edges"),
+    )
+
+
 _APKINDEX_V2_PATH = os.path.join(
     _REPO_DIR, "pkg2_spark", "data", "apkindex_v2_sample.txt"
 )

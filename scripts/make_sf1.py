@@ -165,6 +165,54 @@ def replicate_embeddings(spark, src_dir: str, out_dir: str, entity_off: int,
             os.symlink(target, link)
 
 
+def replicate_documents_diverse(spark, src_dir: str, out_dir: str,
+                                entity_off: int) -> None:
+    """DIVERSE documents decade: ten copies whose texts are per-replica
+    token PERMUTATIONS, not near-duplicates. The near-dup replicas are the
+    adversarial direction for pair joins (dup mass grows superlinearly by
+    construction), which is right for stressing hot-bucket caps but wrong
+    for proving the LINEAR claim of the span/winnow dedup family — on a
+    corpus that grows in CONTENT, shingle/fingerprint buckets grow in
+    number, not density. Permuting token order per replica (keyed on
+    md5(rep:position) — deterministic, no RNG) keeps the vocabulary and
+    token-frequency profile identical while destroying shared 8-token
+    spans and winnow k-grams across replicas; within a replica the
+    corpus's own dup structure is preserved. Documents only — the
+    remaining tables symlink to the source decade (the diverse probes
+    scan documents alone)."""
+    rep = spark.range(REPS).select(F.col("id").cast("int").alias("rep"))
+    r = F.col("rep").cast("long")
+    d = spark.read.parquet(os.path.join(src_dir, "documents.parquet")).crossJoin(rep)
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    perm = F.array_sort(
+        F.transform(
+            toks,
+            lambda t, i: F.struct(
+                F.md5(F.concat(F.col("rep").cast("string"), F.lit(":"),
+                               i.cast("string"))).alias("k"),
+                t.alias("t"),
+            ),
+        )
+    )
+    text = F.when(F.col("rep") == 0, F.col("text")).otherwise(
+        F.array_join(F.transform(perm, lambda s: s["t"]), " ")
+    )
+    out = d.select(
+        (F.col("doc_id") + r * entity_off).alias("doc_id"),
+        text.alias("text"),
+        "lang", "source",
+        F.length(text).cast("long").alias("n_chars"),
+    )
+    out.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    print(f"documents (diverse): {out.count()} rows -> {out_dir}")
+    for name in ("region", "nation", "customer", "supplier", "part",
+                 "orders", "lineitem", "events", "embeddings"):
+        link = os.path.join(out_dir, f"{name}.parquet")
+        target = os.path.relpath(os.path.join(src_dir, f"{name}.parquet"), out_dir)
+        if not os.path.lexists(link):
+            os.symlink(target, link)
+
+
 def main() -> int:
     from pkg2_spark.queries.relational import IO_DIR
     from pkg2_spark.session import get_session
@@ -172,7 +220,21 @@ def main() -> int:
     spark = get_session(app_name="pkg2_spark_make_decade")
     spark.sparkContext.setLogLevel("ERROR")
     args = sys.argv[1:]
-    if "--sf100-vec" in args:
+    if "--diverse" in args:
+        # diverse documents decades: sf0.1 -> sf1d, then sf1d -> sf10d
+        replicate_documents_diverse(
+            spark,
+            src_dir="/root/testdata/sf0.1",
+            out_dir=os.path.join(IO_DIR, "sf1d"),
+            entity_off=10_000_000,
+        )
+        replicate_documents_diverse(
+            spark,
+            src_dir=os.path.join(IO_DIR, "sf1d"),
+            out_dir=os.path.join(IO_DIR, "sf10d"),
+            entity_off=1_000_000_000,
+        )
+    elif "--sf100-vec" in args:
         # third decade, embeddings only: sf10 vec_ids < 1e10, so the offset
         # jumps another magnitude; nudge shrinks a decade further so the
         # replicas stay inside the same cells at 1000x density.

@@ -85,6 +85,18 @@ PROBES_DEC3 = [
     "q_vec_ivfpq",
 ]
 
+# DIVERSE decades (make_sf1.py --diverse): token-PERMUTED replicas — the
+# corpus grows in content, not dup mass. The near-dup replicas above are
+# the adversarial direction for hot-bucket caps; they also inflate dup
+# mass superlinearly BY CONSTRUCTION, which makes span/winnow decade
+# ratios there measure the replica artifact, not the operator (r8 verdict
+# weak flag #2). On diverse data shingle/fingerprint buckets grow in
+# NUMBER, so the linear claim is provable.
+PROBES_DIVERSE = [
+    "q_llm_span_dedup",
+    "q_llm_winnow_dup",
+]
+
 
 def main() -> int:
     out_path = None
@@ -191,6 +203,25 @@ def main() -> int:
             lines.append(f"| {name} | {t1:.3f}s | {t2:.3f}s | {t2 / t1:.2f}x |")
             print(lines[-1])
 
+    sf1d = str(Path(IO_DIR) / "sf1d")
+    sf10d = str(Path(IO_DIR) / "sf10d")
+    if (Path(sf1d) / "documents.parquet").exists() and (
+        Path(sf10d) / "documents.parquet"
+    ).exists():
+        lines += ["", "## Diverse-corpus decades (token-permuted replicas, "
+                  "sf0.1 -> sf1d -> sf10d)", "",
+                  "| query | sf0.1 | sf1d | ratio | sf10d | ratio |",
+                  "|---|---|---|---|---|---|"]
+        for name in PROBES_DIVERSE:
+            t1 = timed(name, sfs[0])
+            t2 = timed(name, sf1d)
+            t3 = timed(name, sf10d)
+            lines.append(
+                f"| {name} | {t1:.3f}s | {t2:.3f}s | {t2 / t1:.2f}x"
+                f" | {t3:.3f}s | {t3 / t2:.2f}x |"
+            )
+            print(lines[-1])
+
     lines += ["", "## Structural counters", "",
               "| counter | sf0.1 | sf1 | ratio |", "|---|---|---|---|"]
 
@@ -206,13 +237,17 @@ def main() -> int:
         return banded_pairs(bands, "vec_id", "id_a", "id_b", cap=_BUCKET_CAP).count()
 
     def ivf_stats(sf):
+        from pkg2_spark.queries.llm import _ivf_sizes
+
         e = load_tables(spark, sf)["embeddings"]
         cells = _ivf_assign(e).groupBy("cid").count()
         r = cells.agg(
             F.count(F.lit(1)), F.avg("count"), F.max("count")
         ).first()
-        k12, k3 = _ivf_ks(e)
-        return (f"{k12}/{k12}/{k3}", int(r[1]), int(r[2]))
+        k12 = _ivf_ks(e)[0]
+        n2, n3 = _ivf_sizes(e)
+        return (f"{k12}/{n2}/{n3}", int(r[1]), int(r[2]),
+                round(r[2] / r[1], 2))
 
     counter("capped sign-LSH candidate pairs", sign_pairs)
 
@@ -225,13 +260,56 @@ def main() -> int:
         sfs + ([sf10] if have_sf10 else []) + ([sf100] if have_sf100 else [])
     )
     stats = [ivf_stats(sf) for sf in ivf_sfs]
-    lines += ["", "## IVF three-level cell flatness "
-              "(k1 = k2 = max(2, icbrt(n/256)), k3 = (n/256)/(k1·k2))",
-              "", "| scale | k1/k2/k3 | mean final cell | max final cell |",
-              "|---|---|---|---|"]
-    for sf, (k, mean_c, max_c) in zip(ivf_sfs, stats):
+    lines += ["", "## IVF three-level cell flatness (k1 = max(2, "
+              "icbrt(n/256)); proportional level-2/3 seed allocation; "
+              "Lloyd-refined level-3 codebook; md5-slot occupancy cap)",
+              "", "| scale | k1/|L2|/|L3| | mean final cell "
+              "| max final cell | max/mean |",
+              "|---|---|---|---|---|"]
+    for sf, (k, mean_c, max_c, ratio) in zip(ivf_sfs, stats):
         tag = Path(sf).name
-        lines.append(f"| {tag} | {k} | {mean_c} | {max_c} |")
+        lines.append(f"| {tag} | {k} | {mean_c} | {max_c} | {ratio}x |")
+        print(lines[-1])
+
+    # ANN recall at scale: the flatness/time tables bound COST; this
+    # bounds QUALITY — recall@5 of single-probe and 3-probe search vs the
+    # exact brute-force top-5, at every probed corpus size (the r8 verdict
+    # asked that the codebook change be shown not to regress recall at
+    # sf1+; multi-probe >= single-probe is the recall lever's contract).
+    def recall_stats(sf):
+        from pkg2_spark.operators.similarity import knn_bruteforce
+
+        e = load_tables(spark, sf)["embeddings"]
+        probes = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_embedding"),
+        )
+        exact = {
+            (r["probe_id"], r["vec_id"])
+            for r in knn_bruteforce(
+                e.select("vec_id", "embedding"), probes, k=5, dim=64
+            ).select("probe_id", "vec_id").collect()
+        }
+        got = {}
+        for qname in ("q_llm_ann_ivf", "q_llm_ann_mprobe"):
+            hits = {
+                (r["probe_id"], r["vec_id"])
+                for r in queries[qname](spark, sf)
+                .select("probe_id", "vec_id")
+                .collect()
+            }
+            got[qname] = round(len(hits & exact) / max(len(exact), 1), 3)
+        return got
+
+    lines += ["", "## ANN recall@5 at scale (5 probes, vs exact brute force)",
+              "", "| scale | single-probe | multi-probe (3) |",
+              "|---|---|---|"]
+    for sf in ivf_sfs:
+        rs = recall_stats(sf)
+        lines.append(
+            f"| {Path(sf).name} | {rs['q_llm_ann_ivf']} "
+            f"| {rs['q_llm_ann_mprobe']} |"
+        )
         print(lines[-1])
 
     lines += [
@@ -253,14 +331,15 @@ def main() -> int:
         "  INTO it — the one-time transition into saturation. Past it, pair",
         "  volume is bounded by #buckets x cap^2 (grows with bucket count,",
         "  i.e. linearly in corpus diversity), which is the cap's contract.",
-        "- The three-level quantizer (round 8, k1 = k2 = max(2,",
-        "  icbrt(n/256)), k3 correcting the product to n/256) holds MEAN",
-        "  FINAL CELL ≈ target across the probed decades with no clamp",
-        "  regime — one-level pegged at k = 4096 past n ≈ 1M and let cells",
-        "  grow linearly; two-level kept cells flat but paid a Θ(n^1.5/16)",
-        "  assignment term (measured 11.7-12.1x second-decade tails in r7).",
-        "  Components track the corpus (denser graph still resolves inside",
-        "  the contraction round budget).",
+        "- The three-level quantizer (r9 design: k1 = max(2, icbrt(n/256))",
+        "  md5-sampled level-1 centroids; levels 2/3 allocate ~cell/target",
+        "  member seeds PROPORTIONALLY; one Lloyd recentering of the",
+        "  level-3 codebook; md5-slot occupancy cap above 2x target) holds",
+        "  MEAN final cell ≈ target AND max/mean ≤ ~2.5 at every probed",
+        "  scale — r8's fixed per-parent k let final cells inherit parent",
+        "  skew (max/mean 18.2 at sf10, 10.0 at sf100). Components track",
+        "  the corpus (denser graph still resolves inside the contraction",
+        "  round budget).",
         "- The skew family (q_join_salted / q_agg_salted / q_stream_rt_join)",
         "  gets the same wall-clock treatment: the salted spray is a",
         "  constant-factor replication, so ~linear decade ratios are the",
@@ -277,34 +356,49 @@ def main() -> int:
         "  grow without bound. The remaining lever past that: a",
         "  k-means-refined codebook (q_kmeans_step is the builder), which",
         "  also balances cells.",
-        "- Max final cell grows with scale (hash-sampled centroids do not",
-        "  BALANCE cells; the replica construction concentrates near-dups",
-        "  in the same region). Pair work stays bounded regardless — the",
-        "  hot-bucket cap is keyed on the final cell — and per-probe scan",
-        "  cost tracks the PROBED cell, mean-sized in expectation. The",
-        "  balance fix rides the same k-means refinement lever.",
-        "- THIRD decade (r8, 2M vectors): ann_ivf 3.77x and semdedup 3.05x",
-        "  per 10x — the Θ(n^{4/3}) assignment blend holding near-linear",
-        "  two decades past the driver's data, measured, not extrapolated.",
-        "  q_vec_ivfpq's 8.52x is the ADC arm: probed-cell size grew with",
-        "  the sf100 replica collapse (below), so the per-probe LUT scan",
-        "  paid ~4x more rows per probe on top of linear encode work; on",
-        "  diverse (non-replica) data the probed cell tracks the ~256",
-        "  target and the arm is linear. Sub-10x regardless.",
-        "- sf100 MEAN final cell (1133) reads high for a replica artifact:",
-        "  the ten per-decade copies are nudged by 1e-7 and land in the",
-        "  SAME cells, so occupied-cell count grows ~4x slower than the",
-        "  k1·k2·k3 product (7581 ≈ n/256 — the tree itself is sized",
-        "  right). Mean-over-OCCUPIED cells divides by fewer cells; on",
-        "  diverse data (first two decades) the mean tracks ~256.",
+        "- MAX final cell is now bounded by CONSTRUCTION, not hoped-for",
+        "  balance: a quantizer cell holding > 2x target is md5-slot-split",
+        "  into ~cell/256 slots (engine-portable hex32(md5(id)) mod slots,",
+        "  mirrored in the oracle CTE), so a dense region that cosine",
+        "  cannot separate — the replica corpus's deliberate worst case —",
+        "  still caps the per-probe scan and the ivfpq ADC arm at ~1.5x",
+        "  target rows. r8's uncapped tree measured max 11295 vs mean 1133",
+        "  at sf100; the cap bounds that ratio at every scale above.",
+        "- Proportional allocation also fixes the sf100 MEAN artifact: r8",
+        "  spent k1·k2·k3 codebook entries regardless of where vectors",
+        "  landed, so replica cell-collapse left empty cells and inflated",
+        "  the occupied-cell mean to 1133; allocating seeds by actual cell",
+        "  population sizes the codebook to the OCCUPIED geometry.",
+        "- Recall at scale: the occupancy cap TRADES single-probe recall in",
+        "  collapsed cells for bounded scan cost — a capped cell's members",
+        "  spread across md5 slots, so one slot holds ~1/slots of a probe's",
+        "  exact-tie replica set (sf100: 100 near-identical copies per",
+        "  vector; exact-set recall@5 punishes tie ordering — retrieving",
+        "  ANY replica is semantically equivalent for dedup/search). The",
+        "  multi-probe beam is the recovery lever and is SLOT-aware: the",
+        "  probe's own assigned cell is always searched (rank 0 — the",
+        "  production IVF posture, making multi's candidate set a strict",
+        "  superset of single's) and the remaining beam ranks slot-cells",
+        "  (a capped cell's slots share its centroid, so they outrank",
+        "  farther foreign cells). First measurement of this table caught",
+        "  multi < single at sf10 (0.64 vs 0.84): per-cell single-slot",
+        "  routing let the probe's own slot lose the md5 draw, and",
+        "  round-4 cosine ties across near-identical refined centroids",
+        "  broke toward min cell id, pushing the assigned cell out of the",
+        "  beam. Both fixed by own-cell-first + slot-cell beam.",
+        "- Diverse decades: the span/winnow near-dup-replica tails (8.57x /",
+        "  10.84x in r8) measured the replica construction, not the",
+        "  operator — dup mass grows superlinearly when every decade",
+        "  near-duplicates the last. The token-permuted diverse decades",
+        "  grow content instead; the table above is the linear-claim",
+        "  evidence for the shingle/fingerprint-keyed joins.",
         "- Timing robustness (r8): this sandbox shows multi-minute ambient",
         "  contention waves (one inflated three sf1 rows ~8x mid-probe).",
         "  timed() retries a query (≤2x) when its 3-run spread exceeds",
         "  2.5x and keeps the fastest attempt's median; residual",
         "  inflation can survive a wave longer than the retry window —",
         "  compare suspicious rows against BENCH_r{N}.json mins before",
-        "  reading them as regressions (q_llm_winnow_dup's 10.84x here vs",
-        "  8.2x/6.8x in same-session cleaner runs is that artifact).",
+        "  reading them as regressions.",
         "",
     ]
     text = "\n".join(lines)

@@ -585,6 +585,52 @@ def test_ingest_collection_keeps_cache_distros_and_raw_atoms(spark, tmp_path):
     assert ("libweb", "1.4-2") in got and ("libweb", "1.2-1") not in got
 
 
+def test_starlark_collection_equals_json_collection(spark):
+    # pkg2 configured collections in Starlark; the .star path (restricted
+    # literal-subset evaluator, no code execution) must produce exactly
+    # the table the equivalent JSON config produces.
+    import os
+
+    from pkg2_spark.engine import Engine
+    from pkg2_spark.queries.packages import _COLLECTION_PATH
+
+    star_path = os.path.join(os.path.dirname(_COLLECTION_PATH),
+                             "collection_sample.star")
+    rows_json = {
+        (r["distro"], r["name"], r["version"], r["arch"])
+        for r in Engine(spark).ingest_collection(_COLLECTION_PATH).collect()
+    }
+    rows_star = {
+        (r["distro"], r["name"], r["version"], r["arch"])
+        for r in Engine(spark).ingest_collection(star_path).collect()
+    }
+    assert rows_star == rows_json and rows_star
+
+
+def test_starlark_collection_rejects_code():
+    # The evaluator is a config reader, not an interpreter: calls,
+    # imports/load(), and control flow must be rejected by name, and
+    # nothing may execute (a call to print/open would be the leak).
+    import pytest as _pytest
+
+    from pkg2_spark.engine import Engine
+
+    ev = Engine._eval_starlark_config
+    env = ev('a = 1\nb = [a, 2]\nc = b + [3]\nd = {"k": c}\n', "t.star")
+    assert env == {"a": 1, "b": [1, 2], "c": [1, 2, 3], "d": {"k": [1, 2, 3]}}
+    for bad in (
+        "x = open('/etc/passwd')",
+        "load('foo.star', 'x')",
+        "def f():\n    pass",
+        "import os",
+        "x = __import__('os')",
+        "for i in [1]:\n    x = i",
+        "x = 1 if True else 2",
+    ):
+        with _pytest.raises((ValueError, SyntaxError)):
+            ev(bad, "t.star")
+
+
 def test_fetch_to_cache_roundtrip_and_negative_paths(spark, tmp_path):
     # file:// fetch round trip: bytes land atomically and identically; a
     # missing URL raises (urllib), and a corrupt .gz payload (HTML error
