@@ -418,6 +418,59 @@ def test_dedup_incr_equals_batch_and_reuses_state(spark, sf_dir):
     assert incr == batch
 
 
+def test_ivf_occupancy_cap_splits_collapsed_cell(spark):
+    # The md5-slot occupancy cap is the mechanism the driver-scale corpora
+    # never exercise (cells stay under 2x target there): build a corpus
+    # where 600 near-identical vectors — a dense mass cosine cannot
+    # separate — collapse into one quantizer cell, and pin that (a) the
+    # cap triggers (slots > 1 for that cell), (b) NO final cell exceeds
+    # 2x target, and (c) every member's slot is exactly
+    # hex32(md5(vec_id)) mod slots — the engine-portable routing the
+    # oracle CTE and multi-probe both rely on.
+    import pyspark.sql.functions as F
+
+    from pkg2_spark.queries.llm import (
+        _IVF_SLOT_BASE,
+        _IVF_TARGET_CELL,
+        _ivf_assign,
+        _ivf_cellslots,
+        ivf_invalidate,
+    )
+
+    dense = spark.range(600).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 64), i -> CAST(1.0 + id * 1e-7 + i * 1e-3 AS FLOAT))"
+        " AS embedding",
+    )
+    diverse = spark.range(600, 1200).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 64), i ->"
+        " CAST(sin(CAST(id * 64 + i AS DOUBLE)) AS FLOAT)) AS embedding",
+    )
+    e = dense.unionAll(diverse)
+    ivf_invalidate()
+    try:
+        assign = _ivf_assign(e)
+        cells = assign.groupBy("cid").count().collect()
+        assert max(r["count"] for r in cells) <= 2 * _IVF_TARGET_CELL
+        slots = {r["qcid"]: r["slots"] for r in _ivf_cellslots(e).collect()}
+        assert max(slots.values()) > 1  # the dense mass actually split
+        got = assign.select(
+            "vec_id",
+            F.expr(f"cid div {_IVF_SLOT_BASE}").alias("qcid"),
+            F.expr(f"cid % {_IVF_SLOT_BASE}").alias("slot"),
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+            ).cast("long").alias("hex32"),
+        ).collect()
+        for r in got:
+            assert r["slot"] == (
+                r["hex32"] % slots[r["qcid"]] if slots[r["qcid"]] > 1 else 0
+            )
+    finally:
+        ivf_invalidate()
+
+
 def test_ivf_k_derivation_and_cell_flatness(spark, sf_dir):
     # Three-level codebook: k1 = max(2, icbrt(n // 256)) sizes the level-1
     # sample from one (memoized) corpus count; levels 2/3 allocate
