@@ -119,7 +119,8 @@ def main() -> int:
             mins[name] = round(min(min(runs), mins.get(name, 1e18)), 4)
             if max(runs) / min(runs) <= 2.5:
                 break
-            retries += 1
+            if attempt < 2:  # only count retries that actually run
+                retries += 1
         spreads[name] = round(max(best_runs) / min(best_runs), 2)
         retried[name] = retries
         return round(best_med, 4)

@@ -376,7 +376,26 @@ class Engine:
             if isinstance(node, (ast.List, ast.Tuple)):
                 return [ev(e) for e in node.elts]
             if isinstance(node, ast.Dict):
-                return {ev(k): ev(v) for k, v in zip(node.keys, node.values)}
+                out = {}
+                for k, v in zip(node.keys, node.values):
+                    if k is None:  # {**x} unpacking — not in the subset
+                        raise ValueError(
+                            f"{path}: unsupported Starlark construct "
+                            "dict unpacking (the collection subset is "
+                            "literal assignments only)"
+                        )
+                    key = ev(k)
+                    val = ev(v)
+                    try:
+                        out[key] = val
+                    except TypeError:
+                        raise ValueError(
+                            f"{path}: unsupported Starlark construct "
+                            f"unhashable dict key {type(key).__name__} "
+                            "(the collection subset is literal "
+                            "assignments only)"
+                        )
+                return out
             if isinstance(node, ast.BinOp) and isinstance(node.op, ast.Add):
                 return ev(node.left) + ev(node.right)
             if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):

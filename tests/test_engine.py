@@ -626,6 +626,8 @@ def test_starlark_collection_rejects_code():
         "x = __import__('os')",
         "for i in [1]:\n    x = i",
         "x = 1 if True else 2",
+        "x = {**y}",  # dict unpacking → the named ValueError, not TypeError
+        "x = {[1]: 2}",  # unhashable literal key → same named rejection
     ):
         with _pytest.raises((ValueError, SyntaxError)):
             ev(bad, "t.star")
