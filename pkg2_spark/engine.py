@@ -27,7 +27,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from pkg2_spark.catalog import load_tables
-from pkg2_spark.session import ensure_runtime_confs, get_session
+from pkg2_spark.session import (
+    ensure_runtime_confs,
+    get_session,
+    truncate_lineage,
+    truncate_lineage_counted,
+)
 
 #: portable numeric-aware version sort key: every integer run, zero-padded.
 #: '1.36.1-r2' -> '000001.000036.000001.000002' — lexicographic order ==
@@ -47,6 +52,11 @@ class Engine:
     def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
         self.spark = ensure_runtime_confs(spark) if spark else get_session()
         self._packages: DataFrame | None = None
+        # The ANN recall/latency knob: how many final IVF slot-cells
+        # ann_search scans per query (own cell + n_probe-1 beam cells).
+        # 3 is the served default (q_llm_ann_mprobe's registered shape);
+        # SCALING.md's recall table is the tuning guide.
+        self.ann_n_probe: int = 3
         if sf_dir:
             self.load_tables(sf_dir)
 
@@ -774,29 +784,32 @@ class Engine:
             # by the context cleaner when the frame is garbage collected —
             # no long-lived-service accumulation (the r8 leak concern was
             # explicit persists without unpersist).
-            .localCheckpoint()
+            .transform(truncate_lineage)
         )
         frontier = (
             edges.filter(F.col("src") == package)
             .select(F.col("dst").alias("node"), F.lit(1).alias("depth"))
             .distinct()
-            .localCheckpoint()
+            .transform(truncate_lineage)
         )
         closure = frontier
-        # Round discipline (the r8 → r9 lesson, BENCH q_pkg_resolve
-        # 0.74 s → 1.60 s): every driver action is a fixed-latency job
-        # (~0.25 s on local[32] regardless of data — measured), so the
-        # loop spends exactly ONE materialization per depth — the r8
-        # shape paid TWO (frontier AND closure localCheckpoints).
-        # `closure` stays a LAZY union of already-checkpointed frontiers:
-        # its plan grows one union node per round (linear, bounded by
-        # max_depth) — NOT the self-referencing lineage that doubles per
-        # depth, which the per-round frontier checkpoint truncates.
-        # isEmpty on the just-checkpointed frame is near-free. Measured
-        # variants (warm mins, this machine): r8 two-checkpoint 1.6 s;
-        # batched two-depths-per-checkpoint 2.9 s (plan depth doubled);
-        # all-lazy persists 2.1–2.9 s (partial-cache recompute); this
-        # shape 1.5 s.
+        # Round discipline (the r8 → r9 → r10 lesson, BENCH q_pkg_resolve
+        # 0.74 s → 1.60 s → 1.07 s): every driver action is a
+        # fixed-latency job (~0.25 s on local[32] regardless of data —
+        # measured), so the loop spends exactly ONE Spark job per depth:
+        # a LAZY checkpoint mark + count() materializes the frontier AND
+        # answers the round's emptiness question in the same job
+        # (truncate_lineage_counted — r9 paid eager checkpoint + isEmpty,
+        # two jobs per depth). `closure` stays a LAZY union of
+        # already-checkpointed frontiers: its plan grows one union node
+        # per round (linear, bounded by max_depth) — NOT the
+        # self-referencing lineage that doubles per depth, which the
+        # per-round frontier checkpoint truncates. Measured variants
+        # (warm mins, this machine): r8 two-checkpoint 1.6 s; batched
+        # two-depths-per-checkpoint 2.9 s (plan depth doubled); all-lazy
+        # persists 2.1–2.9 s (partial-cache recompute — isEmpty computes
+        # only partition 0; count() does not share that trap); r9
+        # eager-checkpoint + isEmpty 1.5 s.
         for depth in range(2, max_depth + 1):
             expanded = (
                 frontier.join(edges, frontier["node"] == edges["src"])
@@ -804,8 +817,10 @@ class Engine:
                 .distinct()
                 .withColumn("depth", F.lit(depth))
             )
-            new = expanded.join(closure, ["node"], "left_anti").localCheckpoint()
-            if new.isEmpty():
+            new, n_new = truncate_lineage_counted(
+                expanded.join(closure, ["node"], "left_anti")
+            )
+            if n_new == 0:
                 break
             closure = closure.union(new)
             frontier = new
@@ -903,7 +918,7 @@ class Engine:
         minimal depth per node. Same round discipline as :meth:`resolve`
         (see the measured-variants note there): one checkpoint per round,
         closure a lazy union of checkpointed frontiers."""
-        edges = self.constrained_edges().localCheckpoint()
+        edges = self.constrained_edges().transform(truncate_lineage)
         frontier = (
             edges.filter(F.col("src_name") == package)
             .select(
@@ -912,7 +927,7 @@ class Engine:
                 F.lit(1).alias("depth"),
             )
             .distinct()
-            .localCheckpoint()
+            .transform(truncate_lineage)
         )
         closure = frontier
         for depth in range(2, max_depth + 1):
@@ -929,10 +944,10 @@ class Engine:
                 .distinct()
                 .withColumn("depth", F.lit(depth))
             )
-            new = expanded.join(
-                closure, ["name", "version"], "left_anti"
-            ).localCheckpoint()
-            if new.isEmpty():
+            new, n_new = truncate_lineage_counted(
+                expanded.join(closure, ["name", "version"], "left_anti")
+            )
+            if n_new == 0:
                 break
             closure = closure.union(new)
             frontier = new
@@ -1026,6 +1041,28 @@ class Engine:
         from pkg2_spark.operators.similarity import knn_bruteforce
 
         return knn_bruteforce(vectors, probes, k, **kw)
+
+    def ann_search(
+        self,
+        embeddings: DataFrame,
+        n_probe: int | None = None,
+        k: int = 5,
+        **kw,
+    ) -> DataFrame:
+        """Multi-probe IVF ANN over (vec_id, embedding) — the tuned-beam
+        entry point. n_probe (default: the session knob self.ann_n_probe)
+        is the recall/latency lever: per-query cost ≈ n_probe × ~1.5×
+        target-cell rows; recall@k is monotone in n_probe when callers
+        pin descent (see queries.llm.ann_multiprobe and the SCALING.md
+        recall table for the measured curve)."""
+        from pkg2_spark.queries.llm import ann_multiprobe
+
+        return ann_multiprobe(
+            embeddings,
+            n_probe=self.ann_n_probe if n_probe is None else n_probe,
+            k=k,
+            **kw,
+        )
 
     def asof_join(self, left: DataFrame, right: DataFrame, **kw) -> DataFrame:
         from pkg2_spark.operators.asof import asof_join

@@ -45,9 +45,10 @@ rather than returning part-merged labels.
 
 Scale posture: every operation is an equi-join or hash-agg on node ids —
 no pair explosion beyond the given edge set, and the rewritten edge set
-only ever shrinks. `localCheckpoint` truncates lineage per round (the
-iterative-DataFrame discipline; on a fault-tolerant cluster swap for
-checkpoint() with a checkpoint dir). Convergence = the contracted edge
+only ever shrinks. `session.truncate_lineage` truncates lineage per
+round (the iterative-DataFrame discipline; it switches to reliable
+checkpoint() automatically when a checkpoint dir is set — the cluster
+posture, see SCALING.md `Iterative closure`). Convergence = the contracted edge
 set is empty — an exact test, checked on the already-materialized
 checkpoint, no old-vs-new join.
 """
@@ -56,6 +57,8 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+from pkg2_spark.session import truncate_lineage
 
 
 # Hybrid-finish threshold: when the CONTRACTED edge set fits under this,
@@ -103,7 +106,7 @@ def resolve_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     # Fused round 0: every node's first label is min(self, direct
     # neighbors) straight off the edge list — one groupBy replaces an
@@ -112,7 +115,7 @@ def resolve_components(
         sym.groupBy(F.col("a").alias("node"))
         .agg(F.min("b").alias("nmin"))
         .select("node", F.least("node", "nmin").alias("component"))
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     # Contract the edges into component space once up front; from here on
     # the original edge list is never touched again.
@@ -124,7 +127,7 @@ def resolve_components(
         .select(F.col("la").alias("a"), F.col("lb").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     spark = edges.sparkSession
     for _ in range(max_iter):
@@ -198,7 +201,7 @@ def resolve_components(
             )
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint()
+            .transform(truncate_lineage)
         )
     else:
         # Exhausting max_iter with edges left would silently return

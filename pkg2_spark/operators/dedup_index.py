@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pkg2_spark.operators.lsh import banded_pairs
 from pkg2_spark.operators.similarity import cosine_on_pairs, sign_lsh_bands
+from pkg2_spark.session import truncate_lineage
 
 BANDS = "bands"
 PROV = "cand_prov"
@@ -105,7 +106,7 @@ def apply_delta(
         prov_keep.select("id_a", "id_b")
         .union(prov_new.select("id_a", "id_b"))
         .distinct()
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     fresh = cand.join(ver_c, ["id_a", "id_b"], "left_anti")
     ver_fresh = cosine_on_pairs(fresh, vectors, "id_a", "id_b", dim=dim)

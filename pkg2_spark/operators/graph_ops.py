@@ -11,8 +11,8 @@ Scale shape per iteration: one shuffle join of edges against the rank table
 on src (degree joined alongside), one dst-keyed hash-agg, one left join back
 onto the node set — the standard distributed PageRank dataflow. State per
 round is one row per node. A fixed small iteration count keeps the plan
-shallow; a convergence-driven run should localCheckpoint per round exactly
-like queries/graph.py's closure loop.
+shallow; a convergence-driven run should truncate lineage per round
+(session.truncate_lineage) exactly like queries/graph.py's closure loop.
 """
 
 from __future__ import annotations

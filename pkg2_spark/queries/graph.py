@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from pkg2_spark.queries.relational import _APKINDEX_PATH
 from pkg2_spark.registry import query
+from pkg2_spark.session import truncate_lineage
 
 _MAX_DEPTH = 5
 
@@ -76,10 +77,10 @@ def q_graph_closure(spark, sf_dir):
     # localCheckpoint, not persist: repeated invocations (bench loops,
     # probes) would accumulate cached RDDs; checkpoint materializes the
     # frame once for the loop's many reads and frees with the reference.
-    edges = _edges(spark).distinct().localCheckpoint()
+    edges = _edges(spark).distinct().transform(truncate_lineage)
     closure = edges.select(
         F.col("name").alias("root"), F.col("dep").alias("node"), F.lit(1).alias("depth")
-    ).distinct().localCheckpoint()
+    ).distinct().transform(truncate_lineage)
     frontier = closure
     for depth in range(2, _MAX_DEPTH + 1):
         # Semi-naïve step: expand only last round's frontier, keep first-seen
@@ -94,10 +95,10 @@ def q_graph_closure(spark, sf_dir):
         # (anti-join + union) — under persist the LOGICAL plan doubles per
         # depth; checkpointing truncates lineage (operators/dedup.py
         # documents the driver OOM this prevents).
-        new = expanded.join(closure, ["root", "node"], "left_anti").localCheckpoint()
+        new = expanded.join(closure, ["root", "node"], "left_anti").transform(truncate_lineage)
         if new.isEmpty():
             break
-        closure = closure.union(new).localCheckpoint()
+        closure = closure.union(new).transform(truncate_lineage)
         frontier = new
     return closure
 
@@ -295,7 +296,7 @@ def q_graph_triangles(spark, sf_dir):
     are exact integers throughout."""
     from pkg2_spark.catalog import load_tables
 
-    und = _cosupply_und(load_tables(spark, sf_dir)).localCheckpoint()
+    und = _cosupply_und(load_tables(spark, sf_dir)).transform(truncate_lineage)
     e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = und.select(F.col("a").alias("y2"), F.col("b").alias("z"))
     e3 = und.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
@@ -500,12 +501,12 @@ def q_graph_kcore(spark, sf_dir):
     shuffles regardless of graph size."""
     from pkg2_spark.catalog import load_tables
 
-    und = _cosupply_und(load_tables(spark, sf_dir)).localCheckpoint()
+    und = _cosupply_und(load_tables(spark, sf_dir)).transform(truncate_lineage)
     nodes = (
         und.select(F.col("a").alias("node"))
         .union(und.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     edges = und
     peeled = None
@@ -519,18 +520,18 @@ def q_graph_kcore(spark, sf_dir):
         with_deg = nodes.join(deg, "node", "left").select(
             "node", F.coalesce(F.col("d"), F.lit(0)).alias("d")
         )
-        survivors = with_deg.filter(F.col("d") >= _KCORE_K).select("node").localCheckpoint()
+        survivors = with_deg.filter(F.col("d") >= _KCORE_K).select("node").transform(truncate_lineage)
         round_peeled = (
             with_deg.filter(F.col("d") < _KCORE_K)
             .select("node", F.lit(i).cast("int").alias("r"))
-            .localCheckpoint()
+            .transform(truncate_lineage)
         )
         peeled = round_peeled if peeled is None else peeled.unionAll(round_peeled)
         edges = (
             edges.join(survivors.withColumnRenamed("node", "a"), "a", "leftsemi")
             .join(survivors.withColumnRenamed("node", "b"), "b", "leftsemi")
             .select("a", "b")
-            .localCheckpoint()
+            .transform(truncate_lineage)
         )
         nodes = survivors
     deg_f = (

@@ -36,6 +36,7 @@ from pkg2_spark.operators.text import (
     tokens_col,
 )
 from pkg2_spark.registry import query
+from pkg2_spark.session import truncate_lineage
 
 _K = 8  # MinHash signature length
 _BANDS_R = 4  # rows per LSH band (b=2, r=4: the synthetic corpus has a tiny
@@ -1016,8 +1017,10 @@ def _ivf_tree(e):
     q_llm_ivf_refine dataflow, exact under any partition summation order)
     and members re-assigned against the refined codebook; cells above
     2× target are md5-slot-split so max final cell is bounded at ~1.5×
-    target regardless of data geometry. Each corpus-sized frame is
-    localCheckpoint-ed and the whole tuple lives in the IVF memo:
+    target regardless of data geometry. Each corpus-sized frame's lineage is
+    truncated (session.truncate_lineage — localCheckpoint locally,
+    reliable checkpoint when a dir is set) and the whole tuple lives
+    in the IVF memo:
     ann_ivf / ann_recall / ann_mprobe / semdedup / ivfpq / ivf_incr over
     the same corpus in a session share ONE construction instead of each
     re-paying the n·(k1+k2+2·k3) scoring passes."""
@@ -1031,7 +1034,7 @@ def _ivf_tree(e):
     a1 = ev.join(
         _nearest_wide(ev, cents, out_id="cid", cand_id="cid", cand_vec="cemb"),
         "vec_id",
-    ).localCheckpoint()
+    ).transform(truncate_lineage)
     cent2 = _sub_centroids(a1, "cid", "c2id", "scid", "semb", c * k12)
     n2 = cent2.count()
     a2 = a1.select("vec_id", "embedding").join(
@@ -1041,7 +1044,7 @@ def _ivf_tree(e):
             broadcast_cands=n2 <= _IVF_BCAST_ROWS,
         ),
         "vec_id",
-    ).localCheckpoint()
+    ).transform(truncate_lineage)
     cent3s = _sub_centroids(a2, "scid", "c3id", "sscid", "ssemb", c)
     n3 = cent3s.count()
     bc3 = n3 <= _IVF_BCAST_ROWS
@@ -1085,7 +1088,7 @@ def _ivf_tree(e):
         cent3s.select("c3id", "sscid")
         .join(refined3, "sscid")
         .select("c3id", "sscid", F.col("remb").alias("ssemb"))
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     a0 = a2.select("vec_id", "embedding").join(
         _nearest_wide(
@@ -1118,7 +1121,7 @@ def _ivf_tree(e):
             "embedding",
             (F.col("qcid") * _IVF_SLOT_BASE + slot).cast("long").alias("cid"),
         )
-        .localCheckpoint()
+        .transform(truncate_lineage)
     )
     ent["tree"] = (cents, a1, cent2, a2, cent3, assign)
     return ent["tree"]
@@ -1162,7 +1165,7 @@ def _ivf_cellslots(e):
                 .cast("long")
                 .alias("slots"),
             )
-            .localCheckpoint()
+            .transform(truncate_lineage)
         )
     return ent["cellslots"]
 
@@ -2501,6 +2504,9 @@ def q_llm_ann_mprobe(spark, sf_dir):
     n_probe stays THE recall lever (recall lost at cell boundaries comes
     back at 3× the candidate cost) — tests/test_operators.py asserts
     multi-probe recall@5 >= single-probe recall@5 in aggregate.
+    Implemented by ann_multiprobe (r10): the beam width is a parameter
+    there (and an Engine.ann_search knob); this registered query pins
+    the served default n_probe = descent = 3, oracle-mirrored.
 
     Plan shape: level-1 scoring is a 5×k1 broadcast cross; each beam
     descent joins ≤15 probe rows against the parent-keyed sub-codebook;
@@ -2509,8 +2515,42 @@ def q_llm_ann_mprobe(spark, sf_dir):
     the only rank windows partition by probe_id over bounded candidate
     sets."""
     e = load_tables(spark, sf_dir)["embeddings"]
+    return ann_multiprobe(e)
+
+
+def ann_multiprobe(e, n_probe: int = 3, descent: int | None = None,
+                   n_queries: int = 5, k: int = 5):
+    """Parameterized multi-probe IVF search — q_llm_ann_mprobe's engine
+    with the beam width exposed as THE recall/latency knob (r9 verdict
+    task #1: n_probe was hard-coded at 3; a user tuning an index needs
+    the recall-vs-n_probe curve, measured in
+    scripts/scale_probe_decade.py's recall table and summarized in
+    SCALING.md).
+
+    - `n_probe`: how many FINAL slot-cells each query scans — the
+      probe's own assigned cell (always, rank 0) plus the top
+      (n_probe - 1) beam cells. This is the cost driver: per-probe scan
+      ≈ n_probe × ~1.5× target cell. n_probe = 1 degenerates to exactly
+      single-probe search (own cell only — q_llm_ann_ivf's semantics).
+    - `descent`: beam width at each TREE level (top-`descent` level-1
+      cells → top-`descent` level-2 cells → top-`descent` final
+      quantizer cells are RANKED; n_probe then takes a prefix).
+      Defaults to n_probe (the registered q_llm_ann_mprobe shape:
+      descent = n_probe = 3). Descent cost is tiny (≤ n_queries ×
+      descent × per-level codebook-slice joins), so callers comparing
+      several n_probe values should PIN descent at their max n_probe:
+      with a fixed descent the ranked slot-cell list is identical
+      across calls and beam(n) ⊆ beam(n′) for n ≤ n′ holds by
+      construction — recall@k is structurally monotone in n_probe
+      (pinned by tests/test_operators.py).
+    """
+    if n_probe < 1:
+        raise ValueError("n_probe must be >= 1")
+    descent = n_probe if descent is None else descent
+    if descent < n_probe:
+        raise ValueError("descent beam must be >= n_probe")
     cents, _a1, cent2, _a2, cent3, assign = _ivf_tree(e)
-    probes = e.filter(F.col("vec_id") < 5).select(
+    probes = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
     )
     w_cell = Window.partitionBy("probe_id").orderBy(
@@ -2523,7 +2563,7 @@ def q_llm_ann_mprobe(spark, sf_dir):
             cosine4(F.col("pe"), F.col("cemb")).alias("pcos"),
         )
         .withColumn("prn", F.row_number().over(w_cell))
-        .filter(F.col("prn") <= 3)
+        .filter(F.col("prn") <= descent)
         .drop("prn", "pcos")
     )
     w_sub = Window.partitionBy("probe_id").orderBy(
@@ -2536,7 +2576,7 @@ def q_llm_ann_mprobe(spark, sf_dir):
             cosine4(F.col("pe"), F.col("semb")).alias("scos"),
         )
         .withColumn("srn", F.row_number().over(w_sub))
-        .filter(F.col("srn") <= 3)
+        .filter(F.col("srn") <= descent)
         .drop("srn", "scos")
     )
     w_sub3 = Window.partitionBy("probe_id").orderBy(
@@ -2550,7 +2590,7 @@ def q_llm_ann_mprobe(spark, sf_dir):
             cosine4(F.col("pe"), F.col("ssemb")).alias("sscos"),
         )
         .withColumn("ssrn", F.row_number().over(w_sub3))
-        .filter(F.col("ssrn") <= 3)
+        .filter(F.col("ssrn") <= descent)
         .drop("ssrn")
     )
     # The occupancy cap makes SLOTS the true final cells, so the beam is
@@ -2567,7 +2607,7 @@ def q_llm_ann_mprobe(spark, sf_dir):
     # Slot-cell ranking: centroid cos DESC, cell ASC, probe's own md5
     # slot first, slot ASC — deterministic, oracle-mirrored.
     cs = _ivf_cellslots(e)
-    own = assign.filter(F.col("vec_id") < 5).select(
+    own = assign.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("pe"),
         F.col("cid").alias("cell"),
@@ -2607,7 +2647,7 @@ def q_llm_ann_mprobe(spark, sf_dir):
             "left_anti",
         )
         .withColumn("srn", F.row_number().over(w_slot))
-        .filter(F.col("srn") <= 2)
+        .filter(F.col("srn") <= n_probe - 1)
         .select("probe_id", "pe", "cell")
     )
     pcands = own.unionByName(beam2)
@@ -2623,7 +2663,7 @@ def q_llm_ann_mprobe(spark, sf_dir):
     )
     return (
         cands.withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") <= 5)
+        .filter(F.col("rn") <= k)
         .drop("rn")
     )
 

@@ -89,3 +89,75 @@ def get_session(
     )
     spark = builder.getOrCreate()
     return ensure_runtime_confs(spark)
+
+
+def truncate_lineage(df):
+    """Cut a DataFrame's lineage inside an iterative fixpoint — the
+    primitive every convergence loop in the engine (near-dup contraction,
+    BFS resolve, k-core peeling, the IVF tree memo) applies once per
+    round so the logical plan stays O(1) instead of doubling per
+    iteration (unchecked, the driver OOMs analyzing round ~20's plan).
+
+    Posture seam (r9 verdict #3): which checkpoint primitive is right
+    depends on where the engine runs.
+
+    - **Cluster** (a checkpoint dir has been set via
+      ``sc.setCheckpointDir`` — reliable storage: HDFS/S3): use
+      ``df.checkpoint(eager=True)``. Blocks are recomputable from
+      durable files, so losing an executor mid-iteration costs a re-read,
+      not the job. Pair with
+      ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so
+      out-of-scope checkpoints are reaped.
+    - **Local / single-JVM** (no checkpoint dir — this sandbox, CI): use
+      ``df.localCheckpoint()``. Executor-local block-manager storage,
+      no filesystem round-trip; executor loss equals JVM loss here, so
+      durability buys nothing.
+
+    ``spark.pkg2_spark.lineageTruncate`` overrides the autodetect:
+    ``local`` forces localCheckpoint even when a checkpoint dir exists
+    (e.g. a dir set by unrelated streaming code), ``reliable`` fails
+    fast if no dir is set. Applied via ``.transform(truncate_lineage)``
+    at every call site, so the loop code itself is posture-free.
+    """
+    spark = df.sparkSession
+    mode = spark.conf.get("spark.pkg2_spark.lineageTruncate", "auto")
+    if mode == "local":
+        return df.localCheckpoint()
+    has_dir = spark.sparkContext.getCheckpointDir() is not None
+    if mode == "reliable" and not has_dir:
+        raise ValueError(
+            "spark.pkg2_spark.lineageTruncate=reliable requires "
+            "sc.setCheckpointDir(<reliable storage path>)"
+        )
+    return df.checkpoint(eager=True) if has_dir else df.localCheckpoint()
+
+
+def truncate_lineage_counted(df):
+    """truncate_lineage + row count in ONE Spark job — for fixpoint loops
+    whose round boundary is an emptiness test (Engine.resolve /
+    resolve_constrained). The r9 shape paid two driver actions per BFS
+    round (eager checkpoint, then isEmpty), and on local[32] each action
+    costs ~0.25 s of fixed job latency regardless of data. A LAZY
+    checkpoint mark followed by count() folds them: count computes every
+    partition, so the local-checkpoint persist blocks are all populated
+    by the same job (no missing-partition repair job — the trap that
+    makes lazy persist + isEmpty SLOWER, since isEmpty computes only
+    partition 0) and the count answers the round's emptiness question
+    for free. Returns (checkpointed df, row count).
+
+    Reliable posture (checkpoint dir set): checkpoint(eager=False) +
+    count — Spark recomputes the plan once more when writing the
+    durable files (standard reliable-checkpoint behavior); the cluster
+    trades that latency for executor-loss recovery.
+    """
+    spark = df.sparkSession
+    mode = spark.conf.get("spark.pkg2_spark.lineageTruncate", "auto")
+    has_dir = spark.sparkContext.getCheckpointDir() is not None
+    if mode == "reliable" and not has_dir:
+        raise ValueError(
+            "spark.pkg2_spark.lineageTruncate=reliable requires "
+            "sc.setCheckpointDir(<reliable storage path>)"
+        )
+    use_reliable = has_dir and mode != "local"
+    out = df.checkpoint(eager=False) if use_reliable else df.localCheckpoint(eager=False)
+    return out, out.count()

@@ -213,6 +213,55 @@ def replicate_documents_diverse(spark, src_dir: str, out_dir: str,
             os.symlink(target, link)
 
 
+def replicate_embeddings_diverse(spark, src_dir: str, out_dir: str,
+                                 entity_off: int) -> None:
+    """DIVERSE embeddings decade: ten copies whose vectors are per-replica
+    DIMENSION PERMUTATIONS of the source (keyed on md5(rep:dim) —
+    deterministic, no RNG; rep 0 is the identity). The near-dup replicas
+    nudge coordinates, so every decade multiplies the EXACT-TIE mass
+    inside each IVF cell — the adversarial direction for the occupancy
+    cap, but the wrong corpus for measuring the recall-vs-n_probe curve
+    (exact-set recall@5 there mostly measures tie ordering among
+    semantically equivalent replicas). Permuting dimensions preserves the
+    norm and the per-coordinate value distribution while decorrelating
+    replicas, so the corpus grows in CONTENT: cells grow in number, and
+    recall measures the beam, not the ties. Replaces the symlink the
+    documents-diverse pass left for embeddings; all other tables keep
+    their symlinks."""
+    link = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.islink(link):
+        # never write THROUGH the symlink — its target is the (read-only)
+        # source decade; Spark's overwrite would try to delete it.
+        os.remove(link)
+    rep = spark.range(REPS).select(F.col("id").cast("int").alias("rep"))
+    r = F.col("rep").cast("long")
+    v = spark.read.parquet(
+        os.path.join(src_dir, "embeddings.parquet")
+    ).crossJoin(rep)
+    perm = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: F.struct(
+                F.md5(
+                    F.concat(F.col("rep").cast("string"), F.lit(":"),
+                             i.cast("string"))
+                ).alias("k"),
+                i.alias("i"),
+            ),
+        )
+    )
+    emb = F.when(F.col("rep") == 0, F.col("embedding")).otherwise(
+        F.transform(perm, lambda s: F.element_at(F.col("embedding"), s["i"]))
+    )
+    out = v.select(
+        (F.col("vec_id") + r * entity_off).alias("vec_id"),
+        emb.alias("embedding"),
+        "label",
+    )
+    out.write.mode("overwrite").parquet(link)
+    print(f"embeddings (diverse): {out.count()} rows -> {out_dir}")
+
+
 def main() -> int:
     from pkg2_spark.queries.relational import IO_DIR
     from pkg2_spark.session import get_session
@@ -229,6 +278,21 @@ def main() -> int:
             entity_off=10_000_000,
         )
         replicate_documents_diverse(
+            spark,
+            src_dir=os.path.join(IO_DIR, "sf1d"),
+            out_dir=os.path.join(IO_DIR, "sf10d"),
+            entity_off=1_000_000_000,
+        )
+        # diverse embeddings ride the same decades (r10: the ANN
+        # recall-vs-n_probe curve needs a corpus that grows in content,
+        # not exact-tie mass)
+        replicate_embeddings_diverse(
+            spark,
+            src_dir="/root/testdata/sf0.1",
+            out_dir=os.path.join(IO_DIR, "sf1d"),
+            entity_off=10_000_000,
+        )
+        replicate_embeddings_diverse(
             spark,
             src_dir=os.path.join(IO_DIR, "sf1d"),
             out_dir=os.path.join(IO_DIR, "sf10d"),

@@ -95,7 +95,66 @@ PROBES_DEC3 = [
 PROBES_DIVERSE = [
     "q_llm_span_dedup",
     "q_llm_winnow_dup",
+    # r10 (r9 verdict #5): the >3x/decade first-decade rows get their
+    # second point here — the two LM passes are document ops (explode ->
+    # hash-agg -> join topologies) and cossim_lsh now has DIVERSE
+    # embeddings to read (make_sf1.py --diverse writes dimension-permuted
+    # vectors, not symlinks, since r10).
+    "q_llm_unigram_lm",
+    "q_llm_bigram_lm",
+    "q_llm_cossim_lsh",
 ]
+
+
+def emit_recall_tuning_tables(spark, scales: list[str]) -> list[str]:
+    """The r10 ANN tuning surface: recall@5 AND search wall-clock for
+    n_probe in {1, 3, 8}, per corpus. Descent is PINNED at 8 across the
+    three points so the ranked slot-cell list is identical and the beams
+    are nested — the measured recall is structurally monotone and the
+    three points are one curve, not three incomparable searches. The
+    tree is memoized (construction cost is the flatness/timed tables'
+    subject); timing here is the per-query SEARCH cost the n_probe knob
+    actually controls — median of 3 warm runs."""
+    from pkg2_spark.catalog import load_tables
+    from pkg2_spark.operators.similarity import knn_bruteforce
+    from pkg2_spark.queries.llm import ann_multiprobe, ivf_invalidate
+
+    n_probes = (1, 3, 8)
+    lines = ["", "## ANN recall@5 vs n_probe (5 probes, descent pinned at 8, "
+             "vs exact brute force; search-only time, memoized tree)", "",
+             "| corpus | " + " | ".join(
+                 f"n_probe={n} recall | time" for n in n_probes) + " |",
+             "|---|" + "---|---|" * len(n_probes)]
+    for sf in scales:
+        ivf_invalidate()
+        e = load_tables(spark, sf)["embeddings"]
+        probes = e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_embedding"),
+        )
+        exact = {
+            (r["probe_id"], r["vec_id"])
+            for r in knn_bruteforce(
+                e.select("vec_id", "embedding"), probes, k=5, dim=64
+            ).select("probe_id", "vec_id").collect()
+        }
+        cells = []
+        for n in n_probes:
+            df = ann_multiprobe(e, n_probe=n, descent=8)
+            hits = {
+                (r["probe_id"], r["vec_id"])
+                for r in df.select("probe_id", "vec_id").collect()
+            }
+            rec = round(len(hits & exact) / max(len(exact), 1), 3)
+            times = []
+            for _ in range(3):
+                t0 = time.monotonic()
+                df.count()
+                times.append(time.monotonic() - t0)
+            cells.append(f"{rec} | {statistics.median(times):.3f}s")
+        lines.append(f"| {Path(sf).name} | " + " | ".join(cells) + " |")
+        print(lines[-1])
+    return lines
 
 
 def main() -> int:
@@ -131,6 +190,42 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
+    only_scales = None
+    if "--scales" in args:
+        only_scales = set(args[args.index("--scales") + 1].split(","))
+
+    def recall_scales() -> list[str]:
+        # replica decades first, then the diverse decades (which carry
+        # dimension-permuted embeddings once make_sf1.py --diverse has
+        # run on an r10+ tree — skip them while they are still symlinks
+        # back to the source decade, which would measure sf0.1 twice).
+        out = [sfs[0], sfs[1]]
+        for name in ("sf10", "sf100"):
+            p = Path(IO_DIR) / name / "embeddings.parquet"
+            if p.exists():
+                out.append(str(p.parent))
+        for name in ("sf1d", "sf10d"):
+            p = Path(IO_DIR) / name / "embeddings.parquet"
+            if p.exists() and not p.is_symlink():
+                out.append(str(p.parent))
+        if only_scales is not None:
+            out = [s for s in out if Path(s).name in only_scales]
+        return out
+
+    if "--recall-only" in args:
+        lines = [
+            "# SCALE_PROBE_RECALL — ANN recall@5 / latency vs n_probe",
+            "",
+            "Standalone run of the r10 tuning-surface table (the full",
+            "decade probe also embeds it). Replica decades (near-dup,",
+            "exact-tie-heavy: the occupancy-cap worst case) and diverse",
+            "decades (dimension-permuted embeddings: content growth)",
+            "measured with the SAME pinned-descent beam.",
+        ] + emit_recall_tuning_tables(spark, recall_scales())
+        text = "\n".join(lines)
+        Path(out_path or "SCALE_PROBE_RECALL.md").write_text(text + "\n")
+        return 0
+
     def timed(name: str, sf: str) -> float:
         # ivf_invalidate before EVERY run: the session-scoped quantizer
         # memo (r8) would otherwise serve runs 2..N from the checkpointed
@@ -161,6 +256,38 @@ def main() -> int:
             if max(times) / min(times) <= 2.5:
                 break
         return best
+
+    def diverse_lines() -> list[str]:
+        sf1d = str(Path(IO_DIR) / "sf1d")
+        sf10d = str(Path(IO_DIR) / "sf10d")
+        if not (
+            (Path(sf1d) / "documents.parquet").exists()
+            and (Path(sf10d) / "documents.parquet").exists()
+        ):
+            return []
+        out = ["", "## Diverse-corpus decades (token-permuted documents + "
+               "dimension-permuted embeddings, sf0.1 -> sf1d -> sf10d)", "",
+               "| query | sf0.1 | sf1d | ratio | sf10d | ratio |",
+               "|---|---|---|---|---|---|"]
+        for name in PROBES_DIVERSE:
+            t1 = timed(name, sfs[0])
+            t2 = timed(name, sf1d)
+            t3 = timed(name, sf10d)
+            out.append(
+                f"| {name} | {t1:.3f}s | {t2:.3f}s | {t2 / t1:.2f}x"
+                f" | {t3:.3f}s | {t3 / t2:.2f}x |"
+            )
+            print(out[-1])
+        return out
+
+    if "--diverse-only" in args:
+        text = "\n".join(
+            ["# SCALE_PROBE_DIVERSE — diverse-corpus decade ratios "
+             "(standalone run; the full decade probe embeds the same "
+             "table)"] + diverse_lines()
+        )
+        Path(out_path or "SCALE_PROBE_DIVERSE.md").write_text(text + "\n")
+        return 0
 
     lines = [
         "# SCALE_PROBE_DECADE — sf0.1 -> sf1 (10x) -> sf10 (100x, near-dup replicas)",
@@ -203,24 +330,7 @@ def main() -> int:
             lines.append(f"| {name} | {t1:.3f}s | {t2:.3f}s | {t2 / t1:.2f}x |")
             print(lines[-1])
 
-    sf1d = str(Path(IO_DIR) / "sf1d")
-    sf10d = str(Path(IO_DIR) / "sf10d")
-    if (Path(sf1d) / "documents.parquet").exists() and (
-        Path(sf10d) / "documents.parquet"
-    ).exists():
-        lines += ["", "## Diverse-corpus decades (token-permuted replicas, "
-                  "sf0.1 -> sf1d -> sf10d)", "",
-                  "| query | sf0.1 | sf1d | ratio | sf10d | ratio |",
-                  "|---|---|---|---|---|---|"]
-        for name in PROBES_DIVERSE:
-            t1 = timed(name, sfs[0])
-            t2 = timed(name, sf1d)
-            t3 = timed(name, sf10d)
-            lines.append(
-                f"| {name} | {t1:.3f}s | {t2:.3f}s | {t2 / t1:.2f}x"
-                f" | {t3:.3f}s | {t3 / t2:.2f}x |"
-            )
-            print(lines[-1])
+    lines += diverse_lines()
 
     lines += ["", "## Structural counters", "",
               "| counter | sf0.1 | sf1 | ratio |", "|---|---|---|---|"]
@@ -311,6 +421,8 @@ def main() -> int:
             f"| {rs['q_llm_ann_mprobe']} |"
         )
         print(lines[-1])
+
+    lines += emit_recall_tuning_tables(spark, recall_scales())
 
     lines += [
         "",

@@ -449,6 +449,67 @@ def test_resolve_components_distributed_and_local_finish_agree(spark):
     assert hybrid[40] == 0 and hybrid[106] == 100 and hybrid[501] == 500
 
 
+def test_lineage_truncation_checkpoint_seam(spark, tmp_path):
+    # r9 verdict #3: localCheckpoint is executor-local — on a real cluster
+    # an executor loss mid-iteration kills the job. The seam: setting a
+    # checkpoint dir (reliable storage) switches every fixpoint loop's
+    # lineage truncation to checkpoint(eager); no dir = the local default.
+    # Both paths must reach the identical fixpoint, and the reliable path
+    # must actually write checkpoint files.
+    import pytest as _pytest
+
+    from pkg2_spark.operators import dedup as D
+    from pkg2_spark.session import truncate_lineage_counted
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 30)] + [(500, 501)], ["src", "dst"]
+    )
+    old = D._LOCAL_FINISH_EDGES
+    D._LOCAL_FINISH_EDGES = 0  # force the distributed contraction rounds
+    try:
+        spark.conf.unset("spark.pkg2_spark.lineageTruncate")
+        # reliable mode without a dir fails fast instead of silently
+        # running non-fault-tolerant
+        spark.conf.set("spark.pkg2_spark.lineageTruncate", "reliable")
+        with _pytest.raises(ValueError):
+            truncate_lineage_counted(edges)
+        spark.conf.unset("spark.pkg2_spark.lineageTruncate")
+
+        local = {
+            r["node"]: r["component"]
+            for r in D.resolve_components(edges).collect()
+        }
+        ckpt = str(tmp_path / "reliable_ckpt")
+        spark.sparkContext.setCheckpointDir(ckpt)
+        reliable = {
+            r["node"]: r["component"]
+            for r in D.resolve_components(edges).collect()
+        }
+        assert reliable == local and local[30] == 0 and local[501] == 500
+        import pathlib
+
+        written = [p for p in pathlib.Path(ckpt).rglob("*") if p.is_file()]
+        assert written, "reliable path wrote no checkpoint files"
+        # the counted seam answers emptiness in the same materialization
+        df, n = truncate_lineage_counted(edges)
+        assert n == edges.count() == df.count()
+        # explicit override: force localCheckpoint although a dir is set
+        # (and leave the session in that mode — identical behavior to the
+        # pre-test default for every later test in this session)
+        spark.conf.set("spark.pkg2_spark.lineageTruncate", "local")
+        before = len([p for p in pathlib.Path(ckpt).rglob("*") if p.is_file()])
+        forced = {
+            r["node"]: r["component"]
+            for r in D.resolve_components(edges).collect()
+        }
+        assert forced == local
+        after = len([p for p in pathlib.Path(ckpt).rglob("*") if p.is_file()])
+        assert after == before, "local override still wrote reliable files"
+    finally:
+        D._LOCAL_FINISH_EDGES = old
+        spark.conf.set("spark.pkg2_spark.lineageTruncate", "local")
+
+
 def test_mprobe_recall_dominates_single_probe(spark, sf_dir):
     # The reason multi-probe exists: per probe, recall@5 of the 3-cell
     # search must be >= the single-cell search's (the candidate set is a
@@ -479,6 +540,63 @@ def test_mprobe_recall_dominates_single_probe(spark, sf_dir):
         hit_s = sum(1 for p, v in exact if p == pid and (p, v) in single)
         hit_m = sum(1 for p, v in exact if p == pid and (p, v) in multi)
         assert hit_m >= hit_s, (pid, hit_m, hit_s)
+
+
+def test_ann_multiprobe_recall_monotone_in_n_probe(spark, sf_dir):
+    # The r10 tuning surface: with descent PINNED, the ranked slot-cell
+    # list is identical across n_probe values, so beam(n) is a prefix —
+    # candidate sets are nested and recall@5 is monotone per probe, not
+    # just in aggregate. n_probe=1 must degenerate to exactly the
+    # single-probe (own cell only) hit set, and the Engine knob must
+    # route to the same operator.
+    import pytest as _pytest
+
+    from pkg2_spark.catalog import load_tables
+    from pkg2_spark.engine import Engine
+    from pkg2_spark.operators.similarity import knn_bruteforce
+    from pkg2_spark.queries.llm import ann_multiprobe
+    from pkg2_spark.registry import all_queries
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_embedding")
+    )
+    exact = {
+        (r["probe_id"], r["vec_id"])
+        for r in knn_bruteforce(
+            e.select("vec_id", "embedding"), probes, k=5, dim=64
+        ).collect()
+    }
+    got = {
+        n: {
+            (r["probe_id"], r["vec_id"])
+            for r in ann_multiprobe(e, n_probe=n, descent=8).collect()
+        }
+        for n in (1, 3, 8)
+    }
+    single = {
+        (r["probe_id"], r["vec_id"])
+        for r in all_queries()["q_llm_ann_ivf"](spark, sf_dir).collect()
+    }
+    assert got[1] == single  # n_probe=1 IS single-probe search
+    for pid in range(5):
+        hits = [
+            sum(1 for p, v in exact if p == pid and (p, v) in got[n])
+            for n in (1, 3, 8)
+        ]
+        assert hits[0] <= hits[1] <= hits[2], (pid, hits)
+    # Engine knob routes through the same operator with the same default.
+    eng = Engine(spark)
+    assert eng.ann_n_probe == 3
+    knob = {
+        (r["probe_id"], r["vec_id"])
+        for r in eng.ann_search(e, n_probe=8, descent=8).collect()
+    }
+    assert knob == got[8]
+    with _pytest.raises(ValueError):
+        ann_multiprobe(e, n_probe=0)
+    with _pytest.raises(ValueError):
+        ann_multiprobe(e, n_probe=4, descent=2)
 
 
 def test_unigram_lm_bands_and_integer_surprisal(spark, sf_dir):
