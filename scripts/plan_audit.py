@@ -43,6 +43,9 @@ NLJ_WHITELIST = {
     "every n) codebook broadcast crosses — the seed and refined Lloyd "
     "assignments; recenter itself is a keyed hash agg",
     "q_llm_knn": "bounded probe set broadcast vs linear corpus scan",
+    "q_llm_ann_tune": "the ann_recall shape x3 prefix beams: bounded 5-probe "
+    "brute-force arm + derived-k cell-scorer broadcast crosses; every "
+    "candidate ranking is the cell-keyed equi-join",
     "q_llm_tfidf": "1-row doc-count scalar cross join (broadcast)",
     "q_llm_unigram_lm": "1-row corpus-token-total scalar cross join "
     "(broadcast; the q_llm_tfidf shape)",

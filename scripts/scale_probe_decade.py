@@ -193,6 +193,12 @@ def main() -> int:
     only_scales = None
     if "--scales" in args:
         only_scales = set(args[args.index("--scales") + 1].split(","))
+    if "--queries" in args:
+        # filter every probe list (rerun a clipped row without repaying
+        # the whole table)
+        keep = set(args[args.index("--queries") + 1].split(","))
+        for lst in (PROBES, PROBES_DEC2, PROBES_DEC3, PROBES_DIVERSE):
+            lst[:] = [n for n in lst if n in keep]
 
     def recall_scales() -> list[str]:
         # replica decades first, then the diverse decades (which carry

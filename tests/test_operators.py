@@ -597,6 +597,22 @@ def test_ann_multiprobe_recall_monotone_in_n_probe(spark, sf_dir):
         ann_multiprobe(e, n_probe=0)
     with _pytest.raises(ValueError):
         ann_multiprobe(e, n_probe=4, descent=2)
+    # The registered tuning query exposes the same curve: 3 rows keyed by
+    # n_probe, recall_milli non-decreasing, hits consistent with the
+    # operator-level sets measured above.
+    rows = {
+        r["n_probe"]: r
+        for r in all_queries()["q_llm_ann_tune"](spark, sf_dir).collect()
+    }
+    assert sorted(rows) == [1, 3, 8]
+    for n in (1, 3, 8):
+        assert rows[n]["n_exact"] == len(exact)
+        assert rows[n]["n_hits"] == len(got[n] & exact)
+        assert (
+            rows[n]["recall_milli"]
+            == 1000 * rows[n]["n_hits"] // rows[n]["n_exact"]
+        )
+    assert rows[1]["n_hits"] <= rows[3]["n_hits"] <= rows[8]["n_hits"]
 
 
 def test_unigram_lm_bands_and_integer_surprisal(spark, sf_dir):
