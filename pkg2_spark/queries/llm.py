@@ -1021,7 +1021,8 @@ def _ivf_tree(e):
     truncated (session.truncate_lineage — localCheckpoint locally,
     reliable checkpoint when a dir is set) and the whole tuple lives
     in the IVF memo:
-    ann_ivf / ann_recall / ann_mprobe / semdedup / ivfpq / ivf_incr over
+    ann_ivf / ann_recall / ann_mprobe / ann_tune / semdedup / ivfpq /
+    ivf_incr over
     the same corpus in a session share ONE construction instead of each
     re-paying the n·(k1+k2+2·k3) scoring passes."""
     ent = _ivf_memo(e)
