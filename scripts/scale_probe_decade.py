@@ -510,6 +510,16 @@ def main() -> int:
         "  near-duplicates the last. The token-permuted diverse decades",
         "  grow content instead; the table above is the linear-claim",
         "  evidence for the shingle/fingerprint-keyed joins.",
+        "- The recall-vs-n_probe table (r10) is the TUNING surface: descent",
+        "  pinned at 8 makes the three widths nested prefixes of one ranked",
+        "  slot-cell list, so recall is monotone by construction and the",
+        "  three points are one curve. Replica corpora reach 1.0 at",
+        "  n_probe = 8 at every scale; the diverse (dimension-permuted,",
+        "  isotropic) corpora track the scanned fraction — the",
+        "  information-theoretic bound for any cell-pruning index on",
+        "  structure-free geometry. Guidance: SCALING.md (IVF section);",
+        "  the oracle-checked q_llm_ann_tune re-verifies the curve's",
+        "  monotonicity in the driver's correctness gate.",
         "- Timing robustness (r8): this sandbox shows multi-minute ambient",
         "  contention waves (one inflated three sf1 rows ~8x mid-probe).",
         "  timed() retries a query (≤2x) when its 3-run spread exceeds",
