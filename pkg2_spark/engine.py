@@ -757,6 +757,45 @@ class Engine:
             .select("name", "arch", "old_version", "new_version", "change")
         )
 
+    #: Hybrid-BFS threshold shared by resolve / resolve_constrained: when
+    #: the MATERIALIZED, DEDUPLICATED edge set fits comfortably on the
+    #: driver (200k edges ≈ a few MB — sized to driver memory, never to
+    #: the corpus, exactly like operators/dedup.py's _LOCAL_FINISH_EDGES),
+    #: finish the closure with a driver-local BFS instead of paying ~0.25 s
+    #: of fixed job latency per depth. A package dependency graph is
+    #: control-plane-sized (one row per (pkg, dep) atom — even a full
+    #: distro index is single-digit millions), so interactively this path
+    #: almost always wins: the closure collapses from one job per depth to
+    #: one bounded collect — same-process A/B at sf0.1, warm mins: hybrid
+    #: 0.78–1.05 s vs distributed 1.23 s (the residual floor is the
+    #: per-call ingest + provider join + edge materialization, shared by
+    #: both paths). Past the threshold the distributed one-job-per-depth
+    #: loop below is unchanged (and pinned equal by
+    #: test_resolve_hybrid_local_matches_distributed).
+    _LOCAL_RESOLVE_EDGES = 200_000
+
+    def _local_bfs(self, adj, start_nodes, max_depth: int, schema: str) -> DataFrame:
+        """Driver-local BFS over a collected, threshold-bounded adjacency
+        map — semantics identical to the distributed loop (minimal depth
+        per node, cycle-safe, bounded by max_depth). Nodes are strings
+        (resolve) or (name, version) tuples (resolve_constrained);
+        deterministic: frontier order never affects the minimal depth."""
+        depth_of: dict = {}
+        frontier = sorted(set(start_nodes))
+        d = 1
+        while frontier and d <= max_depth:
+            for nd in frontier:
+                depth_of.setdefault(nd, d)
+            frontier = sorted(
+                {t for nd in frontier for t in adj.get(nd, ()) if t not in depth_of}
+            )
+            d += 1
+        rows = [
+            (nd, dd) if isinstance(nd, str) else (*nd, dd)
+            for nd, dd in sorted(depth_of.items())
+        ]
+        return self.spark.createDataFrame(rows, schema=schema)
+
     def resolve(self, package: str, max_depth: int = 10) -> DataFrame:
         """Dependency closure (BFS over depends, so:* capabilities resolved
         through provides). Returns (node, depth) with minimal depth."""
@@ -771,21 +810,31 @@ class Engine:
             ).alias("capability"),
             F.col("name").alias("provider"),
         ).distinct()
-        edges = (
+        edges, n_edges = truncate_lineage_counted(
             p.select(F.col("name").alias("src"), F.explode("depends").alias("capability"))
             .join(providers, "capability")
             .select("src", F.col("provider").alias("dst"))
             .distinct()
-            # localCheckpoint, not persist: one eager materialization,
-            # then every round reads the cached copy; lazy persist was
+            # checkpoint, not persist: one eager materialization, then
+            # every round reads the cached copy; lazy persist was
             # MEASURED SLOWER here (isEmpty computes only partition 0, so
             # a lazily-persisted frame is left partially cached and later
             # reads recompute the holes). Checkpoint caches are released
             # by the context cleaner when the frame is garbage collected —
             # no long-lived-service accumulation (the r8 leak concern was
-            # explicit persists without unpersist).
-            .transform(truncate_lineage)
+            # explicit persists without unpersist). The fold-in count is
+            # free (same job) and gates the hybrid finish.
         )
+        if n_edges <= self._LOCAL_RESOLVE_EDGES:
+            adj: dict = {}
+            for r in edges.collect():
+                adj.setdefault(r["src"], []).append(r["dst"])
+            return self._local_bfs(
+                adj,
+                adj.get(package, ()),
+                max_depth,
+                schema="node string, depth int",
+            )
         frontier = (
             edges.filter(F.col("src") == package)
             .select(F.col("dst").alias("node"), F.lit(1).alias("depth"))
@@ -918,7 +967,25 @@ class Engine:
         minimal depth per node. Same round discipline as :meth:`resolve`
         (see the measured-variants note there): one checkpoint per round,
         closure a lazy union of checkpointed frontiers."""
-        edges = self.constrained_edges().transform(truncate_lineage)
+        edges, n_edges = truncate_lineage_counted(self.constrained_edges())
+        if n_edges <= self._LOCAL_RESOLVE_EDGES:
+            # hybrid finish — see resolve()/_LOCAL_RESOLVE_EDGES. Nodes are
+            # (name, version); the start frontier is the dependency set of
+            # EVERY version of `package` (same filter as the distributed
+            # frontier below).
+            adj: dict = {}
+            starts = []
+            for r in edges.collect():
+                dst = (r["dst_name"], r["dst_version"])
+                adj.setdefault((r["src_name"], r["src_version"]), []).append(dst)
+                if r["src_name"] == package:
+                    starts.append(dst)
+            return self._local_bfs(
+                adj,
+                starts,
+                max_depth,
+                schema="name string, version string, depth int",
+            )
         frontier = (
             edges.filter(F.col("src_name") == package)
             .select(
