@@ -3299,16 +3299,20 @@ def q_llm_vocab_coverage(spark, sf_dir):
     counts; the (c DESC, token ASC) total order is unambiguous.
 
     Scale shape: one token-keyed hash-agg (map-combinable) reduces the
-    corpus to VOCABULARY-sized rows; the running-sum window then runs over
-    that vocab table, not the corpus — at 100 TB the vocab is ≤ tens of
-    millions of rows, and Spark executes the global-order window as a
-    range-partitioned sort over that reduced table; the grand total is a
-    broadcast scalar; output is the top-50 prefix."""
+    corpus to VOCABULARY-sized rows; the top-50 prefix is then taken with
+    orderBy().limit(50) — TakeOrderedAndProject, a per-partition top-k
+    merged on the driver, never a global sort — and the rank/running-sum
+    window runs over that CONSTANT 50-row table only (a single partition
+    of O(k) rows, which is the safe place for a partitionBy-less window;
+    the cumulative sum of the first 50 ranks depends only on the first 50
+    rows, so the limit-then-window form is value-identical to
+    window-then-filter). The grand total is a broadcast scalar."""
     d = load_tables(spark, sf_dir)["documents"]
     cnt = tokenize(d).groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("c"))
     tot = cnt.agg(F.sum("c").cast("long").alias("s"))
+    top = cnt.orderBy(F.col("c").desc(), F.col("token").asc()).limit(50)
     w = Window.orderBy(F.col("c").desc(), F.col("token").asc())
-    r = cnt.select(
+    r = top.select(
         "token",
         "c",
         F.row_number().over(w).cast("int").alias("rank"),
@@ -3318,8 +3322,7 @@ def q_llm_vocab_coverage(spark, sf_dir):
     )
     cov = F.expr("(1000 * cum) div s")
     return (
-        r.filter(F.col("rank") <= 50)
-        .crossJoin(F.broadcast(tot))
+        r.crossJoin(F.broadcast(tot))
         .select(
             "rank",
             "token",

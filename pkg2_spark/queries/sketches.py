@@ -237,9 +237,8 @@ cm AS (
 ),
 probes AS (
   SELECT token, c AS exact_cnt FROM cnt
-  QUALIFY row_number() OVER (
-    ORDER BY md5(token) ASC NULLS LAST, token ASC NULLS LAST
-  ) <= 5
+  ORDER BY md5(token) ASC NULLS LAST, token ASC NULLS LAST
+  LIMIT 5
 ),
 est AS (
   SELECT p.token, p.exact_cnt, min(cm.cell) AS cm_est
@@ -286,10 +285,13 @@ def q_sketch_countmin(spark, sf_dir):
     for r in rows[1:]:
         cells = cells.unionByName(r)
     cm = cells.groupBy("j", "bucket").agg(F.sum("c").alias("cell"))
-    w = Window.orderBy(F.md5("token").asc_nulls_last(), F.col("token").asc_nulls_last())
+    # Probe selection is top-5 under the md5 total order — a bounded
+    # TakeOrderedAndProject (per-partition top-k + driver merge), never a
+    # partitionBy-less row_number window (which would single-partition the
+    # whole token-count table).
     probes = (
-        cnt.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
+        cnt.orderBy(F.md5("token").asc_nulls_last(), F.col("token").asc_nulls_last())
+        .limit(5)
         .select("token", F.col("c").alias("exact_cnt"))
     )
     cond = None

@@ -1296,10 +1296,11 @@ def q_events_rfm(spark, sf_dir):
 
     Scale shape: one user-key hash-agg compacts events to one row per
     buyer; the three ntile windows are global by definition (quintiles of
-    the whole population) — at corpus scale replace them with
-    approx-percentile threshold tables broadcast back (the documented
-    q_dq_anomaly threshold-then-filter pattern); the exact-window form is
-    the contract the approximation is graded against."""
+    the whole population) and single-partition the per-user table — this
+    exact-ntile form is the GRADING ARM only. The scale-safe production
+    form is q_events_rfm_thresholds (same base, broadcast percentile
+    thresholds, no window anywhere in the plan); run that one at corpus
+    scale."""
     e = load_tables(spark, sf_dir)["events"]
     base = (
         e.filter(F.col("event_type") == "purchase")
@@ -1329,6 +1330,112 @@ def q_events_rfm(spark, sf_dir):
         F.ntile(5).over(wr).alias("r_score"),
         F.ntile(5).over(wf).alias("f_score"),
         F.ntile(5).over(wm).alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_code",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("int"),
+    )
+
+
+@query(
+    "q_events_rfm_thresholds",
+    oracle="""
+WITH base AS (
+  SELECT user_id,
+         epoch_us(max(ts)) AS recency_us,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS monetary_e2
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+th AS (
+  SELECT quantile_cont(recency_us, [0.2, 0.4, 0.6, 0.8]) AS rt,
+         quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS ft,
+         quantile_cont(monetary_e2, [0.2, 0.4, 0.6, 0.8]) AS mt
+  FROM base
+)
+SELECT user_id, recency_us, frequency, monetary_e2,
+       CAST(1 + (recency_us > rt[1])::INT + (recency_us > rt[2])::INT
+              + (recency_us > rt[3])::INT + (recency_us > rt[4])::INT
+            AS INTEGER) AS r_score,
+       CAST(1 + (frequency > ft[1])::INT + (frequency > ft[2])::INT
+              + (frequency > ft[3])::INT + (frequency > ft[4])::INT
+            AS INTEGER) AS f_score,
+       CAST(1 + (monetary_e2 > mt[1])::INT + (monetary_e2 > mt[2])::INT
+              + (monetary_e2 > mt[3])::INT + (monetary_e2 > mt[4])::INT
+            AS INTEGER) AS m_score,
+       CAST((1 + (recency_us > rt[1])::INT + (recency_us > rt[2])::INT
+               + (recency_us > rt[3])::INT + (recency_us > rt[4])::INT) * 100
+          + (1 + (frequency > ft[1])::INT + (frequency > ft[2])::INT
+               + (frequency > ft[3])::INT + (frequency > ft[4])::INT) * 10
+          + (1 + (monetary_e2 > mt[1])::INT + (monetary_e2 > mt[2])::INT
+               + (monetary_e2 > mt[3])::INT + (monetary_e2 > mt[4])::INT)
+            AS INTEGER) AS rfm_code
+FROM base CROSS JOIN th
+""",
+)
+def q_events_rfm_thresholds(spark, sf_dir):
+    """Scale-safe RFM scoring — the production form of q_events_rfm: the
+    same per-user recency / frequency / monetary base aggregate, but the
+    1-5 quintile scores come from THRESHOLD EXCEEDANCE against the exact
+    20/40/60/80th-percentile cut points (score = 1 + number of cuts the
+    metric exceeds), computed in ONE percentile aggregate and broadcast
+    back over the per-user table — the q_dq_anomaly threshold-then-filter
+    shape. Unlike ntile, equal metric values always get equal scores
+    (ties are never split across quintiles), which is the semantics a
+    campaign actually wants.
+
+    This replaces q_events_rfm's three global partitionBy-less ntile
+    windows (a single-partition sort of the corpus-proportional per-user
+    table) with: hash-agg -> 1-row threshold agg -> broadcast join ->
+    row-local CASE sums. No window anywhere in the plan (pinned by
+    tests/test_plans.py::test_rfm_thresholds_has_no_window). At extreme
+    scale the exact percentile (a value->count map in the final buffer,
+    O(distinct metric values)) swaps for percentile_approx with identical
+    downstream plumbing; exact is kept here so the thresholds are
+    bit-identical to the oracle's quantile_cont (the q_agg_percentile
+    discipline: identical interpolation on identical value sets, and all
+    three metrics are integers < 2^53 so the double comparisons are
+    exact).
+
+    q_events_rfm (the exact-ntile form) remains the grading arm for the
+    quantile-assignment contract; this query is the plan a 1000-executor
+    cluster should run."""
+    e = load_tables(spark, sf_dir)["events"]
+    base = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.unix_micros(F.max("ts")).alias("recency_us"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("monetary_e2"),
+        )
+    )
+    pcts = F.lit([0.2, 0.4, 0.6, 0.8])
+    th = base.agg(
+        F.percentile("recency_us", pcts).alias("rt"),
+        F.percentile("frequency", pcts).alias("ft"),
+        F.percentile("monetary_e2", pcts).alias("mt"),
+    )
+
+    def _score(metric: str, cuts: str) -> F.Column:
+        s = F.lit(1)
+        for i in range(4):
+            s = s + (F.col(metric) > F.col(cuts)[i]).cast("int")
+        return s.cast("int")
+
+    scored = base.crossJoin(F.broadcast(th)).select(
+        "user_id",
+        "recency_us",
+        "frequency",
+        "monetary_e2",
+        _score("recency_us", "rt").alias("r_score"),
+        _score("frequency", "ft").alias("f_score"),
+        _score("monetary_e2", "mt").alias("m_score"),
     )
     return scored.withColumn(
         "rfm_code",

@@ -76,6 +76,9 @@ NLJ_WHITELIST = {
     "ADC scan itself is the cell-keyed equi-join",
     "q_win_dist": "1-row total cross join (broadcast)",
     "q_agg_mode": "1-row total cross join (broadcast)",
+    "q_events_rfm_thresholds": "1-row quintile-threshold table broadcast "
+    "cross over the per-user base (the q_dq_anomaly threshold-then-filter "
+    "shape; replaces q_events_rfm's global ntile windows)",
     "q_ts_gapfill": "spine construction: bounded hours x categories cross "
                     "(both sides aggregate-derived, O(hours*types) rows)",
     "q_events_funnel": "three 1-row stage-count aggregates cross-joined into "

@@ -469,12 +469,41 @@ def test_bm25_topk_and_broadcast_shape(spark, sf_dir):
 
 
 def test_vocab_coverage_window_runs_on_reduced_vocab(spark, sf_dir):
-    # The running-sum window must sit ABOVE the token hash-agg (vocab-sized
-    # input), and the corpus must reduce through a partial aggregate first.
+    # The top-50 prefix must come from TakeOrderedAndProject (per-partition
+    # top-k, driver merge) ABOVE the token hash-agg; the rank/running-sum
+    # window is then over that constant 50-row table only — never a
+    # partitionBy-less window over the unbounded vocab table.
     plan = _plan(spark, sf_dir, "q_llm_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan
     assert "Window" in plan
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window"), (
+        "formatted plans print top-down: the Window consumer must appear "
+        "above (before) the TakeOrderedAndProject that bounds its input"
+    )
     assert "partial_count" in plan or "HashAggregate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rfm_thresholds_has_no_window(spark, sf_dir):
+    # The scale-safe RFM form must score via the broadcast percentile
+    # threshold table — hash-agg -> 1-row agg -> broadcast cross ->
+    # row-local CASE sums. No Window node at all (q_events_rfm's global
+    # ntile triple is exactly what this query exists to avoid), and the
+    # threshold join must be the broadcast 1-row shape, never a shuffle.
+    plan = _plan(spark, sf_dir, "q_events_rfm_thresholds")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    for marker in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert marker not in plan, marker
+
+
+def test_countmin_probe_selection_is_take_ordered(spark, sf_dir):
+    # Probe tokens are the md5-top-5 via orderBy().limit(5) — a bounded
+    # TakeOrderedAndProject, not a single-partition row_number window over
+    # the full token-count table.
+    plan = _plan(spark, sf_dir, "q_sketch_countmin")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
 
 
 def test_containment_pair_join_is_equi_on_block_key(spark, sf_dir):
