@@ -1112,24 +1112,118 @@ class Engine:
     def ann_search(
         self,
         embeddings: DataFrame,
+        probes: DataFrame | None = None,
         n_probe: int | None = None,
         k: int = 5,
+        min_recall: float | None = None,
+        audit_probes: int = 5,
+        on_low_recall: str = "fallback",
+        dim: int | None = None,
         **kw,
     ) -> DataFrame:
-        """Multi-probe IVF ANN over (vec_id, embedding) — the tuned-beam
-        entry point. n_probe (default: the session knob self.ann_n_probe)
-        is the recall/latency lever: per-query cost ≈ n_probe × ~1.5×
-        target-cell rows; recall@k is monotone in n_probe when callers
-        pin descent (see queries.llm.ann_multiprobe and the SCALING.md
-        recall table for the measured curve)."""
+        """Multi-probe IVF ANN over (vec_id, embedding) — the serving
+        entry point. Returns (probe_id, vec_id, cos) top-k rows per probe.
+
+        - ``probes``: the query vectors — (probe_id, probe_embedding),
+          knn_bruteforce's convention. None keeps the self-probe
+          diagnostic shape (the corpus's first ``audit_probes`` vectors
+          query themselves — the recall-tuning surface the registered
+          queries pin; r10 advice: external queries need this parameter).
+        - ``n_probe`` (default: the session knob self.ann_n_probe) is the
+          recall/latency lever: per-query cost ≈ n_probe × ~1.5×
+          target-cell rows; recall@k is monotone in n_probe when callers
+          pin descent (see queries.llm.ann_multiprobe and the SCALING.md
+          recall table for the measured curve).
+        - ``min_recall``: the safety knob (r10 verdict #4). SCALING.md
+          documents that cell-pruning recall collapses on isotropic
+          (structure-free) corpora — 0.16-0.28 at n_probe=8 on the
+          diverse probes — but an unaudited index will happily serve
+          those results. With min_recall set, recall@k is first measured
+          on the standard bounded self-probes (both arms the engine's own
+          operators; one tiny driver-side aggregate, the IVF tree is
+          memoized so the audit shares it with the serve). If measured
+          recall < min_recall: ``on_low_recall="fallback"`` (default)
+          serves exact knn_bruteforce instead (warning with the measured
+          number; linear scan, always correct), ``"raise"`` raises with
+          the measured number. The audit outcome lands in
+          ``self.last_ann_recall`` / ``self.last_ann_path``.
+        - ``dim``: embedding width — lets the brute-force arms run in the
+          wide codegen form (2× faster; optional, values identical).
+        """
+        import warnings
+
+        from pkg2_spark.operators.similarity import knn_bruteforce
         from pkg2_spark.queries.llm import ann_multiprobe
 
+        if on_low_recall not in ("fallback", "raise"):
+            raise ValueError("on_low_recall must be 'fallback' or 'raise'")
+        np_ = self.ann_n_probe if n_probe is None else n_probe
+        self.last_ann_recall: float | None = None
+        self.last_ann_path = "ivf"
+        if min_recall is not None:
+            audit = embeddings.filter(F.col("vec_id") < audit_probes).select(
+                F.col("vec_id").alias("probe_id"),
+                F.col("embedding").alias("probe_embedding"),
+            )
+            exact = knn_bruteforce(
+                embeddings.select("vec_id", "embedding"), audit, k=k, dim=dim
+            ).select("probe_id", "vec_id")
+            approx = (
+                ann_multiprobe(
+                    embeddings, n_probe=np_, k=k, n_queries=audit_probes, **kw
+                )
+                .select("probe_id", "vec_id")
+                .withColumn("__hit", F.lit(1))
+            )
+            row = (
+                exact.join(approx, ["probe_id", "vec_id"], "left")
+                .agg(
+                    F.count(F.lit(1)).alias("n_exact"),
+                    F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+                )
+                .collect()[0]
+            )
+            measured = (
+                int(row["n_hits"] or 0) / int(row["n_exact"])
+                if row["n_exact"]
+                else 1.0
+            )
+            self.last_ann_recall = measured
+            if measured < min_recall:
+                msg = (
+                    f"ann_search: audited recall@{k} = {measured:.3f} < "
+                    f"min_recall = {min_recall} at n_probe = {np_} (the "
+                    "cell-pruning bound on structure-free corpora — "
+                    "SCALING.md)"
+                )
+                if on_low_recall == "raise":
+                    raise ValueError(msg)
+                warnings.warn(
+                    msg + "; serving exact knn_bruteforce instead.",
+                    stacklevel=2,
+                )
+                self.last_ann_path = "bruteforce"
+                if probes is not None:
+                    cols = set(probes.columns)
+                    pid = "probe_id" if "probe_id" in cols else "vec_id"
+                    pvec = next(
+                        c for c in ("probe_embedding", "pe", "embedding")
+                        if c in cols
+                    )
+                    served = probes.select(
+                        F.col(pid).alias("probe_id"),
+                        F.col(pvec).alias("probe_embedding"),
+                    )
+                else:
+                    served = audit
+                return knn_bruteforce(
+                    embeddings.select("vec_id", "embedding"), served, k=k,
+                    dim=dim, exclude_self=probes is None,
+                ).select("probe_id", "vec_id", "cos")
         return ann_multiprobe(
-            embeddings,
-            n_probe=self.ann_n_probe if n_probe is None else n_probe,
-            k=k,
-            **kw,
-        )
+            embeddings, n_probe=np_, k=k, n_queries=audit_probes,
+            probes=probes, **kw,
+        ).select("probe_id", "vec_id", "cos")
 
     def asof_join(self, left: DataFrame, right: DataFrame, **kw) -> DataFrame:
         from pkg2_spark.operators.asof import asof_join

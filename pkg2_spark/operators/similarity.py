@@ -212,6 +212,7 @@ def knn_bruteforce(
     probe_id: str = "probe_id",
     probe_vec: str = "probe_embedding",
     dim: int | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact top-k by cosine for each probe. Ranking key is the ROUNDED
     cosine plus the candidate id — cross-engine deterministic even when raw
@@ -224,12 +225,21 @@ def knn_bruteforce(
     width, known to every real corpus) scoring runs in wide unpacked-column
     (codegen) form; without it, the lambda-HOF fold — bit-identical results
     either way (cosine_pairs_wide docstring), and no driver-side action in
-    the plan-construction path in either mode."""
+    the plan-construction path in either mode.
+
+    ``exclude_self`` (default True) drops candidates whose id equals the
+    probe's — right for self-probes drawn from the corpus itself (the
+    diagnostic/recall-audit shape). Pass False for EXTERNAL probes, whose
+    ids live in the caller's namespace: an accidental id collision with a
+    corpus vector must not censor that vector from the result."""
+    pair_cond = (
+        (F.col(probe_id) != F.col(id_col)) if exclude_self else F.lit(True)
+    )
     if dim is not None:
         scored = cosine_pairs_wide(
             vectors.select(id_col, F.col(vec_col).alias("__v")),
             probes.select(probe_id, F.col(probe_vec).alias("__p")),
-            F.col(probe_id) != F.col(id_col),
+            pair_cond,
             dim=dim,
             left_vec="__v",
             right_vec="__p",
@@ -240,7 +250,7 @@ def knn_bruteforce(
         )
         rw = F.broadcast(probes.select(probe_id, F.col(probe_vec).alias("__p")))
         scored = (
-            lw.join(rw, F.col(probe_id) != F.col(id_col))
+            lw.join(rw, pair_cond)
             .select(probe_id, id_col, cosine4(F.col("__v"), F.col("__p")).alias("cos"))
         )
     w = Window.partitionBy(probe_id).orderBy(

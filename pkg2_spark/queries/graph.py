@@ -74,9 +74,11 @@ FROM reach GROUP BY root, node
 """,
 )
 def q_graph_closure(spark, sf_dir):
-    # localCheckpoint, not persist: repeated invocations (bench loops,
-    # probes) would accumulate cached RDDs; checkpoint materializes the
-    # frame once for the loop's many reads and frees with the reference.
+    # truncate_lineage, not persist: repeated invocations (bench loops,
+    # probes) would accumulate cached RDDs; the checkpoint (local by
+    # default, reliable when a checkpoint dir is set — session.py's
+    # posture seam) materializes the frame once for the loop's many
+    # reads and frees with the reference.
     edges = _edges(spark).distinct().transform(truncate_lineage)
     closure = edges.select(
         F.col("name").alias("root"), F.col("dep").alias("node"), F.lit(1).alias("depth")
@@ -91,10 +93,11 @@ def q_graph_closure(spark, sf_dir):
             .distinct()
             .select("root", F.col("new_node").alias("node"), F.lit(depth).alias("depth"))
         )
-        # localCheckpoint, not persist: `closure` appears twice per round
+        # truncate_lineage, not persist: `closure` appears twice per round
         # (anti-join + union) — under persist the LOGICAL plan doubles per
-        # depth; checkpointing truncates lineage (operators/dedup.py
-        # documents the driver OOM this prevents).
+        # depth; the checkpoint cut (local or reliable per session.py's
+        # posture seam) truncates lineage (operators/dedup.py documents
+        # the driver OOM this prevents).
         new = expanded.join(closure, ["root", "node"], "left_anti").transform(truncate_lineage)
         if new.isEmpty():
             break

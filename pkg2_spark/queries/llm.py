@@ -2520,7 +2520,7 @@ def q_llm_ann_mprobe(spark, sf_dir):
 
 
 def ann_multiprobe(e, n_probe: int = 3, descent: int | None = None,
-                   n_queries: int = 5, k: int = 5):
+                   n_queries: int = 5, k: int = 5, probes=None):
     """Parameterized multi-probe IVF search — q_llm_ann_mprobe's engine
     with the beam width exposed as THE recall/latency knob (r9 verdict
     task #1: n_probe was hard-coded at 3; a user tuning an index needs
@@ -2544,6 +2544,17 @@ def ann_multiprobe(e, n_probe: int = 3, descent: int | None = None,
       across calls and beam(n) ⊆ beam(n′) for n ≤ n′ holds by
       construction — recall@k is structurally monotone in n_probe
       (pinned by tests/test_operators.py).
+    - `probes`: an EXPLICIT query DataFrame — (probe_id,
+      probe_embedding), knn_bruteforce's convention (vec_id/embedding
+      accepted too). This is the external-search entry point (r10
+      advice: the self-probe default cannot answer queries from outside
+      the corpus): external probes have no assigned "own" cell, so their
+      candidate cells are the top-n_probe beam slot-cells from the
+      descent ranking, and no self-id exclusion applies (probe ids live
+      in their own namespace). probes=None keeps the self-probe
+      diagnostic shape (vec_id < n_queries of the corpus itself, own
+      cell always searched) that the registered queries and the recall
+      audits pin.
     """
     if n_probe < 1:
         raise ValueError("n_probe must be >= 1")
@@ -2551,14 +2562,23 @@ def ann_multiprobe(e, n_probe: int = 3, descent: int | None = None,
     if descent < n_probe:
         raise ValueError("descent beam must be >= n_probe")
     cents, _a1, cent2, _a2, cent3, assign = _ivf_tree(e)
-    probes = e.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
-    )
+    if probes is None:
+        pr = e.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+        )
+    else:
+        cols = set(probes.columns)
+        pid = "probe_id" if "probe_id" in cols else "vec_id"
+        pvec = next(
+            c for c in ("probe_embedding", "pe", "embedding") if c in cols
+        )
+        pr = probes.select(F.col(pid).alias("probe_id"), F.col(pvec).alias("pe"))
+    probes_df = pr
     w_cell = Window.partitionBy("probe_id").orderBy(
         F.col("pcos").desc_nulls_last(), F.col("cid").asc_nulls_last()
     )
     pcells1 = (
-        probes.crossJoin(F.broadcast(cents))
+        probes_df.crossJoin(F.broadcast(cents))
         .select(
             "probe_id", "pe", "cid",
             cosine4(F.col("pe"), F.col("cemb")).alias("pcos"),
@@ -2612,7 +2632,7 @@ def ann_multiprobe(e, n_probe: int = 3, descent: int | None = None,
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("pe"),
         F.col("cid").alias("cell"),
-    )
+    ) if probes is None else None
     slotted = (
         F.broadcast(pcells).join(cs, F.col("qcid") == F.col("qcell"))
         .select(
@@ -2641,21 +2661,33 @@ def ann_multiprobe(e, n_probe: int = 3, descent: int | None = None,
         F.when(F.col("slot") == F.col("pslot"), F.lit(0)).otherwise(F.lit(1)).asc(),
         F.col("slot").asc_nulls_last(),
     )
-    beam2 = (
-        slotted.join(
-            own.select(F.col("probe_id").alias("o_pid"), F.col("cell").alias("o_cell")),
-            (F.col("probe_id") == F.col("o_pid")) & (F.col("cell") == F.col("o_cell")),
-            "left_anti",
+    if probes is None:
+        beam2 = (
+            slotted.join(
+                own.select(F.col("probe_id").alias("o_pid"), F.col("cell").alias("o_cell")),
+                (F.col("probe_id") == F.col("o_pid")) & (F.col("cell") == F.col("o_cell")),
+                "left_anti",
+            )
+            .withColumn("srn", F.row_number().over(w_slot))
+            .filter(F.col("srn") <= n_probe - 1)
+            .select("probe_id", "pe", "cell")
         )
-        .withColumn("srn", F.row_number().over(w_slot))
-        .filter(F.col("srn") <= n_probe - 1)
-        .select("probe_id", "pe", "cell")
-    )
-    pcands = own.unionByName(beam2)
-    cands = pcands.join(
-        assign,
-        (F.col("cid") == F.col("cell")) & (F.col("vec_id") != F.col("probe_id")),
-    ).select(
+        pcands = own.unionByName(beam2)
+        cand_cond = (F.col("cid") == F.col("cell")) & (
+            F.col("vec_id") != F.col("probe_id")
+        )
+    else:
+        # External probes: no own cell to anchor on — the full n_probe
+        # budget goes to the beam's top-ranked slot-cells, and corpus
+        # members are never self-excluded (the probe id namespace is the
+        # caller's, not the corpus's).
+        pcands = (
+            slotted.withColumn("srn", F.row_number().over(w_slot))
+            .filter(F.col("srn") <= n_probe)
+            .select("probe_id", "pe", "cell")
+        )
+        cand_cond = F.col("cid") == F.col("cell")
+    cands = pcands.join(assign, cand_cond).select(
         "probe_id", "cell", "vec_id",
         cosine4(F.col("pe"), F.col("embedding")).alias("cos"),
     )

@@ -15,6 +15,7 @@ read of the affected file).
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -129,7 +130,43 @@ def truncate_lineage(df):
             "spark.pkg2_spark.lineageTruncate=reliable requires "
             "sc.setCheckpointDir(<reliable storage path>)"
         )
+    if mode != "reliable" and has_dir:
+        _warn_if_checkpoints_unreaped(spark)
     return df.checkpoint(eager=True) if has_dir else df.localCheckpoint()
+
+
+_UNREAPED_CHECKPOINTS_WARNED = False
+
+
+def _warn_if_checkpoints_unreaped(spark: SparkSession) -> None:
+    """One-time warning when AUTO mode promotes to reliable checkpoint().
+
+    checkpoint() files under the dir are reaped by the ContextCleaner only
+    if the STATIC conf ``spark.cleaner.referenceTracking.cleanCheckpoints``
+    was true at context build (default false; not settable at runtime). A
+    host session whose checkpoint dir was set for unrelated reasons (e.g.
+    streaming state) would otherwise accumulate per-round checkpoint files
+    indefinitely across fixpoint loops with no signal. Users who set
+    ``lineageTruncate=reliable`` explicitly opted into managing the dir;
+    the warning covers the silent auto promotion only."""
+    global _UNREAPED_CHECKPOINTS_WARNED
+    if _UNREAPED_CHECKPOINTS_WARNED:
+        return
+    _UNREAPED_CHECKPOINTS_WARNED = True
+    clean = spark.sparkContext.getConf().get(
+        "spark.cleaner.referenceTracking.cleanCheckpoints", "false"
+    )
+    if str(clean).lower() != "true":
+        warnings.warn(
+            "pkg2_spark: a checkpoint dir is set, so lineageTruncate=auto "
+            "is promoting iterative loops to reliable checkpoint(), but "
+            "spark.cleaner.referenceTracking.cleanCheckpoints is false "
+            "(static conf, default) — checkpoint files will NOT be reaped "
+            "until you delete them. Set that conf at session build, clean "
+            f"{spark.sparkContext.getCheckpointDir()!r} yourself, or pin "
+            "spark.pkg2_spark.lineageTruncate=local.",
+            stacklevel=3,
+        )
 
 
 def truncate_lineage_counted(df):
@@ -159,5 +196,7 @@ def truncate_lineage_counted(df):
             "sc.setCheckpointDir(<reliable storage path>)"
         )
     use_reliable = has_dir and mode != "local"
+    if use_reliable and mode != "reliable":
+        _warn_if_checkpoints_unreaped(spark)
     out = df.checkpoint(eager=False) if use_reliable else df.localCheckpoint(eager=False)
     return out, out.count()

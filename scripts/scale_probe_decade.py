@@ -205,7 +205,12 @@ def main() -> int:
         # dimension-permuted embeddings once make_sf1.py --diverse has
         # run on an r10+ tree — skip them while they are still symlinks
         # back to the source decade, which would measure sf0.1 twice).
-        out = [sfs[0], sfs[1]]
+        # sfs[1] (tmp_io/sf1) gets the same existence guard as every other
+        # generated corpus — --recall-only must not crash on a tree where
+        # make_sf1.py has not run yet.
+        out = [sfs[0]]
+        if (Path(sfs[1]) / "embeddings.parquet").exists():
+            out.append(sfs[1])
         for name in ("sf10", "sf100"):
             p = Path(IO_DIR) / name / "embeddings.parquet"
             if p.exists():

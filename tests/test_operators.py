@@ -481,10 +481,27 @@ def test_lineage_truncation_checkpoint_seam(spark, tmp_path):
         }
         ckpt = str(tmp_path / "reliable_ckpt")
         spark.sparkContext.setCheckpointDir(ckpt)
-        reliable = {
-            r["node"]: r["component"]
-            for r in D.resolve_components(edges).collect()
-        }
+        # The silent auto->reliable promotion must announce itself once
+        # when the cleaner won't reap the files (the static conf
+        # spark.cleaner.referenceTracking.cleanCheckpoints defaults false).
+        import warnings as _warnings
+
+        from pkg2_spark import session as S
+
+        S._UNREAPED_CHECKPOINTS_WARNED = False
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            reliable = {
+                r["node"]: r["component"]
+                for r in D.resolve_components(edges).collect()
+            }
+        assert any("cleanCheckpoints" in str(w.message) for w in caught)
+        with _warnings.catch_warnings(record=True) as again:
+            _warnings.simplefilter("always")
+            truncate_lineage_counted(edges)
+        assert not any(
+            "cleanCheckpoints" in str(w.message) for w in again
+        ), "the unreaped-checkpoints warning must fire once per process"
         assert reliable == local and local[30] == 0 and local[501] == 500
         import pathlib
 
@@ -507,7 +524,94 @@ def test_lineage_truncation_checkpoint_seam(spark, tmp_path):
         assert after == before, "local override still wrote reliable files"
     finally:
         D._LOCAL_FINISH_EDGES = old
-        spark.conf.set("spark.pkg2_spark.lineageTruncate", "local")
+        # Fully restore the session-scoped fixture (ADVICE r10: this test
+        # used to leave the checkpoint dir set forever and pin
+        # lineageTruncate=local, so later tests exercising 'auto' silently
+        # ran the reliable path into a pytest tmp dir). There is no public
+        # unset for the checkpoint dir; clear it through the SparkContext
+        # internals and verify, then return the mode conf to its default.
+        _none = spark.sparkContext._jvm.scala.Option.apply(None)
+        getattr(spark.sparkContext._jsc.sc(), "checkpointDir_$eq")(_none)
+        assert spark.sparkContext.getCheckpointDir() is None
+        spark.conf.unset("spark.pkg2_spark.lineageTruncate")
+
+
+def test_ann_search_probes_and_min_recall_fallback(spark):
+    # r10 verdict #4 + advice: Engine.ann_search must (a) answer EXTERNAL
+    # query vectors passed as an explicit probes DataFrame, and (b) audit
+    # recall when min_recall is set — serving exact knn_bruteforce when
+    # the index cannot clear the bar (the isotropic-corpus cell-pruning
+    # collapse SCALING.md documents) and the IVF path when it can.
+    import warnings as _warnings
+
+    import numpy as np
+    import pytest as _pytest
+
+    from pkg2_spark.engine import Engine
+    from pkg2_spark.operators.similarity import knn_bruteforce
+    from pkg2_spark.queries.llm import ivf_invalidate
+
+    N, DIM = 3072, 64
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def mkdf(arr):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in arr[i]]) for i in range(len(arr))],
+            "vec_id long, embedding array<double>",
+        )
+
+    clustered = mkdf(
+        np.array([centers[i % 8] + 0.01 * rng.normal(size=DIM) for i in range(N)])
+    )
+    diverse = mkdf(rng.uniform(-1, 1, size=(N, DIM)))
+    eng = Engine(spark)
+
+    # Structured corpus clears the bar: IVF serves, audit is recorded.
+    res = eng.ann_search(clustered, min_recall=0.8, k=5, dim=DIM)
+    assert res.count() == 25
+    assert eng.last_ann_path == "ivf"
+    assert eng.last_ann_recall >= 0.8
+
+    # External probes: held-out vectors near three cluster centers must
+    # come back with top-5 neighbors from THEIR clusters (vec_id % 8 == j).
+    probes = spark.createDataFrame(
+        [
+            (100 + j, [float(x) for x in centers[j] + 0.005 * rng.normal(size=DIM)])
+            for j in range(3)
+        ],
+        "probe_id long, probe_embedding array<double>",
+    )
+    ext = eng.ann_search(clustered, probes=probes, k=5, dim=DIM).collect()
+    assert len(ext) == 15
+    assert all(r["vec_id"] % 8 == r["probe_id"] - 100 for r in ext)
+
+    # Structure-free corpus: the audited recall (0.52 on this seeded
+    # corpus, deterministic) misses the bar — the fallback must serve the
+    # exact brute-force answer and say so.
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        fb = eng.ann_search(diverse, min_recall=0.8, k=5, dim=DIM)
+        got = {(r["probe_id"], r["vec_id"]) for r in fb.collect()}
+    assert eng.last_ann_path == "bruteforce"
+    assert eng.last_ann_recall < 0.8
+    assert any("min_recall" in str(w.message) for w in caught)
+    exact_probes = diverse.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_embedding"),
+    )
+    exact = {
+        (r["probe_id"], r["vec_id"])
+        for r in knn_bruteforce(
+            diverse.select("vec_id", "embedding"), exact_probes, k=5, dim=DIM
+        ).collect()
+    }
+    assert got == exact
+    # raise mode surfaces the measured number instead of serving.
+    with _pytest.raises(ValueError, match="recall@5"):
+        eng.ann_search(diverse, min_recall=0.8, k=5, dim=DIM, on_low_recall="raise")
+    ivf_invalidate()  # release the two synthetic quantizer trees
 
 
 def test_mprobe_recall_dominates_single_probe(spark, sf_dir):
