@@ -30,6 +30,10 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
+        # Spark-written tables are DIRECTORIES of part files (the probe
+        # corpora under tmp_io/); the driver's testdata are single files.
+        if os.path.isdir(path):
+            path = os.path.join(path, "*.parquet")
         con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 

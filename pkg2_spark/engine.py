@@ -368,13 +368,32 @@ class Engine:
         previously assigned names, and `+` concatenation (the idiomatic
         Starlark way to compose source lists). Pure AST walk: no exec, no
         eval, no calls, no imports/load(), no control flow — a config
-        file that tries is rejected with the offending construct named,
-        which is the safety posture a config language embedded in a
-        service must have."""
+        file that tries is rejected with the offending construct and its
+        line named, which is the safety posture a config language
+        embedded in a service must have.
+
+        Accepted grammar (the documented subset — anything else raises)::
+
+            file    := (docstring | assign)*
+            assign  := NAME "=" expr
+            expr    := STRING | NUMBER | True | False | None
+                     | "[" expr, ... "]"         # lists
+                     | "{" expr ":" expr, ... "}"  # dicts, hashable keys
+                     | "-" NUMBER
+                     | expr "+" expr             # list/str/num concat
+                     | NAME                      # previously assigned
+
+        Full Starlark is a PROGRAM language (load(), def, if, loops);
+        configs that need it should compute upstream and emit literals,
+        or deploy with a real Starlark interpreter behind this seam."""
         import ast
 
         tree = ast.parse(text, filename=path)
         env: dict = {}
+
+        def _where(node) -> str:
+            ln = getattr(node, "lineno", None)
+            return f"{path}:{ln}" if ln else path
 
         def ev(node):
             if isinstance(node, ast.Constant):
@@ -382,7 +401,20 @@ class Engine:
             if isinstance(node, ast.Name):
                 if node.id in env:
                     return env[node.id]
-                raise ValueError(f"{path}: undefined name {node.id!r}")
+                raise ValueError(f"{_where(node)}: undefined name {node.id!r}")
+            if isinstance(node, ast.Call):
+                fn = getattr(node.func, "id", type(node.func).__name__)
+                hint = (
+                    "load() is not supported — inline the loaded literals"
+                    if fn == "load"
+                    else "function calls are outside the literal subset; "
+                    "compute upstream and emit literals"
+                )
+                raise ValueError(
+                    f"{_where(node)}: unsupported Starlark construct "
+                    f"call to {fn}() ({hint}; see Engine._eval_starlark_config "
+                    "for the accepted grammar)"
+                )
             if isinstance(node, (ast.List, ast.Tuple)):
                 return [ev(e) for e in node.elts]
             if isinstance(node, ast.Dict):
@@ -1224,6 +1256,25 @@ class Engine:
             embeddings, n_probe=np_, k=k, n_queries=audit_probes,
             probes=probes, **kw,
         ).select("probe_id", "vec_id", "cos")
+
+    def acid_table(
+        self,
+        path: str,
+        stats_cols: list[str] | None = None,
+        cluster_by: str | None = None,
+    ):
+        """Handle on an ACID logged table (pkg2_spark/tableformat.py):
+        exclusive-create commit protocol, snapshot-isolated reads, time
+        travel, stats-pruned copy-on-write MERGE, file-pruned CDC
+        (Table.changes), history, vacuum. ``stats_cols`` are recorded
+        per file at commit for data skipping; ``cluster_by``
+        range-clusters every commit so those stats prune like
+        partitions."""
+        from pkg2_spark.tableformat import Table
+
+        return Table(
+            self.spark, path, stats_cols=stats_cols, cluster_by=cluster_by
+        )
 
     def asof_join(self, left: DataFrame, right: DataFrame, **kw) -> DataFrame:
         from pkg2_spark.operators.asof import asof_join

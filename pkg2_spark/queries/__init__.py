@@ -4,6 +4,7 @@ One module per SURVEY.md §2 category; every module registers its queries via
 the @query decorator at import time.
 """
 
+from pkg2_spark.queries import acid  # noqa: F401
 from pkg2_spark.queries import aggregates  # noqa: F401
 from pkg2_spark.queries import functions  # noqa: F401
 from pkg2_spark.queries import joins  # noqa: F401

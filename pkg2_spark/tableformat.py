@@ -1,0 +1,451 @@
+"""Minimal ACID table format over parquet — a Delta-style ordered JSON log.
+
+The reference's CDC / time-travel surface (SURVEY.md §2.12b: snapshot
+diff, merge, incremental view maintenance) ran over snapshot parquet
+directories; a 100 TB deployment wants those dataflows bound to a real
+table format with a commit protocol. This module is that binding,
+Spark-first and object-store-shaped:
+
+Layout::
+
+    <table>/
+      _log/00000000000000000001.json    one JSON commit per version
+      data/v1-<uuid>/part-*.parquet     immutable, per-commit data dirs
+
+Protocol:
+
+- **Commit = atomic exclusive create** of the next version's log file
+  (``O_CREAT | O_EXCL``). Two writers racing to version v: exactly one
+  create succeeds, the loser re-reads the log and retries against v+1 —
+  the optimistic-concurrency primitive every log-structured table format
+  uses (object stores substitute put-if-absent; the log is the only
+  thing ever contended, data files are write-once under unique names).
+- **Readers never list data directories.** A snapshot at version v is
+  the fold of each commit's ``add``/``remove`` file lists up to v, so
+  reads are immune to in-flight writers, partial writes, and
+  eventually-consistent listings; uncommitted data dirs are invisible.
+- **Data files are immutable**, so time travel is free (old versions
+  keep referencing old files until ``vacuum``), and file-level equality
+  between snapshots means ROW-level equality — the CDC fast path below.
+- **Per-file column stats ride in the log** (min/max per requested
+  column, read once from the parquet footers at commit time — the
+  Delta data-skipping design). ``merge`` prunes its copy-on-write
+  rewrite to files whose stat range intersects the touched keys; with
+  writes clustered on the merge key (``repartition(key)`` before
+  ``write``), stats-pruning degenerates to partition pruning without
+  hive-style directory coupling.
+
+Scale posture: the log is O(commits) tiny JSON; folding it is
+driver-side metadata work (exactly the metadata layer Delta/Iceberg
+pay), and every data-path operation is a plain Spark job over parquet —
+pushdown, AQE, and codegen all apply unchanged. Nothing here collects
+table data to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_FMT = "{:020d}.json"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first — refold and retry."""
+
+
+def _log_dir(path: str) -> str:
+    return os.path.join(path, "_log")
+
+
+def _versions(path: str) -> list[int]:
+    d = _log_dir(path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[:-5]) for f in os.listdir(d) if f.endswith(".json") and f[:-5].isdigit()
+    )
+
+
+def latest_version(path: str) -> int:
+    """Highest committed version (-1 for a nonexistent table)."""
+    vs = _versions(path)
+    return vs[-1] if vs else -1
+
+
+def _read_commit(path: str, version: int) -> dict:
+    with open(os.path.join(_log_dir(path), _LOG_FMT.format(version))) as f:
+        return json.load(f)
+
+
+def snapshot_files(path: str, version: int | None = None) -> list[str]:
+    """Live data files (absolute paths) at ``version`` (default: latest),
+    by folding add/remove over the log prefix — never by listing data/."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no table log at {path}")
+    cut = vs[-1] if version is None else version
+    if cut not in vs:
+        raise ValueError(f"version {cut} not in table log (have {vs})")
+    live: dict[str, bool] = {}
+    for v in vs:
+        if v > cut:
+            break
+        c = _read_commit(path, v)
+        for f in c.get("add", []):
+            live[f["path"]] = True
+        for rel in c.get("remove", []):
+            live.pop(rel, None)
+    return [os.path.join(path, rel) for rel in live]
+
+
+def _file_stats(files: list[str], stats_cols: list[str]) -> list[dict]:
+    """Per-file min/max for ``stats_cols``, read from parquet footers —
+    one metadata read per new file at COMMIT time (the Delta stats
+    design: pay once on write, skip forever on read)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats: dict[str, list] = {}
+        for col in stats_cols:
+            if col not in idx:
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(idx[col]).statistics
+                if s is None or not s.has_min_max:
+                    lo = hi = None
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                stats[col] = [_json_safe(lo), _json_safe(hi)]
+        out.append({"stats": stats, "rows": md.num_rows})
+    return out
+
+
+def _json_safe(v):
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
+def _write_data(
+    df: DataFrame, path: str, version: int, stats_cols: list[str] | None
+) -> list[dict]:
+    """Write ``df`` into a fresh per-commit data dir and return its add
+    entries (relative path + footer stats). The dir name carries the
+    target version and a uuid, so concurrent writers never collide on
+    data paths even when they race on the commit itself."""
+    rel_dir = os.path.join("data", f"v{version}-{uuid.uuid4().hex[:12]}")
+    out_dir = os.path.join(path, rel_dir)
+    df.write.mode("error").parquet(out_dir)
+    files = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    metas = _file_stats(files, stats_cols or [])
+    return [
+        {
+            "path": os.path.join(rel_dir, os.path.basename(f)),
+            "rows": m["rows"],
+            "stats": m["stats"],
+        }
+        for f, m in zip(files, metas)
+    ]
+
+
+def _commit(
+    path: str,
+    version: int,
+    op: str,
+    add: list[dict],
+    remove: list[str],
+    meta: dict | None = None,
+) -> None:
+    os.makedirs(_log_dir(path), exist_ok=True)
+    rec = {
+        "version": version,
+        "op": op,
+        "add": add,
+        "remove": remove,
+        "meta": meta or {},
+    }
+    target = os.path.join(_log_dir(path), _LOG_FMT.format(version))
+    try:
+        fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"version {version} of {path} was committed by another writer"
+        ) from None
+    with os.fdopen(fd, "w") as f:
+        json.dump(rec, f, indent=1)
+
+
+@dataclass
+class Table:
+    """Handle on a logged table — all mutators go through the commit
+    protocol; all readers go through snapshot folding."""
+
+    spark: SparkSession
+    path: str
+    stats_cols: list[str] | None = None
+    cluster_by: str | None = None
+    num_files: int | None = None
+    max_retries: int = 5
+
+    # -- readers ---------------------------------------------------------
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read, optionally time-traveled to ``version``."""
+        files = snapshot_files(self.path, version)
+        if not files:
+            # an empty snapshot still has a schema: take it from any file
+            # the log has ever referenced (version 0 always adds files)
+            first = _read_commit(self.path, _versions(self.path)[0])
+            probe = [os.path.join(self.path, f["path"]) for f in first["add"]]
+            return self.spark.read.parquet(*probe).limit(0)
+        return self.spark.read.parquet(*files)
+
+    def history(self) -> list[dict]:
+        """The commit log, oldest first (driver-side: O(commits))."""
+        return [_read_commit(self.path, v) for v in _versions(self.path)]
+
+    def changes(self, v_from: int, v_to: int) -> DataFrame:
+        """Row-level CDC between two snapshots: rows only in ``v_to`` are
+        tagged ``insert``, rows only in ``v_from`` are tagged ``delete``
+        (an update under merge = delete + insert of the new image).
+
+        File-pruned: data files are immutable, so files present in BOTH
+        snapshots cancel exactly — only the file-set difference is read
+        and exceptAll'd. An append-only history diffs by reading just the
+        appended files; a merge reads just the rewritten region. The
+        exceptAll pair is two hash-aggregates over the differing files,
+        never a full-table pass."""
+        sa = set(snapshot_files(self.path, v_from))
+        sb = set(snapshot_files(self.path, v_to))
+        only_a, only_b = sorted(sa - sb), sorted(sb - sa)
+        import pyspark.sql.functions as F
+
+        if not only_a and not only_b:
+            return self.read(v_to).limit(0).withColumn("change_type", F.lit(""))
+        schema_probe = only_b[0] if only_b else only_a[0]
+        empty = self.spark.read.parquet(schema_probe).limit(0)
+        da = self.spark.read.parquet(*only_a) if only_a else empty
+        db = self.spark.read.parquet(*only_b) if only_b else empty
+        ins = db.exceptAll(da).withColumn("change_type", F.lit("insert"))
+        dele = da.exceptAll(db).withColumn("change_type", F.lit("delete"))
+        return ins.unionByName(dele)
+
+    # -- writers ---------------------------------------------------------
+    def create(self, df: DataFrame) -> int:
+        """Version 0: write ``df`` and open the log. With ``cluster_by``
+        set on the handle, every commit range-clusters on that column so
+        per-file stat ranges stay tight and merge's data skipping bites
+        (the layout lever)."""
+        if latest_version(self.path) >= 0:
+            raise FileExistsError(f"table already exists at {self.path}")
+        return self._mutate("create", df, remove=[], base_version=-1)
+
+    def append(self, df: DataFrame) -> int:
+        """Blind append — never conflicts logically, so a commit race is
+        simply retried against the next version."""
+        for _ in range(self.max_retries):
+            v = latest_version(self.path)
+            try:
+                return self._mutate("append", df, remove=[], base_version=v)
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(f"append to {self.path} kept losing races")
+
+    def merge(self, updates: DataFrame, key: str) -> int:
+        """Copy-on-write upsert: rows of ``updates`` replace same-``key``
+        rows, new keys insert. Only data files whose footer [min, max]
+        range on ``key`` intersects the updates' key range are rewritten
+        (stats pruning); untouched files carry over by reference. The
+        rewrite itself is one anti-join + union + write — all
+        distributed; the pruning decision is driver-side metadata only.
+
+        Touched-file discovery is two-stage, both exact supersets:
+        footer-stats candidates first (a file whose [min, max] on ``key``
+        misses the updates' key bounds cannot hold an updated row —
+        driver-side metadata, free), then the Delta findTouchedFiles
+        join: the candidates' KEY COLUMN ONLY, semi-joined against the
+        update keys, aggregated to distinct file paths. The join stage is
+        what keeps a pure-INSERT key range (e.g. new surrogate keys above
+        every existing file) from widening the stats bounds into a
+        full-table rewrite: files containing no updated key fall out
+        exactly, whatever the bounds say.
+
+        A concurrent commit between snapshot fold and log write aborts
+        the attempt (ConcurrentCommitError) and re-runs against the new
+        snapshot — serializable because the losing rewrite is discarded
+        wholesale (its data dir is left unreferenced for vacuum)."""
+        import pyspark.sql.functions as F
+
+        bounds = updates.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).collect()[0]
+        lo, hi = _json_safe(bounds["lo"]), _json_safe(bounds["hi"])
+        for _ in range(self.max_retries):
+            v = latest_version(self.path)
+            live = snapshot_files(self.path, v)
+            candidates, kept = self._split_by_stats(v, live, key, lo, hi)
+            touched = self._find_touched_files(candidates, updates, key)
+            kept = kept + [f for f in candidates if f not in set(touched)]
+            if touched:
+                # No broadcast hint: the update delta is unbounded in
+                # general (a day's CDC feed) — AQE sizes the anti-join.
+                base = self.spark.read.parquet(*touched)
+                rewritten = base.join(
+                    updates.select(key).distinct(), key, "left_anti"
+                ).unionByName(updates)
+            else:
+                rewritten = updates
+            rel_touched = [os.path.relpath(f, self.path) for f in touched]
+            try:
+                return self._mutate(
+                    "merge",
+                    rewritten,
+                    remove=rel_touched,
+                    base_version=v,
+                    meta={
+                        "pruned_files": len(kept),
+                        "rewritten_files": len(touched),
+                        "key": key,
+                    },
+                )
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(f"merge into {self.path} kept losing races")
+
+    def delete_where(self, predicate: str) -> int:
+        """Copy-on-write delete: rewrite the snapshot minus matching rows.
+        (File pruning on the predicate column is the same stats walk as
+        merge; kept simple here — predicates are arbitrary SQL.)"""
+        for _ in range(self.max_retries):
+            v = latest_version(self.path)
+            live = snapshot_files(self.path, v)
+            base = self.spark.read.parquet(*live)
+            kept_rows = base.filter(f"NOT ({predicate})")
+            rel = [os.path.relpath(f, self.path) for f in live]
+            try:
+                return self._mutate(
+                    "delete", kept_rows, remove=rel, base_version=v,
+                    meta={"predicate": predicate},
+                )
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(f"delete in {self.path} kept losing races")
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Delete data files no snapshot in the retained version window
+        references (plus orphans from aborted writers are NOT touched —
+        they are invisible to readers and cheap; a production vacuum
+        would age them out). Time travel older than the window dies with
+        the files, as in every table format."""
+        vs = _versions(self.path)
+        keep = vs[-keep_versions:] if keep_versions > 0 else vs
+        referenced: set[str] = set()
+        for v in keep:
+            referenced.update(snapshot_files(self.path, v))
+        ever: set[str] = set()
+        for v in vs:
+            for f in _read_commit(self.path, v).get("add", []):
+                ever.add(os.path.join(self.path, f["path"]))
+        victims = sorted(ever - referenced)
+        for f in victims:
+            if os.path.exists(f):
+                os.remove(f)
+        return victims
+
+    # -- internals -------------------------------------------------------
+    def _find_touched_files(
+        self, candidates: list[str], updates: DataFrame, key: str
+    ) -> list[str]:
+        """Exact touched-file set (the Delta findTouchedFiles join): scan
+        ONLY the key column of the candidate files tagged with their
+        file path, semi-join against the distinct update keys, collect
+        the distinct paths. Scan cost = one pruned-to-one-column pass
+        over the stats candidates; the collect is O(touched files)."""
+        import pyspark.sql.functions as F
+
+        if not candidates:
+            return []
+        tagged = (
+            self.spark.read.parquet(*candidates)
+            .select(F.col(key), F.input_file_name().alias("__file"))
+            .join(updates.select(key).distinct(), key, "left_semi")
+            .select("__file")
+            .distinct()
+        )
+        # input_file_name returns a URI; normalize to plain paths so they
+        # compare equal to the snapshot's os paths.
+        paths = {
+            r["__file"].removeprefix("file://").removeprefix("file:")
+            for r in tagged.collect()
+        }
+        return [f for f in candidates if f in paths]
+
+    def _split_by_stats(
+        self, version: int, live: list[str], key: str, lo, hi
+    ) -> tuple[list[str], list[str]]:
+        """Partition the live file set into (touched, kept) by footer
+        stats recorded in the log: a file whose [min, max] on ``key``
+        misses [lo, hi] cannot contain an updated row."""
+        stats: dict[str, dict] = {}
+        for v in _versions(self.path):
+            if v > version:
+                break
+            for f in _read_commit(self.path, v).get("add", []):
+                stats[os.path.join(self.path, f["path"])] = f.get("stats", {})
+        touched, kept = [], []
+        for f in live:
+            s = stats.get(f, {}).get(key)
+            if s is None or lo is None:
+                touched.append(f)  # no stats -> cannot prune, must rewrite
+            elif s[0] <= hi and lo <= s[1]:
+                touched.append(f)
+            else:
+                kept.append(f)
+        return touched, kept
+
+    def _mutate(
+        self,
+        op: str,
+        df: DataFrame,
+        remove: list[str],
+        base_version: int,
+        meta: dict | None = None,
+    ) -> int:
+        version = base_version + 1
+        # repartitionByRange, not hash repartition: range partitioning
+        # gives each file a TIGHT, near-disjoint [min, max] on the
+        # cluster column — that is what makes the footer-stats pruning
+        # in merge() equivalent to partition pruning. A hash repartition
+        # would scatter every key range across every file and no file
+        # could ever be skipped. num_files pins the file count (tests,
+        # or a caller that knows its sizing); default leaves it to AQE,
+        # which right-sizes partitions to advisoryPartitionSizeInBytes —
+        # the production file-sizing lever (note AQE may coalesce a tiny
+        # commit to ONE file, where pruning trivially cannot engage).
+        if self.cluster_by:
+            out = (
+                df.repartitionByRange(self.num_files, self.cluster_by)
+                if self.num_files
+                else df.repartitionByRange(self.cluster_by)
+            )
+        else:
+            out = df
+        add = _write_data(out, self.path, version, self.stats_cols)
+        _commit(self.path, version, op, add, remove, meta)
+        return version

@@ -1,0 +1,169 @@
+"""ACID table format (pkg2_spark/tableformat.py): commit protocol,
+snapshot isolation / time travel, stats-pruned merge, file-pruned CDC,
+delete, vacuum. The registered q_acid_* queries cover the oracle-checked
+dataflows; these tests pin the PROTOCOL properties no SQL oracle can see
+(atomicity of the exclusive-create commit, pruning actually happening,
+orphan invisibility, vacuum scope)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from pkg2_spark.tableformat import (
+    ConcurrentCommitError,
+    Table,
+    _commit,
+    latest_version,
+    snapshot_files,
+)
+
+
+def _mk(spark, lo, hi, tag="a"):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") * 2).alias("val"), F.lit(tag).alias("tag")
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    # num_files pinned: AQE would coalesce this tiny table to ONE file and
+    # the pruning assertions would have nothing to skip.
+    t = Table(
+        spark, str(tmp_path / "t"), stats_cols=["id"], cluster_by="id",
+        num_files=8,
+    )
+    t.create(_mk(spark, 0, 1000))
+    return t
+
+
+def test_create_append_time_travel(spark, table):
+    assert latest_version(table.path) == 0
+    table.append(_mk(spark, 1000, 1500, tag="b"))
+    assert latest_version(table.path) == 1
+    assert table.read(version=0).count() == 1000
+    assert table.read(version=1).count() == 1500
+    assert table.read().count() == 1500
+    ops = [c["op"] for c in table.history()]
+    assert ops == ["create", "append"]
+    with pytest.raises(ValueError):
+        table.read(version=7)
+    with pytest.raises(FileExistsError):
+        table.create(_mk(spark, 0, 1))
+
+
+def test_exclusive_create_commit_is_atomic(spark, table):
+    # Two writers racing to the same version: exactly one exclusive
+    # create wins; the loser gets ConcurrentCommitError and must refold.
+    _commit(table.path, 1, "append", add=[], remove=[])
+    with pytest.raises(ConcurrentCommitError):
+        _commit(table.path, 1, "append", add=[], remove=[])
+    # The retry loop in append() refolds and lands on the NEXT version.
+    v = table.append(_mk(spark, 1000, 1001))
+    assert v == 2
+    assert table.read().count() == 1001
+
+
+def test_uncommitted_data_is_invisible(spark, table):
+    # A writer that wrote data files but died before its commit: readers
+    # fold the log, never list data/, so the orphan dir is invisible.
+    orphan = os.path.join(table.path, "data", "v9-deadbeef")
+    _mk(spark, 5000, 6000).write.parquet(orphan)
+    assert table.read().count() == 1000
+    assert not any("deadbeef" in f for f in snapshot_files(table.path))
+
+
+def test_merge_prunes_by_footer_stats(spark, table):
+    # Range-clustered layout: updating a narrow key range must rewrite
+    # only the files whose [min, max] intersects it — the rest carry
+    # over BY REFERENCE (same file paths before and after).
+    before = set(snapshot_files(table.path))
+    upd = spark.range(10, 21).select(
+        F.col("id"), F.lit(-1).cast("long").alias("val"), F.lit("u").alias("tag")
+    )
+    v = table.merge(upd, key="id")
+    meta = table.history()[-1]["meta"]
+    assert meta["rewritten_files"] >= 1
+    assert meta["pruned_files"] >= 1, "stats pruning never engaged"
+    after = set(snapshot_files(table.path, v))
+    carried = before & after
+    assert len(carried) == meta["pruned_files"]
+    got = {r["id"]: r["val"] for r in table.read().collect()}
+    assert len(got) == 1000
+    assert all(got[i] == -1 for i in range(10, 21))
+    assert got[500] == 1000 and got[0] == 0
+
+
+def test_merge_inserts_new_keys(spark, table):
+    upd = spark.range(995, 1005).select(
+        F.col("id"), F.lit(7).cast("long").alias("val"), F.lit("u").alias("tag")
+    )
+    table.merge(upd, key="id")
+    got = {r["id"]: r["val"] for r in table.read().collect()}
+    assert len(got) == 1005
+    assert got[994] == 1988 and got[995] == 7 and got[1004] == 7
+    # Pure inserts (every key above every existing file) must rewrite
+    # NOTHING — the findTouchedFiles join, not the raw stats bounds,
+    # decides what is touched.
+    pure = spark.range(5000, 5010).select(
+        F.col("id"), F.lit(1).cast("long").alias("val"), F.lit("i").alias("tag")
+    )
+    table.merge(pure, key="id")
+    meta = table.history()[-1]["meta"]
+    assert meta["rewritten_files"] == 0
+    assert table.read().count() == 1015
+
+
+def test_changes_reads_only_differing_files(spark, table):
+    table.append(_mk(spark, 1000, 1200, tag="b"))
+    ch = table.changes(0, 1)
+    rows = ch.collect()
+    assert len(rows) == 200
+    assert all(r["change_type"] == "insert" for r in rows)
+    # merge: updated keys = delete(old) + insert(new); empty diff = empty
+    upd = spark.range(0, 5).select(
+        F.col("id"), F.lit(-9).cast("long").alias("val"), F.lit("u").alias("tag")
+    )
+    v = table.merge(upd, key="id")
+    by_type = {
+        (r["change_type"], r["id"]): r["val"] for r in table.changes(1, v).collect()
+    }
+    assert all(by_type[("insert", i)] == -9 for i in range(5))
+    assert all(by_type[("delete", i)] == 2 * i for i in range(5))
+    assert table.changes(v, v).count() == 0
+
+
+def test_delete_where_and_vacuum(spark, table):
+    table.delete_where("id >= 500")
+    assert table.read().count() == 500
+    assert table.read(version=0).count() == 1000  # time travel still intact
+    victims = table.vacuum(keep_versions=1)
+    assert victims, "vacuum removed nothing although v0 files were dropped"
+    assert table.read().count() == 500  # latest snapshot untouched
+    for f in victims:
+        assert not os.path.exists(f)
+    # log entries survive vacuum (history is metadata), only data died
+    assert [c["op"] for c in table.history()] == ["create", "delete"]
+
+
+def test_stats_recorded_in_log(spark, table):
+    # The commit log carries per-file [min, max] for stats_cols — the
+    # data-skipping metadata merge() prunes with.
+    with open(
+        os.path.join(table.path, "_log", f"{0:020d}.json")
+    ) as f:
+        rec = json.load(f)
+    assert rec["add"], "create committed no files"
+    nonempty = [e for e in rec["add"] if e["rows"] > 0]
+    assert nonempty
+    for entry in nonempty:
+        lo, hi = entry["stats"]["id"]
+        assert 0 <= lo <= hi <= 999
+    # range clustering => files cover near-disjoint ranges: total span
+    # across files ~ n, not files * n
+    spans = sorted((e["stats"]["id"][0], e["stats"]["id"][1]) for e in nonempty)
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, "range-clustered files must not interleave"
