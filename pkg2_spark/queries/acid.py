@@ -219,3 +219,139 @@ def q_acid_cdc(spark, sf_dir):
         .cast("long")
         .alias("sum_price_e2"),
     )
+
+
+@query(
+    "q_acid_compact",
+    oracle=f"""
+WITH upd AS (
+  SELECT * REPLACE (o_totalprice + 100000.0 AS o_totalprice)
+  FROM orders WHERE o_orderkey BETWEEN {_UPD_LO} AND {_UPD_HI}
+),
+ins AS (
+  SELECT * REPLACE (o_orderkey + {_INS_SHIFT} AS o_orderkey)
+  FROM orders WHERE o_orderkey BETWEEN {_INS_LO} AND {_INS_HI}
+),
+merged AS (
+  SELECT * FROM orders WHERE o_orderkey NOT BETWEEN {_UPD_LO} AND {_UPD_HI}
+  UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM ins
+)
+SELECT o_orderstatus, count(*) AS n, {_E2} AS sum_price_e2,
+       CAST(0 AS BIGINT) AS n_changes
+FROM merged GROUP BY o_orderstatus
+""",
+)
+def q_acid_compact(spark, sf_dir):
+    """OPTIMIZE (file compaction) as a LOGICAL NO-OP commit: bin-pack the
+    post-merge snapshot's small files into 4 right-sized, re-range-
+    clustered files, then prove nothing changed AS DATA — the per-status
+    aggregate over the compacted table must equal the pre-compact answer
+    (the oracle replays the merge recipe and pins n_changes = 0), and
+    n_changes is computed by the engine's own file-pruned CDC across the
+    compact commit, so a compaction that dropped/duplicated a single row
+    would hash-mismatch. Idempotent per fixture: a log whose head is
+    already a compact commit is not re-compacted (re-running the query
+    must not grow the log).
+
+    Scale: compaction reads the live snapshot once and writes it once —
+    the maintenance cost every table format pays to undo small-file
+    accumulation; it also restores tight per-file stat ranges, which is
+    what keeps merge pruning effective after many little commits."""
+    t = acid_orders_table(spark, sf_dir)
+    if t.history()[-1]["op"] != "compact":
+        t.compact(max_files=4)
+    v_post = len(t.history()) - 1
+    ch = t.changes(v_post - 1, v_post).agg(
+        F.count(F.lit(1)).cast("long").alias("n_changes")
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_price_e2"),
+        )
+        .crossJoin(F.broadcast(ch))
+    )
+
+
+@query(
+    "q_stream_acid_sink",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2
+FROM events
+GROUP BY event_type
+""",
+)
+def q_stream_acid_sink(spark, sf_dir):
+    """EXACTLY-ONCE streaming ingestion into the ACID table: the 4-file
+    event replay lands through foreachBatch -> Table.append_batch, which
+    records each epoch's batchId in its commit meta and skips ids already
+    in the log — the Delta streaming-sink txn design (foreachBatch is
+    at-least-once; the commit ledger upgrades it). After the run, batch 0
+    is RE-DELIVERED by hand with the same id — the replay every restart
+    produces — and must commit nothing. The aggregated table then equals
+    the batch answer over the raw events: one-and-only-one landing of
+    every event, checked as data.
+
+    Scale: each micro-batch is one append commit (no rewrite, no read of
+    existing data); the dedup ledger is the O(commits) log the sink
+    already pays for. Fixture-cached per scale like the other sinks."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from pkg2_spark.queries.relational import IO_DIR
+    from pkg2_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    src = fixture_path("stream_multisrc", sf_dir)
+    if not fixture_ready(src, sf_dir):
+        e = load_tables(spark, sf_dir)["events"]
+        e.repartition(4).write.mode("overwrite").parquet(src)
+    sink_path = fixture_path("acid_events_sink", sf_dir)
+    t = Table(spark, sink_path)
+    if not fixture_ready(sink_path, sf_dir, marker=_MARKER):
+        _shutil.rmtree(sink_path, ignore_errors=True)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .select("event_id", "event_type", "value")
+        )
+
+        def sink_batch(batch_df, batch_id):
+            t.append_batch(batch_df, batch_id)
+
+        ckpt = os.path.join(IO_DIR, "checkpoints", f"acid_{_uuid.uuid4().hex[:8]}")
+        q = (
+            stream.writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _shutil.rmtree(ckpt, ignore_errors=True)
+        # Re-deliver batch 0 (what a restart's at-least-once replay does):
+        # the ledger must refuse it, or the aggregate below double-counts
+        # and hash-mismatches the oracle.
+        first = spark.read.parquet(src).select(
+            "event_id", "event_type", "value"
+        ).limit(10)
+        assert t.append_batch(first, 0) is None, "batchId ledger failed"
+        with open(os.path.join(sink_path, _MARKER), "w") as fh:
+            fh.write("ok\n")
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_value_e2"),
+        )
+    )

@@ -347,6 +347,69 @@ class Table:
                 continue
         raise ConcurrentCommitError(f"delete in {self.path} kept losing races")
 
+    def compact(self, max_files: int | None = None) -> int:
+        """OPTIMIZE: bin-pack the live snapshot into right-sized files —
+        a LOGICAL NO-OP commit (every row carries over; Table.changes
+        across it is empty, pinned by test and by q_acid_compact's
+        oracle) that undoes small-file accumulation from many little
+        commits. The rewrite re-range-clusters on cluster_by, restoring
+        tight per-file stat ranges for merge pruning. ``max_files``
+        overrides the handle's num_files for this commit (at deploy
+        scale leave both unset and let AQE size output partitions)."""
+        for _ in range(self.max_retries):
+            v = latest_version(self.path)
+            live = snapshot_files(self.path, v)
+            df = self.spark.read.parquet(*live)
+            rel = [os.path.relpath(f, self.path) for f in live]
+            saved = self.num_files
+            try:
+                if max_files is not None:
+                    self.num_files = max_files
+                return self._mutate(
+                    "compact", df, remove=rel, base_version=v,
+                    meta={"compacted_files": len(live)},
+                )
+            except ConcurrentCommitError:
+                continue
+            finally:
+                self.num_files = saved
+        raise ConcurrentCommitError(f"compact of {self.path} kept losing races")
+
+    def committed_batch_ids(self) -> set:
+        """batchIds of every idempotent append in the log (the streaming
+        sink's replay ledger)."""
+        out = set()
+        for c in self.history():
+            bid = (c.get("meta") or {}).get("batchId")
+            if bid is not None:
+                out.add(bid)
+        return out
+
+    def append_batch(self, df: DataFrame, batch_id: int) -> int | None:
+        """EXACTLY-ONCE streaming append — the foreachBatch sink body.
+        Structured Streaming guarantees at-least-once foreachBatch
+        delivery with a stable batch_id per epoch; recording the id in
+        the commit's meta and skipping ids already in the log upgrades
+        that to exactly-once across restarts (the Delta streaming-sink
+        txn design: the COMMIT is the dedup ledger, so a crash between
+        write and commit replays harmlessly — the orphan data dir is
+        never referenced). Returns the committed version, or None if
+        this batch was already in the log."""
+        for _ in range(self.max_retries):
+            if batch_id in self.committed_batch_ids():
+                return None
+            v = latest_version(self.path)
+            try:
+                return self._mutate(
+                    "append", df, remove=[], base_version=v,
+                    meta={"batchId": batch_id},
+                )
+            except ConcurrentCommitError:
+                continue  # refold: maybe the winner WAS this batch_id
+        raise ConcurrentCommitError(
+            f"append_batch({batch_id}) to {self.path} kept losing races"
+        )
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data files no snapshot in the retained version window
         references (plus orphans from aborted writers are NOT touched —

@@ -76,6 +76,8 @@ NLJ_WHITELIST = {
     "ADC scan itself is the cell-keyed equi-join",
     "q_win_dist": "1-row total cross join (broadcast)",
     "q_agg_mode": "1-row total cross join (broadcast)",
+    "q_acid_compact": "1-row CDC-emptiness scalar broadcast cross onto the "
+    "per-status aggregate (the logical-no-op proof column)",
     "q_events_rfm_thresholds": "1-row quintile-threshold table broadcast "
     "cross over the per-user base (the q_dq_anomaly threshold-then-filter "
     "shape; replaces q_events_rfm's global ntile windows)",

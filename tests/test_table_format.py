@@ -167,3 +167,33 @@ def test_stats_recorded_in_log(spark, table):
     spans = sorted((e["stats"]["id"][0], e["stats"]["id"][1]) for e in nonempty)
     for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2, "range-clustered files must not interleave"
+
+
+def test_compact_is_logical_noop(spark, table):
+    table.append(_mk(spark, 1000, 1300, tag="b"))
+    files_before = len(snapshot_files(table.path))
+    v = table.compact(max_files=2)
+    assert table.history()[-1]["op"] == "compact"
+    assert table.history()[-1]["meta"]["compacted_files"] == files_before
+    assert len(snapshot_files(table.path)) <= 2
+    # logical no-op: the file-pruned CDC across the compact commit is empty
+    assert table.changes(v - 1, v).count() == 0
+    assert table.read().count() == 1300
+    # and time travel across it still works
+    assert table.read(version=0).count() == 1000
+
+
+def test_append_batch_ledger_is_exactly_once(spark, tmp_path):
+    t = Table(spark, str(tmp_path / "s"))
+    b0 = _mk(spark, 0, 100)
+    b1 = _mk(spark, 100, 150, tag="b")
+    assert t.append_batch(b0, 0) == 0
+    assert t.append_batch(b1, 1) == 1
+    # at-least-once redelivery (restart replay): the ledger refuses both
+    assert t.append_batch(b0, 0) is None
+    assert t.append_batch(b1, 1) is None
+    assert t.read().count() == 150
+    assert t.committed_batch_ids() == {0, 1}
+    # a NEW batch id still lands
+    assert t.append_batch(_mk(spark, 150, 160, tag="c"), 2) == 2
+    assert t.read().count() == 160
