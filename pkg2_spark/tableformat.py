@@ -172,6 +172,7 @@ def _commit(
     add: list[dict],
     remove: list[str],
     meta: dict | None = None,
+    schema: dict | None = None,
 ) -> None:
     os.makedirs(_log_dir(path), exist_ok=True)
     rec = {
@@ -181,6 +182,8 @@ def _commit(
         "remove": remove,
         "meta": meta or {},
     }
+    if schema is not None:
+        rec["schema"] = schema
     target = os.path.join(_log_dir(path), _LOG_FMT.format(version))
     try:
         fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -205,16 +208,45 @@ class Table:
     max_retries: int = 5
 
     # -- readers ---------------------------------------------------------
+    def schema_at(self, version: int | None = None):
+        """The TABLE schema as of ``version`` — read from the log (each
+        commit records its written schema: the Delta design, where the
+        log, not the data files, owns the schema). None if the log
+        predates schema recording."""
+        from pyspark.sql.types import StructType
+
+        vs = _versions(self.path)
+        if not vs:
+            raise FileNotFoundError(f"no table log at {self.path}")
+        cut = vs[-1] if version is None else version
+        rec = None
+        for v in vs:
+            if v > cut:
+                break
+            s = _read_commit(self.path, v).get("schema")
+            if s is not None:
+                rec = s
+        return StructType.fromJson(rec) if rec is not None else None
+
     def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read, optionally time-traveled to ``version``."""
+        """Snapshot read, optionally time-traveled to ``version``. The
+        scan is pinned to the LOG's schema at that version — files
+        written before a column existed surface it as null (schema
+        evolution), and old versions read back with their OLD schema
+        (time travel is schema-correct, not just row-correct)."""
         files = snapshot_files(self.path, version)
+        schema = self.schema_at(version)
         if not files:
-            # an empty snapshot still has a schema: take it from any file
-            # the log has ever referenced (version 0 always adds files)
+            if schema is not None:
+                return self.spark.createDataFrame([], schema)
+            # pre-schema-recording log: take any file it ever referenced
             first = _read_commit(self.path, _versions(self.path)[0])
             probe = [os.path.join(self.path, f["path"]) for f in first["add"]]
             return self.spark.read.parquet(*probe).limit(0)
-        return self.spark.read.parquet(*files)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*files)
 
     def history(self) -> list[dict]:
         """The commit log, oldest first (driver-side: O(commits))."""
@@ -238,10 +270,14 @@ class Table:
 
         if not only_a and not only_b:
             return self.read(v_to).limit(0).withColumn("change_type", F.lit(""))
+        # Both sides read under v_to's LOG schema so an evolved column
+        # aligns (nulls on the old side) instead of failing the exceptAll.
+        schema = self.schema_at(v_to)
+        reader = self.spark.read.schema(schema) if schema else self.spark.read
         schema_probe = only_b[0] if only_b else only_a[0]
-        empty = self.spark.read.parquet(schema_probe).limit(0)
-        da = self.spark.read.parquet(*only_a) if only_a else empty
-        db = self.spark.read.parquet(*only_b) if only_b else empty
+        empty = reader.parquet(schema_probe).limit(0)
+        da = reader.parquet(*only_a) if only_a else empty
+        db = reader.parquet(*only_b) if only_b else empty
         ins = db.exceptAll(da).withColumn("change_type", F.lit("insert"))
         dele = da.exceptAll(db).withColumn("change_type", F.lit("delete"))
         return ins.unionByName(dele)
@@ -256,9 +292,18 @@ class Table:
             raise FileExistsError(f"table already exists at {self.path}")
         return self._mutate("create", df, remove=[], base_version=-1)
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, allow_schema_evolution: bool = False) -> int:
         """Blind append — never conflicts logically, so a commit race is
-        simply retried against the next version."""
+        simply retried against the next version.
+
+        Schema ENFORCEMENT (the Delta posture): an append whose columns
+        differ from the table's logged schema is refused unless
+        ``allow_schema_evolution`` — with it, the append may ADD columns
+        (the commit's logged schema becomes the new table schema; old
+        files read the new column as null) but never drop or retype one
+        (dropping silently loses data on the next read; retyping breaks
+        the pinned-schema scan of old files)."""
+        self._enforce_schema(df, allow_schema_evolution)
         for _ in range(self.max_retries):
             v = latest_version(self.path)
             try:
@@ -266,6 +311,29 @@ class Table:
             except ConcurrentCommitError:
                 continue
         raise ConcurrentCommitError(f"append to {self.path} kept losing races")
+
+    def _enforce_schema(self, df: DataFrame, allow_evolution: bool) -> None:
+        current = self.schema_at() if latest_version(self.path) >= 0 else None
+        if current is None:
+            return
+        cur = {f.name: f.dataType for f in current.fields}
+        new = {f.name: f.dataType for f in df.schema.fields}
+        dropped = sorted(set(cur) - set(new))
+        added = sorted(set(new) - set(cur))
+        retyped = sorted(
+            n for n in set(cur) & set(new) if cur[n] != new[n]
+        )
+        if dropped or retyped:
+            raise ValueError(
+                f"append to {self.path} is schema-incompatible: "
+                f"dropped={dropped} retyped={retyped} (evolution may only "
+                "ADD columns)"
+            )
+        if added and not allow_evolution:
+            raise ValueError(
+                f"append to {self.path} adds columns {added}; pass "
+                "allow_schema_evolution=True to evolve the table schema"
+            )
 
     def merge(self, updates: DataFrame, key: str) -> int:
         """Copy-on-write upsert: rows of ``updates`` replace same-``key``
@@ -292,6 +360,7 @@ class Table:
         wholesale (its data dir is left unreferenced for vacuum)."""
         import pyspark.sql.functions as F
 
+        self._enforce_schema(updates, allow_evolution=False)
         bounds = updates.agg(
             F.min(key).alias("lo"), F.max(key).alias("hi")
         ).collect()[0]
@@ -395,6 +464,7 @@ class Table:
         write and commit replays harmlessly — the orphan data dir is
         never referenced). Returns the committed version, or None if
         this batch was already in the log."""
+        self._enforce_schema(df, allow_evolution=False)
         for _ in range(self.max_retries):
             if batch_id in self.committed_batch_ids():
                 return None
@@ -510,5 +580,8 @@ class Table:
         else:
             out = df
         add = _write_data(out, self.path, version, self.stats_cols)
-        _commit(self.path, version, op, add, remove, meta)
+        _commit(
+            self.path, version, op, add, remove, meta,
+            schema=df.schema.jsonValue(),
+        )
         return version

@@ -197,3 +197,64 @@ def test_append_batch_ledger_is_exactly_once(spark, tmp_path):
     # a NEW batch id still lands
     assert t.append_batch(_mk(spark, 150, 160, tag="c"), 2) == 2
     assert t.read().count() == 160
+
+
+def test_schema_enforcement_and_evolution(spark, table):
+    # Enforcement: silently dropping or retyping a column is refused.
+    with pytest.raises(ValueError, match="dropped"):
+        table.append(spark.range(5).select("id", (F.col("id") * 2).alias("val")))
+    with pytest.raises(ValueError, match="retyped"):
+        table.append(
+            spark.range(5).select(
+                "id",
+                F.col("id").cast("string").alias("val"),
+                F.lit("a").alias("tag"),
+            )
+        )
+    # Adding a column needs the explicit evolution flag...
+    widened = _mk(spark, 2000, 2010).withColumn("extra", F.lit(9).cast("long"))
+    with pytest.raises(ValueError, match="allow_schema_evolution"):
+        table.append(widened)
+    v1 = table.append(widened, allow_schema_evolution=True)
+    # ...after which the LOG owns the union schema: pre-evolution files
+    # surface the new column as null, and time travel reads the version's
+    # OWN schema (v0 has no 'extra').
+    latest = table.read()
+    assert "extra" in latest.columns
+    vals = {r["id"]: r["extra"] for r in latest.collect()}
+    assert vals[2005] == 9 and vals[5] is None
+    assert "extra" not in table.read(version=0).columns
+    # CDC across the evolution commit aligns both sides under the new
+    # schema (old side reads 'extra' as null) instead of failing.
+    ch = table.changes(0, v1).collect()
+    assert len(ch) == 10 and all(r["extra"] == 9 for r in ch)
+
+
+def test_concurrent_writers_race_safely(spark, tmp_path):
+    # Four threads race 3 appends each through the REAL protocol (no
+    # mocks): every commit must land exactly once, versions must be the
+    # contiguous fold 0..12, and the final snapshot must hold every row.
+    import threading
+
+    t = Table(spark, str(tmp_path / "race"), max_retries=50)
+    t.create(_mk(spark, 0, 10))
+    errs = []
+
+    def writer(i):
+        try:
+            for j in range(3):
+                lo = 1000 * (i + 1) + 10 * j
+                t.append(_mk(spark, lo, lo + 10, tag=f"w{i}"))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    hist = t.history()
+    assert [c["version"] for c in hist] == list(range(13))
+    assert sum(c["op"] == "append" for c in hist) == 12
+    assert t.read().count() == 10 + 12 * 10
