@@ -361,7 +361,12 @@ class Table:
         import pyspark.sql.functions as F
 
         self._enforce_schema(updates, allow_evolution=False)
-        bounds = updates.agg(
+        # Materialize the distinct update-key set ONCE: it is read by
+        # three separate jobs (bounds, findTouchedFiles, the rewrite's
+        # anti-join) and a derived `updates` frame would otherwise
+        # re-scan its source per job.
+        keys = updates.select(key).distinct().localCheckpoint(eager=True)
+        bounds = keys.agg(
             F.min(key).alias("lo"), F.max(key).alias("hi")
         ).collect()[0]
         lo, hi = _json_safe(bounds["lo"]), _json_safe(bounds["hi"])
@@ -369,14 +374,14 @@ class Table:
             v = latest_version(self.path)
             live = snapshot_files(self.path, v)
             candidates, kept = self._split_by_stats(v, live, key, lo, hi)
-            touched = self._find_touched_files(candidates, updates, key)
+            touched = self._find_touched_files(candidates, keys, key)
             kept = kept + [f for f in candidates if f not in set(touched)]
             if touched:
                 # No broadcast hint: the update delta is unbounded in
                 # general (a day's CDC feed) — AQE sizes the anti-join.
                 base = self.spark.read.parquet(*touched)
                 rewritten = base.join(
-                    updates.select(key).distinct(), key, "left_anti"
+                    keys, key, "left_anti"
                 ).unionByName(updates)
             else:
                 rewritten = updates
@@ -503,13 +508,14 @@ class Table:
 
     # -- internals -------------------------------------------------------
     def _find_touched_files(
-        self, candidates: list[str], updates: DataFrame, key: str
+        self, candidates: list[str], keys: DataFrame, key: str
     ) -> list[str]:
         """Exact touched-file set (the Delta findTouchedFiles join): scan
         ONLY the key column of the candidate files tagged with their
-        file path, semi-join against the distinct update keys, collect
-        the distinct paths. Scan cost = one pruned-to-one-column pass
-        over the stats candidates; the collect is O(touched files)."""
+        file path, semi-join against the (pre-materialized, distinct)
+        update keys, collect the distinct paths. Scan cost = one
+        pruned-to-one-column pass over the stats candidates; the collect
+        is O(touched files)."""
         import pyspark.sql.functions as F
 
         if not candidates:
@@ -517,7 +523,7 @@ class Table:
         tagged = (
             self.spark.read.parquet(*candidates)
             .select(F.col(key), F.input_file_name().alias("__file"))
-            .join(updates.select(key).distinct(), key, "left_semi")
+            .join(keys, key, "left_semi")
             .select("__file")
             .distinct()
         )
