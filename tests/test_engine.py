@@ -651,6 +651,14 @@ def test_starlark_collection_rejects_code():
     ):
         with _pytest.raises((ValueError, SyntaxError)):
             ev(bad, "t.star")
+    # r11: rejections carry the offending LINE and targeted guidance —
+    # load() points at inlining, generic calls at computing upstream.
+    with _pytest.raises(ValueError, match=r"t\.star:2.*load\(\).*inline"):
+        ev("a = 1\nb = load('x.star', 'y')", "t.star")
+    with _pytest.raises(ValueError, match=r"t\.star:1.*call to glob\(\)"):
+        ev("a = glob('*.txt')", "t.star")
+    with _pytest.raises(ValueError, match=r"t\.star:3.*undefined name 'zz'"):
+        ev("a = 1\nb = 2\nc = zz", "t.star")
 
 
 def test_fetch_to_cache_roundtrip_and_negative_paths(spark, tmp_path):
