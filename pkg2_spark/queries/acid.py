@@ -355,3 +355,70 @@ def q_stream_acid_sink(spark, sf_dir):
             .alias("sum_value_e2"),
         )
     )
+
+
+@query(
+    "q_acid_ivm",
+    oracle=f"""
+WITH upd AS (
+  SELECT * REPLACE (o_totalprice + 100000.0 AS o_totalprice)
+  FROM orders WHERE o_orderkey BETWEEN {_UPD_LO} AND {_UPD_HI}
+),
+ins AS (
+  SELECT * REPLACE (o_orderkey + {_INS_SHIFT} AS o_orderkey)
+  FROM orders WHERE o_orderkey BETWEEN {_INS_LO} AND {_INS_HI}
+),
+merged AS (
+  SELECT * FROM orders WHERE o_orderkey NOT BETWEEN {_UPD_LO} AND {_UPD_HI}
+  UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM ins
+)
+SELECT o_orderstatus, count(*) AS n, {_E2} AS sum_price_e2
+FROM merged GROUP BY o_orderstatus
+""",
+)
+def q_acid_ivm(spark, sf_dir):
+    """Incremental view maintenance over the REAL table CDC — the
+    q_ivm_agg dataflow bound to the commit protocol: a per-status
+    (count, e2 sum) view materialized at version 2 absorbs the v2->v3
+    merge commit by folding the engine's own file-pruned change feed
+    (Table.changes) as SIGNED deltas (+1 per insert image, -1 per delete
+    image) — the view is maintained WITHOUT rescanning the table, and
+    the maintained view must equal the direct aggregate over v3, which
+    is exactly what the oracle computes relationally. This is the
+    composition a warehouse actually runs: the table format produces the
+    change feed, IVM consumes it.
+
+    Scale: maintenance cost = one hash-agg over the change feed (which
+    itself reads only the merge's rewritten region) + a group-keyed
+    full-outer merge onto the group-sized view — table size never
+    appears."""
+    t = acid_orders_table(spark, sf_dir)
+    e2 = F.floor(F.col("o_totalprice") * 100).cast("long")
+    view2 = (
+        t.read(version=2)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n0"),
+            F.sum(e2).cast("long").alias("s0"),
+        )
+    )
+    sign = F.when(F.col("change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    delta = (
+        t.changes(2, 3)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(sign).cast("long").alias("dn"),
+            F.sum(sign * e2).cast("long").alias("ds"),
+        )
+    )
+    merged = view2.join(delta, "o_orderstatus", "full")
+    return merged.select(
+        "o_orderstatus",
+        (F.coalesce(F.col("n0"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
+        .cast("long")
+        .alias("n"),
+        (F.coalesce(F.col("s0"), F.lit(0)) + F.coalesce(F.col("ds"), F.lit(0)))
+        .cast("long")
+        .alias("sum_price_e2"),
+    ).filter(F.col("n") > 0)

@@ -236,6 +236,20 @@ class Table:
         (time travel is schema-correct, not just row-correct)."""
         files = snapshot_files(self.path, version)
         schema = self.schema_at(version)
+        if version is not None:
+            # Time travel outside the vacuum retention window should say
+            # so, not fail lazily inside a Spark scan. The stat walk is
+            # confined to EXPLICIT time-travel reads: the latest
+            # snapshot's files always exist (vacuum never touches them),
+            # so the hot path pays nothing.
+            gone = [f for f in files if not os.path.exists(f)]
+            if gone:
+                raise FileNotFoundError(
+                    f"version {version} of {self.path} is no longer "
+                    f"readable: {len(gone)}/{len(files)} of its data "
+                    "files were vacuumed (raise vacuum's keep_versions "
+                    "to retain deeper time travel)"
+                )
         if not files:
             if schema is not None:
                 return self.spark.createDataFrame([], schema)

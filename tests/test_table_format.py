@@ -145,6 +145,9 @@ def test_delete_where_and_vacuum(spark, table):
     assert table.read().count() == 500  # latest snapshot untouched
     for f in victims:
         assert not os.path.exists(f)
+    # time travel past the retention window fails EAGERLY and says why
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        table.read(version=0)
     # log entries survive vacuum (history is metadata), only data died
     assert [c["op"] for c in table.history()] == ["create", "delete"]
 
