@@ -1281,6 +1281,15 @@ class Engine:
 
         return asof_join(left, right, **kw)
 
+    def read_sqlite(self, db_path: str, table: str, **kw) -> DataFrame:
+        """Partitioned parallel DB ingest — spark.read.jdbc's
+        partitionColumn/lowerBound/upperBound/numPartitions semantics
+        over stdlib sqlite3 (pkg2_spark/dbsource.py); per-task bounded
+        pulls, no driver materialization."""
+        from pkg2_spark.dbsource import read_sqlite
+
+        return read_sqlite(self.spark, db_path, table, **kw)
+
     def pagerank(self, edges: DataFrame, src: str = "src", dst: str = "dst",
                  iters: int = 3) -> DataFrame:
         """Deterministic integer-scaled PageRank over a directed edge set."""

@@ -122,6 +122,10 @@ PYTHON_WHITELIST = {
     # same inflate stage over the FETCHED cache copy (q_pkg_fetch runs
     # fetch_to_cache, then the identical ingest_index_cache pipeline)
     "q_pkg_fetch",
+    # partitioned parallel DB ingest: per-task sqlite pulls via
+    # mapInPandas — the executor-side topology of spark.read.jdbc
+    # (dbsource.py; no JVM JDBC driver exists in this container)
+    "q_src_sqlite",
 }
 
 # Plans built inside the streaming harness (writeStream), not visible here.

@@ -917,3 +917,43 @@ def test_kmv_intersect_estimator_consistency(spark, sf_dir):
         assert r["err_bp"] == abs(r["est_intersect"] - r["n_exact"]) * 10000 // r["n_exact"]
         if r["n_match"] == _K:
             assert r["est_intersect"] == r["est_union"]
+
+
+def test_sqlite_partitioned_read_jdbc_semantics(spark, tmp_path):
+    # dbsource mirrors JDBCRelation.columnPartition: bounds STRIDE, never
+    # FILTER — rows outside [lower, upper) still land exactly once via
+    # the unbounded first/last partitions; schema inference maps sqlite
+    # decls; a single partition degenerates to one full SELECT.
+    import sqlite3
+
+    from pkg2_spark.dbsource import partition_predicates, read_sqlite
+
+    preds = partition_predicates("k", 10, 50, 4)
+    assert preds == [
+        '"k" < 20',
+        '"k" >= 20 AND "k" < 30',
+        '"k" >= 30 AND "k" < 40',
+        '"k" >= 40',
+    ]
+    assert partition_predicates("k", 0, 100, 1) == ["1=1"]
+    # more partitions than the key span: clamps, never empty-strides
+    assert len(partition_predicates("k", 0, 3, 8)) == 3
+
+    db = str(tmp_path / "t.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (k INTEGER, v REAL, s TEXT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?,?,?)",
+        [(i, i * 0.5, f"s{i}") for i in range(-5, 105)],  # outside bounds too
+    )
+    con.commit()
+    con.close()
+    df = read_sqlite(
+        spark, db, "t", partition_column="k",
+        lower_bound=10, upper_bound=50, num_partitions=4,
+    )
+    assert df.schema.simpleString() == "struct<k:bigint,v:double,s:string>"
+    rows = df.collect()
+    assert len(rows) == 110  # every row exactly once, incl. k<10 and k>=50
+    assert {r["k"] for r in rows} == set(range(-5, 105))
+    assert all(r["v"] == r["k"] * 0.5 and r["s"] == f"s{r['k']}" for r in rows)
