@@ -126,6 +126,9 @@ PYTHON_WHITELIST = {
     # mapInPandas — the executor-side topology of spark.read.jdbc
     # (dbsource.py; no JVM JDBC driver exists in this container)
     "q_src_sqlite",
+    # Avro OCF decode: per-shard-file stdlib block decoder via
+    # mapInPandas (avroio.py; the spark-avro JVM package is absent)
+    "q_src_avro",
 }
 
 # Plans built inside the streaming harness (writeStream), not visible here.

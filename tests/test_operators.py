@@ -957,3 +957,75 @@ def test_sqlite_partitioned_read_jdbc_semantics(spark, tmp_path):
     assert len(rows) == 110  # every row exactly once, incl. k<10 and k>=50
     assert {r["k"] for r in rows} == set(range(-5, 105))
     assert all(r["v"] == r["k"] * 0.5 and r["s"] == f"s{r['k']}" for r in rows)
+
+
+def test_avro_wire_format_golden_and_roundtrip(spark, tmp_path):
+    # The OCF implementation is pinned against HAND-COMPUTED spec bytes
+    # (zigzag varints, magic, sync framing) so writer and reader can't
+    # be wrong in the same direction, then round-tripped distributed.
+    import io
+    import json as _json
+
+    from pkg2_spark import avroio as A
+
+    # zigzag (spec examples): 0->0, -1->1, 1->2, -2->3, 2->4
+    for n, z in [(0, 0), (-1, 1), (1, 2), (-2, 3), (2, 4), (-64, 127), (64, 128)]:
+        buf = io.BytesIO()
+        A._write_varint(buf, n)
+        got = buf.getvalue()
+        # varint of 128 is two bytes 0x80 0x01
+        expect = bytes([z]) if z < 128 else bytes([(z & 0x7F) | 0x80, z >> 7])
+        assert got == expect, (n, got.hex())
+        assert A._read_varint(got, 0)[0] == n
+    # string encoding: length varint + utf8
+    buf = io.BytesIO()
+    A._encode_value(buf, "string", "hi")
+    assert buf.getvalue() == b"\x04hi"
+    # null union: branch index only for null, index+value otherwise
+    buf = io.BytesIO()
+    A._encode_value(buf, ["null", "long"], None)
+    assert buf.getvalue() == b"\x00"
+    buf = io.BytesIO()
+    A._encode_value(buf, ["null", "long"], 3)
+    assert buf.getvalue() == b"\x02\x06"
+
+    schema = {
+        "type": "record", "name": "t",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "s", "type": "string"},
+            {"name": "x", "type": "double"},
+            {"name": "m", "type": ["null", "string"]},
+            {"name": "b", "type": "boolean"},
+        ],
+    }
+    rows = [
+        (i, f"s{i}", i * 0.25, None if i % 3 == 0 else f"m{i}", i % 2 == 0)
+        for i in range(-50, 950)
+    ]
+    for codec in ("deflate", "null"):
+        p = str(tmp_path / f"t_{codec}.avro")
+        A.write_avro(p, schema, rows, codec=codec, block_rows=100)
+        blob = open(p, "rb").read()
+        assert blob[:4] == b"Obj\x01"
+        hdr_schema, hdr_codec, sync, _ = A.read_header(blob)
+        assert hdr_codec == codec and _json.dumps(hdr_schema)
+        assert len(sync) == 16
+        back = sorted(r for block in A.decode_blocks(blob) for r in block)
+        assert back == rows  # exact: longs, doubles, nulls, bools, strings
+    # distributed read equals the local decode
+    df = A.read_avro(spark, str(tmp_path / "t_deflate.avro"))
+    assert df.count() == 1000
+    got = {r["k"]: (r["s"], r["x"], r["m"], r["b"]) for r in df.collect()}
+    assert got[0] == ("s0", 0.0, None, True)
+    assert got[-50] == ("s-50", -12.5, "m-50", True)  # -50 % 3 == 1 in Python
+    assert got[7] == ("s7", 1.75, "m7", False)
+    # unsupported constructs are rejected by name, never half-decoded
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported avro type"):
+        A.spark_schema({"type": "record", "name": "x", "fields": [
+            {"name": "a", "type": {"type": "array", "items": "long"}}]})
+    with _pytest.raises(ValueError, match="null unions"):
+        A.spark_schema({"type": "record", "name": "x", "fields": [
+            {"name": "a", "type": ["string", "long"]}]})
