@@ -296,3 +296,43 @@ def read_avro(
                     yield pd.DataFrame.from_records(rows, columns=names)
 
     return files.mapInPandas(decode, schema=schema)
+
+
+def write_avro_dataset(
+    df: DataFrame,
+    path: str,
+    schema: dict,
+    codec: str = "deflate",
+    block_rows: int = 4096,
+) -> None:
+    """DISTRIBUTED Avro sink: each Spark partition writes its own .avro
+    shard (atomic tmp+rename, so readers never see a partial container),
+    mirroring how every columnar sink shards output. The per-shard sync
+    marker derives from the partition id — deterministic bytes for a
+    deterministic input partitioning. Rows must match ``schema``'s field
+    order (select the columns first). An empty partition writes no file
+    (same as parquet)."""
+    import hashlib
+    import os as _os
+    import uuid as _uuid
+
+    _field_types(schema)  # validate the subset before any task runs
+    _os.makedirs(path, exist_ok=True)
+
+    def sink(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = [tuple(r) for r in it]
+        if not rows:
+            return
+        sync = hashlib.md5(f"pkg2_spark-avro-{pid}".encode()).digest()
+        final = _os.path.join(path, f"part-{pid:05d}.avro")
+        tmp = f"{final}.{_uuid.uuid4().hex[:8]}.tmp"
+        write_avro(tmp, schema, rows, codec=codec, block_rows=block_rows,
+                   sync=sync)
+        _os.replace(tmp, final)
+
+    df.rdd.foreachPartition(sink)
+    with open(_os.path.join(path, "_SUCCESS"), "w") as f:
+        f.write("")

@@ -996,3 +996,55 @@ def q_src_avro(spark, sf_dir):
         .cast("long")
         .alias("sum_price_e2"),
     )
+
+
+@query(
+    "q_sink_avro",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n,
+       CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_e2
+FROM customer
+GROUP BY c_mktsegment
+""",
+)
+def q_sink_avro(spark, sf_dir):
+    """Avro SINK — the write half of the q_src_avro format story: the
+    customer table, repartitioned to 4 shards, is written DISTRIBUTED
+    (each Spark partition emits its own deflate-coded .avro container
+    via atomic tmp+rename — avroio.write_avro_dataset; the one
+    legitimate RDD use: per-partition imperative IO), then read back
+    through the binaryFile block decoder and aggregated per market
+    segment against the source-table oracle — a full write/read
+    round-trip of the stdlib OCF implementation on a second table and
+    schema.
+
+    Scale: one shard per partition, written task-locally with no
+    driver involvement; readers parallelize per shard file."""
+    from pkg2_spark.avroio import read_avro, write_avro_dataset
+
+    c = load_tables(spark, sf_dir)["customer"]
+    d = fixture_path("avro_customer_sink", sf_dir)
+    if not fixture_ready(d, sf_dir):
+        shutil.rmtree(d, ignore_errors=True)
+        schema = {
+            "type": "record",
+            "name": "customer",
+            "fields": [
+                {"name": "c_custkey", "type": "long"},
+                {"name": "c_mktsegment", "type": "string"},
+                {"name": "c_acctbal", "type": "double"},
+            ],
+        }
+        staged = c.select(
+            F.col("c_custkey").cast("long"),
+            "c_mktsegment",
+            F.col("c_acctbal").cast("double"),
+        ).repartition(4)
+        write_avro_dataset(staged, d, schema)
+    back = read_avro(spark, os.path.join(d, "*.avro"))
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("c_acctbal") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_bal_e2"),
+    )

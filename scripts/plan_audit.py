@@ -129,6 +129,8 @@ PYTHON_WHITELIST = {
     # Avro OCF decode: per-shard-file stdlib block decoder via
     # mapInPandas (avroio.py; the spark-avro JVM package is absent)
     "q_src_avro",
+    # ...and the read-back half of the distributed Avro sink round-trip
+    "q_sink_avro",
 }
 
 # Plans built inside the streaming harness (writeStream), not visible here.
