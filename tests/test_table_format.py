@@ -261,3 +261,55 @@ def test_concurrent_writers_race_safely(spark, tmp_path):
     assert [c["version"] for c in hist] == list(range(13))
     assert sum(c["op"] == "append" for c in hist) == 12
     assert t.read().count() == 10 + 12 * 10
+
+
+def test_streaming_restart_resumes_exactly_once(spark, tmp_path):
+    # A REAL restart: run an availableNow stream into the ACID sink, add
+    # more source files, run AGAIN with the SAME checkpoint — only the
+    # new files land, each epoch exactly once, and the final table equals
+    # the full source with no duplicates. This pins the interplay the
+    # registered query can't: Spark's checkpoint advances the source
+    # offsets across runs while the batchId ledger guards replays within
+    # and across them.
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    t = Table(spark, str(tmp_path / "sink"))
+
+    def land(lo, hi, name):
+        _mk(spark, lo, hi).coalesce(1).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+
+    land(0, 100, "f0")
+    land(100, 250, "f1")
+    schema = spark.read.parquet(str(src / "f0")).schema
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: t.append_batch(df, bid)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+    first_batches = t.committed_batch_ids()
+    assert t.read().count() == 250
+    land(250, 300, "f2")
+    land(300, 340, "f3")
+    run_stream()  # SAME checkpoint: resumes at the next offset
+    assert t.read().count() == 340
+    assert {r["id"] for r in t.read().collect()} == set(range(340))
+    assert len(t.committed_batch_ids()) > len(first_batches)
+    # and a third run with no new data commits nothing
+    v = latest_version(t.path)
+    run_stream()
+    assert latest_version(t.path) == v
