@@ -537,3 +537,27 @@ def test_funnel_is_single_global_agg_plus_explode(spark, sf_dir):
     assert "Generate" in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_acid_reads_are_plain_scans_no_python(spark, sf_dir):
+    # The table format's data path is ordinary parquet scanning: the
+    # registered reads must plan as scans + hash-aggs with NO Python
+    # node (the log fold is driver-side metadata, invisible to the plan)
+    # and no join at all in the merge read-back.
+    for name in ("q_acid_timetravel", "q_acid_merge"):
+        plan = _plan(spark, sf_dir, name)
+        assert "HashAggregate" in plan, name
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, (name, marker)
+    assert "Join" not in _plan(spark, sf_dir, "q_acid_merge")
+
+
+def test_db_and_avro_sources_decode_via_mapinpandas(spark, sf_dir):
+    # The two stdlib sources are DECLARED Python decode surfaces: exactly
+    # one MapInPandas stage feeding a JVM-side hash aggregate — no
+    # row-at-a-time Python, no Python after the decode.
+    for name in ("q_src_sqlite", "q_src_avro", "q_sink_avro"):
+        plan = _plan(spark, sf_dir, name)
+        assert "MapInPandas" in plan, name
+        assert "HashAggregate" in plan, name
+        assert "BatchEvalPython" not in plan, name
