@@ -195,6 +195,44 @@ def _commit(
         json.dump(rec, f, indent=1)
 
 
+def _with_zvalue(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Append a Morton (Z-order) key ``__z`` over up to four numeric
+    columns: each dimension linear-scales to an 8-bit bucket against its
+    global min/max (ONE tiny bounds aggregate, broadcast as literals),
+    and the buckets' bits interleave — q_fn_zorder's expression driving
+    a write layout. Nulls bucket to 0 (they cluster together at the
+    low corner, like Delta's NULLS FIRST zorder)."""
+    import pyspark.sql.functions as F
+
+    if not 1 <= len(cols) <= 4:
+        raise ValueError("zorder_by takes 1-4 columns")
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"__lo_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"__hi_{c}"))
+    b = df.agg(*aggs).collect()[0]
+    ndims = len(cols)
+    z = None
+    for j, c in enumerate(cols):
+        lo, hi = b[f"__lo_{c}"], b[f"__hi_{c}"]
+        if lo is None or hi is None or hi == lo:
+            bucket = F.lit(0).cast("long")
+        else:
+            scaled = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(
+                float(hi) - float(lo)
+            ) * 256
+            bucket = F.coalesce(
+                F.least(F.lit(255).cast("long"), F.floor(scaled).cast("long")),
+                F.lit(0).cast("long"),
+            )
+        for i in range(8):
+            bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1)) * F.lit(
+                1 << (i * ndims + j)
+            )
+            z = bit if z is None else z + bit
+    return df.withColumn("__z", z.cast("long"))
+
+
 @dataclass
 class Table:
     """Handle on a logged table — all mutators go through the commit
@@ -435,7 +473,11 @@ class Table:
                 continue
         raise ConcurrentCommitError(f"delete in {self.path} kept losing races")
 
-    def compact(self, max_files: int | None = None) -> int:
+    def compact(
+        self,
+        max_files: int | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> int:
         """OPTIMIZE: bin-pack the live snapshot into right-sized files —
         a LOGICAL NO-OP commit (every row carries over; Table.changes
         across it is empty, pinned by test and by q_acid_compact's
@@ -443,24 +485,48 @@ class Table:
         commits. The rewrite re-range-clusters on cluster_by, restoring
         tight per-file stat ranges for merge pruning. ``max_files``
         overrides the handle's num_files for this commit (at deploy
-        scale leave both unset and let AQE size output partitions)."""
+        scale leave both unset and let AQE size output partitions).
+
+        ``zorder_by`` (the OPTIMIZE ZORDER move): range-cluster this
+        rewrite on an interleaved-bit Morton key over up to four NUMERIC
+        columns instead of cluster_by — rows close in EVERY listed
+        dimension land in the same files, so footer min/max stats prune
+        scans filtered on ANY of them (q_fn_zorder is the key as a pure
+        expression; here it drives the layout). Dimensions are linear
+        min/max-scaled to 8-bit buckets via one tiny broadcast bounds
+        agg — scale-free, no window, no sort beyond the write's range
+        partitioning."""
+        import pyspark.sql.functions as F
+
         for _ in range(self.max_retries):
             v = latest_version(self.path)
             live = snapshot_files(self.path, v)
             df = self.spark.read.parquet(*live)
             rel = [os.path.relpath(f, self.path) for f in live]
-            saved = self.num_files
+            saved_files, saved_cluster = self.num_files, self.cluster_by
             try:
                 if max_files is not None:
                     self.num_files = max_files
+                if zorder_by:
+                    df = _with_zvalue(df, zorder_by)
+                    n = self.num_files
+                    out = (
+                        df.repartitionByRange(n, "__z")
+                        if n
+                        else df.repartitionByRange("__z")
+                    ).sortWithinPartitions("__z").drop("__z")
+                    self.cluster_by = None  # layout already applied
+                    df = out
+                meta = {"compacted_files": len(live)}
+                if zorder_by:
+                    meta["zorder_by"] = list(zorder_by)
                 return self._mutate(
-                    "compact", df, remove=rel, base_version=v,
-                    meta={"compacted_files": len(live)},
+                    "compact", df, remove=rel, base_version=v, meta=meta,
                 )
             except ConcurrentCommitError:
                 continue
             finally:
-                self.num_files = saved
+                self.num_files, self.cluster_by = saved_files, saved_cluster
         raise ConcurrentCommitError(f"compact of {self.path} kept losing races")
 
     def committed_batch_ids(self) -> set:

@@ -313,3 +313,38 @@ def test_streaming_restart_resumes_exactly_once(spark, tmp_path):
     v = latest_version(t.path)
     run_stream()
     assert latest_version(t.path) == v
+
+
+def test_zorder_compaction_localizes_both_dimensions(spark, tmp_path):
+    # OPTIMIZE ZORDER: after a z-ordered rewrite, per-file footer ranges
+    # must be narrow on BOTH dimensions (quadrant-shaped files), so stats
+    # pruning works for scans filtered on either column — a single-column
+    # range clustering can only ever localize one of them.
+    t = Table(
+        spark, str(tmp_path / "z"), stats_cols=["a", "b"], num_files=16
+    )
+    rows = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("long").alias("b"),
+        F.col("id").alias("payload"),
+    )
+    t.create(rows)
+    v = t.compact(max_files=16, zorder_by=["a", "b"])
+    assert t.history()[-1]["meta"]["zorder_by"] == ["a", "b"]
+    assert t.changes(v - 1, v).count() == 0  # still a logical no-op
+    assert t.read().count() == 4096
+    rec = t.history()[-1]
+    spans = {
+        c: [
+            e["stats"][c][1] - e["stats"][c][0]
+            for e in rec["add"]
+            if e["rows"] > 0 and c in e["stats"]
+        ]
+        for c in ("a", "b")
+    }
+    # full span is 63 on each dim; 16 z-ordered files => ~quadrant files.
+    # Demand better than half-span on BOTH dims for the typical file.
+    for c in ("a", "b"):
+        assert spans[c], c
+        avg = sum(spans[c]) / len(spans[c])
+        assert avg <= 32, (c, spans[c])
