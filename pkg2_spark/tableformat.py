@@ -203,9 +203,20 @@ def _with_zvalue(df: DataFrame, cols: list[str]) -> DataFrame:
     a write layout. Nulls bucket to 0 (they cluster together at the
     low corner, like Delta's NULLS FIRST zorder)."""
     import pyspark.sql.functions as F
+    from pyspark.sql.types import NumericType
 
     if not 1 <= len(cols) <= 4:
         raise ValueError("zorder_by takes 1-4 columns")
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    bad = [
+        c for c in cols
+        if c not in dtypes or not isinstance(dtypes[c], NumericType)
+    ]
+    if bad:
+        raise ValueError(
+            f"zorder_by columns must be numeric table columns; got {bad} "
+            "(a silent cast-to-null here would bucket everything to 0)"
+        )
     aggs = []
     for c in cols:
         aggs.append(F.min(F.col(c).cast("double")).alias(f"__lo_{c}"))
@@ -334,6 +345,15 @@ class Table:
         dele = da.exceptAll(db).withColumn("change_type", F.lit("delete"))
         return ins.unionByName(dele)
 
+    def _pinned_reader(self, version: int | None = None):
+        """A reader pinned to the log's schema — EVERY rewrite must scan
+        through this: after a schema evolution the live set holds files
+        with and without the added column, and plain parquet inference
+        picks one footer arbitrarily, silently dropping the evolved
+        column from a compaction/delete/merge rewrite."""
+        schema = self.schema_at(version)
+        return self.spark.read.schema(schema) if schema else self.spark.read
+
     # -- writers ---------------------------------------------------------
     def create(self, df: DataFrame) -> int:
         """Version 0: write ``df`` and open the log. With ``cluster_by``
@@ -431,7 +451,7 @@ class Table:
             if touched:
                 # No broadcast hint: the update delta is unbounded in
                 # general (a day's CDC feed) — AQE sizes the anti-join.
-                base = self.spark.read.parquet(*touched)
+                base = self._pinned_reader().parquet(*touched)
                 rewritten = base.join(
                     keys, key, "left_anti"
                 ).unionByName(updates)
@@ -461,7 +481,7 @@ class Table:
         for _ in range(self.max_retries):
             v = latest_version(self.path)
             live = snapshot_files(self.path, v)
-            base = self.spark.read.parquet(*live)
+            base = self._pinned_reader().parquet(*live)
             kept_rows = base.filter(f"NOT ({predicate})")
             rel = [os.path.relpath(f, self.path) for f in live]
             try:
@@ -496,12 +516,10 @@ class Table:
         min/max-scaled to 8-bit buckets via one tiny broadcast bounds
         agg — scale-free, no window, no sort beyond the write's range
         partitioning."""
-        import pyspark.sql.functions as F
-
         for _ in range(self.max_retries):
             v = latest_version(self.path)
             live = snapshot_files(self.path, v)
-            df = self.spark.read.parquet(*live)
+            df = self._pinned_reader().parquet(*live)
             rel = [os.path.relpath(f, self.path) for f in live]
             saved_files, saved_cluster = self.num_files, self.cluster_by
             try:

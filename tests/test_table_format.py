@@ -348,3 +348,32 @@ def test_zorder_compaction_localizes_both_dimensions(spark, tmp_path):
         assert spans[c], c
         avg = sum(spans[c]) / len(spans[c])
         assert avg <= 32, (c, spans[c])
+
+
+def test_rewrites_preserve_evolved_schema(spark, table):
+    # REGRESSION: after a schema evolution the live set mixes files with
+    # and without the added column; a rewrite that scans with plain
+    # parquet inference picks one footer arbitrarily and can silently
+    # drop the evolved column. compact / delete_where / merge must all
+    # scan through the LOG-pinned schema instead.
+    widened = _mk(spark, 1000, 1010).withColumn("extra", F.lit(5).cast("long"))
+    table.append(widened, allow_schema_evolution=True)
+    table.compact(max_files=2)
+    got = {r["id"]: r["extra"] for r in table.read().collect()}
+    assert len(got) == 1010
+    assert got[1005] == 5 and got[3] is None
+    table.delete_where("id < 100")
+    got = {r["id"]: r["extra"] for r in table.read().collect()}
+    assert len(got) == 910 and got[1005] == 5
+    upd = spark.range(1000, 1003).select(
+        F.col("id"), F.lit(0).cast("long").alias("val"),
+        F.lit("u").alias("tag"), F.lit(9).cast("long").alias("extra"),
+    )
+    table.merge(upd, key="id")
+    got = {r["id"]: r["extra"] for r in table.read().collect()}
+    assert got[1001] == 9 and got[1005] == 5 and got[500] is None
+    # zorder rejects non-numeric / unknown columns by name
+    with pytest.raises(ValueError, match="numeric"):
+        table.compact(zorder_by=["tag"])
+    with pytest.raises(ValueError, match="numeric"):
+        table.compact(zorder_by=["nope"])
