@@ -283,9 +283,20 @@ def read_avro(
 
     if schema is None:
         matches = sorted(_glob.glob(path)) or [path]
-        with open(matches[0], "rb") as f:
-            head = f.read()
-        schema = spark_schema(read_header(head)[0])
+        # The header (metadata map + sync) sits at the front; probe a
+        # bounded prefix so a multi-GB shard never loads into the driver,
+        # widening only if an oversized schema JSON overruns it.
+        probe = 1 << 20
+        while True:
+            with open(matches[0], "rb") as f:
+                head = f.read(probe)
+            try:
+                schema = spark_schema(read_header(head)[0])
+                break
+            except IndexError:
+                if len(head) < probe:  # whole file read and still short
+                    raise ValueError(f"{matches[0]}: truncated avro header")
+                probe *= 8
     names = [f.name for f in schema.fields]
     files = spark.read.format("binaryFile").load(path).select("content")
 
