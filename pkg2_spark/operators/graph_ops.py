@@ -57,3 +57,56 @@ def pagerank(
             ).alias("rank"),
         )
     return ranks
+
+
+def hits(edges: DataFrame, src: str = "src", dst: str = "dst", iters: int = 3) -> DataFrame:
+    """Deterministic integer-scaled HITS over a DIRECTED bipartite-ish edge
+    set: hub score h(u) over sources, authority score a(v) over targets.
+
+    Update (per iteration): a_raw(v) = sum_{u->v} h(u); a = (a_raw *
+    1e6) div max(a_raw); h_raw(u) = sum_{u->v} a(v); h = (h_raw * 1e6)
+    div max(h_raw). Max-normalizing each half-step with INTEGER division
+    keeps every score in [0, 1e6] — no floats anywhere, so the result is
+    bit-identical across engines/partitionings (the pagerank discipline),
+    and the 1e6-scaled products stay far below int64 as long as
+    max in/out degree < ~9e6 (documented bound; beyond that, raise the
+    scale denominator first).
+
+    Scale shape per half-step: one edge ⋈ score shuffle join keyed on the
+    score's node column, one hash-agg to the opposite side, one 1-row max
+    broadcast for the normalizer — identical to the pagerank dataflow
+    plus the scalar join. Returns (node, hub_e6) ∪ rows keyed by target
+    with (node, auth_e6) available via the `side` column."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    hubs = e.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(_SCALE).cast("long").alias("score")
+    )
+    auths = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hubs, e["src"] == hubs["node"])
+            .groupBy("dst")
+            .agg(F.sum("score").alias("raw"))
+        )
+        mx = a_raw.agg(F.max("raw").alias("mx"))
+        auths = a_raw.crossJoin(F.broadcast(mx)).select(
+            F.col("dst").alias("node"),
+            F.expr("(raw * CAST(1000000 AS BIGINT)) div mx").alias("score"),
+        )
+        h_raw = (
+            e.join(auths, e["dst"] == auths["node"])
+            .groupBy("src")
+            .agg(F.sum("score").alias("raw"))
+        )
+        hmx = h_raw.agg(F.max("raw").alias("mx"))
+        hubs = h_raw.crossJoin(F.broadcast(hmx)).select(
+            F.col("src").alias("node"),
+            F.expr("(raw * CAST(1000000 AS BIGINT)) div mx").alias("score"),
+        )
+    return auths.select("node", F.col("score").alias("auth_e6")).join(
+        hubs.select(F.col("node").alias("hnode"), F.col("score").alias("hub_e6")),
+        F.col("node") == F.col("hnode"),
+        "full",
+    ).select(
+        F.coalesce("node", "hnode").alias("node"), "auth_e6", "hub_e6"
+    )

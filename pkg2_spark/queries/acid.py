@@ -422,3 +422,72 @@ def q_acid_ivm(spark, sf_dir):
         .cast("long")
         .alias("sum_price_e2"),
     ).filter(F.col("n") > 0)
+
+
+@query(
+    "q_acid_restore",
+    oracle=f"""
+SELECT o_orderstatus, count(*) AS n, {_E2} AS sum_price_e2,
+       CAST(0 AS BIGINT) AS n_changes
+FROM orders
+WHERE o_orderdate < DATE '1999-01-01'
+GROUP BY o_orderstatus
+""",
+)
+def q_acid_restore(spark, sf_dir):
+    """RESTORE (version rollback) as a metadata-only commit: a 3-commit
+    table (create <1997, append 1997-1999, then a price-bumping merge)
+    is restored to the PRE-merge version — Table.restore re-adds v1's
+    files by reference and removes the merge's rewrites, writing one
+    tiny JSON commit and zero data bytes (tests pin that no data dir is
+    created for the restore version). The head read must then equal v1
+    AS DATA: the oracle replays v1's recipe over raw orders, and
+    n_changes is the engine's own file-pruned CDC between v1 and the
+    restore commit, pinned to 0 — a restore that lost or duplicated a
+    single row would hash-mismatch. History is preserved: the merge
+    snapshot stays time-travelable after the restore.
+
+    Scale: O(commits) driver-side log fold + one JSON write — table
+    size never appears in the restore itself; the proof reads prune to
+    the file-set difference (empty here), so the n_changes arm costs
+    one metadata fold too."""
+    path = fixture_path("acid_orders_restore", sf_dir)
+    t = Table(
+        spark, path, stats_cols=["o_orderkey"], cluster_by="o_orderkey",
+        num_files=4,
+    )
+    if not fixture_ready(path, sf_dir, marker=_MARKER):
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        o = load_tables(spark, sf_dir)["orders"]
+        early = o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+        mid = o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("date"))
+        )
+        t.create(early)
+        t.append(mid)
+        t.merge(
+            t.read(version=1)
+            .filter(F.col("o_orderkey").between(_UPD_LO, _UPD_HI))
+            .withColumn("o_totalprice", F.col("o_totalprice") + 100000.0),
+            key="o_orderkey",
+        )
+        t.restore(1)
+        with open(os.path.join(path, _MARKER), "w") as f:
+            f.write("ok\n")
+    v_restore = len(t.history()) - 1
+    ch = t.changes(1, v_restore).agg(
+        F.count(F.lit(1)).cast("long").alias("n_changes")
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_price_e2"),
+        )
+        .crossJoin(F.broadcast(ch))
+    )

@@ -470,3 +470,41 @@ def q_agg_approx_pct_check(spark, sf_dir):
         F.round("exact", 2).alias("exact_median_2dp"),
         (rel_err <= 0.01).alias("within_1pct"),
     )
+
+
+@query(
+    "q_ml_linreg",
+    oracle="""
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+       round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty,
+       round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def q_ml_linreg(spark, sf_dir):
+    """Per-group OLS regression via the SQL-standard REGR_* aggregate
+    family (price ~ quantity per return flag) — the distributed
+    closed-form fit: every regr_* aggregate is a one-pass map-combinable
+    moment (sums of x, y, x^2, xy), so the whole six-statistic fit costs
+    the same shuffle as one hash aggregate and never materializes the
+    normal-equations matrix anywhere.
+
+    Scale: partial aggregation map-side, |groups| rows after the
+    shuffle; identical one-pass moment formulation in both engines
+    (Spark SQL regr_* and DuckDB regr_*), rounded per §2.13."""
+    l = load_tables(spark, sf_dir)["lineitem"]
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("long").alias("n"),
+        F.round(F.regr_avgx("l_extendedprice", "l_quantity"), 4).alias("avg_qty"),
+        F.round(F.regr_avgy("l_extendedprice", "l_quantity"), 4).alias("avg_price"),
+    )

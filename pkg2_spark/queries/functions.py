@@ -14,6 +14,7 @@ idiomatic) and documented inline:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from pkg2_spark.catalog import load_tables
 from pkg2_spark.registry import query
@@ -422,4 +423,98 @@ def q_fn_strdist(spark, sf_dir):
         F.levenshtein("p_name", "p_brand").alias("d_name_brand"),
         F.levenshtein(F.lower("p_name"), F.lower(F.reverse("p_name"))).alias("d_palindrome"),
         F.length("p_name").alias("name_len"),
+    )
+
+
+@query(
+    "q_fn_ip",
+    oracle="""
+WITH ips AS (
+  SELECT c_custkey,
+         CAST((c_custkey * 7) % 224 AS BIGINT) AS o1,
+         CAST((c_custkey * 13) % 256 AS BIGINT) AS o2,
+         CAST((c_custkey * 31) % 256 AS BIGINT) AS o3,
+         CAST((c_custkey * 3) % 256 AS BIGINT) AS o4
+  FROM customer
+),
+parsed AS (
+  SELECT c_custkey,
+         o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ip,
+         CAST(string_split(o1 || '.' || o2 || '.' || o3 || '.' || o4, '.')[1] AS BIGINT) * 16777216
+         + CAST(string_split(o1 || '.' || o2 || '.' || o3 || '.' || o4, '.')[2] AS BIGINT) * 65536
+         + CAST(string_split(o1 || '.' || o2 || '.' || o3 || '.' || o4, '.')[3] AS BIGINT) * 256
+         + CAST(string_split(o1 || '.' || o2 || '.' || o3 || '.' || o4, '.')[4] AS BIGINT) AS ip_int
+  FROM ips
+),
+rules AS (
+  SELECT * FROM (VALUES
+    (CAST(0 AS BIGINT),  CAST(1 AS BIGINT),  'low-half'),
+    (CAST(64 AS BIGINT), CAST(2 AS BIGINT),  'quad-2'),
+    (CAST(96 AS BIGINT), CAST(3 AS BIGINT),  'oct-96'),
+    (CAST(128 AS BIGINT), CAST(1 AS BIGINT), 'high-half')
+  ) t(net_o1, prefix, label)
+),
+matched AS (
+  SELECT p.c_custkey, p.ip_int, r.label, r.prefix
+  FROM parsed p JOIN rules r
+    ON (p.ip_int // power(2, 32 - r.prefix)::BIGINT)
+     = ((r.net_o1 * 16777216) // power(2, 32 - r.prefix)::BIGINT)
+  QUALIFY row_number() OVER (
+    PARTITION BY p.c_custkey ORDER BY r.prefix DESC, r.label ASC
+  ) = 1
+)
+SELECT label, count(*) AS n,
+       CAST(min(ip_int) AS BIGINT) AS min_ip,
+       CAST(max(ip_int) AS BIGINT) AS max_ip
+FROM matched GROUP BY label
+""",
+)
+def q_fn_ip(spark, sf_dir):
+    """IP/CIDR function family — dotted-quad parse to uint32 and
+    LONGEST-PREFIX-MATCH classification against a CIDR rule table, all
+    as integer Catalyst expressions (no inet type needed): ip_int =
+    fold(split(ip,'.')), membership = equality of the top `prefix` bits
+    (integer shift), LPM = row_number over prefix DESC per address.
+
+    Scale: the rule table is a broadcast literal (real deployments
+    broadcast a few-thousand-row route/geo table the same way); the
+    match is a BroadcastNestedLoopJoin on a bit-shift predicate bounded
+    by |rules| per row, then a hash agg. Addresses are synthesized
+    deterministically from c_custkey so both engines parse identical
+    strings."""
+    c = load_tables(spark, sf_dir)["customer"]
+    k = F.col("c_custkey")
+    ip = F.concat_ws(
+        ".",
+        ((k * 7) % 224).cast("string"),
+        ((k * 13) % 256).cast("string"),
+        ((k * 31) % 256).cast("string"),
+        ((k * 3) % 256).cast("string"),
+    )
+    part = F.split(ip, "\\.")
+    ip_int = (
+        part.getItem(0).cast("long") * 16777216
+        + part.getItem(1).cast("long") * 65536
+        + part.getItem(2).cast("long") * 256
+        + part.getItem(3).cast("long")
+    )
+    parsed = c.select("c_custkey", ip_int.alias("ip_int"))
+    rules = spark.createDataFrame(
+        [(0, 1, "low-half"), (64, 2, "quad-2"), (96, 3, "oct-96"), (128, 1, "high-half")],
+        "net_o1 long, prefix long, label string",
+    )
+    shift = F.pow(F.lit(2.0), 32 - F.col("prefix")).cast("long")
+    joined = parsed.join(
+        F.broadcast(rules),
+        (F.col("ip_int") / shift).cast("long")
+        == ((F.col("net_o1") * 16777216) / shift).cast("long"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("prefix").desc(), F.col("label").asc()
+    )
+    lpm = joined.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return lpm.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ip_int").alias("min_ip"),
+        F.max("ip_int").alias("max_ip"),
     )

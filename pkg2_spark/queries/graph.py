@@ -556,3 +556,90 @@ def q_graph_kcore(spark, sf_dir):
         F.lit(False).alias("in_core"),
     )
     return out_peeled.unionAll(core)
+
+
+# ------------------------------------------------------------------- HITS
+# Hubs-and-authorities over the directed customer -> supplier purchase
+# graph (hub = customer whose purchases concentrate on authoritative
+# suppliers, authority = supplier bought by strong hubs). Same integer
+# discipline as PageRank: e6-scaled BIGINT scores, max-normalized each
+# half-step with INTEGER division, so three unrolled iterations are
+# bit-identical cross-engine (operators/graph_ops.py::hits).
+
+_HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    cte = """
+pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+h0 AS (SELECT DISTINCT c AS node, CAST(1000000 AS BIGINT) AS score FROM pairs)"""
+    for i in range(1, _HITS_ITERS + 1):
+        cte += f""",
+a{i}_raw AS (
+  SELECT p.s AS node, CAST(sum(h.score) AS BIGINT) AS raw
+  FROM pairs p JOIN h{i - 1} h ON p.c = h.node GROUP BY p.s
+),
+a{i} AS (
+  SELECT node,
+         CAST((raw * 1000000) // (SELECT max(raw) FROM a{i}_raw) AS BIGINT) AS score
+  FROM a{i}_raw
+),
+h{i}_raw AS (
+  SELECT p.c AS node, CAST(sum(a.score) AS BIGINT) AS raw
+  FROM pairs p JOIN a{i} a ON p.s = a.node GROUP BY p.c
+),
+h{i} AS (
+  SELECT node,
+         CAST((raw * 1000000) // (SELECT max(raw) FROM h{i}_raw) AS BIGINT) AS score
+  FROM h{i}_raw
+)"""
+    n = _HITS_ITERS
+    return f"""
+WITH {cte.strip()}
+SELECT 'auth' AS side, node - 1000000 AS id, score AS score_e6 FROM a{n}
+UNION ALL
+SELECT 'hub' AS side, node AS id, score AS score_e6 FROM h{n}
+"""
+
+
+@query("q_graph_hits", oracle=_hits_oracle())
+def q_graph_hits(spark, sf_dir):
+    """HITS hubs/authorities (Kleinberg) over the customer->supplier
+    purchase graph — the link-analysis dual to q_graph_pagerank, with the
+    same determinism posture: integer e6 scores, max-normalized per
+    half-step via integer division (operators/graph_ops.py::hits
+    documents the dataflow and the int64 headroom bound). Suppliers are
+    offset by 1e6 so the two score domains never collide in the node id
+    space; the output unions both sides under a `side` discriminator.
+
+    Scale per half-step: one shuffle join of edges against the 1-row-
+    per-node score table + one hash-agg + a 1-row broadcast normalizer —
+    linear in edges per iteration, state one row per node."""
+    from pkg2_spark.catalog import load_tables
+    from pkg2_spark.operators.graph_ops import hits
+
+    t = load_tables(spark, sf_dir)
+    pairs = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _PR_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    scores = hits(pairs, iters=_HITS_ITERS)
+    auth = scores.filter(F.col("auth_e6").isNotNull()).select(
+        F.lit("auth").alias("side"),
+        (F.col("node") - _PR_OFFSET).alias("id"),
+        F.col("auth_e6").alias("score_e6"),
+    )
+    hub = scores.filter(F.col("hub_e6").isNotNull()).select(
+        F.lit("hub").alias("side"),
+        F.col("node").alias("id"),
+        F.col("hub_e6").alias("score_e6"),
+    )
+    return auth.unionAll(hub)

@@ -3533,3 +3533,60 @@ def q_llm_filter_funnel(spark, sf_dir):
         F.col("n_out").cast("long").alias("n_out"),
         F.expr("(1000 * (n_in - n_out)) div n_in").cast("long").alias("kill_milli"),
     )
+
+
+# Weighted priority sampling: integer Efraimidis–Spirakis analog. Weight
+# w ∈ [1,10] (length-proportional), uniform draw u = hex32(md5(doc_id))
+# (32-bit integer), priority = u * (2520 div w) — 2520 = lcm(1..10), so
+# the division is EXACT and every priority is a pure int64 product (no
+# u^(1/w) float pow whose last-ulp could reorder near-ties across
+# engines). Smaller priority = proportionally likelier pick; the sample
+# is the global bottom-k.
+_WSAMPLE_K = 100
+_WSAMPLE_LCM = 2520
+
+
+@query(
+    "q_llm_sample_weighted",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, lang, n_chars,
+         least(10, 1 + n_chars // 60) AS weight,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u
+  FROM documents
+)
+SELECT doc_id, lang, CAST(weight AS BIGINT) AS weight,
+       CAST(u * ({_WSAMPLE_LCM} // weight) AS BIGINT) AS priority
+FROM w
+ORDER BY priority ASC, doc_id ASC
+LIMIT {_WSAMPLE_K}
+""",
+)
+def q_llm_sample_weighted(spark, sf_dir):
+    """Weight-proportional priority sample WITHOUT replacement — the
+    deterministic analog of Efraimidis–Spirakis reservoir sampling for
+    corpus curation (oversample long documents at a controlled rate,
+    reproducibly): weight = length bucket in [1,10], priority =
+    hash-uniform-u × (2520 div w), keep the global bottom-k. All-integer
+    priorities make the draw key-stable, partitioning-invariant and
+    engine-portable (the hash_sample discipline extended with weights).
+
+    Scale: a per-row projection plus a global bottom-k — Spark plans
+    orderBy().limit(k) as TakeOrderedAndProject (per-partition heap +
+    k-row driver merge), so no global sort materializes at any size;
+    re-sampling after corpus growth keeps every previously drawn doc's
+    priority unchanged."""
+    d = load_tables(spark, sf_dir)["documents"]
+    w = F.least(F.lit(10), F.lit(1) + F.expr("n_chars div 60")).cast("long")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        w.alias("weight"),
+        (u * (F.lit(_WSAMPLE_LCM) / w).cast("long")).alias("priority"),
+    )
+    return scored.orderBy(
+        F.col("priority").asc(), F.col("doc_id").asc()
+    ).limit(_WSAMPLE_K)

@@ -1048,3 +1048,76 @@ def q_sink_avro(spark, sf_dir):
         .cast("long")
         .alias("sum_bal_e2"),
     )
+
+
+@query(
+    "q_src_xml",
+    oracle="""
+SELECT CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderpriority END
+         AS priority,
+       o_orderstatus AS status,
+       count(*) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_e2
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def q_src_xml(spark, sf_dir):
+    """XML source/sink round-trip — Spark 4's NATIVE xml format (the
+    spark-xml package merged into core in 4.0), exercised on the two
+    things XML is actually used for: NESTED elements (each row carries a
+    <detail> child struct) and ABSENT optional elements (every 11th
+    key's priority is written as a missing element, which the reader
+    must surface as NULL — both the null group and the nested values are
+    hash-checked against the parquet oracle).
+
+    Scale: the writer shards one XML document per Spark partition and
+    the reader splits on <order> row tags per file, so both directions
+    parallelize per file exactly like csv/json; an explicit read schema
+    keeps the scan single-pass (no inference job over the corpus)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    path = fixture_path("src_xml", sf_dir)
+    if not fixture_ready(path, sf_dir):
+        staged = o.select(
+            F.col("o_orderkey").cast("long").alias("okey"),
+            F.when(F.col("o_orderkey") % 11 != 0, F.col("o_orderpriority"))
+            .alias("priority"),
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_e2"),
+            ).alias("detail"),
+        )
+        (
+            staged.write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "orders")
+            .option("rowTag", "order")
+            .save(path)
+        )
+    xml_schema = T.StructType(
+        [
+            T.StructField("okey", T.LongType()),
+            T.StructField("priority", T.StringType()),
+            T.StructField(
+                "detail",
+                T.StructType(
+                    [
+                        T.StructField("status", T.StringType()),
+                        T.StructField("price_e2", T.LongType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(xml_schema)
+        .load(path)
+    )
+    return back.groupBy(
+        F.col("priority"), F.col("detail.status").alias("status")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("detail.price_e2").alias("sum_price_e2"),
+    )

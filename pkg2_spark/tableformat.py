@@ -103,6 +103,28 @@ def snapshot_files(path: str, version: int | None = None) -> list[str]:
     return [os.path.join(path, rel) for rel in live]
 
 
+def _live_entries(path: str, cut: int) -> dict[str, dict]:
+    """Live add ENTRIES (relative path → full add record, with rows and
+    stats) at version ``cut`` — the entry-preserving sibling of
+    snapshot_files, for metadata-only commits that re-add files by
+    reference (restore)."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no table log at {path}")
+    if cut not in vs:
+        raise ValueError(f"version {cut} not in table log (have {vs})")
+    live: dict[str, dict] = {}
+    for v in vs:
+        if v > cut:
+            break
+        c = _read_commit(path, v)
+        for f in c.get("add", []):
+            live[f["path"]] = f
+        for rel in c.get("remove", []):
+            live.pop(rel, None)
+    return live
+
+
 def _file_stats(files: list[str], stats_cols: list[str]) -> list[dict]:
     """Per-file min/max for ``stats_cols``, read from parquet footers —
     one metadata read per new file at COMMIT time (the Delta stats
@@ -581,6 +603,64 @@ class Table:
                 continue  # refold: maybe the winner WAS this batch_id
         raise ConcurrentCommitError(
             f"append_batch({batch_id}) to {self.path} kept losing races"
+        )
+
+    def restore(self, version: int) -> int:
+        """RESTORE the table head to an earlier ``version`` as a NEW
+        commit — pure METADATA: the target snapshot's file entries are
+        re-added BY REFERENCE (never copied or rewritten; stats/rows
+        carry over from their original add entries) and files added
+        since are removed from the live set (still on disk for time
+        travel until vacuum reaps them). History is preserved — the
+        restore is itself a commit, so a mistaken restore can be
+        restored away. The commit also re-records the TARGET's logged
+        schema, so a restore across a schema evolution reverts the
+        table schema too (the Delta RESTORE semantics).
+
+        Cost: O(commits) driver-side log fold + one tiny JSON write —
+        table size never appears. Fails fast (like read) if any target
+        file was already vacuumed."""
+        for _ in range(self.max_retries):
+            head = latest_version(self.path)
+            if version == head:
+                return head  # restoring to the head is a no-op
+            target = _live_entries(self.path, version)
+            gone = sorted(
+                rel
+                for rel in target
+                if not os.path.exists(os.path.join(self.path, rel))
+            )
+            if gone:
+                raise FileNotFoundError(
+                    f"cannot restore {self.path} to version {version}: "
+                    f"{len(gone)}/{len(target)} of its data files were "
+                    "vacuumed (raise vacuum's keep_versions to retain "
+                    "deeper restore)"
+                )
+            cur = _live_entries(self.path, head)
+            add = [e for rel, e in sorted(target.items()) if rel not in cur]
+            remove = sorted(rel for rel in cur if rel not in target)
+            sch = self.schema_at(version)
+            try:
+                _commit(
+                    self.path,
+                    head + 1,
+                    "restore",
+                    add,
+                    remove,
+                    meta={
+                        "restored_to": version,
+                        "files_readded": len(add),
+                        "files_removed": len(remove),
+                        "files_rewritten": 0,
+                    },
+                    schema=sch.jsonValue() if sch is not None else None,
+                )
+                return head + 1
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"restore of {self.path} kept losing commit races"
         )
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:

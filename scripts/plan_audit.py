@@ -104,6 +104,16 @@ NLJ_WHITELIST = {
                   "constant 256-bucket weight table",
     "q_dq_benford": "1-row digit-total cross join (broadcast) against the "
                     "constant 9-digit expectation table",
+    "q_fn_ip": "CONSTANT 4-row CIDR rule table broadcast against the "
+               "address scan (longest-prefix match on a bit-shift "
+               "predicate; real deployments broadcast a few-thousand-row "
+               "route table the same way)",
+    "q_graph_hits": "1-row max-score normalizer broadcast cross per "
+                    "half-step (the q_llm_tfidf scalar shape, 6 stages); "
+                    "edge-score joins are high-cardinality equi-joins",
+    "q_acid_restore": "1-row CDC-emptiness scalar broadcast cross onto the "
+                      "per-status aggregate (the q_acid_compact proof "
+                      "column shape)",
 }
 
 # Declared Python surface (SURVEY §2.12 + multimodal decode stubs).

@@ -95,3 +95,33 @@ def test_kcore_partition_and_conservation(spark, sf_dir):
     }
     assert got == expected
     assert len(core) == len(alive)
+
+
+def test_hits_scores_bounded_and_normalized(spark, sf_dir):
+    rows = _q(spark, sf_dir, "q_graph_hits").collect()
+    auth = [r for r in rows if r["side"] == "auth"]
+    hub = [r for r in rows if r["side"] == "hub"]
+    assert auth and hub
+    # max-normalized integer scores: everything in [0, 1e6], and each
+    # side's final normalizer pins its max at exactly 1e6
+    assert all(0 <= r["score_e6"] <= 1_000_000 for r in rows)
+    assert max(r["score_e6"] for r in auth) == 1_000_000
+    assert max(r["score_e6"] for r in hub) == 1_000_000
+    # every node appears on exactly one side, once
+    ids_a = [r["id"] for r in auth]
+    ids_h = [r["id"] for r in hub]
+    assert len(ids_a) == len(set(ids_a)) and len(ids_h) == len(set(ids_h))
+
+
+def test_hits_deterministic_across_partitionings(spark, sf_dir):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = {(r["side"], r["id"]): r["score_e6"]
+             for r in _q(spark, sf_dir, "q_graph_hits").collect()}
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        b = {(r["side"], r["id"]): r["score_e6"]
+             for r in _q(spark, sf_dir, "q_graph_hits").collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b

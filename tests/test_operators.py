@@ -1029,3 +1029,24 @@ def test_avro_wire_format_golden_and_roundtrip(spark, tmp_path):
     with _pytest.raises(ValueError, match="null unions"):
         A.spark_schema({"type": "record", "name": "x", "fields": [
             {"name": "a", "type": ["string", "long"]}]})
+
+
+def test_weighted_sample_oversamples_heavy_docs(spark, sf_dir):
+    from pkg2_spark.registry import all_queries
+
+    picked = all_queries()["q_llm_sample_weighted"](spark, sf_dir).collect()
+    corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("avg(least(10, 1 + n_chars div 60)) AS w")
+        .collect()[0]["w"]
+    )
+    sample_w = sum(r["weight"] for r in picked) / len(picked)
+    # priority = u * (2520 div w): heavier docs draw smaller keys on
+    # average, so the bottom-k's mean weight must exceed the corpus mean
+    assert sample_w > corpus
+    # priorities are exact integers — recompute one row's key
+    import hashlib
+
+    r = picked[0]
+    u = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+    assert r["priority"] == u * (2520 // r["weight"])

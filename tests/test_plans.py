@@ -561,3 +561,14 @@ def test_db_and_avro_sources_decode_via_mapinpandas(spark, sf_dir):
         assert "MapInPandas" in plan, name
         assert "HashAggregate" in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+def test_xml_roundtrip_is_jvm_native(spark, sf_dir):
+    # Spark 4's xml format is a JVM-native source: the re-read must plan
+    # as a plain FileScan feeding a hash aggregate with NO Python node,
+    # exactly like csv/json (the stdlib decode surfaces are the only
+    # declared MapInPandas sources).
+    plan = _plan(spark, sf_dir, "q_src_xml")
+    assert "HashAggregate" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan

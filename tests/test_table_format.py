@@ -377,3 +377,42 @@ def test_rewrites_preserve_evolved_schema(spark, table):
         table.compact(zorder_by=["tag"])
     with pytest.raises(ValueError, match="numeric"):
         table.compact(zorder_by=["nope"])
+
+
+def test_restore_is_metadata_only_and_data_correct(spark, table):
+    table.append(_mk(spark, 1000, 1500, tag="b"))
+    table.merge(
+        _mk(spark, 200, 300, tag="MERGED"), key="id"
+    )
+    pre_dirs = set(os.listdir(os.path.join(table.path, "data")))
+    v = table.restore(1)
+    assert v == 3
+    # metadata-only: no data directory was created for the restore commit
+    assert set(os.listdir(os.path.join(table.path, "data"))) == pre_dirs
+    # head == v1 as data
+    assert table.read().count() == 1500
+    assert table.read().filter(F.col("tag") == "MERGED").count() == 0
+    assert table.changes(1, 3).count() == 0
+    # history preserved: the merge snapshot is still time-travelable
+    assert table.read(version=2).filter(F.col("tag") == "MERGED").count() == 100
+    # commit meta records the rollback
+    assert table.history()[-1]["meta"]["restored_to"] == 1
+    assert table.history()[-1]["meta"]["files_rewritten"] == 0
+
+
+def test_restore_reverts_schema_evolution(spark, table):
+    evolved = _mk(spark, 1000, 1100).withColumn("extra", F.lit(7))
+    table.append(evolved, allow_schema_evolution=True)
+    assert "extra" in table.read().columns
+    table.restore(0)
+    assert "extra" not in table.read().columns
+    assert table.read().count() == 1000
+
+
+def test_restore_to_head_is_noop_and_vacuumed_target_fails(spark, table):
+    assert table.restore(latest_version(table.path)) == 0
+    assert latest_version(table.path) == 0  # no commit written
+    table.compact(max_files=2)  # v1 rewrites the whole live set
+    table.vacuum(keep_versions=1)  # v0's files die
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        table.restore(0)
