@@ -643,3 +643,60 @@ def q_graph_hits(spark, sf_dir):
         F.col("hub_e6").alias("score_e6"),
     )
     return auth.unionAll(hub)
+
+
+# ------------------------------------------------- single-source hops (BFS)
+def _sssp_oracle() -> str:
+    cte = f"""{_COSUPPLY_UND_SQL},
+e AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b AS src, a AS dst FROM und),
+d0 AS (SELECT min(a) AS node, CAST(0 AS BIGINT) AS dist FROM und)"""
+    for i in range(1, 4):
+        cte += f""",
+d{i} AS (
+  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + 1 AS dist
+    FROM d{i - 1} d JOIN e ON e.src = d.node
+  ) GROUP BY node
+)"""
+    return f"WITH {cte}\nSELECT node AS s_suppkey, dist AS hops FROM d3"
+
+
+@query("q_graph_sssp", oracle=_sssp_oracle())
+def q_graph_sssp(spark, sf_dir):
+    """Single-source shortest HOPS (unweighted SSSP / BFS frontier
+    relaxation, 3 unrolled rounds) from the minimum supplier key over
+    the shared capped co-supply kNN graph — the reachability-with-
+    distance query a dependency resolver asks ("how far is this package
+    from the root?"); q_graph_closure proves reachability, this labels
+    it with distance. Each round relaxes: dist' = min(dist, neighbor
+    dist + 1) via one edges⋈frontier shuffle join and a node-keyed
+    min-agg — integer distances, no floats, bit-identical cross-engine.
+
+    Scale: per round one equi-join on the node key + one hash-agg;
+    state is one row per REACHED node (never the full graph); a
+    convergence-driven variant would truncate lineage per round exactly
+    like the closure loop (and both engines relax identically because
+    min() is order-free)."""
+    from pkg2_spark.catalog import load_tables
+
+    t = load_tables(spark, sf_dir)
+    und = _cosupply_und(t)
+    e = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    dist = und.agg(F.min("a").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(3):
+        relaxed = (
+            e.join(dist, e["src"] == dist["node"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+        )
+    return dist.select(F.col("node").alias("s_suppkey"), F.col("dist").alias("hops"))

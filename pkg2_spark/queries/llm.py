@@ -35,7 +35,7 @@ from pkg2_spark.operators.text import (
     tokenize_distinct,
     tokens_col,
 )
-from pkg2_spark.registry import query
+from pkg2_spark.registry import QUERIES, query
 from pkg2_spark.session import truncate_lineage
 
 _K = 8  # MinHash signature length
@@ -1384,10 +1384,10 @@ def q_llm_jaccard_lsh(spark, sf_dir):
     )
 
 
-@query(
-    "q_llm_langid",
-    oracle=f"""
-WITH tok AS (SELECT doc_id, lang, unnest({_TOK_SQL}) AS token FROM documents),
+# Shared langid CTE prefix: q_llm_langid emits per-doc predictions,
+# q_ml_eval aggregates the same predictions into the confusion-derived
+# precision/recall/F1 table — ONE classifier definition, two oracles.
+_LANGID_CTE = f"""tok AS (SELECT doc_id, lang, unnest({_TOK_SQL}) AS token FROM documents),
 lang_top AS (
   SELECT lang AS cand_lang, token FROM (
     SELECT lang, token, count(*) AS cnt,
@@ -1406,7 +1406,13 @@ best AS (
     SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC NULLS LAST, cand_lang ASC NULLS LAST) AS rn
     FROM scores
   ) WHERE rn = 1
-)
+)"""
+
+
+@query(
+    "q_llm_langid",
+    oracle=f"""
+WITH {_LANGID_CTE}
 SELECT d.doc_id, d.lang, coalesce(best.cand_lang, 'unknown') AS predicted,
        coalesce(best.score, 0) AS score,
        coalesce(best.cand_lang, 'unknown') = d.lang AS correct
@@ -3590,3 +3596,144 @@ def q_llm_sample_weighted(spark, sf_dir):
     return scored.orderBy(
         F.col("priority").asc(), F.col("doc_id").asc()
     ).limit(_WSAMPLE_K)
+
+
+@query(
+    "q_ml_eval",
+    oracle=f"""
+WITH {_LANGID_CTE},
+pred AS (
+  SELECT d.lang AS actual, coalesce(best.cand_lang, 'unknown') AS predicted
+  FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id
+),
+diag AS (
+  SELECT actual AS lang, CAST(count(*) AS BIGINT) AS tp
+  FROM pred WHERE actual = predicted GROUP BY actual
+),
+act AS (SELECT actual AS lang, CAST(count(*) AS BIGINT) AS n_actual FROM pred GROUP BY actual),
+prd AS (SELECT predicted AS lang, CAST(count(*) AS BIGINT) AS n_predicted FROM pred GROUP BY predicted)
+SELECT a.lang,
+       coalesce(d.tp, 0) AS tp,
+       coalesce(p.n_predicted, 0) - coalesce(d.tp, 0) AS fp,
+       a.n_actual - coalesce(d.tp, 0) AS fn,
+       CASE WHEN coalesce(p.n_predicted, 0) = 0 THEN 0
+            ELSE (1000 * coalesce(d.tp, 0)) // p.n_predicted END AS prec_milli,
+       (1000 * coalesce(d.tp, 0)) // a.n_actual AS rec_milli,
+       CASE WHEN coalesce(p.n_predicted, 0) + a.n_actual = 0 THEN 0
+            ELSE (2000 * coalesce(d.tp, 0))
+                 // (coalesce(p.n_predicted, 0) + a.n_actual) END AS f1_milli
+FROM act a
+LEFT JOIN diag d ON a.lang = d.lang
+LEFT JOIN prd p ON a.lang = p.lang
+""",
+)
+def q_ml_eval(spark, sf_dir):
+    """Classifier evaluation — per-class precision/recall/F1 derived from
+    the confusion matrix of the corpus-trained language-ID model
+    (q_llm_langid's predictions vs the documents.lang ground truth): the
+    quality-measurement loop every model-driven curation stage needs
+    before its filter goes into the pipeline. One classifier definition
+    feeds both queries (the shared langid CTE), so the metrics here are
+    provably over the SAME predictions the langid query serves.
+
+    Determinism: tp/fp/fn are exact counts; precision/recall/F1 are
+    integer milli-units via floor division (f1 = 2000·tp div
+    (pred+actual), algebraically 2PR/(P+R) without intermediate
+    rationals). Scale: pred is a per-doc projection off the langid
+    dataflow (token-keyed joins, broadcast marker table); the metric
+    tables are |classes| rows — three hash-aggs and two |classes|-sized
+    joins."""
+    pred = (
+        QUERIES["q_llm_langid"](spark, sf_dir)
+        .select(F.col("lang").alias("actual"), "predicted")
+    )
+    diag = (
+        pred.filter(F.col("actual") == F.col("predicted"))
+        .groupBy(F.col("actual").alias("lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tp"))
+    )
+    act = pred.groupBy(F.col("actual").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_actual")
+    )
+    prd = pred.groupBy(F.col("predicted").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_predicted")
+    )
+    out = (
+        act.join(diag, "lang", "left")
+        .join(prd, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            (F.coalesce("n_predicted", F.lit(0)) - F.coalesce("tp", F.lit(0)))
+            .cast("long")
+            .alias("fp"),
+            (F.col("n_actual") - F.coalesce("tp", F.lit(0)))
+            .cast("long")
+            .alias("fn"),
+            F.when(F.coalesce("n_predicted", F.lit(0)) == 0, F.lit(0))
+            .otherwise(
+                F.expr("(1000 * coalesce(tp, 0)) div n_predicted")
+            )
+            .cast("long")
+            .alias("prec_milli"),
+            F.expr("(1000 * coalesce(tp, 0)) div n_actual")
+            .cast("long")
+            .alias("rec_milli"),
+            F.when(
+                F.coalesce("n_predicted", F.lit(0)) + F.col("n_actual") == 0,
+                F.lit(0),
+            )
+            .otherwise(
+                F.expr(
+                    "(2000 * coalesce(tp, 0)) div (coalesce(n_predicted, 0) + n_actual)"
+                )
+            )
+            .cast("long")
+            .alias("f1_milli"),
+        )
+    )
+    return out
+
+
+@query(
+    "q_ml_kfold",
+    oracle="""
+WITH folds AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 AS fold,
+         lang, n_chars
+  FROM documents
+)
+SELECT fold, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM folds GROUP BY fold
+""",
+)
+def q_ml_kfold(spark, sf_dir):
+    """K-fold cross-validation assignment (k=5) by content hash — the
+    evaluation-protocol sibling of q_llm_split: fold = hex32(md5(id))
+    mod 5, so a document's fold is stable forever (new data never moves
+    old rows between folds — no leakage across dataset versions), no RNG
+    state, no shuffle to assign. The per-fold profile (count, chars,
+    language coverage) is what a training harness checks before trusting
+    the folds are balanced.
+
+    Scale: per-row projection + one 5-group hash-agg; count(distinct)
+    expands to the standard two-phase expand-agg, keyed high-cardinality
+    first."""
+    d = load_tables(spark, sf_dir)["documents"]
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 5
+    )
+    return (
+        d.select(fold.alias("fold"), "lang", "n_chars")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+    )

@@ -956,3 +956,116 @@ def q_pkg_advisories(spark, sf_dir):
     eng = Engine(spark)
     eng.ingest_apkindex(_APKINDEX_PATH)
     return eng.match_advisories(_ADVISORIES_PATH)
+
+
+@query(
+    "q_pkg_blast_radius",
+    oracle=f"""
+WITH RECURSIVE {_APK_PKGS_CTE.strip()},
+providers AS (
+  SELECT DISTINCT capability, provider FROM (
+    SELECT name AS provider,
+           unnest(list_concat([name],
+             list_transform(provides, x -> string_split(x, '=')[1]))) AS capability
+    FROM apk_pkgs
+  )
+),
+deps AS (
+  SELECT name AS dependent, unnest(depends) AS capability FROM apk_pkgs
+),
+edges AS (
+  SELECT DISTINCT dependent, provider FROM deps JOIN providers USING (capability)
+),
+adv AS (
+  SELECT cve, name, fixed_version
+  FROM read_json('{_ADVISORIES_PATH}', format='array',
+                 columns={{'cve': 'VARCHAR', 'name': 'VARCHAR',
+                           'fixed_version': 'VARCHAR'}})
+),
+vuln AS (
+  SELECT DISTINCT a.cve, p.name AS pkg
+  FROM apk_pkgs p JOIN adv a USING (name)
+  WHERE a.fixed_version IS NULL
+     OR {_PKG_VKEY} < {_FIX_VKEY}
+     OR ({_PKG_VKEY} = {_FIX_VKEY} AND p.version < a.fixed_version)
+),
+reach(cve, pkg, depth) AS (
+  SELECT cve, pkg, 0 FROM vuln
+  UNION
+  SELECT r.cve, e.dependent, r.depth + 1
+  FROM reach r JOIN edges e ON e.provider = r.pkg
+  WHERE r.depth < 5
+)
+SELECT cve,
+       CAST(count(DISTINCT pkg) AS BIGINT) AS n_affected,
+       min(pkg) AS first_affected
+FROM reach GROUP BY cve
+""",
+)
+def q_pkg_blast_radius(spark, sf_dir):
+    """Advisory BLAST RADIUS — the transitive impact analysis a distro
+    security team runs on every CVE: starting from each advisory's
+    still-vulnerable/unfixed builds (the q_pkg_advisories verdicts),
+    walk the REVERSE dependency graph (dependent → provider edges
+    through the provides capability map, the q_pkg_revdeps projection)
+    to a depth-5 fixpoint — every package whose install closure contains
+    a vulnerable build is in the radius, including the vulnerable
+    package itself at depth 0. Composes three proven pieces (advisory
+    classification, capability resolution, semi-naïve BFS with lineage
+    truncation) into the query none of them answers alone.
+
+    Scale: per round one equi-join of the frontier against the edge
+    table keyed on the provider name + an anti-join against the
+    accumulated set (the q_graph_closure loop, state = reached
+    (cve, pkg) pairs only); the advisory seed is bounded and the depth
+    cap mirrors the oracle's recursion guard."""
+    from pkg2_spark.session import truncate_lineage
+
+    eng = Engine(spark)
+    p = eng.ingest_apkindex(_APKINDEX_PATH)
+    providers = p.select(
+        F.col("name").alias("provider"),
+        F.explode(
+            F.array_union(
+                F.array(F.col("name")),
+                F.transform(
+                    F.col("provides"),
+                    lambda x: F.split_part(x, F.lit("="), F.lit(1)),
+                ),
+            )
+        ).alias("capability"),
+    ).distinct()
+    deps = p.select(
+        F.col("name").alias("dependent"),
+        F.explode("depends").alias("capability"),
+    )
+    edges = (
+        deps.join(providers, "capability")
+        .select("dependent", "provider")
+        .distinct()
+        .transform(truncate_lineage)
+    )
+    vuln = (
+        eng.match_advisories(_ADVISORIES_PATH)
+        .filter(F.col("status") != "patched")
+        .select("cve", F.col("name").alias("pkg"))
+        .distinct()
+    )
+    affected = vuln.transform(truncate_lineage)
+    frontier = affected
+    for _ in range(5):
+        new = (
+            frontier.join(edges, frontier["pkg"] == edges["provider"])
+            .select("cve", F.col("dependent").alias("pkg"))
+            .distinct()
+            .join(affected, ["cve", "pkg"], "left_anti")
+            .transform(truncate_lineage)
+        )
+        if new.isEmpty():
+            break
+        affected = affected.union(new).transform(truncate_lineage)
+        frontier = new
+    return affected.groupBy("cve").agg(
+        F.countDistinct("pkg").cast("long").alias("n_affected"),
+        F.min("pkg").alias("first_affected"),
+    )

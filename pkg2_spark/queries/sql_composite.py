@@ -645,3 +645,75 @@ LIMIT 100
 def q_sql_tpch_q21(spark, sf_dir):
     load_tables(spark, sf_dir)
     return spark.sql(_Q21)
+
+
+@query(
+    "q_sql_ctas",
+    oracle="""
+WITH mart AS (
+  SELECT o_orderstatus, o_orderpriority,
+         count(*) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_e2
+  FROM orders
+  GROUP BY o_orderstatus, o_orderpriority
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_priorities,
+       CAST(sum(n_orders) AS BIGINT) AS n_orders,
+       CAST(sum(sum_price_e2) AS BIGINT) AS sum_price_e2
+FROM mart GROUP BY o_orderstatus
+""",
+)
+def q_sql_ctas(spark, sf_dir):
+    """SQL DDL entry point — CREATE TABLE AS SELECT: a summary mart is
+    materialized through the pure-SQL path (``spark.sql`` CTAS over the
+    registered views, external parquet LOCATION under tmp_io), then the
+    catalog table is re-read BY NAME through SQL and rolled up one level
+    further. This is the warehouse ELT loop (stage a mart, query the
+    mart), run end-to-end through the catalog — q_sink_parquet covers
+    the DataFrame writer; this covers the DDL surface.
+
+    Scale: the CTAS is one hash-agg + one parquet write sized by AQE;
+    the re-read aggregates the |status × priority| mart, not the fact
+    table. Fixture-cached per scale; the catalog entry is re-registered
+    idempotently (CREATE OR REPLACE semantics via DROP IF EXISTS —
+    the table is external, so re-registration never rewrites data)."""
+    import os
+
+    from pkg2_spark.queries.relational import fixture_path, fixture_ready
+
+    load_tables(spark, sf_dir)
+    path = fixture_path("sql_ctas_mart", sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    name = f"orders_mart_{tag}"
+    if not fixture_ready(path, sf_dir):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(
+            f"""
+            CREATE TABLE {name}
+            USING PARQUET LOCATION '{path}'
+            AS SELECT o_orderstatus, o_orderpriority,
+                      count(*) AS n_orders,
+                      CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS sum_price_e2
+               FROM orders
+               GROUP BY o_orderstatus, o_orderpriority
+            """
+        )
+    elif not spark.catalog.tableExists(name):
+        spark.sql(
+            f"CREATE TABLE {name} USING PARQUET LOCATION '{path}'"
+        )
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_priorities,
+               CAST(sum(n_orders) AS BIGINT) AS n_orders,
+               CAST(sum(sum_price_e2) AS BIGINT) AS sum_price_e2
+        FROM {name} GROUP BY o_orderstatus
+        """
+    )

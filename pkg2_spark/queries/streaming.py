@@ -895,3 +895,240 @@ def q_stream_dedup_index(spark, sf_dir):
             F.max("corpus_doc").alias("max_cand"),
         )
     )
+
+
+# Late-data cut for q_stream_late_drop: rows this far below the batch-2
+# horizon are replayed AFTER the watermark has passed them. 2024-01-20 is
+# the on-time/late staging cut; late rows sit ≥ 3 days below it, and the
+# final watermark (global max ts − 1 h) sits ≥ 10 days above it at every
+# scale (events span all of Jan 2024), so every comparison clears the
+# strict-vs-nonstrict boundary by hours — no tie can flip the result.
+_LATE_CUT = "2024-01-20 00:00:00"
+_LATE_OLD = "2024-01-17 00:00:00"
+
+
+@query(
+    "q_stream_late_drop",
+    oracle=f"""
+WITH kept AS (
+  SELECT * FROM events
+  WHERE NOT (ts < TIMESTAMP '{_LATE_OLD}' AND event_id % 7 = 0)
+),
+wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+SELECT epoch_us(date_trunc('hour', ts)) AS win_us,
+       count(*) AS n,
+       {_SUM_E2_SQL}
+FROM kept, wm
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+GROUP BY 1
+""",
+)
+def q_stream_late_drop(spark, sf_dir):
+    """Watermark LATE-DATA ACCOUNTING through real Structured Streaming —
+    the semantics every other replay here deliberately avoids (complete
+    mode never drops): a 3-batch append-mode replay where batch 0 is the
+    pre-cut on-time data, batch 1 advances the watermark to (global max
+    − 1 h), and batch 2 RE-DELIVERS a held-back subset of rows ≥ 3 days
+    older than the cut. Every batch-2 row's window closed hours below
+    the watermark, so the state store must drop them all; the emitted
+    append-mode result is exactly (a) the on-time rows' hourly windows,
+    (b) only those windows finalized below the final watermark. The
+    oracle computes both conditions relationally — a single late row
+    surviving, or one unfinalized window leaking, hash-mismatches.
+
+    Batch order is pinned by file modification times (the file source
+    processes oldest-first); the fixture stages one parquet file per
+    batch with strictly increasing mtimes.
+
+    Scale: state is bounded by the watermark horizon (windows above
+    wm−1h), never by history — the property this query certifies; the
+    drop itself is a row-local filter against the broadcast watermark."""
+    import os as _os
+    import shutil as _shutil
+
+    from pkg2_spark.queries.relational import fixture_path, fixture_ready
+    from pkg2_spark.session import ensure_runtime_confs
+    from pkg2_spark.streaming.harness import run_to_memory
+
+    ensure_runtime_confs(spark)
+    src = fixture_path("stream_late_src", sf_dir)
+    if not fixture_ready(src, sf_dir, marker="_STAGED"):
+        _shutil.rmtree(src, ignore_errors=True)
+        _os.makedirs(src, exist_ok=True)
+        e = load_tables(spark, sf_dir)["events"]
+        is_late = (F.col("ts") < F.lit(_LATE_OLD).cast("timestamp")) & (
+            F.col("event_id") % 7 == 0
+        )
+        cut = F.col("ts") < F.lit(_LATE_CUT).cast("timestamp")
+        batches = [
+            e.filter(~is_late & cut),       # b0: on-time, pre-cut
+            e.filter(~is_late & ~cut),      # b1: on-time, advances wm
+            e.filter(is_late),              # b2: late replay, all dropped
+        ]
+        for i, b in enumerate(batches):
+            tmp = _os.path.join(src, f"_tmp{i}")
+            b.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = [f for f in _os.listdir(tmp) if f.endswith(".parquet")][0]
+            dst = _os.path.join(src, f"b{i}.parquet")
+            _os.replace(_os.path.join(tmp, part), dst)
+            _shutil.rmtree(tmp)
+            _os.utime(dst, (1000 * (i + 1), 1000 * (i + 1)))
+        with open(_os.path.join(src, "_STAGED"), "w") as fh:
+            fh.write("ok\n")
+    schema = spark.read.parquet(_os.path.join(src, "b0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    if dict((f.name, f.dataType.simpleString()) for f in schema.fields).get(
+        "ts"
+    ) == "timestamp_ntz":
+        from pyspark.sql.types import TimestampType as _TT
+
+        stream = stream.withColumn("ts", F.col("ts").cast(_TT()))
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), _sum_e2())
+        .select(F.unix_micros(F.col("w.start")).alias("win_us"), "n", "sum_value_e2")
+    )
+    return run_to_memory(agg, "late_drop", mode="append")
+
+
+@query("q_stream_rt_update", oracle=_TUMBLE_ORACLE)
+def q_stream_rt_update(spark, sf_dir):
+    """outputMode("update") — the third emission mode (complete and
+    append are covered above): the 4-file tumbling replay emits, per
+    micro-batch, ONLY the (window, type) groups that batch touched, into
+    a batch_id-keyed foreachBatch ledger. Because streaming state is
+    cumulative, the LAST emission for a key reflects every row ever seen
+    for it — so taking each key's highest-batch row must reproduce the
+    batch/DuckDB answer exactly, independent of how rows landed in
+    files. A key emitted in several batches also certifies update mode
+    re-emits on change (complete-mode rows would all land in the final
+    batch instead).
+
+    Scale: update mode is what a key-value serving sink consumes — per
+    batch it writes O(touched keys), not O(all keys) like complete; the
+    ledger argmax is one window over (key, batch_id)."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from pyspark.sql import Window as _W
+
+    from pkg2_spark.queries.relational import IO_DIR, fixture_path, fixture_ready
+    from pkg2_spark.session import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    src = fixture_path("stream_multisrc", sf_dir)
+    if not fixture_ready(src, sf_dir):
+        e = load_tables(spark, sf_dir)["events"]
+        e.repartition(4).write.mode("overwrite").parquet(src)
+    path = fixture_path("stream_update_ledger", sf_dir)
+    if not fixture_ready(path, sf_dir, marker="_ALL_BATCHES"):
+        _shutil.rmtree(path, ignore_errors=True)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        if {f.name: f.dataType.simpleString() for f in schema.fields}.get(
+            "ts"
+        ) == "timestamp_ntz":
+            from pyspark.sql.types import TimestampType as _TT
+
+            stream = stream.withColumn("ts", F.col("ts").cast(_TT()))
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), _sum_e2())
+            .select(
+                F.unix_micros(F.col("w.start")).alias("win_us"),
+                "event_type",
+                "n",
+                "sum_value_e2",
+            )
+        )
+
+        def sink_batch(batch_df, batch_id):
+            target = _os.path.join(path, f"batch_id={batch_id}")
+            if _os.path.exists(_os.path.join(target, "_SUCCESS")):
+                return
+            batch_df.write.mode("overwrite").parquet(target)
+
+        ckpt = _os.path.join(IO_DIR, "checkpoints", f"upd_{_uuid.uuid4().hex[:8]}")
+        q = (
+            agg.writeStream.foreachBatch(sink_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _shutil.rmtree(ckpt, ignore_errors=True)
+        with open(_os.path.join(path, "_ALL_BATCHES"), "w") as fh:
+            fh.write("complete\n")
+    ledger = spark.read.option("basePath", path).parquet(path)
+    w = _W.partitionBy("win_us", "event_type").orderBy(F.col("batch_id").desc())
+    return (
+        ledger.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("win_us", "event_type", "n", "sum_value_e2")
+    )
+
+
+@query("q_stream_union", oracle=_TUMBLE_ORACLE)
+def q_stream_union(spark, sf_dir):
+    """UNION of two live streams — the multi-source topology (e.g. two
+    regional event feeds merging into one rollup): the events table is
+    staged into two disjoint file sources split by event_id parity, each
+    read by its own readStream, unioned BEFORE the tumbling aggregation;
+    the complete-mode replay must equal the single-source batch answer
+    (rows from both streams merge into shared windows in one state
+    store).
+
+    Scale: a streaming union is plan-level interleaving (no extra
+    shuffle); the aggregation still shuffles once on (window, type);
+    each source scales its own file discovery independently."""
+    import os as _os
+
+    from pkg2_spark.queries.relational import fixture_path, fixture_ready
+    from pkg2_spark.session import ensure_runtime_confs
+    from pkg2_spark.streaming.harness import run_to_memory
+
+    ensure_runtime_confs(spark)
+    e = load_tables(spark, sf_dir)["events"]
+    halves = []
+    for par in (0, 1):
+        src = fixture_path(f"stream_union_{par}", sf_dir)
+        if not fixture_ready(src, sf_dir):
+            e.filter(F.col("event_id") % 2 == par).write.mode(
+                "overwrite"
+            ).parquet(src)
+        halves.append(src)
+    schema = spark.read.parquet(halves[0]).schema
+    ntz = {f.name: f.dataType.simpleString() for f in schema.fields}.get(
+        "ts"
+    ) == "timestamp_ntz"
+    streams = []
+    for src in halves:
+        s = spark.readStream.schema(schema).parquet(src)
+        if ntz:
+            from pyspark.sql.types import TimestampType as _TT
+
+            s = s.withColumn("ts", F.col("ts").cast(_TT()))
+        streams.append(s)
+    both = streams[0].unionByName(streams[1])
+    agg = (
+        both.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), _sum_e2())
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_us"),
+            "event_type",
+            "n",
+            "sum_value_e2",
+        )
+    )
+    return run_to_memory(agg, "stream_union")

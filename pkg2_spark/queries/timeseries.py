@@ -1548,3 +1548,146 @@ def q_ts_sax(spark, sf_dir):
             "",
         ),
     )
+
+
+@query(
+    "q_ts_theil_sen",
+    oracle="""
+WITH grid AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS t,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           // CAST(count(*) AS BIGINT) AS m
+  FROM events
+  GROUP BY 1, 2
+),
+slopes AS (
+  SELECT a.event_type,
+         CAST(floor((b.m - a.m) * 1000.0 / (b.t - a.t)) AS BIGINT) AS s
+  FROM grid a JOIN grid b
+    ON a.event_type = b.event_type AND a.t < b.t
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(median(s) AS DOUBLE) AS slope_milli_med,
+       CAST(min(s) AS BIGINT) AS slope_milli_min,
+       CAST(max(s) AS BIGINT) AS slope_milli_max
+FROM slopes GROUP BY event_type
+""",
+)
+def q_ts_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend estimator per event type — the
+    outlier-resistant alternative to the OLS fit (q_ml_linreg): the
+    slope is the MEDIAN of all pairwise slopes of the hourly mean
+    series, so up to ~29% contamination cannot move it.
+
+    Scale discipline: the O(T²) pairwise stage runs on the AGGREGATED
+    hourly grid, never the raw corpus — T is bounded by the time range
+    (720 points/month here), so pair volume is O(groups · T²) no matter
+    how many raw events arrive; corpus size only touches the first
+    map-combinable hash-agg. Determinism: hourly means are
+    floor-divided e2 BIGINTs, each pairwise slope is floored to milli
+    units from an exact-in-double product (|Δm|·1000 < 2^53), and the
+    median of an even count interpolates identically in both engines
+    ((a+b)/2 of integers is exact in double)."""
+    e = load_tables(spark, sf_dir)["events"]
+    grid = (
+        e.groupBy(
+            "event_type",
+            F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000").alias("t"),
+        )
+        .agg(
+            F.expr(
+                "sum(CAST(floor(value * 100) AS BIGINT)) div count(*)"
+            ).alias("m")
+        )
+    )
+    a = grid.select(
+        "event_type", F.col("t").alias("t1"), F.col("m").alias("m1")
+    )
+    b = grid.select(
+        F.col("event_type").alias("et2"),
+        F.col("t").alias("t2"),
+        F.col("m").alias("m2"),
+    )
+    slopes = a.join(
+        b, (F.col("event_type") == F.col("et2")) & (F.col("t1") < F.col("t2"))
+    ).select(
+        "event_type",
+        F.floor((F.col("m2") - F.col("m1")) * 1000.0 / (F.col("t2") - F.col("t1")))
+        .cast("long")
+        .alias("s"),
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.median("s").cast("double").alias("slope_milli_med"),
+        F.min("s").cast("long").alias("slope_milli_min"),
+        F.max("s").cast("long").alias("slope_milli_max"),
+    )
+
+
+# Column-profile metric spec for q_dq_profile: every orders column, with a
+# null-surrogate expression (timestamps profile as epoch-µs) so the same
+# spec drives Spark and the oracle.
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _profile_oracle() -> str:
+    a_parts = ["count(*) AS n"]
+    rows = []
+    for i, c in enumerate(_PROFILE_COLS):
+        a_parts.append(
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn{i}"
+        )
+        a_parts.append(f"CAST(count(DISTINCT {c}) AS BIGINT) AS nd{i}")
+        rows.append(
+            f"SELECT '{c}' AS col_name, n, nn{i} AS n_null, nd{i} AS n_distinct FROM a"
+        )
+    return (
+        "WITH a AS (SELECT " + ", ".join(a_parts) + " FROM orders)\n"
+        + "\nUNION ALL\n".join(rows)
+    )
+
+
+@query("q_dq_profile", oracle=_profile_oracle())
+def q_dq_profile(spark, sf_dir):
+    """Table profiling (the ANALYZE/data-catalog statistics pass): per
+    column of the orders table, exact row count, null count, and exact
+    distinct count in ONE scan — the statistics sheet a warehouse
+    catalog publishes per table and the input a query optimizer's
+    cardinality model wants. Complements q_profile_hist (one column's
+    value DISTRIBUTION) with the all-columns summary axis.
+
+    Scale: one pass + one shuffle — the multi-count(distinct) aggregate
+    plans as Spark's standard Expand (one replica per distinct-set, 6×
+    here, constant in table width not corpus size) feeding a single
+    hash-agg; the per-column pivot is a row-local stack() of the 1-row
+    result, not a second scan. For 100 TB catalogs the exact
+    count(distinct) arms swap to approx_count_distinct row-for-row
+    (q_agg_approx_cd documents that error contract)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, c in enumerate(_PROFILE_COLS):
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"nn{i}")
+        )
+        aggs.append(F.countDistinct(c).cast("long").alias(f"nd{i}"))
+    one = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn{i}, nd{i}" for i, c in enumerate(_PROFILE_COLS)
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS (col_name, n_null, n_distinct)"
+        ),
+        "n",
+    ).select("col_name", "n", "n_null", "n_distinct")

@@ -125,3 +125,14 @@ def test_hits_deterministic_across_partitionings(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+def test_sssp_root_is_zero_and_hops_bounded(spark, sf_dir):
+    rows = _q(spark, sf_dir, "q_graph_sssp").collect()
+    by_node = {r["s_suppkey"]: r["hops"] for r in rows}
+    root = min(by_node)  # BFS starts from the min supplier in the edge set
+    assert by_node[root] == 0
+    assert sum(1 for h in by_node.values() if h == 0) == 1
+    assert all(0 <= h <= 3 for h in by_node.values())
+    # hop-1 neighborhood nonempty on a connected kNN graph
+    assert any(h == 1 for h in by_node.values())

@@ -1050,3 +1050,32 @@ def test_weighted_sample_oversamples_heavy_docs(spark, sf_dir):
     r = picked[0]
     u = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
     assert r["priority"] == u * (2520 // r["weight"])
+
+
+def test_blast_radius_contains_and_exceeds_direct_vulnerable(spark, sf_dir):
+    from pkg2_spark.queries.packages import _ADVISORIES_PATH, _APKINDEX_PATH
+    from pkg2_spark.engine import Engine
+    from pkg2_spark.registry import all_queries
+    import pyspark.sql.functions as F
+
+    radius = {
+        r["cve"]: r["n_affected"]
+        for r in all_queries()["q_pkg_blast_radius"](spark, sf_dir).collect()
+    }
+    eng = Engine(spark)
+    eng.ingest_apkindex(_APKINDEX_PATH)
+    direct = {
+        r["cve"]: r["n"]
+        for r in eng.match_advisories(_ADVISORIES_PATH)
+        .filter(F.col("status") != "patched")
+        .groupBy("cve")
+        .agg(F.countDistinct("name").alias("n"))
+        .collect()
+    }
+    # every advisory with a live vulnerable build has a radius, and the
+    # transitive closure can never be smaller than its seed
+    assert set(direct) == set(radius)
+    assert all(radius[c] >= direct[c] for c in direct)
+    # at least one advisory's radius must be strictly transitive (the
+    # sample index has dependents of vulnerable packages)
+    assert any(radius[c] > direct[c] for c in direct)

@@ -251,3 +251,42 @@ def test_stateful_counters_carry_state_across_batches(spark, sf_dir):
     got = {r["user_id"]: (r["n_events"], r["total_value_e2"]) for r in final.collect()}
     want = {r["user_id"]: (r["n_events"], r["total_value_e2"]) for r in expected.collect()}
     assert got == want
+
+
+def test_late_drop_query_is_not_vacuous(spark, sf_dir):
+    # q_stream_late_drop must actually exercise the drop path: the staged
+    # late batch is non-empty, and the emitted windows account for fewer
+    # rows than the full corpus (late rows dropped + unfinalized tail).
+    from pkg2_spark.registry import all_queries
+
+    out = all_queries()["q_stream_late_drop"](spark, sf_dir)
+    emitted = out.agg(F.sum("n").alias("s")).collect()[0]["s"]
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    total = e.count()
+    late = e.filter(
+        (F.col("ts").cast("timestamp") < F.lit("2024-01-17 00:00:00"))
+        & (F.col("event_id") % 7 == 0)
+    ).count() if dict(e.dtypes)["ts"] != "bigint" else None
+    assert emitted < total
+    if late is not None:
+        assert late > 0  # the held-back batch really contains rows
+
+
+def test_update_mode_reemits_touched_keys(spark, sf_dir):
+    # The update-mode ledger must show at least one (window, type) key
+    # emitted in MORE than one micro-batch — otherwise the replay
+    # degenerated to a single batch and certifies nothing.
+    from pkg2_spark.queries.relational import fixture_path
+    from pkg2_spark.registry import all_queries
+
+    all_queries()["q_stream_rt_update"](spark, sf_dir).collect()
+    ledger = spark.read.option(
+        "basePath", fixture_path("stream_update_ledger", sf_dir)
+    ).parquet(fixture_path("stream_update_ledger", sf_dir))
+    multi = (
+        ledger.groupBy("win_us", "event_type")
+        .agg(F.countDistinct("batch_id").alias("nb"))
+        .filter(F.col("nb") > 1)
+        .count()
+    )
+    assert multi > 0
