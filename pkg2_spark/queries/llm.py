@@ -3737,3 +3737,63 @@ def q_ml_kfold(spark, sf_dir):
             F.countDistinct("lang").cast("long").alias("n_langs"),
         )
     )
+
+
+_ZIPF_TOP = 200
+
+
+@query(
+    "q_llm_zipf",
+    oracle=f"""
+WITH tok AS (SELECT unnest({_TOK_SQL}) AS token FROM documents),
+cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+top AS (
+  SELECT token, c,
+         row_number() OVER (ORDER BY c DESC NULLS LAST, token ASC NULLS LAST) AS rank
+  FROM cnt
+  ORDER BY c DESC NULLS LAST, token ASC NULLS LAST
+  LIMIT {_ZIPF_TOP}
+)
+SELECT round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4)
+         AS zipf_slope,
+       round(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4)
+         AS zipf_intercept,
+       round(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS r2,
+       CAST(count(*) AS BIGINT) AS n_ranks,
+       min(CASE WHEN rank = 1 THEN token END) AS top_token
+FROM top
+""",
+)
+def q_llm_zipf(spark, sf_dir):
+    """Zipf rank–frequency fit — the corpus-health diagnostic (natural
+    text follows freq ∝ rank^s with s ≈ −1; template/boilerplate corpora
+    bend the log-log line): ln(freq) is regressed on ln(rank) over the
+    top-k vocabulary with the REGR_* one-pass moments (the q_ml_linreg
+    machinery pointed at the LLM-corpus question).
+
+    Scale: the token count is the standard vocab hash-agg; the top-k cut
+    is orderBy().limit(k) — TakeOrderedAndProject, never a global sort —
+    and the rank window runs over k = 200 rows (the q_llm_vocab_coverage
+    bounded-prefix discipline). The regression arms are libm ln over
+    IDENTICAL integer (count, rank) pairs in both engines, rounded to
+    4dp (the q_agg_stats posture)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    cnt = (
+        d.select(F.explode(tokens_col()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    top = cnt.orderBy(
+        F.col("c").desc_nulls_last(), F.col("token").asc_nulls_last()
+    ).limit(_ZIPF_TOP)
+    w = Window.orderBy(F.col("c").desc_nulls_last(), F.col("token").asc_nulls_last())
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    lc = F.log(F.col("c").cast("double"))
+    lr = F.log(F.col("rank").cast("double"))
+    return ranked.agg(
+        F.round(F.regr_slope(lc, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 4).alias("zipf_intercept"),
+        F.round(F.regr_r2(lc, lr), 4).alias("r2"),
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        F.min(F.when(F.col("rank") == 1, F.col("token"))).alias("top_token"),
+    )

@@ -1691,3 +1691,217 @@ def q_dq_profile(spark, sf_dir):
         ),
         "n",
     ).select("col_name", "n", "n_null", "n_distinct")
+
+
+@query(
+    "q_ts_mann_kendall",
+    oracle="""
+WITH grid AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS t,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           // CAST(count(*) AS BIGINT) AS m
+  FROM events
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.m > a.m THEN 1 WHEN b.m < a.m THEN -1 ELSE 0 END AS sgn
+  FROM grid a JOIN grid b
+    ON a.event_type = b.event_type AND a.t < b.t
+)
+SELECT event_type,
+       CAST(sum(sgn) AS BIGINT) AS s_stat,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+       CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+FROM pairs GROUP BY event_type
+""",
+)
+def q_ts_mann_kendall(spark, sf_dir):
+    """Mann–Kendall trend TEST per event type — the non-parametric
+    significance companion to q_ts_theil_sen's magnitude estimate (the
+    standard pairing in environmental/ops monitoring): S = Σ sign(m_j −
+    m_i) over all i<j hourly-grid pairs; S near ±n_pairs is a monotone
+    trend, near 0 is noise. Pure integer counting — no variance/libm
+    anywhere — so the statistic is bit-identical cross-engine.
+
+    Scale: same posture as theil_sen — the quadratic stage runs on the
+    time-bounded aggregated grid (O(groups · T²), T = hours in range),
+    corpus size touches only the first map-combinable hash-agg."""
+    e = load_tables(spark, sf_dir)["events"]
+    grid = (
+        e.groupBy(
+            "event_type",
+            F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000").alias("t"),
+        )
+        .agg(
+            F.expr(
+                "sum(CAST(floor(value * 100) AS BIGINT)) div count(*)"
+            ).alias("m")
+        )
+    )
+    a = grid.select("event_type", F.col("t").alias("t1"), F.col("m").alias("m1"))
+    b = grid.select(
+        F.col("event_type").alias("et2"),
+        F.col("t").alias("t2"),
+        F.col("m").alias("m2"),
+    )
+    sgn = (
+        F.when(F.col("m2") > F.col("m1"), F.lit(1))
+        .when(F.col("m2") < F.col("m1"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("et2")) & (F.col("t1") < F.col("t2"))
+    ).select("event_type", sgn.alias("sgn"))
+    return pairs.groupBy("event_type").agg(
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).cast("long").alias("n_up"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0)).cast("long").alias("n_down"),
+    )
+
+
+@query(
+    "q_events_survival",
+    oracle="""
+WITH RECURSIVE o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+i AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+s AS (
+  SELECT user_id, sid,
+         CAST(floor(epoch_us(max(ts) - min(ts)) / 60000000) AS BIGINT) AS dur,
+         max(ts) AS last_ts
+  FROM i GROUP BY user_id, sid
+),
+w AS (SELECT max(ts) AS wmax FROM events),
+lt AS (
+  SELECT dur, (last_ts >= wmax - INTERVAL 30 MINUTE) AS censored FROM s, w
+),
+exits AS (
+  SELECT dur AS t, CAST(count(*) AS BIGINT) AS n_exit,
+         CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT) AS n_dead
+  FROM lt GROUP BY dur
+),
+grid AS (
+  SELECT t, n_dead,
+         CAST(sum(n_exit) OVER (ORDER BY t DESC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk
+  FROM exits
+),
+ranked AS (SELECT *, row_number() OVER (ORDER BY t ASC) AS rn FROM grid),
+km AS (
+  SELECT rn, t, n_risk, n_dead,
+         CAST((1000000 * (n_risk - n_dead)) // n_risk AS BIGINT) AS surv_e6
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT r.rn, r.t, r.n_risk, r.n_dead,
+         CAST((km.surv_e6 * (r.n_risk - r.n_dead)) // r.n_risk AS BIGINT)
+  FROM ranked r JOIN km ON r.rn = km.rn + 1
+)
+SELECT t AS dur_min, n_risk, n_dead, surv_e6 FROM km
+""",
+)
+def q_events_survival(spark, sf_dir):
+    """Kaplan–Meier survival curve over SESSION durations with honest
+    right-censoring — the time-to-event analysis behind retention and
+    durability questions: sessions (30-min-gap islands, the
+    q_ts_sessionize definition) "die" at their observed duration; a
+    session whose last event falls inside the final 30 minutes of the
+    observation window may still be open, so it is CENSORED — it leaves
+    the risk set without counting as a death (the estimator's whole
+    point; plain empirical survival would bias those sessions dead).
+    S(t) = Π_{u≤t} (n_risk − n_dead)/n_risk as e6-scaled integers with
+    floor division at every step, folded in duration order.
+
+    Determinism/scale: sessionization is one user-keyed shuffle +
+    ordered windows; the duration grid is bounded by the maximum session
+    length in MINUTES (≈60 rows — time-range-bounded like the theil_sen
+    grid), so the desc-cumulative risk window and the per-row prefix
+    fold (slice + aggregate over the collected grid array, all JVM
+    expression code) run over O(grid) rows regardless of corpus size.
+    The oracle replays the identical integer recurrence as a recursive
+    CTE."""
+    e = load_tables(spark, sf_dir)["events"]
+    wlag = Window.partitionBy("user_id").orderBy("ts")
+    brk = (
+        F.when(
+            F.lag("ts").over(wlag).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wlag))
+                > 1_800_000_000  # 30 min in µs — exact, matches the oracle's
+                # INTERVAL comparison (a seconds-cast would truncate the gap)
+            ),
+            1,
+        )
+        .otherwise(0)
+    )
+    o = e.select("user_id", "ts", brk.alias("brk"))
+    i = o.withColumn(
+        "sid",
+        F.sum("brk").over(
+            wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    s = i.groupBy("user_id", "sid").agg(
+        F.floor(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 60000000
+        )
+        .cast("long")
+        .alias("dur"),
+        F.max("ts").alias("last_ts"),
+    )
+    wmax = e.agg(F.max("ts").alias("wmax"))
+    lt = s.crossJoin(F.broadcast(wmax)).select(
+        "dur",
+        (
+            F.col("last_ts")
+            >= F.col("wmax") - F.expr("INTERVAL 30 MINUTES")
+        ).alias("censored"),
+    )
+    exits = lt.groupBy(F.col("dur").alias("t")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_exit"),
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dead"),
+    )
+    wrisk = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    grid = exits.select(
+        "t",
+        "n_dead",
+        F.sum("n_exit").over(wrisk).cast("long").alias("n_risk"),
+    )
+    one = grid.agg(
+        F.sort_array(
+            F.collect_list(F.struct("t", "n_risk", "n_dead"))
+        ).alias("arr")
+    )
+    return one.select(
+        F.explode(
+            F.expr(
+                """
+                transform(sequence(1, size(arr)), i -> struct(
+                  arr[i-1].t AS dur_min,
+                  arr[i-1].n_risk AS n_risk,
+                  arr[i-1].n_dead AS n_dead,
+                  aggregate(slice(arr, 1, i), CAST(1000000 AS BIGINT),
+                            (s, x) -> (s * (x.n_risk - x.n_dead)) div x.n_risk)
+                    AS surv_e6))
+                """
+            )
+        ).alias("r")
+    ).select("r.*")
