@@ -491,3 +491,75 @@ def q_acid_restore(spark, sf_dir):
         )
         .crossJoin(F.broadcast(ch))
     )
+
+
+@query(
+    "q_acid_delete",
+    oracle=f"""
+WITH kept AS (
+  SELECT * FROM orders
+  WHERE o_orderdate < DATE '1998-01-01'
+    AND NOT (o_orderkey BETWEEN {_UPD_LO} AND {_UPD_HI})
+)
+SELECT o_orderstatus, count(*) AS n, {_E2} AS sum_price_e2,
+       CAST((SELECT count(*) FROM orders
+             WHERE o_orderdate < DATE '1998-01-01'
+               AND o_orderkey BETWEEN {_UPD_LO} AND {_UPD_HI}) AS BIGINT)
+         AS n_deleted
+FROM kept GROUP BY o_orderstatus
+""",
+)
+def q_acid_delete(spark, sf_dir):
+    """DELETE WHERE through the commit protocol (GDPR-class row removal —
+    the Delta surface q_cdc/* simulate and the unit tests exercise, here
+    as a registered end-to-end query): a 2-commit orders table drops a
+    key range via copy-on-write rewrite; the head read must equal the
+    relational complement, and n_deleted — the engine's own file-pruned
+    CDC count across the delete commit, every change a 'delete' image —
+    is pinned by the oracle to the exact predicate cardinality. A delete
+    that leaked a row, dropped an extra one, or emitted an insert image
+    would hash-mismatch.
+
+    Scale: the rewrite reads the live snapshot once and writes the
+    complement (stats-prunable on a clustered predicate column — the
+    merge machinery; kept general here because DELETE predicates are
+    arbitrary); CDC reads only the file-set difference."""
+    path = fixture_path("acid_orders_delete", sf_dir)
+    t = Table(
+        spark, path, stats_cols=["o_orderkey"], cluster_by="o_orderkey",
+        num_files=4,
+    )
+    if not fixture_ready(path, sf_dir, marker=_MARKER):
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        o = load_tables(spark, sf_dir)["orders"]
+        sub = o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+        t.create(sub)
+        t.delete_where(f"o_orderkey BETWEEN {_UPD_LO} AND {_UPD_HI}")
+        with open(os.path.join(path, _MARKER), "w") as f:
+            f.write("ok\n")
+    v = len(t.history()) - 1
+    ch = t.changes(v - 1, v)
+    nd = ch.agg(
+        F.sum(F.when(F.col("change_type") == "delete", 1).otherwise(0))
+        .cast("long")
+        .alias("n_del"),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    ).select(
+        # inserts in a pure delete's CDC would be a rewrite bug: fold the
+        # assertion into the checked column (n_total == n_del iff none).
+        F.when(F.col("n_total") == F.col("n_del"), F.col("n_del"))
+        .otherwise(F.lit(-1))
+        .alias("n_deleted")
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_price_e2"),
+        )
+        .crossJoin(F.broadcast(nd))
+    )

@@ -117,6 +117,9 @@ NLJ_WHITELIST = {
     "q_events_survival": "1-row observation-window-max scalar broadcast "
                          "cross onto the session table (the censoring cut; "
                          "the q_llm_tfidf scalar shape)",
+    "q_acid_delete": "1-row CDC delete-count scalar broadcast cross onto "
+                     "the per-status aggregate (the q_acid_compact proof "
+                     "column shape)",
 }
 
 # Declared Python surface (SURVEY §2.12 + multimodal decode stubs).
