@@ -77,7 +77,16 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst", iters: int = 3) -
     broadcast for the normalizer — identical to the pagerank dataflow
     plus the scalar join. Returns (node, hub_e6) ∪ rows keyed by target
     with (node, auth_e6) available via the `side` column."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    from pkg2_spark.session import truncate_lineage
+
+    # Lineage truncation per half-step: the score frame feeds BOTH the next
+    # join and its own max-normalizer, so without a checkpoint cut the
+    # logical plan doubles per half-step (12 nestings over 3 iterations —
+    # measured 25 s of pure analysis/stage overhead at sf0.01; the closure
+    # loop documents the same class).
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).transform(
+        truncate_lineage
+    )
     hubs = e.select("src").distinct().select(
         F.col("src").alias("node"), F.lit(_SCALE).cast("long").alias("score")
     )
@@ -87,6 +96,7 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst", iters: int = 3) -
             e.join(hubs, e["src"] == hubs["node"])
             .groupBy("dst")
             .agg(F.sum("score").alias("raw"))
+            .transform(truncate_lineage)
         )
         mx = a_raw.agg(F.max("raw").alias("mx"))
         auths = a_raw.crossJoin(F.broadcast(mx)).select(
@@ -97,6 +107,7 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst", iters: int = 3) -
             e.join(auths, e["dst"] == auths["node"])
             .groupBy("src")
             .agg(F.sum("score").alias("raw"))
+            .transform(truncate_lineage)
         )
         hmx = h_raw.agg(F.max("raw").alias("mx"))
         hubs = h_raw.crossJoin(F.broadcast(hmx)).select(
