@@ -508,3 +508,32 @@ def q_ml_linreg(spark, sf_dir):
         F.round(F.regr_avgx("l_extendedprice", "l_quantity"), 4).alias("avg_qty"),
         F.round(F.regr_avgy("l_extendedprice", "l_quantity"), 4).alias("avg_price"),
     )
+
+
+@query(
+    "q_agg_bool",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_totalprice > 400000) AS any_over_400k,
+       CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_agg_bool(spark, sf_dir):
+    """Boolean/conditional aggregate family — count_if, bool_and (SQL
+    EVERY), bool_or (SQL ANY): the assertion-style rollups data-quality
+    dashboards are built from, as first-class aggregates rather than
+    sum(CASE...) spelling. All map-combinable single-pass aggregates.
+
+    Scale: one hash-agg, partial aggregation map-side — identical
+    posture to q_agg_group."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).cast("long").alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count_if(F.col("o_orderstatus") == "F").cast("long").alias("n_finished"),
+    )

@@ -1905,3 +1905,68 @@ def q_events_survival(spark, sf_dir):
             )
         ).alias("r")
     ).select("r.*")
+
+
+@query(
+    "q_ts_rolling_median",
+    oracle="""
+WITH ev AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS v_e2
+  FROM events WHERE user_id < 10
+)
+SELECT event_type, epoch_us(ts) AS ts_us, v_e2,
+       CAST(median(v_e2) OVER (
+         PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS med5_e2
+FROM ev
+""",
+)
+def q_ts_rolling_median(spark, sf_dir):
+    """Rolling MEDIAN denoiser (5-event window per event type) — the
+    robust smoothing dual of the q_win_sliding mean: a median filter
+    kills spike outliers a moving average smears. Spark's median() and
+    DuckDB's are both exact order statistics over the frame; inputs are
+    floor-e2 BIGINTs, and an even-count frame interpolates (a+b)/2 of
+    integers — exact in double — so every smoothed point hash-matches.
+
+    Scale: one shuffle on the series key, then a bounded ROWS frame
+    (5 rows of state per position) evaluated in a single window pass —
+    the streaming-safe sliding shape, no self-join of the series."""
+    e = load_tables(spark, sf_dir)["events"].filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("v_e2"),
+        )
+        # Spark refuses inverse-distribution functions (median/percentile)
+        # over a ROWS frame; the exact equivalent is a sorted frame array +
+        # order-statistic arithmetic — still one window pass, ≤5 elements
+        # of state, and the same (a+b)/2 interpolation the oracle's
+        # median() applies.
+        .withColumn("_fr", F.sort_array(F.collect_list("v_e2").over(w)))
+        .withColumn(
+            "med5_e2",
+            F.expr(
+                """CASE WHEN size(_fr) % 2 = 1
+                        THEN CAST(_fr[CAST(size(_fr) div 2 AS INT)] AS DOUBLE)
+                        ELSE (CAST(_fr[CAST(size(_fr) div 2 AS INT) - 1] AS DOUBLE)
+                              + CAST(_fr[CAST(size(_fr) div 2 AS INT)] AS DOUBLE)) / 2
+                   END"""
+            ),
+        )
+        .select(
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            "v_e2",
+            "med5_e2",
+        )
+    )
