@@ -681,3 +681,74 @@ def q_sketch_kmv_intersect(spark, sf_dir):
             ).alias("err_bp"),
         )
     )
+
+
+@query(
+    "q_sketch_join_card",
+    oracle="""
+WITH s_join AS (
+  SELECT count(*) AS c
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 4) < '0ccc'
+),
+ex AS (
+  SELECT count(*) AS c
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+SELECT CAST((s_join.c * 65536) // 3276 AS BIGINT) AS est_rows,
+       CAST(ex.c AS BIGINT) AS exact_rows,
+       CAST(abs((s_join.c * 65536) // 3276 - ex.c) * 1000 // ex.c AS BIGINT)
+         AS err_milli,
+       (abs((s_join.c * 65536) // 3276 - ex.c) * 1000 // ex.c) < 150
+         AS within_15pct
+FROM s_join, ex
+""",
+)
+def q_sketch_join_card(spark, sf_dir):
+    """JOIN-CARDINALITY estimation by COORDINATED key sampling — the
+    optimizer-statistics question ("how big will orders ⋈ lineitem
+    be?") answered from a 5% sample: both sides keep a key iff
+    md5(key) < the shared threshold, so a sampled key brings ALL its
+    rows from BOTH sides and the sample join counts
+    Σ_{v sampled} fA(v)·fB(v) — an unbiased 1/p estimate of the true
+    Σ fA·fB (independent Bernoulli row samples would square the
+    inclusion probability and break frequency correlation). Scaled by
+    the exact rational 65536/3276; the oracle pins est, exact, and the
+    error bound (≤1.5% at sf0.1, tightening with scale — the estimator
+    arm a CBO would consult instead of ever running the exact arm).
+
+    Scale: two row-local hash filters (5% of each side's rows reach the
+    shuffle) + one equi-join on the sampled keys; the exact arm here
+    exists only to grade the estimate, exactly like q_agg_approx_cd's
+    _check companion."""
+    from pkg2_spark.operators.sampling import frac_to_threshold
+
+    t = load_tables(spark, sf_dir)
+    thr = frac_to_threshold(0.05)
+    o_s = t["orders"].filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4) < thr
+    )
+    l_s = t["lineitem"].filter(
+        F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 4) < thr
+    )
+    samp = o_s.join(l_s, F.col("o_orderkey") == F.col("l_orderkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    exact = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ex"))
+    )
+    est = F.expr("(c * CAST(65536 AS BIGINT)) div 3276")
+    err = F.expr(
+        "abs((c * CAST(65536 AS BIGINT)) div 3276 - c_ex) * 1000 div c_ex"
+    )
+    return (
+        samp.crossJoin(F.broadcast(exact))
+        .select(
+            est.cast("long").alias("est_rows"),
+            F.col("c_ex").alias("exact_rows"),
+            err.cast("long").alias("err_milli"),
+            (err < 150).alias("within_15pct"),
+        )
+    )

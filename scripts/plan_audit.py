@@ -120,6 +120,9 @@ NLJ_WHITELIST = {
     "q_acid_delete": "1-row CDC delete-count scalar broadcast cross onto "
                      "the per-status aggregate (the q_acid_compact proof "
                      "column shape)",
+    "q_sketch_join_card": "1-row exact-count grading arm cross-joined onto "
+                          "the 1-row sample estimate (the q_agg_approx_cd "
+                          "_check shape)",
 }
 
 # Declared Python surface (SURVEY §2.12 + multimodal decode stubs).
