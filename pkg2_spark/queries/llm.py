@@ -3797,3 +3797,92 @@ def q_llm_zipf(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_ranks"),
         F.min(F.when(F.col("rank") == 1, F.col("token"))).alias("top_token"),
     )
+
+
+_NOVELTY_N = 3
+
+
+@query(
+    "q_llm_ngram_novelty",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' AS is_train,
+         {_TOK_SQL} AS toks
+  FROM documents
+),
+g AS (
+  SELECT lang, is_train,
+         unnest(list_transform(range(1, len(toks) - {_NOVELTY_N} + 2),
+                i -> array_to_string(toks[i:i + {_NOVELTY_N} - 1], ' '))) AS gram
+  FROM t WHERE len(toks) >= {_NOVELTY_N}
+),
+tr AS (SELECT DISTINCT gram FROM g WHERE is_train),
+te AS (SELECT DISTINCT lang, gram FROM g WHERE NOT is_train),
+novel AS (
+  SELECT lang, count(*) AS n_novel
+  FROM te WHERE gram NOT IN (SELECT gram FROM tr)
+  GROUP BY lang
+)
+SELECT te.lang,
+       CAST(count(*) AS BIGINT) AS n_test_grams,
+       CAST(coalesce(max(novel.n_novel), 0) AS BIGINT) AS n_novel,
+       CAST((1000 * coalesce(max(novel.n_novel), 0)) // count(*) AS BIGINT)
+         AS novelty_milli
+FROM te LEFT JOIN novel ON te.lang = novel.lang
+GROUP BY te.lang
+""",
+)
+def q_llm_ngram_novelty(spark, sf_dir):
+    """Held-out n-gram NOVELTY — the generalization/memorization probe an
+    eval pipeline runs before trusting a benchmark split: what fraction
+    of the held-out split's distinct 3-grams never appear anywhere in
+    the train split (the same hash-stable 80/20 assignment as
+    q_llm_split)? Low novelty means the held-out set re-tests training
+    phrasing; q_llm_decontam finds individual contaminated docs, this
+    measures the split-level leakage rate per language.
+
+    Scale: gram explode → two distinct hash-aggs keyed by the
+    high-cardinality gram string → one gram-keyed LEFT ANTI join (the
+    decontam topology) → a |langs|-row rollup. No broadcast of anything
+    corpus-sized; integer milli rate."""
+    d = load_tables(spark, sf_dir)["documents"]
+    t = d.select(
+        "lang",
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+            < F.lit("cccc")
+        ).alias("is_train"),
+        tokens_col().alias("toks"),
+    ).filter(F.size("toks") >= _NOVELTY_N)
+    g = t.select(
+        "lang",
+        "is_train",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {_NOVELTY_N} + 1), "
+                f"i -> concat_ws(' ', slice(toks, i, {_NOVELTY_N})))"
+            )
+        ).alias("gram"),
+    )
+    tr = g.filter(F.col("is_train")).select("gram").distinct()
+    te = g.filter(~F.col("is_train")).select("lang", "gram").distinct()
+    novel = (
+        te.join(tr, "gram", "left_anti")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    tot = te.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test_grams")
+    )
+    return (
+        tot.join(novel, "lang", "left")
+        .select(
+            "lang",
+            "n_test_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.expr("(1000 * coalesce(n_novel, 0)) div n_test_grams")
+            .cast("long")
+            .alias("novelty_milli"),
+        )
+    )
