@@ -1970,3 +1970,84 @@ def q_ts_rolling_median(spark, sf_dir):
             "med5_e2",
         )
     )
+
+
+@query(
+    "q_ts_changepoint",
+    oracle="""
+WITH grid AS (
+  SELECT event_type,
+         epoch_us(date_trunc('hour', ts)) // 3600000000 AS t,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(count(*) AS BIGINT) AS n
+  FROM grid GROUP BY event_type
+),
+resid AS (
+  SELECT g.event_type, g.t,
+         CAST(g.x * tot.n - tot.sx AS BIGINT) AS r
+  FROM grid g JOIN tot ON g.event_type = tot.event_type
+),
+cum AS (
+  SELECT event_type, t,
+         CAST(sum(r) OVER (PARTITION BY event_type ORDER BY t ASC
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+  FROM resid
+)
+SELECT event_type, t AS cp_hour, CAST(abs(s) AS BIGINT) AS cusum_abs
+FROM cum
+QUALIFY row_number() OVER (
+  PARTITION BY event_type ORDER BY abs(s) DESC, t ASC
+) = 1
+""",
+)
+def q_ts_changepoint(spark, sf_dir):
+    """Change-point detection — one binary-segmentation step per event
+    type: the split point is argmax_t |CUSUM_t| of the mean-centered
+    hourly series (the classic AMOC/CUSUM estimator; q_ts_cusum tracks
+    drift against a reference, this LOCATES the level shift). Residuals
+    are scaled by n before centering (r = x·n − Σx) so every value stays
+    an exact integer — no mean division anywhere — and the argmax
+    tie-breaks on the earlier hour.
+
+    Scale: one map-combinable hash-agg to the bounded hourly grid, a
+    grid-sized rollup join, one event_type-partitioned cumulative window
+    and one ranking window — all O(groups · T) with T bounded by the
+    time range."""
+    e = load_tables(spark, sf_dir)["events"]
+    grid = e.groupBy(
+        "event_type",
+        F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000").alias("t"),
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("x"))
+    tot = grid.groupBy("event_type").agg(
+        F.sum("x").cast("long").alias("sx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    resid = grid.join(tot, "event_type").select(
+        "event_type",
+        "t",
+        (F.col("x") * F.col("n") - F.col("sx")).cast("long").alias("r"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = resid.select(
+        "event_type", "t", F.sum("r").over(wcum).cast("long").alias("s")
+    )
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.col("t").asc()
+    )
+    return (
+        cum.withColumn("_rn", F.row_number().over(wrank))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            F.col("t").alias("cp_hour"),
+            F.abs(F.col("s")).cast("long").alias("cusum_abs"),
+        )
+    )
