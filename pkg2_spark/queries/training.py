@@ -2580,3 +2580,52 @@ def q_vec_ivf_incr(spark, sf_dir):
         )
     )
     return cells.unionAll(summary)
+
+
+@query(
+    "q_vec_norm_stats",
+    oracle="""
+WITH n AS (
+  SELECT label,
+         CAST(floor(sqrt(list_reduce(
+           list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+           (a, b) -> a + b)) * 1000000) AS BIGINT) AS norm_e6
+  FROM embeddings
+)
+SELECT label, count(*) AS n_vecs,
+       CAST(min(norm_e6) AS BIGINT) AS min_norm_e6,
+       CAST(max(norm_e6) AS BIGINT) AS max_norm_e6,
+       CAST(sum(norm_e6) // count(*) AS BIGINT) AS avg_norm_e6
+FROM n GROUP BY label
+""",
+)
+def q_vec_norm_stats(spark, sf_dir):
+    """Embedding NORM audit per label — the vector-hygiene check run
+    before any cosine pipeline (un-normalized or near-zero vectors
+    silently corrupt cosine ranking; this is the profile that catches
+    them). The L2 norm is a row-local LEFT FOLD over the vector array —
+    elements cast to double FIRST, then x² accumulated in array order —
+    so both engines execute the identical IEEE add/mul sequence, and
+    sqrt is IEEE-exact (a correctly-rounded required operation), making
+    floor(sqrt·1e6) bit-stable cross-engine with no rational gymnastics.
+
+    Scale: pure row-local expression work inside codegen + one
+    |labels|-row hash-agg; no UDF, no shuffle beyond the final
+    aggregate."""
+    e = load_tables(spark, sf_dir)["embeddings"]
+    ss = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda s, x: s + x * x,
+    )
+    norm = F.floor(F.sqrt(ss) * 1000000).cast("long")
+    return (
+        e.select("label", norm.alias("norm_e6"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("norm_e6").alias("min_norm_e6"),
+            F.max("norm_e6").alias("max_norm_e6"),
+            F.expr("sum(norm_e6) div count(*)").cast("long").alias("avg_norm_e6"),
+        )
+    )
