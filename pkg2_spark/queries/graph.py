@@ -700,3 +700,94 @@ def q_graph_sssp(spark, sf_dir):
             .agg(F.min("dist").cast("long").alias("dist"))
         )
     return dist.select(F.col("node").alias("s_suppkey"), F.col("dist").alias("hops"))
+
+
+@query(
+    "q_graph_assortativity",
+    oracle=f"""
+WITH {_COSUPPLY_UND_SQL},
+e AS (SELECT a AS x, b AS y FROM und UNION ALL SELECT b AS x, a AS y FROM und),
+deg AS (SELECT x AS node, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY x),
+pairs AS (
+  SELECT dx.d AS a, dy.d AS b
+  FROM e JOIN deg dx ON e.x = dx.node JOIN deg dy ON e.y = dy.node
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a) AS BIGINT) AS sx, CAST(sum(b) AS BIGINT) AS sy,
+         CAST(sum(a * b) AS BIGINT) AS sxy,
+         CAST(sum(a * a) AS BIGINT) AS sx2,
+         CAST(sum(b * b) AS BIGINT) AS sy2
+  FROM pairs
+)
+SELECT n AS n_directed_edges,
+       CAST(floor(
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / sqrt((CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)
+                * (CAST(n AS DOUBLE) * sy2 - CAST(sy AS DOUBLE) * sy))
+         * 10000) AS BIGINT) AS assortativity_e4
+FROM m
+""",
+)
+def q_graph_assortativity(spark, sf_dir):
+    """Degree ASSORTATIVITY (Newman's r) of the capped co-supply kNN
+    graph — the network-science diagnostic behind "do hubs connect to
+    hubs?": the Pearson correlation of endpoint degrees over every
+    directed edge. Positive r = assortative (supply-chain redundancy
+    clusters), negative = hub-and-spoke. Five BIGINT moment sums
+    (order-free, partitioning-invariant) and ONE double Pearson
+    evaluation floored to e4 — the q_ts_autocorr discipline on a graph.
+
+    Scale: degree = one node-keyed hash-agg; endpoint joins are two
+    node-keyed equi-joins against the |nodes|-row degree table; the
+    moment rollup is map-combinable. Edge volume is already bounded by
+    the shared per-part cap."""
+    from pkg2_spark.catalog import load_tables
+
+    t = load_tables(spark, sf_dir)
+    und = _cosupply_und(t)
+    e = und.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
+        und.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    deg = e.groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    pairs = (
+        e.join(deg.withColumnRenamed("node", "xn"), F.col("x") == F.col("xn"))
+        .withColumnRenamed("d", "a")
+        .join(
+            deg.withColumnRenamed("node", "yn").withColumnRenamed("d", "b"),
+            F.col("y") == F.col("yn"),
+        )
+        .select("a", "b")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").cast("long").alias("sx"),
+        F.sum("b").cast("long").alias("sy"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("sxy"),
+        F.sum(F.col("a") * F.col("a")).cast("long").alias("sx2"),
+        F.sum(F.col("b") * F.col("b")).cast("long").alias("sy2"),
+    )
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        F.floor(
+            (
+                F.col("n").cast("double") * F.col("sxy")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
+            / F.sqrt(
+                (
+                    F.col("n").cast("double") * F.col("sx2")
+                    - F.col("sx").cast("double") * F.col("sx")
+                )
+                * (
+                    F.col("n").cast("double") * F.col("sy2")
+                    - F.col("sy").cast("double") * F.col("sy")
+                )
+            )
+            * 10000
+        )
+        .cast("long")
+        .alias("assortativity_e4"),
+    )

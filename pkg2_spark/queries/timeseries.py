@@ -2051,3 +2051,94 @@ def q_ts_changepoint(spark, sf_dir):
             F.abs(F.col("s")).cast("long").alias("cusum_abs"),
         )
     )
+
+
+@query(
+    "q_events_ab_test",
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         substr(md5(CAST(user_id AS VARCHAR)), 1, 4) < '8000' AS is_a,
+         CAST(CASE WHEN 5 * sum(CASE WHEN event_type = 'purchase'
+                                      THEN 1 ELSE 0 END) > count(*)
+                   THEN 1 ELSE 0 END AS BIGINT) AS converted
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN is_a THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE converted END) AS BIGINT) AS conv_b
+  FROM u
+)
+SELECT n_a, conv_a, n_b, conv_b,
+       CAST((1000 * conv_a) // n_a AS BIGINT) AS rate_a_milli,
+       CAST((1000 * conv_b) // n_b AS BIGINT) AS rate_b_milli,
+       round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score
+FROM c
+""",
+)
+def q_events_ab_test(spark, sf_dir):
+    """A/B-experiment readout — the two-proportion z-test every
+    experimentation platform serves: users are split 50/50 by the
+    hash-stable bucket (the q_llm_split assignment discipline, so a
+    user's arm never changes as data grows), conversion = the user's
+    purchase SHARE exceeds the 1/5 uniform baseline (a scale-invariant
+    per-user rate — absolute-count or value thresholds degenerate to
+    all-convert or none-convert as events-per-user grows, putting the
+    pooled rate at 0 or 1 where the z statistic is 0/0), and the
+    pooled-variance z statistic compares the arms.
+    Counts are exact integers; the one z evaluation is the same IEEE
+    double expression over those identical integers in both engines
+    (sqrt is IEEE-exact), rounded to 4dp — the q_ts_autocorr posture.
+
+    Scale: one user-keyed hash-agg (map-combinable max) + one global
+    4-counter rollup; the z arithmetic runs on a single row."""
+    e = load_tables(spark, sf_dir)["events"]
+    u = e.groupBy("user_id").agg(
+        F.when(
+            5
+            * F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            > F.count(F.lit(1)),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("converted")
+    ).select(
+        (
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 4)
+            < F.lit("8000")
+        ).alias("is_a"),
+        "converted",
+    )
+    c = u.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("is_a"), F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(F.col("converted")))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    z = F.expr(
+        """round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 4)"""
+    )
+    return c.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.expr("(1000 * conv_a) div n_a").cast("long").alias("rate_a_milli"),
+        F.expr("(1000 * conv_b) div n_b").cast("long").alias("rate_b_milli"),
+        z.alias("z_score"),
+    )
