@@ -518,3 +518,38 @@ def q_fn_ip(spark, sf_dir):
         F.min("ip_int").alias("min_ip"),
         F.max("ip_int").alias("max_ip"),
     )
+
+
+@query(
+    "q_fn_encode",
+    oracle="""
+SELECT p_partkey,
+       base64(encode(p_name)) AS name_b64,
+       hex(encode(p_name)) AS name_hex,
+       decode(from_base64(base64(encode(p_name)))) = p_name AS b64_roundtrip,
+       CAST(length(base64(encode(p_name))) AS BIGINT) AS b64_len
+FROM part
+WHERE p_partkey < 500
+""",
+)
+def q_fn_encode(spark, sf_dir):
+    """Binary ENCODING family — base64 and hex of UTF-8 bytes plus the
+    decode round-trip, the functions every payload-carrying pipeline
+    (q_src_binary's domain) leans on to move bytes through text
+    channels. Row-local codegen expressions; both engines emit the
+    RFC-4648 alphabet and uppercase hex over identical UTF-8 bytes.
+
+    Scale: pure per-row projection under the pushed key filter — no
+    shuffle at all."""
+    p = load_tables(spark, sf_dir)["part"]
+    name_bin = F.encode(F.col("p_name"), "UTF-8")
+    return p.filter(F.col("p_partkey") < 500).select(
+        "p_partkey",
+        F.base64(name_bin).alias("name_b64"),
+        F.hex(name_bin).alias("name_hex"),
+        (
+            F.decode(F.unbase64(F.base64(name_bin)), "UTF-8")
+            == F.col("p_name")
+        ).alias("b64_roundtrip"),
+        F.length(F.base64(name_bin)).cast("long").alias("b64_len"),
+    )
