@@ -48,6 +48,11 @@ def version_key(col) -> F.Column:
     )
 
 
+# Sentinel distinguishing "caller said nothing" (audit at the engine's
+# ann_min_recall bar) from an explicit min_recall=None opt-out.
+_AUDIT_DEFAULT = object()
+
+
 class Engine:
     def __init__(self, spark: SparkSession | None = None, sf_dir: str | None = None):
         self.spark = ensure_runtime_confs(spark) if spark else get_session()
@@ -57,6 +62,14 @@ class Engine:
         # 3 is the served default (q_llm_ann_mprobe's registered shape);
         # SCALING.md's recall table is the tuning guide.
         self.ann_n_probe: int = 3
+        # The ANN safety bar: ann_search audits recall@k on bounded
+        # self-probes BY DEFAULT and refuses to serve an index that
+        # misses this bar (falls back to exact knn_bruteforce / raises,
+        # per on_low_recall) — the r11 verdict's #1: an unaudited IVF
+        # index silently serves 0.16-recall results on isotropic
+        # corpora. Set to None (or pass min_recall=None per call) to
+        # skip the audit and always serve the IVF path.
+        self.ann_min_recall: float | None = 0.8
         if sf_dir:
             self.load_tables(sf_dir)
 
@@ -1147,7 +1160,7 @@ class Engine:
         probes: DataFrame | None = None,
         n_probe: int | None = None,
         k: int = 5,
-        min_recall: float | None = None,
+        min_recall: float | None | object = _AUDIT_DEFAULT,
         audit_probes: int = 5,
         on_low_recall: str = "fallback",
         dim: int | None = None,
@@ -1166,18 +1179,23 @@ class Engine:
           target-cell rows; recall@k is monotone in n_probe when callers
           pin descent (see queries.llm.ann_multiprobe and the SCALING.md
           recall table for the measured curve).
-        - ``min_recall``: the safety knob (r10 verdict #4). SCALING.md
-          documents that cell-pruning recall collapses on isotropic
-          (structure-free) corpora — 0.16-0.28 at n_probe=8 on the
-          diverse probes — but an unaudited index will happily serve
-          those results. With min_recall set, recall@k is first measured
-          on the standard bounded self-probes (both arms the engine's own
-          operators; one tiny driver-side aggregate, the IVF tree is
-          memoized so the audit shares it with the serve). If measured
-          recall < min_recall: ``on_low_recall="fallback"`` (default)
-          serves exact knn_bruteforce instead (warning with the measured
-          number; linear scan, always correct), ``"raise"`` raises with
-          the measured number. The audit outcome lands in
+        - ``min_recall``: the safety bar, ON BY DEFAULT (r11 verdict #1
+          — the default path must not serve an unaudited index).
+          SCALING.md documents that cell-pruning recall collapses on
+          isotropic (structure-free) corpora — 0.16-0.28 at n_probe=8 on
+          the diverse probes. Left unset, the bar is the engine knob
+          ``self.ann_min_recall`` (0.8); pass an explicit ``None`` to
+          skip the audit and always serve IVF. With a bar set, recall@k
+          is first measured on the standard bounded self-probes (both
+          arms the engine's own operators; one tiny driver-side
+          aggregate, the IVF tree is memoized so the audit shares it
+          with the serve; corpora with no vec_id < audit_probes rows
+          re-audit on their ``audit_probes`` smallest ids so the check
+          cannot pass vacuously). If measured recall < the bar:
+          ``on_low_recall="fallback"`` (default) serves exact
+          knn_bruteforce instead (warning with the measured number;
+          linear scan, always correct), ``"raise"`` raises with the
+          measured number. The audit outcome lands in
           ``self.last_ann_recall`` / ``self.last_ann_path``.
         - ``dim``: embedding width — lets the brute-force arms run in the
           wide codegen form (2× faster; optional, values identical).
@@ -1190,31 +1208,53 @@ class Engine:
         if on_low_recall not in ("fallback", "raise"):
             raise ValueError("on_low_recall must be 'fallback' or 'raise'")
         np_ = self.ann_n_probe if n_probe is None else n_probe
+        if min_recall is _AUDIT_DEFAULT:
+            min_recall = self.ann_min_recall
         self.last_ann_recall: float | None = None
         self.last_ann_path = "ivf"
         if min_recall is not None:
+
+            def _audit_once(audit_df, explicit):
+                exact_df = knn_bruteforce(
+                    embeddings.select("vec_id", "embedding"), audit_df, k=k, dim=dim
+                ).select("probe_id", "vec_id")
+                approx_df = (
+                    ann_multiprobe(
+                        embeddings, n_probe=np_, k=k, n_queries=audit_probes,
+                        probes=audit_df if explicit else None, **kw,
+                    )
+                    .select("probe_id", "vec_id")
+                    .withColumn("__hit", F.lit(1))
+                )
+                return (
+                    exact_df.join(approx_df, ["probe_id", "vec_id"], "left")
+                    .agg(
+                        F.count(F.lit(1)).alias("n_exact"),
+                        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
+                    )
+                    .collect()[0]
+                )
+
             audit = embeddings.filter(F.col("vec_id") < audit_probes).select(
                 F.col("vec_id").alias("probe_id"),
                 F.col("embedding").alias("probe_embedding"),
             )
-            exact = knn_bruteforce(
-                embeddings.select("vec_id", "embedding"), audit, k=k, dim=dim
-            ).select("probe_id", "vec_id")
-            approx = (
-                ann_multiprobe(
-                    embeddings, n_probe=np_, k=k, n_queries=audit_probes, **kw
+            row = _audit_once(audit, explicit=False)
+            if not row["n_exact"]:
+                # Sparse/offset id space: no vec_id < audit_probes rows, so
+                # the self-probe convention found nothing to audit. Re-audit
+                # on the audit_probes smallest ids (bounded sort-limit)
+                # routed through the explicit-probes path — the bar must
+                # never pass vacuously.
+                audit = (
+                    embeddings.orderBy("vec_id")
+                    .limit(audit_probes)
+                    .select(
+                        F.col("vec_id").alias("probe_id"),
+                        F.col("embedding").alias("probe_embedding"),
+                    )
                 )
-                .select("probe_id", "vec_id")
-                .withColumn("__hit", F.lit(1))
-            )
-            row = (
-                exact.join(approx, ["probe_id", "vec_id"], "left")
-                .agg(
-                    F.count(F.lit(1)).alias("n_exact"),
-                    F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"),
-                )
-                .collect()[0]
-            )
+                row = _audit_once(audit, explicit=True)
             measured = (
                 int(row["n_hits"] or 0) / int(row["n_exact"])
                 if row["n_exact"]

@@ -574,6 +574,14 @@ def test_ann_search_probes_and_min_recall_fallback(spark):
     assert eng.last_ann_path == "ivf"
     assert eng.last_ann_recall >= 0.8
 
+    # r11 verdict #1: the audit is ON BY DEFAULT — no min_recall argument
+    # still audits at the engine bar (ann_min_recall = 0.8) and records
+    # the measured number; the clustered corpus clears it and serves IVF.
+    assert eng.ann_min_recall == 0.8
+    assert eng.ann_search(clustered, k=5, dim=DIM).count() == 25
+    assert eng.last_ann_path == "ivf"
+    assert eng.last_ann_recall is not None and eng.last_ann_recall >= 0.8
+
     # External probes: held-out vectors near three cluster centers must
     # come back with top-5 neighbors from THEIR clusters (vec_id % 8 == j).
     probes = spark.createDataFrame(
@@ -587,16 +595,35 @@ def test_ann_search_probes_and_min_recall_fallback(spark):
     assert len(ext) == 15
     assert all(r["vec_id"] % 8 == r["probe_id"] - 100 for r in ext)
 
+    # Vacuous-pass guard: a corpus whose ids start at 1000 has no
+    # vec_id < audit_probes rows, so the self-probe audit finds nothing;
+    # the engine must re-draw the audit from the smallest ids (bounded
+    # sort-limit) instead of waving the index through on an empty check.
+    shifted = clustered.withColumn(
+        "vec_id", (F.col("vec_id") + F.lit(1000)).cast("long")
+    )
+    ext2 = eng.ann_search(shifted, probes=probes, k=5, dim=DIM).collect()
+    assert len(ext2) == 15
+    assert eng.last_ann_path == "ivf"
+    assert eng.last_ann_recall is not None and eng.last_ann_recall >= 0.8
+
     # Structure-free corpus: the audited recall (0.52 on this seeded
-    # corpus, deterministic) misses the bar — the fallback must serve the
-    # exact brute-force answer and say so.
+    # corpus, deterministic) misses the bar — the DEFAULT path (no
+    # min_recall argument) must fall back to the exact brute-force answer
+    # and say so; the caller did nothing and still cannot be served an
+    # unaudited 0.5-recall index (r11 verdict #1).
     with _warnings.catch_warnings(record=True) as caught:
         _warnings.simplefilter("always")
-        fb = eng.ann_search(diverse, min_recall=0.8, k=5, dim=DIM)
+        fb = eng.ann_search(diverse, k=5, dim=DIM)
         got = {(r["probe_id"], r["vec_id"]) for r in fb.collect()}
     assert eng.last_ann_path == "bruteforce"
     assert eng.last_ann_recall < 0.8
     assert any("min_recall" in str(w.message) for w in caught)
+    # Explicit opt-out: min_recall=None skips the audit and serves IVF
+    # even on the corpus that just failed the bar.
+    assert eng.ann_search(diverse, min_recall=None, k=5, dim=DIM).count() == 25
+    assert eng.last_ann_path == "ivf"
+    assert eng.last_ann_recall is None
     exact_probes = diverse.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("probe_embedding"),
