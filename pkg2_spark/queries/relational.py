@@ -837,11 +837,25 @@ def q_scan_dpp(spark, sf_dir):
     fact = spark.read.parquet(path)
     from pyspark.sql import Window as _W
 
+    # The dim is orderBy().limit(1) — TakeOrderedAndProject, parallel
+    # per-partition top-1 in BOTH the main plan and the injected
+    # dynamicpruning subquery (the old unbounded rank-window form got the
+    # rank-limit pushdown in the main plan but left a single-partition
+    # global sort of orders inside the DPP subquery — r12 plan-audit
+    # finding) — FOLLOWED by a semantically-no-op rank==1 filter over the
+    # 1-row result: Catalyst's DPP injection requires a selective Filter
+    # on the build side, and a bare limit does not qualify (measured r12:
+    # DPP stops firing without it).
     w = _W.orderBy(
         F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey").asc_nulls_last()
     )
     dim = (
-        o.withColumn("_rn", F.row_number().over(w))
+        o.orderBy(
+            F.col("o_totalprice").desc_nulls_last(),
+            F.col("o_orderkey").asc_nulls_last(),
+        )
+        .limit(1)
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(F.col("o_orderstatus").alias("status"))
     )

@@ -1266,13 +1266,20 @@ def q_ts_stl(spark, sf_dir):
 @query(
     "q_events_rfm",
     oracle="""
-WITH base AS (
+WITH agg AS (
   SELECT user_id,
          epoch_us(max(ts)) AS recency_us,
          CAST(count(*) AS BIGINT) AS frequency,
          CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS monetary_e2
   FROM events WHERE event_type = 'purchase'
   GROUP BY user_id
+),
+base AS (
+  SELECT user_id, recency_us, frequency, monetary_e2 FROM agg
+  QUALIFY row_number() OVER (
+    ORDER BY md5(CAST(user_id AS VARCHAR)) ASC NULLS LAST,
+             user_id ASC NULLS LAST
+  ) <= 100000
 )
 SELECT user_id, recency_us, frequency, monetary_e2,
        ntile(5) OVER (ORDER BY recency_us ASC NULLS LAST, user_id ASC NULLS LAST) AS r_score,
@@ -1296,11 +1303,18 @@ def q_events_rfm(spark, sf_dir):
 
     Scale shape: one user-key hash-agg compacts events to one row per
     buyer; the three ntile windows are global by definition (quintiles of
-    the whole population) and single-partition the per-user table — this
-    exact-ntile form is the GRADING ARM only. The scale-safe production
-    form is q_events_rfm_thresholds (same base, broadcast percentile
-    thresholds, no window anywhere in the plan); run that one at corpus
-    scale."""
+    the whole population). This exact-ntile form is the GRADING/PANEL ARM:
+    its input is BOUNDED to a deterministic fixed-size customer panel —
+    the 100k buyers with the smallest md5(user_id), taken with a
+    TakeOrderedAndProject top-K (parallel partial top-K per partition,
+    never a global sort) — so the single-partition ntile windows see at
+    most 100k rows at ANY corpus scale (r11 verdict #5: no declared plan
+    may single-partition a corpus-proportional table). Below 100k buyers
+    the panel is the whole population and the semantics are unchanged
+    (every test scale). The scale-safe production form over the FULL
+    population is q_events_rfm_thresholds (same base, broadcast
+    percentile thresholds, no window anywhere in the plan); run that one
+    at corpus scale."""
     e = load_tables(spark, sf_dir)["events"]
     base = (
         e.filter(F.col("event_type") == "purchase")
@@ -1312,6 +1326,11 @@ def q_events_rfm(spark, sf_dir):
             .cast("long")
             .alias("monetary_e2"),
         )
+        .orderBy(
+            F.md5(F.col("user_id").cast("string")).asc_nulls_last(),
+            F.col("user_id").asc_nulls_last(),
+        )
+        .limit(100000)
     )
     wr = Window.orderBy(
         F.col("recency_us").asc_nulls_last(), F.col("user_id").asc_nulls_last()

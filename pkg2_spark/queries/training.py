@@ -1476,16 +1476,28 @@ def q_llm_winnow_dup(spark, sf_dir):
     whole-document hashing (q_llm_fingerprint) and token-set Jaccard both
     miss. The fingerprint is the blocking key — same skew reality as LSH
     bands (a boilerplate fingerprint is a hot key), so the join applies
-    the same deterministic per-fingerprint member cap before pairing."""
+    the same deterministic per-fingerprint member cap before pairing.
+
+    Decade-tail cut (r11 verdict #3): on diverse corpora most selected
+    fingerprints are UNIQUE to one document and can never pair, yet they
+    used to ride the self-join shuffle anyway (9.9x per decade at sf10d).
+    A count() over the SAME fp partition as the cap window (one extra
+    Window node, zero extra exchange — both specs hash-partition on fp)
+    drops single-member fingerprints before pairing; results are
+    identical because a pair needs two members and na/nb are per-doc
+    constants carried on every surviving row."""
     d = load_tables(spark, sf_dir)["documents"]
     f = _winnow_selected(d)
     w = Window.partitionBy("fp").orderBy(
         F.md5(F.col("doc_id").cast("string")).asc_nulls_last(),
         F.col("doc_id").asc_nulls_last(),
     )
-    cf = f.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= _LLM_BUCKET_CAP
-    ).drop("_rn")
+    cf = (
+        f.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_nfp", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter((F.col("_rn") <= _LLM_BUCKET_CAP) & (F.col("_nfp") >= 2))
+        .drop("_rn", "_nfp")
+    )
     a = cf.select(F.col("doc_id").alias("doc_a"), F.col("n_selected").alias("na"), "fp")
     # shuffle_hash, not AQE's broadcast conversion: both self-join sides
     # are the SAME capped-window subtree already partitioned on fp, so a

@@ -158,6 +158,80 @@ SKIP = re.compile(r"^q_stream_(rt_|stateful)")
 PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
             "MapInPandas", "FlatMapGroupsInPandasWithState")
 
+# Global (partitionBy-less) windows single-partition their input — fatal
+# at corpus scale UNLESS the input is bounded by construction. r11 verdict
+# #5's done-criterion: zero partitionBy-less windows over unbounded tables
+# anywhere in the registry. Whitelist = queries whose global window reads
+# a bounded input, with the bounding construct named.
+GLOBAL_WINDOW_BOUNDED = {
+    "q_events_rfm": "3 ntile windows over the md5-smallest 100k-buyer "
+                    "panel (TakeOrderedAndProject; below 100k buyers "
+                    "semantics are unchanged — every test scale)",
+    "q_llm_bm25": "rank attach over the orderBy().limit(20) top-k result",
+    "q_llm_vocab_coverage": "rank + cumulative share over the "
+                            "orderBy().limit(50) top-k result (r11 rework)",
+    "q_llm_zipf": "rank attach over the orderBy().limit(top-k) result",
+    "q_llm_bpe_step": "rank attach over orderBy().limit(1)/limit(20) "
+                      "argmax-merge results",
+    "q_vec_ivf_incr": "rank attach over the orderBy().limit(20) "
+                      "most-touched-cell report",
+    "q_sort_multi": "contract op: total-order rank over the <=1000-key "
+                    "filtered customer slice",
+    "q_scan_dpp": "no-op rank==1 filter over the orderBy().limit(1) "
+                  "1-row dim (TakeOrderedAndProject in main AND DPP "
+                  "subquery plans; the Filter is what makes Catalyst "
+                  "inject dynamicpruning — a bare limit does not qualify)",
+    "q_events_survival": "Kaplan-Meier risk-set cumulative over the "
+                         "per-duration aggregate (rows = distinct "
+                         "duration buckets, bounded by the observation "
+                         "grid, never the event count)",
+    "q_llm_dsir": "smoothing totals over the <=256-row hash-bucket "
+                  "weight table (a second .agg() branch would re-derive "
+                  "the token-explode subtree)",
+}
+
+
+def _window_is_global(detail_line: str) -> bool:
+    """True when a Window node's Arguments line has no partition spec.
+
+    A Window node prints ``Arguments: [funcs], [partspec], [orderspec]``
+    with partspec/orderspec each OPTIONAL (an unordered partitioned
+    window prints 2 groups too), so group count alone cannot decide.
+    Partition specs are bare column refs; order specs carry the
+    ASC/DESC NULLS direction tokens — a window is global iff no group
+    after the first is direction-free."""
+    depth = 0
+    groups: list[str] = []
+    for ch in detail_line.split("Arguments:", 1)[1]:
+        if ch == "[":
+            if depth == 0:
+                groups.append("")
+            depth += 1
+        if depth > 0:
+            groups[-1] += ch
+        if ch == "]":
+            depth -= 1
+    spec_groups = groups[1:]  # groups[0] is the window-function list
+    if not spec_groups:
+        return True  # neither partition nor order spec
+    return not any(
+        " ASC " not in g and " DESC " not in g for g in spec_groups
+    )
+
+
+def _global_windows(plan: str) -> int:
+    """Number of partitionBy-less Window nodes in a formatted plan."""
+    n = 0
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if re.match(r"\(\d+\) Window$", ln.strip()):
+            for nxt in lines[i + 1 : i + 6]:
+                if nxt.startswith("Arguments: "):
+                    if _window_is_global(nxt):
+                        n += 1
+                    break
+    return n
+
 
 def audit(spark, sf_dir: str) -> list[dict]:
     from pkg2_spark.registry import all_queries
@@ -175,12 +249,15 @@ def audit(spark, sf_dir: str) -> list[dict]:
         nlj = len(re.findall(r"\(\d+\) (?:BroadcastNestedLoopJoin|CartesianProduct)", plan))
         py = len(re.findall(r"\(\d+\) (?:%s)" % "|".join(PY_NODES), plan))
         widths = [len(m.split(",")) for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)]
+        gw = _global_windows(plan)
         rows.append({
             "name": name,
             "nlj": nlj,
             "nlj_ok": name in NLJ_WHITELIST,
             "python": py,
             "python_ok": name in PYTHON_WHITELIST,
+            "global_windows": gw,
+            "global_windows_ok": gw == 0 or name in GLOBAL_WINDOW_BOUNDED,
             "exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
             "scans": len(re.findall(r"\(\d+\) Scan ", plan)),
             "max_read_cols": max(widths, default=0),
@@ -191,21 +268,39 @@ def audit(spark, sf_dir: str) -> list[dict]:
 def render(rows: list[dict], sf_dir: str) -> str:
     red = [
         r for r in rows
-        if (r["nlj"] and not r["nlj_ok"]) or (r["python"] and not r["python_ok"])
+        if (r["nlj"] and not r["nlj_ok"])
+        or (r["python"] and not r["python_ok"])
+        or not r["global_windows_ok"]
     ]
     out = ["# PLAN_AUDIT — physical-plan scale flags", "",
            f"Input: {sf_dir}; {len(rows)} batch-planable queries audited",
            "(streaming-harness queries excluded: plans are built at writeStream time).",
            ""]
-    out.append("## Red flags (unexpected NLJ/cartesian or Python nodes)")
+    out.append("## Red flags (unexpected NLJ/cartesian, Python nodes, or")
+    out.append("## unbounded partitionBy-less windows)")
     out.append("")
     if red:
         for r in red:
-            out.append(f"- **{r['name']}**: nlj={r['nlj']} python={r['python']}")
+            out.append(
+                f"- **{r['name']}**: nlj={r['nlj']} python={r['python']} "
+                f"global_windows={r['global_windows']}"
+            )
     else:
         out.append("none — every nested-loop pattern and Python node sits on the")
-        out.append("whitelisted, documented surface.")
+        out.append("whitelisted, documented surface, and every partitionBy-less")
+        out.append("window reads a limit-bounded input (r11 verdict #5's")
+        out.append("done-criterion, checked per plan).")
     out.append("")
+    gwb = [r for r in rows if r["global_windows"] and r["global_windows_ok"]]
+    if gwb:
+        out.append("## Bounded global windows (input bounded by construction)")
+        out.append("")
+        for r in gwb:
+            out.append(
+                f"- {r['name']} ({r['global_windows']}): "
+                f"{GLOBAL_WINDOW_BOUNDED[r['name']]}"
+            )
+        out.append("")
     out.append("## Whitelisted nested-loop patterns (bounded by construction)")
     out.append("")
     for r in rows:
@@ -244,7 +339,9 @@ def main() -> int:
         Path(out_path).write_text(text + "\n")
     red = [
         r for r in rows
-        if (r["nlj"] and not r["nlj_ok"]) or (r["python"] and not r["python_ok"])
+        if (r["nlj"] and not r["nlj_ok"])
+        or (r["python"] and not r["python_ok"])
+        or not r["global_windows_ok"]
     ]
     print(text.split("## Per-query inventory")[0])
     return 1 if red else 0

@@ -572,3 +572,57 @@ def test_xml_roundtrip_is_jvm_native(spark, sf_dir):
     assert "HashAggregate" in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_rfm_exact_ntile_arm_is_panel_bounded(spark, sf_dir):
+    # r11 verdict #5: the exact-ntile grading arm was the last declared
+    # plan with a corpus-proportional single-partition window. Its input
+    # is now the md5-smallest 100k-buyer panel taken with
+    # TakeOrderedAndProject (parallel partial top-K), so the global ntile
+    # windows are bounded at any corpus scale. Formatted plans print
+    # top-down: the Window consumer must sit above the
+    # TakeOrderedAndProject that bounds it.
+    plan = _plan(spark, sf_dir, "q_events_rfm")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" in plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), (
+        "the ntile windows must consume the bounded panel, not the raw "
+        "per-buyer table"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_cover_is_interval_merge_not_position_explode(spark, sf_dir):
+    # r11 verdict #3: covered tokens now come from a per-doc lag-window
+    # interval merge over dupocc rows, NOT the old x8 position explode +
+    # (doc,pos)-distinct (which shuffled 8x the duplicated rows — 36M vs
+    # 4.5M at sf10d). The plan must carry the doc-partitioned window and
+    # exactly ONE explode (the positional shingle stream itself).
+    plan = _plan(spark, sf_dir, "q_llm_span_dedup")
+    assert "Window" in plan
+    # the positional shingle explode appears once per consumer branch
+    # (dup agg + join-back); the cover branch adds NO third explode
+    assert plan.count("Generate explode") <= 2, (
+        "the x8 position-cover explode is back"
+    )
+    assert "CartesianProduct" not in plan
+    for marker in ["BatchEvalPython", "ArrowEvalPython", "MapInPandas"]:
+        assert marker not in plan, marker
+
+
+def test_winnow_dup_prunes_single_member_fingerprints_shuffle_free(spark, sf_dir):
+    # r11 verdict #3: the unique-fingerprint majority is dropped before
+    # the pairing self-join by a count over the SAME fp partitioning as
+    # the cap window — the plan must carry exactly ONE exchange on fp
+    # feeding the window stack (the count must not add a shuffle).
+    plan = _plan(spark, sf_dir, "q_llm_winnow_dup")
+    import re
+
+    fp_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and re.search(r"\bfp\b", ln)
+    ]
+    assert len(fp_exchanges) <= 2, (  # one per self-join side at most
+        f"fingerprint pruning added exchanges: {fp_exchanges}"
+    )
+    assert "CartesianProduct" not in plan
