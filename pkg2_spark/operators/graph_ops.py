@@ -79,6 +79,10 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst", iters: int = 3) -
     with (node, auth_e6) available via the `side` column."""
     from pkg2_spark.session import truncate_lineage
 
+    if iters < 1:
+        # iters = 0 would leave auths unbound at the final select — fail
+        # with the contract, not an AttributeError (r11 advice).
+        raise ValueError(f"hits: iters must be >= 1, got {iters}")
     # Lineage truncation per half-step: the score frame feeds BOTH the next
     # join and its own max-normalizer, so without a checkpoint cut the
     # logical plan doubles per half-step (12 nestings over 3 iterations —

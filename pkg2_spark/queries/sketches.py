@@ -29,10 +29,18 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from pkg2_spark.catalog import load_tables
+from pkg2_spark.operators.sampling import BUCKETS as _BUCKETS
+from pkg2_spark.operators.sampling import frac_to_threshold as _frac_to_threshold
 from pkg2_spark.operators.sampling import hash_split
 from pkg2_spark.registry import query
 
 _K = 64
+
+# q_sketch_join_card's coordinated-sample fraction; threshold, inverse
+# scale, and the oracle all derive from this ONE constant (r11 advice:
+# a hard-coded 65536/3276 pair could silently drift from the filter).
+_JOIN_CARD_FRAC = 0.05
+_JC_N = int(_JOIN_CARD_FRAC * _BUCKETS)
 
 # md5 -> exact 32-bit integer digit folding, shared with the Bloom filter
 # and DSIR feature hashing (see the ANSI-overflow note there: each digit
@@ -685,21 +693,22 @@ def q_sketch_kmv_intersect(spark, sf_dir):
 
 @query(
     "q_sketch_join_card",
-    oracle="""
+    oracle=f"""
 WITH s_join AS (
   SELECT count(*) AS c
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-  WHERE substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 4) < '0ccc'
+  WHERE substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 4)
+        < '{_frac_to_threshold(_JOIN_CARD_FRAC)}'
 ),
 ex AS (
   SELECT count(*) AS c
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 )
-SELECT CAST((s_join.c * 65536) // 3276 AS BIGINT) AS est_rows,
+SELECT CAST((s_join.c * {_BUCKETS}) // {_JC_N} AS BIGINT) AS est_rows,
        CAST(ex.c AS BIGINT) AS exact_rows,
-       CAST(abs((s_join.c * 65536) // 3276 - ex.c) * 1000 // ex.c AS BIGINT)
+       CAST(abs((s_join.c * {_BUCKETS}) // {_JC_N} - ex.c) * 1000 // ex.c AS BIGINT)
          AS err_milli,
-       (abs((s_join.c * 65536) // 3276 - ex.c) * 1000 // ex.c) < 150
+       (abs((s_join.c * {_BUCKETS}) // {_JC_N} - ex.c) * 1000 // ex.c) < 150
          AS within_15pct
 FROM s_join, ex
 """,
@@ -713,7 +722,8 @@ def q_sketch_join_card(spark, sf_dir):
     Σ_{v sampled} fA(v)·fB(v) — an unbiased 1/p estimate of the true
     Σ fA·fB (independent Bernoulli row samples would square the
     inclusion probability and break frequency correlation). Scaled by
-    the exact rational 65536/3276; the oracle pins est, exact, and the
+    the exact rational _BUCKETS/_JC_N (65536/3276 at the declared 5%
+    fraction); the oracle pins est, exact, and the
     error bound (≤1.5% at sf0.1, tightening with scale — the estimator
     arm a CBO would consult instead of ever running the exact arm).
 
@@ -721,10 +731,12 @@ def q_sketch_join_card(spark, sf_dir):
     shuffle) + one equi-join on the sampled keys; the exact arm here
     exists only to grade the estimate, exactly like q_agg_approx_cd's
     _check companion."""
-    from pkg2_spark.operators.sampling import frac_to_threshold
-
     t = load_tables(spark, sf_dir)
-    thr = frac_to_threshold(0.05)
+    thr = _frac_to_threshold(_JOIN_CARD_FRAC)
+    # The inverse scale _BUCKETS/_JC_N is derived from the SAME
+    # (frac, BUCKETS) pair as the filter threshold — a change to either
+    # cannot silently bias the estimator (r11 advice; the oracle
+    # interpolates the same constants).
     o_s = t["orders"].filter(
         F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4) < thr
     )
@@ -739,9 +751,9 @@ def q_sketch_join_card(spark, sf_dir):
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .agg(F.count(F.lit(1)).cast("long").alias("c_ex"))
     )
-    est = F.expr("(c * CAST(65536 AS BIGINT)) div 3276")
+    est = F.expr(f"(c * CAST({_BUCKETS} AS BIGINT)) div {_JC_N}")
     err = F.expr(
-        "abs((c * CAST(65536 AS BIGINT)) div 3276 - c_ex) * 1000 div c_ex"
+        f"abs((c * CAST({_BUCKETS} AS BIGINT)) div {_JC_N} - c_ex) * 1000 div c_ex"
     )
     return (
         samp.crossJoin(F.broadcast(exact))

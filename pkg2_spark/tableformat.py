@@ -283,7 +283,9 @@ class Table:
         """The TABLE schema as of ``version`` — read from the log (each
         commit records its written schema: the Delta design, where the
         log, not the data files, owns the schema). None if the log
-        predates schema recording."""
+        predates schema recording — including after a restore() to such
+        a version, which records an explicit {"__none__": true} marker
+        so the fold reverts instead of resolving to a later schema."""
         from pyspark.sql.types import StructType
 
         vs = _versions(self.path)
@@ -296,7 +298,7 @@ class Table:
                 break
             s = _read_commit(self.path, v).get("schema")
             if s is not None:
-                rec = s
+                rec = None if s.get("__none__") else s
         return StructType.fromJson(rec) if rec is not None else None
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -615,11 +617,18 @@ class Table:
         restore is itself a commit, so a mistaken restore can be
         restored away. The commit also re-records the TARGET's logged
         schema, so a restore across a schema evolution reverts the
-        table schema too (the Delta RESTORE semantics).
+        table schema too (the Delta RESTORE semantics); a target that
+        PREDATES schema recording is reverted with an explicit
+        null-schema marker, so schema_at(head) reports None (the
+        target's state) instead of silently resolving to a later
+        evolved schema (r11 advice).
 
         Cost: O(commits) driver-side log fold + one tiny JSON write —
         table size never appears. Fails fast (like read) if any target
-        file was already vacuumed."""
+        file was already vacuumed — and re-verifies after winning the
+        commit so a vacuum racing this restore is reported loudly
+        rather than leaving a silently unreadable head (the remedy is
+        metadata-only: restore back to the pre-restore head)."""
         for _ in range(self.max_retries):
             head = latest_version(self.path)
             if version == head:
@@ -654,8 +663,32 @@ class Table:
                         "files_removed": len(remove),
                         "files_rewritten": 0,
                     },
-                    schema=sch.jsonValue() if sch is not None else None,
+                    # {"__none__": true} is the explicit null-schema
+                    # marker: the target predates schema recording, and
+                    # the restore must revert to that state instead of
+                    # letting a later commit's schema win the fold.
+                    schema=(
+                        sch.jsonValue() if sch is not None else {"__none__": True}
+                    ),
                 )
+                # Check-then-commit closes a race: a concurrent vacuum
+                # may have reaped target files between the existence walk
+                # above and the commit write. Re-verify now that we own
+                # the head; a poisoned restore is reported, not silent.
+                gone = sorted(
+                    rel
+                    for rel in target
+                    if not os.path.exists(os.path.join(self.path, rel))
+                )
+                if gone:
+                    raise FileNotFoundError(
+                        f"restore of {self.path} to version {version} "
+                        f"committed as v{head + 1}, but a concurrent "
+                        f"vacuum reaped {len(gone)}/{len(target)} of its "
+                        "data files in the window — the restored head is "
+                        "unreadable; restore back to the pre-restore "
+                        f"head (version {head}) to recover"
+                    )
                 return head + 1
             except ConcurrentCommitError:
                 continue

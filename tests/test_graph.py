@@ -113,6 +113,20 @@ def test_hits_scores_bounded_and_normalized(spark, sf_dir):
     assert len(ids_a) == len(set(ids_a)) and len(ids_h) == len(set(ids_h))
 
 
+def test_hits_rejects_nonpositive_iters(spark):
+    # r11 advice: iters <= 0 used to crash with AttributeError on the
+    # unbound auths frame; the contract violation must be a ValueError
+    # at entry.
+    import pytest
+
+    from pkg2_spark.operators.graph_ops import hits
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="iters"):
+            hits(edges, iters=bad)
+
+
 def test_hits_deterministic_across_partitionings(spark, sf_dir):
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:

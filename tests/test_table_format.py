@@ -409,6 +409,34 @@ def test_restore_reverts_schema_evolution(spark, table):
     assert table.read().count() == 1000
 
 
+def test_restore_to_pre_schema_version_reverts_schema_to_none(spark, table):
+    # r11 advice: restore() promises schema revert, but a target version
+    # that PREDATES schema recording used to leave the restore commit
+    # schemaless — the fold then resolved to the LATER evolved schema.
+    # The fix records an explicit {"__none__": true} marker. Simulate an
+    # old log by stripping v0's recorded schema.
+    import json as _json
+
+    from pkg2_spark.tableformat import _log_dir, _LOG_FMT
+
+    log0 = os.path.join(_log_dir(table.path), _LOG_FMT.format(0))
+    rec = _json.loads(open(log0).read())
+    assert rec.pop("schema", None) is not None
+    with open(log0, "w") as f:
+        _json.dump(rec, f, indent=1)
+    assert table.schema_at(0) is None  # the simulated pre-schema state
+    evolved = _mk(spark, 1000, 1100).withColumn("extra", F.lit(7))
+    table.append(evolved, allow_schema_evolution=True)
+    assert "extra" in {f.name for f in table.schema_at().fields}
+    head = table.restore(0)
+    # the restored head reports the TARGET's schema state (None), not the
+    # evolved schema a later commit recorded
+    assert table.schema_at(head) is None
+    assert table.schema_at() is None
+    # and the evolved version is still time-travelable with ITS schema
+    assert "extra" in {f.name for f in table.schema_at(1).fields}
+
+
 def test_restore_to_head_is_noop_and_vacuumed_target_fails(spark, table):
     assert table.restore(latest_version(table.path)) == 0
     assert latest_version(table.path) == 0  # no commit written
