@@ -70,6 +70,13 @@ TIER2 = [
     # warm-up pays the build→delta→compact fixture, timed runs measure the
     # post-compaction increment
     "q_llm_dedup_compact",
+    # round-12 additions (r11 verdict #6): the r11 table-format / IO
+    # surfaces had no bench row — ACID merge (log fold + copy-on-write
+    # rewrite), the streaming exactly-once ACID sink (replay + ledger),
+    # and the Avro source (stdlib container decoder via mapInPandas).
+    "q_acid_merge",
+    "q_stream_acid_sink",
+    "q_src_avro",
 ]
 
 # Complete TPC-H suite (22/22 shapes registered since round 5). Reported as

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -691,6 +693,68 @@ def test_fetch_to_cache_roundtrip_and_negative_paths(spark, tmp_path):
     with _pytest.raises(ValueError, match="not gzip"):
         eng.fetch_to_cache([f"file://{src}/corrupt.gz"], str(cache))
     assert not (cache / "corrupt.gz").exists()
+
+
+def test_fetch_to_cache_over_real_http_socket(spark, tmp_path, sf_dir):
+    # r11 verdict #4: q_pkg_fetch exercises the urllib path via file://
+    # only; drive the IDENTICAL branch over a real HTTP socket (stdlib
+    # http.server in-process, no new dependency): the four-format
+    # fetch -> ingest round trip plus the corrupt-gz refusal, all over
+    # http://127.0.0.1.
+    import shutil
+    import threading
+    import urllib.error
+    from functools import partial
+    from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+    import pytest as _pytest
+
+    from pkg2_spark.engine import Engine
+    from pkg2_spark.queries.packages import _GZ_CACHE_FILES, _ensure_gz_cache
+
+    # Copy the shared four-format fixture into a private docroot — the
+    # fixture dir itself is ingested by q_pkg_gzindex, so the corrupt
+    # payload must never be written there.
+    remote = _ensure_gz_cache(sf_dir)
+    docroot = tmp_path / "docroot"
+    docroot.mkdir()
+    for f in _GZ_CACHE_FILES:
+        shutil.copy(os.path.join(remote, f), docroot / f)
+
+    srv = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        partial(SimpleHTTPRequestHandler, directory=str(docroot)),
+    )
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        eng = Engine(spark)
+        cache = tmp_path / "cache"
+        got = eng.fetch_to_cache(
+            [f"{base}/{f}" for f in _GZ_CACHE_FILES], str(cache)
+        )
+        assert sorted(p.split("/")[-1] for p in got) == sorted(_GZ_CACHE_FILES)
+        for f in _GZ_CACHE_FILES:  # byte-identical over the wire
+            assert (cache / f).read_bytes() == (docroot / f).read_bytes()
+        assert not list(cache.glob("*.tmp"))
+        # The HTTP-fetched cache ingests through the same normalized
+        # pipeline: all four wire formats parse to their distros.
+        pkgs = eng.ingest_index_cache(str(cache))
+        assert {r["distro"] for r in pkgs.select("distro").distinct().collect()} == {
+            "alpine", "debian", "fedora", "arch"
+        }
+        # Corrupt payload (an error page served with 200) is refused at
+        # the gzip-magic gate, not cached.
+        (docroot / "corrupt.gz").write_text("<html>503 Service Unavailable</html>")
+        with _pytest.raises(ValueError, match="not gzip"):
+            eng.fetch_to_cache([f"{base}/corrupt.gz"], str(cache))
+        assert not (cache / "corrupt.gz").exists()
+        # A genuinely missing URL surfaces as the transport's HTTPError.
+        with _pytest.raises(urllib.error.HTTPError):
+            eng.fetch_to_cache([f"{base}/missing.gz"], str(cache))
+    finally:
+        srv.shutdown()
+        srv.server_close()
 
 
 def test_fetch_to_cache_basename_collisions_do_not_overwrite(spark, tmp_path):
