@@ -13,6 +13,7 @@ from pkg2_spark.queries import graph  # noqa: F401
 from pkg2_spark.queries import llm  # noqa: F401
 from pkg2_spark.queries import multimodal  # noqa: F401
 from pkg2_spark.queries import packages  # noqa: F401
+from pkg2_spark.queries import profiling  # noqa: F401
 from pkg2_spark.queries import streaming  # noqa: F401
 from pkg2_spark.queries import timeseries  # noqa: F401
 from pkg2_spark.queries import training  # noqa: F401

@@ -123,6 +123,10 @@ NLJ_WHITELIST = {
     "q_sketch_join_card": "1-row exact-count grading arm cross-joined onto "
                           "the 1-row sample estimate (the q_agg_approx_cd "
                           "_check shape)",
+    "q_dq_refint": "four 1-row orphan-count aggregates broadcast-crossed "
+                   "onto their 1-row child-count rows (the q_dq_constraints "
+                   "summary-row shape); the orphan detection itself is an "
+                   "anti-join on the FK key",
 }
 
 # Declared Python surface (SURVEY §2.12 + multimodal decode stubs).
