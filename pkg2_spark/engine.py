@@ -70,6 +70,13 @@ class Engine:
         # corpora. Set to None (or pass min_recall=None per call) to
         # skip the audit and always serve the IVF path.
         self.ann_min_recall: float | None = 0.8
+        # Beam widths ann_search tries (fallback mode only) before
+        # conceding to exact brute force when the audit misses the bar —
+        # the memoized IVF tree makes each step only extra candidate-cell
+        # rows, while the concession is a full O(n) scan per probe
+        # (r12 verdict #2). Set to () for latency-bound callers who want
+        # the old straight-to-exact behavior.
+        self.ann_escalation_ladder: tuple[int, ...] = (8, 16, 32)
         if sf_dir:
             self.load_tables(sf_dir)
 
@@ -1199,8 +1206,25 @@ class Engine:
           ``self.last_ann_recall`` / ``self.last_ann_path``.
         - ``dim``: embedding width — lets the brute-force arms run in the
           wide codegen form (2× faster; optional, values identical).
+
+        When the audit misses the bar at the requested beam in fallback
+        mode, the engine ESCALATES n_probe through
+        ``self.ann_escalation_ladder`` (default (8, 16, 32)) before
+        conceding: the IVF tree is memoized (queries.llm._ivf_tree), so
+        each re-audit costs only the extra candidate-cell rows, while the
+        brute-force concession is a full O(n) corpus scan per probe. Only
+        when the widest beam still misses does it serve exact
+        knn_bruteforce. ``on_low_recall="raise"`` instead pins the
+        caller's beam — a miss at the requested n_probe raises immediately
+        (the caller asked for a guarantee AT that configuration). The
+        audit outcome lands in ``self.last_ann_recall`` /
+        ``self.last_ann_path`` (``"ivf"``, ``"ivf(n_probe=N)"`` for an
+        escalated serve, or ``"bruteforce"``), and the full ladder in
+        ``self.last_ann_escalation`` ([(n_probe, recall), ...]).
         """
         import warnings
+
+        from pyspark.sql import Window
 
         from pkg2_spark.operators.similarity import knn_bruteforce
         from pkg2_spark.queries.llm import ann_multiprobe
@@ -1212,18 +1236,48 @@ class Engine:
             min_recall = self.ann_min_recall
         self.last_ann_recall: float | None = None
         self.last_ann_path = "ivf"
+        self.last_ann_escalation: list[tuple[int, float]] = []
+
+        def _mprobe_kw(npx: int) -> dict:
+            # Escalated beams must widen descent alongside n_probe
+            # (ann_multiprobe requires descent >= n_probe); a caller-pinned
+            # wider descent is kept.
+            kws = dict(kw)
+            if kws.get("descent") is not None:
+                kws["descent"] = max(kws["descent"], npx)
+            return kws
+
         if min_recall is not None:
 
-            def _audit_once(audit_df, explicit):
+            def _audit_once(audit_df, explicit, npx):
                 exact_df = knn_bruteforce(
                     embeddings.select("vec_id", "embedding"), audit_df, k=k, dim=dim
                 ).select("probe_id", "vec_id")
-                approx_df = (
-                    ann_multiprobe(
-                        embeddings, n_probe=np_, k=k, n_queries=audit_probes,
-                        probes=audit_df if explicit else None, **kw,
+                approx = ann_multiprobe(
+                    embeddings, n_probe=npx, k=k + 1 if explicit else k,
+                    n_queries=audit_probes,
+                    probes=audit_df if explicit else None, **_mprobe_kw(npx),
+                )
+                if explicit:
+                    # The explicit re-audit probes ARE corpus vectors (the
+                    # audit_probes smallest ids), but ann_multiprobe's
+                    # external-probes path never self-excludes — the probe's
+                    # own vector (cos = 1.0) would occupy one of the k approx
+                    # slots and cap measured recall at (k-1)/k while the
+                    # exact arm excludes self. Symmetrize: fetch k+1, drop
+                    # self-hits, re-rank to top-k on the same deterministic
+                    # key both engines use.
+                    w_rr = Window.partitionBy("probe_id").orderBy(
+                        F.col("cos").desc_nulls_last(),
+                        F.col("vec_id").asc_nulls_last(),
                     )
-                    .select("probe_id", "vec_id")
+                    approx = (
+                        approx.filter(F.col("probe_id") != F.col("vec_id"))
+                        .withColumn("__rn", F.row_number().over(w_rr))
+                        .filter(F.col("__rn") <= k)
+                    )
+                approx_df = (
+                    approx.select("probe_id", "vec_id")
                     .withColumn("__hit", F.lit(1))
                 )
                 return (
@@ -1239,7 +1293,8 @@ class Engine:
                 F.col("vec_id").alias("probe_id"),
                 F.col("embedding").alias("probe_embedding"),
             )
-            row = _audit_once(audit, explicit=False)
+            explicit = False
+            row = _audit_once(audit, explicit=False, npx=np_)
             if not row["n_exact"]:
                 # Sparse/offset id space: no vec_id < audit_probes rows, so
                 # the self-probe convention found nothing to audit. Re-audit
@@ -1254,44 +1309,85 @@ class Engine:
                         F.col("embedding").alias("probe_embedding"),
                     )
                 )
-                row = _audit_once(audit, explicit=True)
+                explicit = True
+                row = _audit_once(audit, explicit=True, npx=np_)
             measured = (
                 int(row["n_hits"] or 0) / int(row["n_exact"])
                 if row["n_exact"]
                 else 1.0
             )
             self.last_ann_recall = measured
-            if measured < min_recall:
-                msg = (
+            self.last_ann_escalation = [(np_, measured)]
+            np_serve = np_
+            if measured < min_recall and on_low_recall == "raise":
+                # raise mode pins the caller's beam: they asked for a
+                # guarantee AT this configuration, so a miss surfaces
+                # immediately rather than silently serving a costlier beam.
+                raise ValueError(
                     f"ann_search: audited recall@{k} = {measured:.3f} < "
                     f"min_recall = {min_recall} at n_probe = {np_} (the "
                     "cell-pruning bound on structure-free corpora — "
                     "SCALING.md)"
                 )
-                if on_low_recall == "raise":
-                    raise ValueError(msg)
-                warnings.warn(
-                    msg + "; serving exact knn_bruteforce instead.",
-                    stacklevel=2,
-                )
-                self.last_ann_path = "bruteforce"
-                if probes is not None:
-                    cols = set(probes.columns)
-                    pid = "probe_id" if "probe_id" in cols else "vec_id"
-                    pvec = next(
-                        c for c in ("probe_embedding", "pe", "embedding")
-                        if c in cols
+            if measured < min_recall:
+                # Escalate the beam before conceding to O(n): the memoized
+                # tree makes each step only extra candidate rows (verdict
+                # r12 #2). Serve at the first n_probe that clears the bar.
+                for npx in (b for b in self.ann_escalation_ladder if b > np_):
+                    row = _audit_once(audit, explicit, npx)
+                    measured = (
+                        int(row["n_hits"] or 0) / int(row["n_exact"])
+                        if row["n_exact"]
+                        else 1.0
                     )
-                    served = probes.select(
-                        F.col(pid).alias("probe_id"),
-                        F.col(pvec).alias("probe_embedding"),
+                    self.last_ann_escalation.append((npx, measured))
+                    self.last_ann_recall = measured
+                    if measured >= min_recall:
+                        np_serve = npx
+                        break
+            if measured >= min_recall:
+                if np_serve != np_:
+                    self.last_ann_path = f"ivf(n_probe={np_serve})"
+                    warnings.warn(
+                        f"ann_search: recall@{k} missed min_recall = "
+                        f"{min_recall} at n_probe = {np_} "
+                        f"({self.last_ann_escalation[0][1]:.3f}); escalated "
+                        f"beam to n_probe = {np_serve} (audited "
+                        f"{measured:.3f}).",
+                        stacklevel=2,
                     )
-                else:
-                    served = audit
-                return knn_bruteforce(
-                    embeddings.select("vec_id", "embedding"), served, k=k,
-                    dim=dim, exclude_self=probes is None,
+                return ann_multiprobe(
+                    embeddings, n_probe=np_serve, k=k, n_queries=audit_probes,
+                    probes=probes, **_mprobe_kw(np_serve),
                 ).select("probe_id", "vec_id", "cos")
+            ladder = ", ".join(
+                f"n_probe={n}: {r:.3f}" for n, r in self.last_ann_escalation
+            )
+            warnings.warn(
+                f"ann_search: audited recall@{k} missed min_recall = "
+                f"{min_recall} at every beam width ({ladder}) — the "
+                "cell-pruning bound on structure-free corpora (SCALING.md)"
+                "; serving exact knn_bruteforce instead.",
+                stacklevel=2,
+            )
+            self.last_ann_path = "bruteforce"
+            if probes is not None:
+                cols = set(probes.columns)
+                pid = "probe_id" if "probe_id" in cols else "vec_id"
+                pvec = next(
+                    c for c in ("probe_embedding", "pe", "embedding")
+                    if c in cols
+                )
+                served = probes.select(
+                    F.col(pid).alias("probe_id"),
+                    F.col(pvec).alias("probe_embedding"),
+                )
+            else:
+                served = audit
+            return knn_bruteforce(
+                embeddings.select("vec_id", "embedding"), served, k=k,
+                dim=dim, exclude_self=probes is None,
+            ).select("probe_id", "vec_id", "cos")
         return ann_multiprobe(
             embeddings, n_probe=np_, k=k, n_queries=audit_probes,
             probes=probes, **kw,

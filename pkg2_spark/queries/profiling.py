@@ -32,9 +32,13 @@ from pkg2_spark.registry import query
 
 _TOK_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
-# Embedding width is pinned by the testdata generator (64) and asserted by
-# the Spark side at plan time via element_at — a width change breaks both
-# engines identically instead of silently truncating one.
+# Embedding width is pinned by the testdata generator (64). BOTH engines
+# iterate this fixed 0.._DIM-1 range (DuckDB: generate_series + list index;
+# Spark: explode(sequence) + try_element_at) rather than the observed array
+# length, so a generator width drift degrades both sides identically —
+# out-of-range dims read NULL qv on each engine (counted in n, skipped by
+# min/max/sum) instead of one engine silently profiling extra dimensions
+# the other never sees (r12 advice).
 _DIM = 64
 
 # Curriculum stage cuts on avg-word-length milli (integer): the sf0.01
@@ -74,15 +78,23 @@ def q_vec_dim_stats(spark, sf_dir):
     The e3 scale bounds sum(qv*qv) at ~4e6 per row: safe in int64 to
     ~2e12 exploded rows per dimension (128 TB of fp32x64 vectors).
 
-    Scale shape: one posexplode (n x 64 rows, row-local) -> one 64-group
-    hash-agg with map-side partial aggregation; output is |dims| rows
-    regardless of corpus size."""
+    Scale shape: one explode of the fixed dim sequence (n x 64 rows,
+    row-local) -> one 64-group hash-agg with map-side partial
+    aggregation; output is |dims| rows regardless of corpus size. The
+    fixed-sequence + try_element_at form (not posexplode over the
+    observed length) mirrors the oracle's generate_series exactly so a
+    width drift reads NULL on both engines identically (module comment
+    at _DIM)."""
     e = load_tables(spark, sf_dir)["embeddings"]
     q = e.select(
-        F.posexplode(F.col("embedding")).alias("dim", "x")
+        F.explode(F.sequence(F.lit(0), F.lit(_DIM - 1))).alias("dim"),
+        F.col("embedding"),
     ).select(
         "dim",
-        F.floor(F.col("x").cast("double") * 1000).cast("long").alias("qv"),
+        F.floor(
+            F.try_element_at(F.col("embedding"), F.col("dim") + 1)
+            .cast("double") * 1000
+        ).cast("long").alias("qv"),
     )
     return q.groupBy("dim").agg(
         F.count(F.lit(1)).cast("long").alias("n"),

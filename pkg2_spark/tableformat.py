@@ -58,6 +58,30 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer committed this version first — refold and retry."""
 
 
+class RestorePoisonedError(FileNotFoundError):
+    """A concurrent vacuum reaped the restore target's data files AFTER
+    the restore commit had already won the log race (restore's
+    check-then-commit window). Before raising, restore() auto-commits a
+    compensating metadata-only restore back to the pre-restore head, so
+    the table never serves an unreadable head and a caller that catches
+    and retries restore(version) does not stack poisoned heads (r12
+    advice). The versions are attached for programmatic recovery:
+    ``poisoned_version`` (the committed-but-unreadable restore) and
+    ``compensated_version`` (the compensating commit, or None when the
+    head moved / every compensation retry lost its commit race — then
+    the message's manual remedy applies)."""
+
+    def __init__(
+        self,
+        msg: str,
+        poisoned_version: int,
+        compensated_version: int | None,
+    ):
+        super().__init__(msg)
+        self.poisoned_version = poisoned_version
+        self.compensated_version = compensated_version
+
+
 def _log_dir(path: str) -> str:
     return os.path.join(path, "_log")
 
@@ -626,9 +650,11 @@ class Table:
         Cost: O(commits) driver-side log fold + one tiny JSON write —
         table size never appears. Fails fast (like read) if any target
         file was already vacuumed — and re-verifies after winning the
-        commit so a vacuum racing this restore is reported loudly
-        rather than leaving a silently unreadable head (the remedy is
-        metadata-only: restore back to the pre-restore head)."""
+        commit so a vacuum racing this restore is handled loudly: the
+        poisoned head is immediately superseded by an auto-committed
+        compensating restore to the pre-restore state (metadata-only),
+        then RestorePoisonedError carries both version numbers so
+        callers can recover programmatically (r12 advice)."""
         for _ in range(self.max_retries):
             head = latest_version(self.path)
             if version == head:
@@ -674,20 +700,59 @@ class Table:
                 # Check-then-commit closes a race: a concurrent vacuum
                 # may have reaped target files between the existence walk
                 # above and the commit write. Re-verify now that we own
-                # the head; a poisoned restore is reported, not silent.
+                # the head; a poisoned restore is compensated (a
+                # metadata-only restore back to the pre-restore state,
+                # committed while we still hold the head) and reported
+                # with both versions attached — never left as a silently
+                # unreadable head, and never re-poisoned by a caller's
+                # catch-and-retry loop (r12 advice).
                 gone = sorted(
                     rel
                     for rel in target
                     if not os.path.exists(os.path.join(self.path, rel))
                 )
                 if gone:
-                    raise FileNotFoundError(
+                    comp: int | None = None
+                    if latest_version(self.path) == head + 1:
+                        pre_sch = self.schema_at(head)
+                        try:
+                            _commit(
+                                self.path,
+                                head + 2,
+                                "restore",
+                                [cur[rel] for rel in remove],
+                                sorted(e["path"] for e in add),
+                                meta={
+                                    "restored_to": head,
+                                    "compensates": head + 1,
+                                    "files_readded": len(remove),
+                                    "files_removed": len(add),
+                                    "files_rewritten": 0,
+                                },
+                                schema=(
+                                    pre_sch.jsonValue()
+                                    if pre_sch is not None
+                                    else {"__none__": True}
+                                ),
+                            )
+                            comp = head + 2
+                        except ConcurrentCommitError:
+                            pass  # someone took the slot; report comp=None
+                    raise RestorePoisonedError(
                         f"restore of {self.path} to version {version} "
                         f"committed as v{head + 1}, but a concurrent "
                         f"vacuum reaped {len(gone)}/{len(target)} of its "
                         "data files in the window — the restored head is "
-                        "unreadable; restore back to the pre-restore "
-                        f"head (version {head}) to recover"
+                        "unreadable"
+                        + (
+                            f"; auto-committed compensating restore to the "
+                            f"pre-restore state as v{comp}"
+                            if comp is not None
+                            else f"; compensation lost the head — restore "
+                            f"back to version {head} manually to recover"
+                        ),
+                        poisoned_version=head + 1,
+                        compensated_version=comp,
                     )
                 return head + 1
             except ConcurrentCommitError:

@@ -606,16 +606,39 @@ def test_ann_search_probes_and_min_recall_fallback(spark):
     assert len(ext2) == 15
     assert eng.last_ann_path == "ivf"
     assert eng.last_ann_recall is not None and eng.last_ann_recall >= 0.8
+    # r12 advice (medium): the sparse-id re-audit must be self-exclusion
+    # SYMMETRIC — before the fix the approx arm's own-vector hit capped
+    # measured recall at (k-1)/k = 0.8 exactly; on this perfectly
+    # clustered corpus the symmetric audit reads 1.0.
+    assert eng.last_ann_recall > 0.8 + 1e-9
 
-    # Structure-free corpus: the audited recall (0.52 on this seeded
-    # corpus, deterministic) misses the bar — the DEFAULT path (no
-    # min_recall argument) must fall back to the exact brute-force answer
-    # and say so; the caller did nothing and still cannot be served an
-    # unaudited 0.5-recall index (r11 verdict #1).
+    # Structure-free corpus, DEFAULT path (no min_recall argument): the
+    # base-beam audit (0.52 on this seeded corpus, deterministic) misses
+    # the bar, and the engine ESCALATES n_probe through the ladder before
+    # conceding to O(n) (r12 verdict #2) — the memoized IVF tree makes the
+    # re-audit only extra candidate rows. On this 12-leaf-cell corpus the
+    # 8-wide beam clears the bar, so IVF serves at the escalated width and
+    # last_ann_path / last_ann_escalation record the step.
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        esc = eng.ann_search(diverse, k=5, dim=DIM)
+        assert esc.count() == 25
+    assert eng.last_ann_path.startswith("ivf(n_probe=")
+    assert eng.last_ann_recall >= 0.8
+    assert eng.last_ann_escalation[0][0] == 3  # base beam audited first
+    assert eng.last_ann_escalation[0][1] < 0.8  # ...and missed
+    assert eng.last_ann_escalation[-1][1] >= 0.8  # served width cleared
+    assert any("escalated beam" in str(w.message) for w in caught)
+
+    # Latency-bound callers can disable escalation (ladder = ()) — that
+    # restores the straight-to-exact concession: brute-force answer,
+    # warning with the measured ladder.
+    eng.ann_escalation_ladder = ()
     with _warnings.catch_warnings(record=True) as caught:
         _warnings.simplefilter("always")
         fb = eng.ann_search(diverse, k=5, dim=DIM)
         got = {(r["probe_id"], r["vec_id"]) for r in fb.collect()}
+    eng.ann_escalation_ladder = (8, 16, 32)
     assert eng.last_ann_path == "bruteforce"
     assert eng.last_ann_recall < 0.8
     assert any("min_recall" in str(w.message) for w in caught)

@@ -585,7 +585,34 @@ def test_rfm_exact_ntile_arm_is_panel_bounded(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_events_rfm")
     assert "TakeOrderedAndProject" in plan
     assert "Window" in plan
-    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), (
+    # r12 advice: anchor on the operator TREE section and on the ntile
+    # Window specifically — a first-occurrence plan.index() over the whole
+    # formatted string flips on any unrelated Window/TakeOrdered printed
+    # earlier (reused subtree, details section). Formatted plans are
+    # "<numbered tree>\n\n(1) <details>..."; resolve the ntile Window's
+    # node id from the details, then compare tree-line positions: the
+    # top-down tree prints parents before children, so the bounding
+    # TakeOrderedAndProject must print BELOW the ntile Window it feeds.
+    import re as _re
+
+    tree, _, details = plan.partition("\n\n")
+    ntile_ids = {
+        m.group(1)
+        for block in details.split("\n\n")
+        if (m := _re.match(r"\((\d+)\) Window\b", block)) and "ntile(" in block
+    }
+    assert ntile_ids, "no ntile Window node in the plan details"
+    tree_lines = tree.splitlines()
+    ntile_lines = [
+        i
+        for i, ln in enumerate(tree_lines)
+        if any(f"Window ({nid})" in ln for nid in ntile_ids)
+    ]
+    top_lines = [
+        i for i, ln in enumerate(tree_lines) if "TakeOrderedAndProject" in ln
+    ]
+    assert ntile_lines and top_lines
+    assert max(ntile_lines) < min(top_lines), (
         "the ntile windows must consume the bounded panel, not the raw "
         "per-buyer table"
     )

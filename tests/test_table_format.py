@@ -437,6 +437,48 @@ def test_restore_to_pre_schema_version_reverts_schema_to_none(spark, table):
     assert "extra" in {f.name for f in table.schema_at(1).fields}
 
 
+def test_restore_vacuum_race_compensates_before_raising(spark, table, monkeypatch):
+    # r12 advice: when a vacuum reaps the restore target's files INSIDE
+    # restore's check-then-commit window (after the restore commit won the
+    # log race), the poisoned head must not be left for a catch-and-retry
+    # caller to stack more poisoned heads on. restore() now auto-commits a
+    # compensating metadata-only restore back to the pre-restore state and
+    # raises RestorePoisonedError carrying both version numbers.
+    import pkg2_spark.tableformat as tf
+
+    table.compact(max_files=2)  # v1 rewrites the live set; v0 files now dead
+    pre_head = latest_version(table.path)  # 1
+    v0_files = snapshot_files(table.path, 0)
+    real_commit = tf._commit
+    state = {"fired": False}
+
+    def racing_commit(path, version, op, add, remove, meta=None, schema=None):
+        real_commit(path, version, op, add, remove, meta=meta, schema=schema)
+        if not state["fired"] and meta and meta.get("restored_to") == 0:
+            # Simulate the concurrent vacuum landing in the window between
+            # the restore commit and its post-commit re-verify.
+            state["fired"] = True
+            for f in v0_files:
+                if os.path.exists(f):
+                    os.remove(f)
+
+    monkeypatch.setattr(tf, "_commit", racing_commit)
+    with pytest.raises(tf.RestorePoisonedError, match="compensating restore") as ei:
+        table.restore(0)
+    assert ei.value.poisoned_version == pre_head + 1
+    assert ei.value.compensated_version == pre_head + 2
+    # The head is the compensating commit, it reads (pre-restore data),
+    # and its meta records what it compensates.
+    assert latest_version(table.path) == pre_head + 2
+    assert table.read().count() == 1000
+    hist = table.history()
+    assert hist[-1]["op"] == "restore"
+    assert hist[-1]["meta"]["compensates"] == pre_head + 1
+    assert hist[-1]["meta"]["restored_to"] == pre_head
+    # The schema fold reverts too: head schema equals the pre-restore one.
+    assert table.schema_at() == table.schema_at(pre_head)
+
+
 def test_restore_to_head_is_noop_and_vacuumed_target_fails(spark, table):
     assert table.restore(latest_version(table.path)) == 0
     assert latest_version(table.path) == 0  # no commit written
