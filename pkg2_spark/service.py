@@ -82,7 +82,14 @@ class QueryService:
             "latest": self._latest,
             "sql": self._sql,
             "table": self._table,
+            "ann_search": self._ann_search,
+            "quality_gate": self._quality_gate,
         }
+        # Corpus-derived serving state memoized per service instance
+        # (unigram LM counts for quality_gate) — a real deployment would
+        # precompute these; here they are built on first request and
+        # materialized so later requests pay plan + execute only.
+        self._lm_state: tuple[DataFrame, int] | None = None
 
     # ------------------------------------------------------------ dispatch
     def endpoints(self) -> list[str]:
@@ -105,7 +112,10 @@ class QueryService:
         from pyspark.errors import AnalysisException, ParseException
 
         try:
-            df = fn(params)
+            res = fn(params)
+            # Endpoints may return (df, extra) — extra is merged into the
+            # response envelope (e.g. ann_search's audit outcome).
+            df, extra = res if isinstance(res, tuple) else (res, {})
             # Fetch one sentinel row past the cap so `truncated` is exact: a
             # result with exactly max_rows rows is complete, not truncated.
             limited = df.limit(self.max_rows + 1)
@@ -130,6 +140,7 @@ class QueryService:
             "rows": rows,
             "row_count": len(rows),
             "truncated": len(fetched) > self.max_rows,
+            **{k: _json_safe(v) for k, v in extra.items()},
         }
 
     # ----------------------------------------------------------- endpoints
@@ -258,6 +269,201 @@ class QueryService:
         if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
             raise ServiceError(f"invalid table name {name!r}")
         return self.engine.table(name)
+
+    # ------------------------------------------------- LLM serving surface
+    def _corpus_table(self, name: str) -> DataFrame:
+        if not self.engine.spark.catalog.tableExists(name):
+            raise ServiceError(
+                f"corpus table {name!r} is not registered — construct the "
+                "Engine with sf_dir (or call engine.load_tables) before "
+                "serving this endpoint"
+            )
+        return self.engine.table(name)
+
+    def _ann_search(self, p: dict):
+        """ANN top-k over the registered embeddings corpus for request
+        probes (r12 verdict #6). The engine's recall audit runs on every
+        request (fallback mode: a service degrades to the exact answer,
+        never 500s on a weak index), and its outcome — served path,
+        measured recall, the n_probe escalation ladder — is returned in
+        the response envelope so callers can see WHAT they were served."""
+        probes = p.get("probes")
+        if not isinstance(probes, list) or not (1 <= len(probes) <= 64):
+            raise ServiceError(
+                "parameter 'probes' must be a list of 1..64 "
+                "{probe_id, embedding} objects"
+            )
+        dim = None
+        rows = []
+        for i, pr in enumerate(probes):
+            if not isinstance(pr, dict) or "probe_id" not in pr or "embedding" not in pr:
+                raise ServiceError(
+                    f"probes[{i}] must be an object with probe_id and embedding"
+                )
+            try:
+                pid = int(pr["probe_id"])
+            except (TypeError, ValueError):
+                raise ServiceError(f"probes[{i}].probe_id must be an integer")
+            emb = pr["embedding"]
+            if not isinstance(emb, list) or not emb:
+                raise ServiceError(f"probes[{i}].embedding must be a non-empty list")
+            try:
+                vec = [float(x) for x in emb]
+            except (TypeError, ValueError):
+                raise ServiceError(f"probes[{i}].embedding must contain numbers")
+            if dim is None:
+                dim = len(vec)
+            elif len(vec) != dim:
+                raise ServiceError(
+                    f"probes[{i}].embedding has {len(vec)} dims, expected {dim}"
+                )
+            rows.append((pid, vec))
+        if len({r[0] for r in rows}) != len(rows):
+            raise ServiceError("probe_id values must be distinct")
+        k = self._int_param(p, "k", 5, 1, 50)
+        n_probe = self._int_param(p, "n_probe", self.engine.ann_n_probe, 1, 64)
+        emb_table = self._corpus_table("embeddings")
+        probe_df = self.engine.spark.createDataFrame(
+            rows, "probe_id long, probe_embedding array<double>"
+        )
+        res = self.engine.ann_search(
+            emb_table.select("vec_id", "embedding"),
+            probes=probe_df,
+            k=k,
+            n_probe=n_probe,
+            dim=dim,
+        ).orderBy("probe_id", F.col("cos").desc(), "vec_id")
+        return res, {
+            "ann": {
+                "path": self.engine.last_ann_path,
+                "recall": self.engine.last_ann_recall,
+                "min_recall": self.engine.ann_min_recall,
+                "escalation": [
+                    list(step) for step in self.engine.last_ann_escalation
+                ],
+                "k": k,
+                "n_probe": n_probe,
+            }
+        }
+
+    def _quality_gate(self, p: dict) -> DataFrame:
+        """Per-document quality-gate verdicts for request docs, judged by
+        the SAME predicates and constants as the corpus funnel
+        (queries.llm.q_llm_filter_funnel): token-count band, alpha ratio,
+        char-entropy band, and the unigram-LM surprisal band scored
+        against the REGISTERED corpus's token counts (memoized per
+        service instance; out-of-vocabulary tokens take the max-surprisal
+        c=1 convention). A doc passes the gate only if every stage
+        passes — the response shows each stage verdict so callers see
+        which gate killed a rejected doc."""
+        from pkg2_spark.queries.llm import (
+            _ENT_HI_MILLI,
+            _ENT_LO_MILLI,
+            _LM_HEAD_MILLI,
+            _LM_TAIL_MILLI,
+        )
+
+        docs = p.get("docs")
+        if not isinstance(docs, list) or not (1 <= len(docs) <= 64):
+            raise ServiceError(
+                "parameter 'docs' must be a list of 1..64 {doc_id, text} objects"
+            )
+        rows = []
+        for i, d in enumerate(docs):
+            if not isinstance(d, dict) or "doc_id" not in d or "text" not in d:
+                raise ServiceError(
+                    f"docs[{i}] must be an object with doc_id and text"
+                )
+            try:
+                did = int(d["doc_id"])
+            except (TypeError, ValueError):
+                raise ServiceError(f"docs[{i}].doc_id must be an integer")
+            text = d["text"]
+            if not isinstance(text, str) or not text:
+                raise ServiceError(f"docs[{i}].text must be a non-empty string")
+            if len(text) > 100_000:
+                raise ServiceError(f"docs[{i}].text exceeds 100000 chars")
+            rows.append((did, text))
+        if len({r[0] for r in rows}) != len(rows):
+            raise ServiceError("doc_id values must be distinct")
+        spark = self.engine.spark
+        req = spark.createDataFrame(rows, "doc_id long, text string")
+        if self._lm_state is None:
+            from pkg2_spark.operators.text import tokenize
+
+            corpus = self._corpus_table("documents")
+            cnt = (
+                tokenize(corpus)
+                .groupBy("token")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .localCheckpoint()
+            )
+            self._lm_state = (cnt, cnt.agg(F.sum("c")).collect()[0][0])
+        cnt, ntot = self._lm_state
+
+        toks = req.select("doc_id", F.explode(
+            F.expr("filter(split(lower(text), ' '), x -> x != '')")
+        ).alias("token"))
+        base = req.select(
+            "doc_id",
+            F.expr("size(filter(split(lower(text), ' '), x -> x != ''))")
+            .cast("long").alias("n_tokens"),
+            (
+                F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double")
+                / F.length("text")
+            ).alias("alpha_ratio"),
+        )
+        ch = req.select(
+            "doc_id",
+            F.explode(
+                F.expr("split(replace(lower(text), ' ', ''), '(?!$)')")
+            ).alias("c"),
+        ).filter(F.col("c") != "")
+        ccnt = ch.groupBy("doc_id", "c").agg(
+            F.count(F.lit(1)).cast("long").alias("k")
+        )
+        ctot = ccnt.groupBy("doc_id").agg(F.sum("k").cast("long").alias("n"))
+        ent = (
+            ccnt.join(ctot, "doc_id")
+            .groupBy("doc_id")
+            .agg(
+                F.expr("(1000 * sum(k * length(bin(n div k)))) div max(n)")
+                .alias("entropy_milli"),
+            )
+        )
+        lm = (
+            toks.join(F.broadcast(cnt), "token", "left")
+            .select(
+                "doc_id",
+                F.expr(
+                    f"length(bin({int(ntot)} div coalesce(c, 1)))"
+                ).alias("s"),
+            )
+            .groupBy("doc_id")
+            .agg(F.expr("(1000 * sum(s)) div count(1)").alias("lm_milli"))
+        )
+        g1 = F.col("n_tokens").between(5, 1000)
+        g2 = F.col("alpha_ratio") > 0.5
+        g3 = F.col("entropy_milli").between(_ENT_LO_MILLI, _ENT_HI_MILLI)
+        g4 = F.col("lm_milli").between(_LM_HEAD_MILLI, _LM_TAIL_MILLI)
+        return (
+            base.join(ent, "doc_id", "left")
+            .join(lm, "doc_id", "left")
+            .select(
+                "doc_id",
+                "n_tokens",
+                F.round("alpha_ratio", 4).alias("alpha_ratio"),
+                "entropy_milli",
+                "lm_milli",
+                g1.alias("pass_length"),
+                g2.alias("pass_alpha"),
+                g3.alias("pass_entropy"),
+                g4.alias("pass_lm"),
+                (g1 & g2 & F.coalesce(g3, F.lit(False))
+                 & F.coalesce(g4, F.lit(False))).alias("kept"),
+            )
+            .orderBy("doc_id")
+        )
 
 
 # The browsable UI pkg2 shipped over its query service [SURVEY.md §1.1,

@@ -170,6 +170,174 @@ def test_http_transport_round_trip(spark, svc):
         server.server_close()
 
 
+@pytest.fixture(scope="module")
+def llm_svc(spark, sf_dir):
+    # The LLM serving surface needs the corpus tables registered (the
+    # endpoints read the documents/embeddings views, not ingested
+    # packages); max_rows sized for multi-probe top-k results.
+    eng = Engine(spark, sf_dir)
+    return QueryService(eng, max_rows=100)
+
+
+def test_ann_search_endpoint_serves_topk_with_audit(spark, llm_svc):
+    # r12 verdict #6: /ann_search takes request probes + k/n_probe params
+    # and returns top-k rows PLUS the audit outcome (served path, measured
+    # recall, escalation ladder) in the response envelope.
+    src = llm_svc.engine.table("embeddings").orderBy("vec_id").limit(3).collect()
+    probes = [
+        {"probe_id": 1000 + i, "embedding": list(r["embedding"])}
+        for i, r in enumerate(src)
+    ]
+    resp = llm_svc.handle("ann_search", {"probes": probes, "k": 4})
+    assert json.loads(json.dumps(resp)) == resp
+    assert resp["row_count"] == 12  # 3 probes x k=4
+    ann = resp["ann"]
+    assert ann["k"] == 4 and ann["min_recall"] == 0.8
+    assert ann["path"] == "ivf" or ann["path"].startswith("ivf(n_probe=") or (
+        ann["path"] == "bruteforce"
+    )
+    assert isinstance(ann["escalation"], list) and ann["escalation"]
+    assert 0.0 <= ann["recall"] <= 1.0
+    # Each probe IS a corpus vector: its top hit must be that vector.
+    by_probe: dict = {}
+    for row in resp["rows"]:
+        by_probe.setdefault(row["probe_id"], []).append(row)
+    for i, r in enumerate(src):
+        hits = by_probe[1000 + i]
+        assert hits[0]["vec_id"] == r["vec_id"]
+        assert hits[0]["cos"] == 1.0
+        assert [h["cos"] for h in hits] == sorted(
+            (h["cos"] for h in hits), reverse=True
+        )
+
+
+def test_ann_search_endpoint_low_recall_fallback_visible(spark, llm_svc):
+    # The degraded path must be VISIBLE in the payload: with an
+    # unreachable bar the ladder exhausts, the service serves the exact
+    # brute-force answer, and the envelope says so.
+    eng = llm_svc.engine
+    prev_bar, prev_ladder = eng.ann_min_recall, eng.ann_escalation_ladder
+    eng.ann_min_recall = 1.01  # recall <= 1.0 by construction: always misses
+    eng.ann_escalation_ladder = (8,)
+    import warnings
+
+    try:
+        r0 = eng.table("embeddings").orderBy("vec_id").limit(1).collect()[0]
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            resp = llm_svc.handle(
+                "ann_search",
+                {"probes": [{"probe_id": 7, "embedding": list(r0["embedding"])}],
+                 "k": 3},
+            )
+    finally:
+        eng.ann_min_recall, eng.ann_escalation_ladder = prev_bar, prev_ladder
+    assert resp["ann"]["path"] == "bruteforce"
+    assert resp["ann"]["min_recall"] == 1.01
+    assert len(resp["ann"]["escalation"]) == 2  # base beam + the one rung
+    assert resp["row_count"] == 3
+    assert json.loads(json.dumps(resp)) == resp
+
+
+def test_quality_gate_endpoint_verdicts(spark, llm_svc):
+    # Per-doc verdicts with per-stage booleans: a 2-token doc dies at the
+    # length gate; a one-character-repetition doc dies at the entropy gate
+    # (and the OOV-token LM gate); kept is the conjunction of all stages.
+    corpus_text = (
+        llm_svc.engine.table("documents").orderBy("doc_id").first()["text"]
+    )
+    docs = [
+        {"doc_id": 1, "text": corpus_text},
+        {"doc_id": 2, "text": "hi there"},
+        {"doc_id": 3, "text": "zz zz zz zz zz zz"},
+    ]
+    resp = llm_svc.handle("quality_gate", {"docs": docs})
+    assert json.loads(json.dumps(resp)) == resp
+    assert resp["row_count"] == 3
+    rows = {r["doc_id"]: r for r in resp["rows"]}
+    assert rows[2]["n_tokens"] == 2
+    assert rows[2]["pass_length"] is False and rows[2]["kept"] is False
+    assert rows[3]["pass_length"] is True
+    assert rows[3]["pass_entropy"] is False and rows[3]["pass_lm"] is False
+    assert rows[3]["kept"] is False
+    for r in rows.values():
+        assert r["kept"] == (
+            r["pass_length"] and r["pass_alpha"]
+            and bool(r["pass_entropy"]) and bool(r["pass_lm"])
+        )
+
+
+def test_llm_endpoints_reject_bad_requests(spark, llm_svc):
+    vec = [0.1] * 4
+    for ep, params in [
+        ("ann_search", {}),
+        ("ann_search", {"probes": []}),
+        ("ann_search", {"probes": [{"probe_id": 1}]}),
+        ("ann_search", {"probes": [{"probe_id": "x", "embedding": vec}]}),
+        ("ann_search", {"probes": [{"probe_id": 1, "embedding": []}]}),
+        ("ann_search", {"probes": [
+            {"probe_id": 1, "embedding": [0.1]},
+            {"probe_id": 2, "embedding": [0.1, 0.2]},
+        ]}),
+        ("ann_search", {"probes": [
+            {"probe_id": 1, "embedding": vec},
+            {"probe_id": 1, "embedding": vec},
+        ]}),
+        ("ann_search", {"probes": [{"probe_id": 1, "embedding": vec}],
+                        "k": "999"}),
+        ("quality_gate", {}),
+        ("quality_gate", {"docs": []}),
+        ("quality_gate", {"docs": [{"doc_id": 1}]}),
+        ("quality_gate", {"docs": [{"doc_id": 1, "text": ""}]}),
+        ("quality_gate", {"docs": [{"doc_id": 1, "text": 7}]}),
+        ("quality_gate", {"docs": [
+            {"doc_id": 1, "text": "a b"}, {"doc_id": 1, "text": "c d"},
+        ]}),
+    ]:
+        with pytest.raises(ServiceError):
+            llm_svc.handle(ep, params)
+
+
+def test_llm_endpoints_over_http_post(spark, llm_svc):
+    # The generic transport serves the new endpoints with nested JSON
+    # bodies — no endpoint-specific HTTP code.
+    import threading
+    import urllib.request
+
+    from pkg2_spark.service import make_http_server
+
+    server = make_http_server(llm_svc)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        r0 = llm_svc.engine.table("embeddings").orderBy("vec_id").first()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/ann_search",
+            data=json.dumps({
+                "probes": [{"probe_id": 1, "embedding": list(r0["embedding"])}],
+                "k": 2,
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        resp = json.loads(urllib.request.urlopen(req).read())
+        assert resp["row_count"] == 2 and "ann" in resp
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/quality_gate",
+            data=json.dumps(
+                {"docs": [{"doc_id": 5, "text": "one two three four five six"}]}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        resp = json.loads(urllib.request.urlopen(req).read())
+        assert resp["row_count"] == 1 and resp["rows"][0]["doc_id"] == 5
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
 def test_handle_param_fuzz_raises_only_service_errors(spark, svc):
     # Property: handle() either answers or raises ServiceError — a garbage
     # parameter must never surface as a bare ValueError/TypeError (a

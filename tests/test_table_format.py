@@ -437,6 +437,59 @@ def test_restore_to_pre_schema_version_reverts_schema_to_none(spark, table):
     assert "extra" in {f.name for f in table.schema_at(1).fields}
 
 
+def _race_appender(path: str, writer: str, n: int) -> list[int]:
+    # Runs in a SEPARATE Python process (spawn): the loser-retry commit
+    # loop over the O_EXCL protocol, no Spark session involved — the
+    # contention under test is filesystem-level, exactly what two real
+    # writers on a shared table path exercise.
+    from pkg2_spark.tableformat import (
+        ConcurrentCommitError,
+        _commit,
+        latest_version,
+    )
+
+    won: list[int] = []
+    for i in range(n):
+        while True:
+            v = latest_version(path) + 1
+            try:
+                _commit(path, v, "append", [], [],
+                        meta={"writer": writer, "i": i})
+                won.append(v)
+                break
+            except ConcurrentCommitError:
+                continue
+    return won
+
+
+def test_two_process_commit_race_serializes_linearly(spark, table):
+    # r12 verdict #7: the exclusive-create commit protocol tested ACROSS
+    # REAL PROCESSES, not just in-process — two spawned Python processes
+    # contend 15 appends each on one table dir; every commit must land,
+    # versions must be distinct and gap-free, and the log linear with
+    # each writer's own commits in its submission order.
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    n = 15
+    with ctx.Pool(2) as pool:
+        r1 = pool.apply_async(_race_appender, (table.path, "w1", n))
+        r2 = pool.apply_async(_race_appender, (table.path, "w2", n))
+        v1, v2 = r1.get(120), r2.get(120)
+    assert len(v1) == n and len(v2) == n
+    assert not set(v1) & set(v2), "two writers won the same version"
+    assert sorted(set(v1) | set(v2)) == list(range(1, 2 * n + 1))
+    hist = table.history()
+    assert [c["version"] for c in hist] == list(range(0, 2 * n + 1))
+    # per-writer order is preserved (writer i-counters ascend with version)
+    for w in ("w1", "w2"):
+        seq = [c["meta"]["i"] for c in hist if c["meta"].get("writer") == w]
+        assert seq == list(range(n))
+    # and the table still reads: the metadata-only appends added no files,
+    # so the live set is exactly the create's.
+    assert table.read().count() == 1000
+
+
 def test_restore_vacuum_race_compensates_before_raising(spark, table, monkeypatch):
     # r12 advice: when a vacuum reaps the restore target's files INSIDE
     # restore's check-then-commit window (after the restore commit won the

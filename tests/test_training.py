@@ -685,6 +685,66 @@ def test_bpe_step_merge_is_argmax_and_apply_is_greedy(spark, sf_dir):
     assert by_phase["stats"][0]["cnt"] >= merge["cnt"] // 2
 
 
+def test_bpe_train_merges_nonincreasing_and_apply_idempotent(spark, sf_dir):
+    # r12 verdict #3 invariants for the k=8 training loop:
+    # (a) merge selection counts are NON-INCREASING across rounds — a new
+    #     pair touching the merged symbol is bounded by the merge's own
+    #     occurrence count and old pairs only lose occurrences;
+    # (b) the greedy apply is IDEMPOTENT — re-applying any selected merge
+    #     to the post-apply state changes nothing (no (ma, mb) adjacency
+    #     survives its own merge round);
+    # (c) stats tie out: corpus_symbols = original char total minus one
+    #     symbol per actually-applied merge (so it strictly decreases,
+    #     bounded below by the merge table's application counts).
+    from pkg2_spark.queries.training import (
+        _BPE_TRAIN_K,
+        bpe_apply,
+        bpe_pair_counts,
+        bpe_seg0,
+    )
+
+    rows = _q(spark, sf_dir, "q_llm_bpe_train").collect()
+    merges = sorted(
+        (r for r in rows if r["phase"] == "merge"), key=lambda r: r["rnd"]
+    )
+    stats = {r["item"]: r["cnt"] for r in rows if r["phase"] == "stats"}
+    assert [m["rnd"] for m in merges] == list(range(1, _BPE_TRAIN_K + 1))
+    cnts = [m["cnt"] for m in merges]
+    assert cnts == sorted(cnts, reverse=True), "merge counts increased"
+    assert cnts[-1] > 0
+
+    # Replay the loop with the module helpers to reach each post-apply
+    # state, asserting idempotence at every round.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seg = bpe_seg0(docs).localCheckpoint()
+    orig_symbols = seg.agg(
+        F.sum(F.col("freq") * F.col("n"))
+    ).collect()[0][0]
+    for m in merges:
+        ma, mb = m["item"].split("+", 1)
+        seg = bpe_apply(seg, ma, mb).localCheckpoint()
+        left = (
+            bpe_pair_counts(seg)
+            .filter((F.col("ma") == ma) & (F.col("mb") == mb))
+            .collect()
+        )
+        assert not left, f"round {m['rnd']}: ({ma},{mb}) adjacency survived"
+        # Full idempotence: the re-applied arrays equal the current ones.
+        diff = (
+            seg.alias("a")
+            .join(bpe_apply(seg, ma, mb).alias("b"), "w")
+            .filter(F.expr("a.syms != b.syms"))
+            .count()
+        )
+        assert diff == 0, f"round {m['rnd']}: apply not idempotent"
+    final_symbols = seg.agg(F.sum(F.col("freq") * F.col("n"))).collect()[0][0]
+    assert stats["corpus_symbols"] == final_symbols
+    assert final_symbols < orig_symbols
+    # each round removed at least one weighted symbol, at most cnt
+    assert orig_symbols - final_symbols <= sum(cnts)
+    assert stats["vocab_symbols"] > 0 and stats["word_types_merged"] > 0
+
+
 def test_embdrift_conservation_and_spine(spark, sf_dir):
     # The 8x8 spine is always fully present; per-dim counts conserve the
     # per-half corpus totals; proportions sum to ~1e6 per (dim, half)
