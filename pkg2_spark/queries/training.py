@@ -2059,10 +2059,40 @@ def bpe_apply(seg, ma: str, mb: str):
     )
 
 
-def _bpe_train_oracle(k: int = _BPE_TRAIN_K) -> str:
-    """The k-round loop unrolled as MATERIALIZED CTEs (the q_graph_kcore
-    lesson: without MATERIALIZED, DuckDB re-derives every earlier round
-    once per reference and the oracle goes combinatorial)."""
+def bpe_train_merges(docs, k: int = _BPE_TRAIN_K):
+    """Run k BPE merge rounds over a documents frame; returns the ordered
+    merge table ([(round, 'ma+mb', cnt), ...]) and the final seg state.
+    The per-round argmax is a 1-row driver collect (it IS the
+    loop-carried scalar, the q_kmeans_step shape) and the rewritten state
+    is lineage-truncated every round, so the logical plan stays
+    constant-size at any k."""
+    seg = bpe_seg0(docs).transform(truncate_lineage)
+    merges = []
+    for r in range(1, k + 1):
+        top = (
+            bpe_pair_counts(seg)
+            .orderBy(
+                F.col("cnt").desc(),
+                F.concat(F.col("ma"), F.lit("+"), F.col("mb")).asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        ma, mb, cnt = top[0]["ma"], top[0]["mb"], top[0]["cnt"]
+        merges.append((r, f"{ma}+{mb}", cnt))
+        seg = bpe_apply(seg, ma, mb).transform(truncate_lineage)
+    return merges, seg
+
+
+def _bpe_chain_cte(k: int = _BPE_TRAIN_K) -> str:
+    """The k-round training loop unrolled as MATERIALIZED CTEs (the
+    q_graph_kcore lesson: without MATERIALIZED, DuckDB re-derives every
+    earlier round once per reference and the oracle goes combinatorial).
+    Shared WITH-prefix of the q_llm_bpe_train and q_llm_bpe_encode
+    oracles — ends after seg{k}/m{k}, callers append their own CTEs and
+    final SELECT."""
     parts = [
         f"""WITH words AS (
   SELECT token AS w, CAST(count(*) AS BIGINT) AS freq
@@ -2093,11 +2123,15 @@ seg{r} AS MATERIALIZED (
     FROM seg{r - 1} s CROSS JOIN m{r} m
   )
 )""")
+    return "".join(parts)
+
+
+def _bpe_train_oracle(k: int = _BPE_TRAIN_K) -> str:
     merge_rows = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS INTEGER) AS rnd, ma, mb, cnt FROM m{r}"
         for r in range(1, k + 1)
     )
-    parts.append(f""",
+    return _bpe_chain_cte(k) + f""",
 merges AS ({merge_rows})
 SELECT phase, rnd, item, cnt FROM (
   SELECT 'merge' AS phase, rnd, ma || '+' || mb AS item, cnt FROM merges
@@ -2112,8 +2146,7 @@ SELECT phase, rnd, item, cnt FROM (
   SELECT 'stats', CAST({k + 1} AS INTEGER), 'word_types_merged',
          CAST(count(*) AS BIGINT) FROM seg{k} WHERE n < len(w)
 )
-ORDER BY phase, rnd, item""")
-    return "".join(parts)
+ORDER BY phase, rnd, item"""
 
 
 @query("q_llm_bpe_train", oracle=_bpe_train_oracle())
@@ -2144,23 +2177,7 @@ def q_llm_bpe_train(spark, sf_dir):
     hash-agg + TakeOrderedAndProject(1) argmax, then a row-local array
     rewrite. Oracle: the same k rounds unrolled as MATERIALIZED CTEs."""
     d = load_tables(spark, sf_dir)["documents"]
-    seg = bpe_seg0(d).transform(truncate_lineage)
-    merges = []
-    for r in range(1, _BPE_TRAIN_K + 1):
-        top = (
-            bpe_pair_counts(seg)
-            .orderBy(
-                F.col("cnt").desc(),
-                F.concat(F.col("ma"), F.lit("+"), F.col("mb")).asc(),
-            )
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        ma, mb, cnt = top[0]["ma"], top[0]["mb"], top[0]["cnt"]
-        merges.append((r, f"{ma}+{mb}", cnt))
-        seg = bpe_apply(seg, ma, mb).transform(truncate_lineage)
+    merges, seg = bpe_train_merges(d, _BPE_TRAIN_K)
     merge_df = spark.createDataFrame(
         merges, "rnd int, item string, cnt long"
     ).select(F.lit("merge").alias("phase"), "rnd", "item", "cnt")
@@ -2192,6 +2209,75 @@ def q_llm_bpe_train(spark, sf_dir):
         .unionAll(vocab_symbols)
         .unionAll(word_types_merged)
         .orderBy("phase", "rnd", "item")
+    )
+
+
+def _bpe_encode_oracle(k: int = _BPE_TRAIN_K) -> str:
+    return _bpe_chain_cte(k) + f""",
+tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+         x -> x <> '')) AS w
+  FROM documents
+),
+enc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(s.n) AS BIGINT) AS n_bpe_tokens,
+         CAST(sum(len(t.w)) AS BIGINT) AS n_word_chars
+  FROM tok t JOIN seg{k} s ON t.w = s.w
+  GROUP BY doc_id
+)
+SELECT doc_id, n_words, n_bpe_tokens, n_word_chars,
+       CAST(n_word_chars * 1000 // n_bpe_tokens AS BIGINT) AS compress_e3
+FROM enc
+ORDER BY compress_e3 DESC, doc_id ASC LIMIT 25"""
+
+
+@query("q_llm_bpe_encode", oracle=_bpe_encode_oracle())
+def q_llm_bpe_encode(spark, sf_dir):
+    """BPE ENCODING — the apply half of the tokenizer q_llm_bpe_train
+    produces: train the k = 8 merge table, then tokenize the corpus with
+    it and report per-document compression (chars per BPE token, e3
+    fixed point) for the 25 most-compressible documents. This is the
+    number a tokenizer evaluation actually reads — how many tokens a
+    model will pay for each document under the trained vocab.
+
+    Encoding never re-segments text row-by-row: the trained seg state
+    IS the word -> token-count mapping (every corpus word type is in the
+    vocab by construction), so encoding is a token explode joined to the
+    vocabulary-sized seg table. At 100 TB the join strategy is AQE's
+    call: a natural-language vocab (~1e6 word types) broadcasts; an
+    adversarial unique-token corpus degrades to a sort-merge join on the
+    word key — never a per-row Python tokenizer in either case.
+
+    Scale shape: the training rounds are vocabulary-sized (see
+    q_llm_bpe_train); encode adds ONE corpus-sized explode + word-keyed
+    join + doc-keyed map-combinable hash-agg, then a
+    TakeOrderedAndProject(25) panel."""
+    d = load_tables(spark, sf_dir)["documents"]
+    _, seg = bpe_train_merges(d, _BPE_TRAIN_K)
+    vocab = seg.select("w", F.col("n").alias("n_bpe"))
+    tok = d.select("doc_id", F.explode(tokens_col("text")).alias("w"))
+    enc = (
+        tok.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+            F.sum(F.length("w")).cast("long").alias("n_word_chars"),
+        )
+    )
+    return (
+        enc.select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            "n_word_chars",
+            F.expr("CAST(n_word_chars * 1000 DIV n_bpe_tokens AS BIGINT)")
+            .alias("compress_e3"),
+        )
+        .orderBy(F.col("compress_e3").desc(), F.col("doc_id").asc())
+        .limit(25)
     )
 
 

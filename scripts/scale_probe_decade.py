@@ -278,15 +278,21 @@ def main() -> int:
             return []
         out = ["", "## Diverse-corpus decades (token-permuted documents + "
                "dimension-permuted embeddings, sf0.1 -> sf1d -> sf10d)", "",
-               "| query | sf0.1 | sf1d | ratio | sf10d | ratio |",
-               "|---|---|---|---|---|---|"]
+               "loadavg is the 1-min machine load sampled right after each",
+               "query's sf10d timing — ambient contention waves inflate",
+               "decade ratios ~1.5-2x (r12 verdict #4); compare against the",
+               "linear control q_llm_unigram_lm before reading a ratio as",
+               "superlinear.", "",
+               "| query | sf0.1 | sf1d | ratio | sf10d | ratio | loadavg |",
+               "|---|---|---|---|---|---|---|"]
         for name in PROBES_DIVERSE:
             t1 = timed(name, sfs[0])
             t2 = timed(name, sf1d)
             t3 = timed(name, sf10d)
+            load = os.getloadavg()[0]
             out.append(
                 f"| {name} | {t1:.3f}s | {t2:.3f}s | {t2 / t1:.2f}x"
-                f" | {t3:.3f}s | {t3 / t2:.2f}x |"
+                f" | {t3:.3f}s | {t3 / t2:.2f}x | {load:.2f} |"
             )
             print(out[-1])
         return out

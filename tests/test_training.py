@@ -745,6 +745,23 @@ def test_bpe_train_merges_nonincreasing_and_apply_idempotent(spark, sf_dir):
     assert stats["vocab_symbols"] > 0 and stats["word_types_merged"] > 0
 
 
+def test_bpe_encode_compression_bounds(spark, sf_dir):
+    # Encoding under the trained vocab can only SHRINK a word (merges
+    # replace two symbols with one): per doc, n_bpe_tokens <= n_word_chars
+    # (so compress_e3 >= 1000) and n_bpe_tokens >= n_words (a word is at
+    # least one token). The panel is the declared top-25 ordering.
+    rows = _q(spark, sf_dir, "q_llm_bpe_encode").collect()
+    assert 0 < len(rows) <= 25
+    for r in rows:
+        assert r["n_words"] <= r["n_bpe_tokens"] <= r["n_word_chars"]
+        assert r["compress_e3"] >= 1000
+        assert (
+            r["compress_e3"] == r["n_word_chars"] * 1000 // r["n_bpe_tokens"]
+        )
+    ratios = [(r["compress_e3"], -r["doc_id"]) for r in rows]
+    assert ratios == sorted(ratios, reverse=True)
+
+
 def test_embdrift_conservation_and_spine(spark, sf_dir):
     # The 8x8 spine is always fully present; per-dim counts conserve the
     # per-half corpus totals; proportions sum to ~1e6 per (dim, half)
