@@ -16,6 +16,8 @@ last digit is summation-order-dependent across engine partitionings.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from pkg2_spark.catalog import load_tables
@@ -339,6 +341,53 @@ def q_stream_rt_dedup(spark, sf_dir):
     return deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "q_stream_state_read",
+    oracle="""
+SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_state_keys,
+       CAST(min(event_id) AS BIGINT) AS min_key,
+       CAST(max(event_id) AS BIGINT) AS max_key
+FROM events
+""",
+)
+def q_stream_state_read(spark, sf_dir):
+    """State-store OBSERVABILITY — Spark 4's State Data Source reads a
+    streaming checkpoint's state back as a DataFrame, the tool an
+    operator reaches for when a production job's state grows, skews, or
+    goes stale (which keys? how many per partition? buffered since
+    when?). The fixture replays a keyed stateful query (unwatermarked
+    dropDuplicates on event_id — state retains EVERY key, so its content
+    is exactly the distinct-key set, deterministically) to a kept
+    checkpoint, then ``spark.read.format("statestore")`` aggregates the
+    state rows: the key census must equal the batch DISTINCT over the
+    same file. The companion ``state-metadata`` format (operator name,
+    store partition count, batch range) is pinned by
+    tests/test_streaming.py.
+
+    Scale shape: the replay is the normal dedup topology (one shuffle on
+    the key into 8 state partitions); the state read is a partitioned
+    batch scan of the store files (one task per state partition at
+    cluster scale — never a driver-side walk) feeding a 1-row agg.
+    Production caveat in the dedup itself: unwatermarked dedup state
+    grows with distinct keys by design; the production form bounds it
+    with dropDuplicatesWithinWatermark (q_stream_late shows the
+    watermark discipline) — the READER is what this operator exists to
+    exercise."""
+    from pkg2_spark.streaming.harness import events_stream, replay_to_checkpoint
+
+    name = "state_read_" + os.path.basename(os.path.normpath(sf_dir))
+    ckpt = replay_to_checkpoint(
+        events_stream(spark, sf_dir).dropDuplicates(["event_id"]).select("event_id"),
+        name,
+    )
+    state = spark.read.format("statestore").load(ckpt)
+    return state.agg(
+        F.count(F.lit(1)).cast("long").alias("n_state_keys"),
+        F.min(F.col("key.event_id")).cast("long").alias("min_key"),
+        F.max(F.col("key.event_id")).cast("long").alias("max_key"),
     )
 
 

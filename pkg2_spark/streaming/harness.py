@@ -99,3 +99,30 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> Da
     out = spark.table(qname)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
+
+
+def replay_to_checkpoint(stream_df: DataFrame, name: str) -> str:
+    """Replay a stateful stream to the noop sink, KEEPING the checkpoint —
+    the fixture for state-store observability (the ``statestore`` /
+    ``state-metadata`` readers point at this path). The checkpoint is
+    wiped first so every invocation re-derives state from the CURRENT
+    source files (a stale checkpoint from a prior testdata generation
+    would silently diverge); the name is fixed per caller+scale, so the
+    scratch dir holds one live checkpoint per fixture, not one per run."""
+    spark = stream_df.sparkSession
+    ckpt = os.path.join(IO_DIR, "checkpoints", name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            stream_df.writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return ckpt

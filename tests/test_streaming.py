@@ -192,6 +192,32 @@ def test_stream_stream_join_buffers_across_batches(spark, sf_dir):
     assert got == expected
 
 
+def test_statestore_reader_keys_and_metadata(spark, sf_dir):
+    # q_stream_state_read's companion pins: the state-metadata format
+    # names the operator and its partition layout, and every key the
+    # statestore reader surfaces exists in the source table (and vice
+    # versa — the unwatermarked dedup retains ALL keys).
+    from pkg2_spark.streaming.harness import events_stream, replay_to_checkpoint
+
+    ckpt = replay_to_checkpoint(
+        events_stream(spark, sf_dir).dropDuplicates(["event_id"]).select("event_id"),
+        "state_read_test",
+    )
+    md = spark.read.format("state-metadata").load(ckpt).collect()
+    assert len(md) == 1
+    assert md[0]["operatorName"] == "dedupe"
+    assert md[0]["numPartitions"] == 8  # the harness's pinned state layout
+    assert md[0]["minBatchId"] == 0
+
+    state = spark.read.format("statestore").load(ckpt)
+    keys = state.select(F.col("key.event_id").alias("event_id"))
+    src = _events(spark, sf_dir).select("event_id").distinct()
+    assert keys.count() == src.count()
+    assert keys.join(src, "event_id", "left_anti").count() == 0
+    # keyed store: one state row per key
+    assert keys.distinct().count() == keys.count()
+
+
 def test_stateful_counters_carry_state_across_batches(spark, sf_dir):
     """Split events into two files and replay one per micro-batch: the
     applyInPandasWithState operator must resume each user's state in batch 1
