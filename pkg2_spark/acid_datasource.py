@@ -1,0 +1,196 @@
+"""The ACID table format served through Spark 4's Python Data Source API.
+
+``spark.dataSource.register(AcidDataSource)`` makes the commit-log format
+a first-class ``spark.read.format("pkg2acid")`` source — the extensibility
+surface a user reaches for when a format has no JVM connector: schema
+resolution from the table LOG (not file footers), snapshot isolation and
+time travel via ``option("version", N)``, one InputPartition per live
+data file (distributed scan planning — a 100k-file table fans out to
+100k tasks, never a driver-side read), and footer-stats FILE PRUNING
+driven by Catalyst's pushed filters.
+
+Pruning is planning-level only and therefore always correct:
+``pushFilters`` keeps every filter as a RESIDUAL for Spark to re-apply
+row-by-row, while recording the comparisons it can use to drop whole
+files whose logged [min, max] range cannot match — exactly how
+Table.read's merge pruning uses the same stats, and how Delta/Iceberg
+data skipping composes with execution-time filtering.
+
+Honest posture: the JVM parquet reader (``Table.read``) is the FAST path
+for this format — whole-stage codegen, vectorized decode, no Python
+workers. This source exists for the API surface (and is the template for
+formats that genuinely have no JVM reader); its per-partition read path
+ships Arrow RecordBatches (never per-row Python objects) harmonized to
+the logged schema, so files written before a column evolved in surface
+it as nulls, byte-compatible with Table.read's semantics.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from pkg2_spark.tableformat import _live_entries, latest_version, log_schema
+
+
+def _nullable(dt):
+    """A nullable-ized deep copy of a Spark type (see AcidDataSource.schema)."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [StructField(f.name, _nullable(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_nullable(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(_nullable(dt.keyType), _nullable(dt.valueType), True)
+    return dt
+
+
+class AcidFilePartition(InputPartition):
+    def __init__(self, path: str, rows: int | None):
+        self.path = path
+        self.rows = rows
+
+
+def _stat_comparable(value, lo):
+    """Convert a pushed-filter literal to the logged-stats domain, or None
+    when the pair is not safely comparable (prune only on same-type
+    comparisons; everything else stays un-pruned and Spark's residual
+    filter does the work)."""
+    if isinstance(value, bool) or isinstance(lo, bool):
+        return None
+    if isinstance(value, (int, float)) and isinstance(lo, (int, float)):
+        return value
+    if hasattr(value, "isoformat") and isinstance(lo, str):
+        return value.isoformat()  # date/timestamp stats are logged ISO
+    if isinstance(value, str) and isinstance(lo, str):
+        return value
+    return None
+
+
+class AcidDataSourceReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self.read_schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pkg2acid requires load(<table path>)")
+        v = options.get("version")
+        self.version = int(v) if v is not None else None
+        self.pushed: list = []
+
+    # -------------------------------------------------------- planning
+    def pushFilters(self, filters):
+        """Record single-column comparisons for file pruning; return ALL
+        filters as residuals (pruning never substitutes for row-level
+        evaluation, so a stats gap or type mismatch can only cost
+        speed, never correctness)."""
+        for f in filters:
+            if isinstance(
+                f, (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan,
+                    LessThanOrEqual),
+            ) and len(f.attribute) == 1:
+                self.pushed.append(f)
+            yield f
+
+    def _file_matches(self, stats: dict) -> bool:
+        for f in self.pushed:
+            rng = stats.get(f.attribute[0])
+            if not rng:
+                continue  # no stats for this column: cannot prune
+            lo, hi = rng
+            v = _stat_comparable(f.value, lo)
+            if v is None:
+                continue
+            if isinstance(f, EqualTo) and (v < lo or v > hi):
+                return False
+            if isinstance(f, GreaterThan) and hi <= v:
+                return False
+            if isinstance(f, GreaterThanOrEqual) and hi < v:
+                return False
+            if isinstance(f, LessThan) and lo >= v:
+                return False
+            if isinstance(f, LessThanOrEqual) and lo > v:
+                return False
+        return True
+
+    def partitions(self):
+        cut = (
+            latest_version(self.path) if self.version is None else self.version
+        )
+        entries = _live_entries(self.path, cut)
+        parts = [
+            AcidFilePartition(os.path.join(self.path, rel), e.get("rows"))
+            for rel, e in sorted(entries.items())
+            if self._file_matches(e.get("stats") or {})
+        ]
+        # Spark requires at least one partition; a fully-pruned (or empty)
+        # snapshot reads as zero rows through a no-op partition.
+        return parts or [AcidFilePartition("", 0)]
+
+    # ------------------------------------------------------- execution
+    def read(self, partition: AcidFilePartition) -> Iterator:
+        if not partition.path:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.read_schema)
+        tbl = pq.read_table(partition.path)
+        cols = []
+        for field in target:
+            if field.name in tbl.column_names:
+                cols.append(tbl.column(field.name).cast(field.type))
+            else:
+                # File predates this column (schema evolution): nulls,
+                # matching Table.read's pinned-log-schema semantics.
+                cols.append(pa.nulls(len(tbl), field.type))
+        yield from pa.table(cols, schema=target).to_batches()
+
+
+class AcidDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "pkg2acid"
+
+    def schema(self):
+        sch = log_schema(
+            self.options.get("path"),
+            int(self.options["version"]) if self.options.get("version") is not None else None,
+        )
+        if sch is None:
+            raise ValueError(
+                "table log predates schema recording; pass an explicit "
+                ".schema(...) to read it through pkg2acid"
+            )
+        # Reader posture: every column is declared NULLABLE. A column
+        # added by schema evolution may be logged non-nullable (the
+        # writer's frame was), but files written before it existed read
+        # it as null — a non-null declaration would let codegen NPE on
+        # exactly those rows.
+        return _nullable(sch)
+
+    def reader(self, schema) -> AcidDataSourceReader:
+        return AcidDataSourceReader(schema, self.options)
+
+
+def register_acid_source(spark) -> None:
+    """Idempotent registration of the pkg2acid format on a session.
+    Python-source filter pushdown is opt-in in Spark 4.1 (readers that
+    implement pushFilters fail fast without it) — enable it alongside."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(AcidDataSource)

@@ -563,3 +563,54 @@ def q_acid_delete(spark, sf_dir):
         )
         .crossJoin(F.broadcast(nd))
     )
+
+
+@query(
+    "q_src_acid_pyds",
+    oracle=f"""
+SELECT o_orderstatus,
+       count(*) AS n,
+       {_E2} AS sum_price_e2,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+WHERE o_orderkey <= {_UPD_HI}
+GROUP BY o_orderstatus
+""",
+)
+def q_src_acid_pyds(spark, sf_dir):
+    """The logged table read through Spark 4's PYTHON DATA SOURCE API
+    (pkg2_spark/acid_datasource.py) — ``format("pkg2acid")`` with
+    ``option("version", 2)`` time travel (v2 = the full orders table,
+    before the merge) and a pushed o_orderkey range predicate. The
+    source plans one InputPartition per live data file and PRUNES files
+    whose logged [min, max] on o_orderkey cannot match the filter (the
+    range-clustered fixture makes most of the 24 live files skippable);
+    the filter is also kept as a residual, so Spark re-applies it
+    row-level — pruning can only skip work, never change the answer.
+    The per-file read path ships Arrow RecordBatches harmonized to the
+    logged schema. Oracle: the same filtered aggregate over the raw
+    orders table (v2 == orders by the fixture recipe).
+
+    Scale shape: driver-side O(commits) log fold + O(files) pruning at
+    planning; then |surviving files| parallel Arrow scan tasks feeding
+    a map-combinable hash-agg. The JVM Table.read path stays the fast
+    default (module docstring) — this pins the extension surface."""
+    from pkg2_spark.acid_datasource import register_acid_source
+
+    t = acid_orders_table(spark, sf_dir)
+    register_acid_source(spark)
+    df = (
+        spark.read.format("pkg2acid")
+        .option("version", 2)
+        .load(t.path)
+        .filter(F.col("o_orderkey") <= _UPD_HI)
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_price_e2"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )

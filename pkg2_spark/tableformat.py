@@ -211,6 +211,26 @@ def _write_data(
     ]
 
 
+def log_schema(path: str, version: int | None = None):
+    """The logged table schema as of ``version`` (module-level so
+    session-free consumers — e.g. the Python Data Source's driver-side
+    planner — can fold the log without constructing a Table)."""
+    from pyspark.sql.types import StructType
+
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no table log at {path}")
+    cut = vs[-1] if version is None else version
+    rec = None
+    for v in vs:
+        if v > cut:
+            break
+        s = _read_commit(path, v).get("schema")
+        if s is not None:
+            rec = None if s.get("__none__") else s
+    return StructType.fromJson(rec) if rec is not None else None
+
+
 def _commit(
     path: str,
     version: int,
@@ -310,20 +330,7 @@ class Table:
         predates schema recording — including after a restore() to such
         a version, which records an explicit {"__none__": true} marker
         so the fold reverts instead of resolving to a later schema."""
-        from pyspark.sql.types import StructType
-
-        vs = _versions(self.path)
-        if not vs:
-            raise FileNotFoundError(f"no table log at {self.path}")
-        cut = vs[-1] if version is None else version
-        rec = None
-        for v in vs:
-            if v > cut:
-                break
-            s = _read_commit(self.path, v).get("schema")
-            if s is not None:
-                rec = None if s.get("__none__") else s
-        return StructType.fromJson(rec) if rec is not None else None
+        return log_schema(self.path, version)
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read, optionally time-traveled to ``version``. The

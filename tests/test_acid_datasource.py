@@ -1,0 +1,123 @@
+"""Python Data Source over the ACID table format (pkg2acid) — planning
+(one partition per live file, stats pruning, time travel), execution
+(Arrow batches, schema-evolution null fill), and parity with Table.read.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from pkg2_spark.acid_datasource import (
+    AcidDataSourceReader,
+    register_acid_source,
+)
+from pkg2_spark.queries.acid import acid_orders_table
+from pkg2_spark.tableformat import Table, snapshot_files
+
+
+@pytest.fixture(scope="module")
+def orders_table(spark):
+    return acid_orders_table(spark, "/root/testdata/sf0.001")
+
+
+def _reader(path, version=None, filters=()):
+    opts = {"path": path}
+    if version is not None:
+        opts["version"] = str(version)
+    r = AcidDataSourceReader(None, opts)
+    residual = list(r.pushFilters(list(filters)))
+    assert residual == list(filters)  # every filter stays residual
+    return r
+
+
+def test_partition_planning_and_stats_pruning(spark, orders_table):
+    from pyspark.sql.datasource import EqualTo, LessThanOrEqual
+
+    t = orders_table
+    all_parts = _reader(t.path, version=2).partitions()
+    assert len(all_parts) == len(snapshot_files(t.path, 2))
+    assert all(p.path for p in all_parts)
+
+    # the fixture range-clusters on o_orderkey into 8 files per commit;
+    # compute a scale-independent cut from the logged stats and assert
+    # the EXACT surviving set: LessThanOrEqual(cut) keeps a file iff its
+    # logged min <= cut.
+    from pkg2_spark.tableformat import _live_entries
+
+    ranges = [
+        tuple(e["stats"]["o_orderkey"])
+        for e in _live_entries(t.path, 2).values()
+    ]
+    cut = sorted(lo for lo, _ in ranges)[len(ranges) // 2]
+    pruned = _reader(
+        t.path, version=2, filters=[LessThanOrEqual(("o_orderkey",), cut)]
+    ).partitions()
+    assert len(pruned) == sum(1 for lo, _ in ranges if lo <= cut)
+    assert 0 < len(pruned) < len(all_parts)
+
+    # a point lookup keeps exactly the files whose [min, max] covers it
+    key = ranges[0][0]  # some existing key
+    point = _reader(
+        t.path, version=2, filters=[EqualTo(("o_orderkey",), key)]
+    ).partitions()
+    assert len(point) == sum(1 for lo, hi in ranges if lo <= key <= hi)
+    assert 0 < len(point) <= len(pruned)
+
+    # stats on an un-tracked column can't prune (no stats -> keep file)
+    untracked = _reader(
+        t.path, version=2, filters=[EqualTo(("o_custkey",), 1)]
+    ).partitions()
+    assert len(untracked) == len(all_parts)
+
+
+def test_format_read_matches_table_read_and_time_travel(spark, orders_table):
+    t = orders_table
+    register_acid_source(spark)
+
+    got = (
+        spark.read.format("pkg2acid").option("version", 2).load(t.path)
+    )
+    want = t.read(version=2)
+    assert got.schema == want.schema
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # time travel: every logged snapshot is reachable by option
+    for v in (0, 1, 3):
+        n = spark.read.format("pkg2acid").option("version", v).load(t.path).count()
+        assert n == t.read(version=v).count()
+    # default = head
+    assert spark.read.format("pkg2acid").load(t.path).count() == t.read().count()
+
+
+def test_fully_pruned_filter_reads_zero_rows(spark, orders_table):
+    t = orders_table
+    register_acid_source(spark)
+    df = (
+        spark.read.format("pkg2acid").option("version", 2).load(t.path)
+        .filter(F.col("o_orderkey") < 0)
+    )
+    assert df.count() == 0
+
+
+def test_schema_evolution_null_fill(spark, tmp_path):
+    path = str(tmp_path / "evolved")
+    t = Table(spark, path, stats_cols=["id"])
+    base = spark.range(0, 100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    t.create(base)
+    t.append(
+        spark.range(100, 150).select(
+            F.col("id"), (F.col("id") * 2).alias("v"), F.lit("new").alias("tag")
+        ),
+        allow_schema_evolution=True,
+    )
+    register_acid_source(spark)
+    got = spark.read.format("pkg2acid").load(path)
+    assert [f.name for f in got.schema.fields] == ["id", "v", "tag"]
+    rows = {r["id"]: r for r in got.collect()}
+    assert len(rows) == 150
+    assert rows[5]["tag"] is None  # pre-evolution file: null-filled
+    assert rows[120]["tag"] == "new"
+    # parity with the JVM reader on the evolved table
+    want = {r["id"]: r for r in t.read().collect()}
+    assert rows == want
