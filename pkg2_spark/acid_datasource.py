@@ -32,6 +32,7 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     GreaterThan,
@@ -39,6 +40,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from pkg2_spark.tableformat import _live_entries, latest_version, log_schema
@@ -162,6 +164,135 @@ class AcidDataSourceReader(DataSourceReader):
         yield from pa.table(cols, schema=target).to_batches()
 
 
+class AcidCommitMessage(WriterCommitMessage):
+    def __init__(self, rel: str | None, rows: int):
+        self.rel = rel
+        self.rows = rows
+
+
+class AcidDataSourceWriter(DataSourceArrowWriter):
+    """Distributed APPEND through the Python Data Source write protocol —
+    the two-phase commit shape every table format uses: each task writes
+    its partition to an immutable file under the table's data dir and
+    returns a commit message (path + row count); the DRIVER then folds
+    all messages into ONE atomic log commit (O_EXCL, loser-retry — the
+    same protocol Table.append uses, so Python-API writers and JVM
+    writers serialize against each other correctly). Files from aborted
+    or failed attempts are never referenced by the log and stay
+    invisible to readers (the format's orphan posture).
+
+    Schema is enforced at PLAN time against the log (same rules as
+    Table.append: evolution may only ADD columns, and only with
+    option("allow_schema_evolution", "true")); per-file min/max stats
+    for the table's tracked columns are computed at commit from the
+    written footers, so stats-pruned reads keep working across writers.
+    """
+
+    def __init__(self, schema, options, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "pkg2acid is append-only through the DataFrame writer; "
+                "use Table.restore/delete_where/merge for rewrites"
+            )
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pkg2acid requires save(<table path>)")
+        current = log_schema(self.path)
+        self.schema_json = schema.jsonValue()
+        if current is not None:
+            cur = {f.name: f.dataType for f in current.fields}
+            new = {f.name: f.dataType for f in schema.fields}
+            dropped = sorted(set(cur) - set(new))
+            added = sorted(set(new) - set(cur))
+            retyped = sorted(n for n in set(cur) & set(new) if cur[n] != new[n])
+            if dropped or retyped:
+                raise ValueError(
+                    f"append to {self.path} is schema-incompatible: "
+                    f"dropped={dropped} retyped={retyped} (evolution may "
+                    "only ADD columns)"
+                )
+            if added and str(options.get("allow_schema_evolution", "")).lower() != "true":
+                raise ValueError(
+                    f"append to {self.path} adds columns {added}; set "
+                    'option("allow_schema_evolution", "true") to evolve'
+                )
+        # Stats continuity: track whatever columns the live log already
+        # carries stats for (no session, no Table object needed).
+        head = latest_version(self.path)
+        self.stats_cols = sorted(
+            {
+                k
+                for e in _live_entries(self.path, head).values()
+                for k in (e.get("stats") or {})
+            }
+        )
+        import uuid
+
+        self.commit_dir = os.path.join("data", f"pyds-{uuid.uuid4().hex[:12]}")
+
+    # Runs on EXECUTORS (self is pickled there): stream the task's Arrow
+    # batches into one parquet file; empty tasks write nothing.
+    def write(self, iterator) -> AcidCommitMessage:
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        full_dir = os.path.join(self.path, self.commit_dir)
+        rel = os.path.join(self.commit_dir, f"part-{uuid.uuid4().hex}.parquet")
+        full = os.path.join(self.path, rel)
+        writer = None
+        rows = 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    os.makedirs(full_dir, exist_ok=True)
+                    writer = pq.ParquetWriter(full, batch.schema)
+                writer.write_batch(batch)
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        return AcidCommitMessage(rel if writer is not None else None, rows)
+
+    # Runs on the DRIVER: one atomic log commit for the whole job.
+    def commit(self, messages) -> None:
+        from pkg2_spark.tableformat import (
+            ConcurrentCommitError,
+            _commit,
+            _file_stats,
+        )
+
+        written = [m for m in messages if m is not None and m.rel]
+        metas = _file_stats(
+            [os.path.join(self.path, m.rel) for m in written], self.stats_cols
+        )
+        add = [
+            {"path": m.rel, "rows": meta["rows"], "stats": meta["stats"]}
+            for m, meta in zip(written, metas)
+        ]
+        for _ in range(20):
+            v = latest_version(self.path) + 1
+            try:
+                _commit(
+                    self.path, v, "append", add, [],
+                    meta={"writer": "pkg2acid-python-datasource"},
+                    schema=self.schema_json,
+                )
+                return
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"pkg2acid append to {self.path} kept losing commit races"
+        )
+
+    def abort(self, messages) -> None:
+        # Written files are unreferenced by the log — readers never see
+        # them. Best-effort cleanup of this attempt's directory.
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, self.commit_dir), ignore_errors=True)
+
+
 class AcidDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -186,6 +317,9 @@ class AcidDataSource(DataSource):
 
     def reader(self, schema) -> AcidDataSourceReader:
         return AcidDataSourceReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool) -> AcidDataSourceWriter:
+        return AcidDataSourceWriter(schema, self.options, overwrite)
 
 
 def register_acid_source(spark) -> None:

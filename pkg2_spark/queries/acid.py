@@ -614,3 +614,67 @@ def q_src_acid_pyds(spark, sf_dir):
         F.min("o_orderkey").cast("long").alias("min_key"),
         F.max("o_orderkey").cast("long").alias("max_key"),
     )
+
+
+@query(
+    "q_sink_acid_pyds",
+    oracle=f"""
+SELECT o_orderstatus,
+       count(*) AS n,
+       {_E2} AS sum_price_e2
+FROM orders
+WHERE o_orderdate < DATE '1998-01-01'
+GROUP BY o_orderstatus
+""",
+)
+def q_sink_acid_pyds(spark, sf_dir):
+    """The WRITE half of the Python Data Source surface: create a logged
+    table from the pre-1997 orders, append the 1997 slice through
+    ``df.write.format("pkg2acid").mode("append")`` (each task streams
+    its Arrow batches to an immutable file; the driver folds all task
+    commit messages into ONE atomic O_EXCL log commit with footer stats
+    — acid_datasource.AcidDataSourceWriter), then read the table back
+    through the pkg2acid READER and aggregate. The oracle recomputes the
+    same union from the raw orders table, so a torn append (partial
+    files visible) or a stats/schema drift in the Python-written commit
+    would hash-mismatch.
+
+    Rebuilt from scratch every invocation (an append MUTATES the table; a
+    cached fixture would double-append); at sf scale that is one small
+    create + one append. Scale shape: both writes are |tasks| parallel
+    file writes + O(1) driver log commits; the read is the pruned
+    partitioned scan q_src_acid_pyds pins."""
+    import shutil as _shutil
+
+    from pkg2_spark.acid_datasource import register_acid_source
+
+    path = fixture_path("acid_pyds_sink", sf_dir)
+    if os.path.isdir(path):
+        _shutil.rmtree(path)
+    o = load_tables(spark, sf_dir)["orders"]
+    t = Table(
+        spark, path, stats_cols=["o_orderkey"], cluster_by="o_orderkey",
+        num_files=4,
+    )
+    t.create(o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")))
+    register_acid_source(spark)
+    (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .write.format("pkg2acid")
+        .mode("append")
+        .save(path)
+    )
+    return (
+        spark.read.format("pkg2acid")
+        .load(path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_price_e2"),
+        )
+    )

@@ -100,6 +100,73 @@ def test_fully_pruned_filter_reads_zero_rows(spark, orders_table):
     assert df.count() == 0
 
 
+def test_python_writer_appends_atomically_with_stats(spark, tmp_path):
+    from pyspark.sql.datasource import LessThanOrEqual
+
+    path = str(tmp_path / "w")
+    t = Table(spark, path, stats_cols=["id"], cluster_by="id", num_files=4)
+    t.create(spark.range(0, 100).select("id", (F.col("id") * 2).alias("v")))
+    register_acid_source(spark)
+
+    (
+        spark.range(100, 160)
+        .select("id", (F.col("id") * 2).alias("v"))
+        .repartition(3)
+        .write.format("pkg2acid")
+        .mode("append")
+        .save(path)
+    )
+    assert t.read().count() == 160
+    hist = t.history()
+    assert hist[-1]["op"] == "append"
+    assert hist[-1]["meta"]["writer"] == "pkg2acid-python-datasource"
+    # stats continuity: the python-written entries carry min/max on the
+    # table's tracked column, so stats pruning keeps engaging
+    new_entries = hist[-1]["add"]
+    assert new_entries and all("id" in e["stats"] for e in new_entries)
+    assert sum(e["rows"] for e in new_entries) == 60
+    pruned = _reader(path, filters=[LessThanOrEqual(("id",), 50)]).partitions()
+    total = len(_reader(path).partitions())
+    assert 0 < len(pruned) < total
+    # round trip through the python reader too
+    assert (
+        spark.read.format("pkg2acid").load(path)
+        .agg(F.sum("v")).collect()[0][0]
+        == sum(2 * i for i in range(160))
+    )
+
+
+def test_python_writer_schema_rules(spark, tmp_path):
+    path = str(tmp_path / "w2")
+    Table(spark, path, stats_cols=["id"]).create(
+        spark.range(0, 10).select("id", (F.col("id") * 2).alias("v"))
+    )
+    register_acid_source(spark)
+    base = spark.range(10, 20).select("id", (F.col("id") * 2).alias("v"))
+
+    with pytest.raises(Exception, match="append-only"):
+        base.write.format("pkg2acid").mode("overwrite").save(path)
+    with pytest.raises(Exception, match="schema-incompatible"):
+        base.withColumn("v", F.col("v").cast("string")).write.format(
+            "pkg2acid"
+        ).mode("append").save(path)
+    with pytest.raises(Exception, match="adds columns"):
+        base.withColumn("tag", F.lit("x")).write.format("pkg2acid").mode(
+            "append"
+        ).save(path)
+    (
+        base.withColumn("tag", F.lit("x"))
+        .write.format("pkg2acid")
+        .option("allow_schema_evolution", "true")
+        .mode("append")
+        .save(path)
+    )
+    got = spark.read.format("pkg2acid").load(path)
+    assert [f.name for f in got.schema.fields] == ["id", "v", "tag"]
+    rows = {r["id"]: r["tag"] for r in got.collect()}
+    assert rows[0] is None and rows[15] == "x"
+
+
 def test_schema_evolution_null_fill(spark, tmp_path):
     path = str(tmp_path / "evolved")
     t = Table(spark, path, stats_cols=["id"])
