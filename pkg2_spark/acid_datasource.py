@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -144,24 +145,98 @@ class AcidDataSourceReader(DataSourceReader):
 
     # ------------------------------------------------------- execution
     def read(self, partition: AcidFilePartition) -> Iterator:
-        if not partition.path:
-            return
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        return _read_file_as_arrow(partition, self.read_schema)
 
-        from pyspark.sql.pandas.types import to_arrow_schema
 
-        target = to_arrow_schema(self.read_schema)
-        tbl = pq.read_table(partition.path)
-        cols = []
-        for field in target:
-            if field.name in tbl.column_names:
-                cols.append(tbl.column(field.name).cast(field.type))
-            else:
-                # File predates this column (schema evolution): nulls,
-                # matching Table.read's pinned-log-schema semantics.
-                cols.append(pa.nulls(len(tbl), field.type))
-        yield from pa.table(cols, schema=target).to_batches()
+def _read_file_as_arrow(partition: AcidFilePartition, read_schema) -> Iterator:
+    """Executor-side file read shared by the batch and stream readers:
+    Arrow RecordBatches harmonized to the logged schema — files that
+    predate an evolved column surface it as nulls, matching Table.read's
+    pinned-log-schema semantics."""
+    if not partition.path:
+        return
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(read_schema)
+    tbl = pq.read_table(partition.path)
+    cols = []
+    for field in target:
+        if field.name in tbl.column_names:
+            cols.append(tbl.column(field.name).cast(field.type))
+        else:
+            cols.append(pa.nulls(len(tbl), field.type))
+    yield from pa.table(cols, schema=target).to_batches()
+
+
+class AcidStreamReader(DataSourceStreamReader):
+    """CDC TAILING of the commit log — ``spark.readStream.format("pkg2acid")``
+    turns the table's ordered versions into streaming offsets: each
+    micro-batch reads exactly the files ADDED by the commits in
+    (start.version, end.version], so every appended row is emitted
+    exactly once (the checkpoint stores the version watermark — restart
+    resumes from the committed offset, never re-emits). This is the
+    Delta/Iceberg streaming-source design: the LOG is already an ordered
+    change journal; tailing it needs no listener, no polling of data
+    files, and no state beyond one integer.
+
+    Append-only discipline: a merge/delete/restore commit REWRITES rows
+    (its add-list re-adds old rows in new files), which an append-tail
+    must not re-emit. Such commits raise by default; pass
+    ``option("skip_change_commits", "true")`` to skip them (the Delta
+    ``skipChangeCommits`` posture) when downstream tolerates missing
+    the rewritten rows' new images.
+
+    Scale shape: offset resolution is a driver-side O(new commits) log
+    read per micro-batch; the data path is one task per added file on
+    the executors (the same Arrow read as the batch source)."""
+
+    def __init__(self, schema, options):
+        self.read_schema = schema
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pkg2acid requires load(<table path>)")
+        self.skip_change = (
+            str(options.get("skip_change_commits", "")).lower() == "true"
+        )
+
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def latestOffset(self) -> dict:
+        return {"version": latest_version(self.path)}
+
+    def partitions(self, start: dict, end: dict):
+        from pkg2_spark.tableformat import _read_commit
+
+        parts: list[AcidFilePartition] = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            rec = _read_commit(self.path, v)
+            op = rec.get("op")
+            if op in ("create", "append"):
+                parts.extend(
+                    AcidFilePartition(
+                        os.path.join(self.path, e["path"]), e.get("rows")
+                    )
+                    for e in rec.get("add", [])
+                )
+            elif rec.get("add") or rec.get("remove"):
+                if not self.skip_change:
+                    raise ValueError(
+                        f"streaming tail of {self.path} hit a "
+                        f"row-rewriting '{op}' commit at version {v}; set "
+                        'option("skip_change_commits", "true") to skip '
+                        "rewrites (their rows will not be re-emitted)"
+                    )
+        return parts or [AcidFilePartition("", 0)]
+
+    def read(self, partition: AcidFilePartition):
+        return _read_file_as_arrow(partition, self.read_schema)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are durable in the log itself; nothing to reap
 
 
 class AcidCommitMessage(WriterCommitMessage):
@@ -320,6 +395,9 @@ class AcidDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> AcidDataSourceWriter:
         return AcidDataSourceWriter(schema, self.options, overwrite)
+
+    def streamReader(self, schema) -> AcidStreamReader:
+        return AcidStreamReader(schema, self.options)
 
 
 def register_acid_source(spark) -> None:

@@ -678,3 +678,66 @@ def q_sink_acid_pyds(spark, sf_dir):
             .alias("sum_price_e2"),
         )
     )
+
+
+@query(
+    "q_stream_acid_cdc",
+    oracle=f"""
+SELECT o_orderstatus,
+       count(*) AS n,
+       {_E2} AS sum_price_e2
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_stream_acid_cdc(spark, sf_dir):
+    """STREAMING CDC tail of the logged table — ``readStream.format(
+    "pkg2acid")`` (acid_datasource.AcidStreamReader) treats commit
+    versions as streaming offsets: the fixture creates the table from
+    the pre-1997 orders and appends the 1997 and post-1998 slices as two
+    more commits, then an availableNow drain emits every appended row
+    exactly once into the sink — so the drained content equals the FULL
+    orders table and the per-status rollup hash-matches the batch
+    oracle. Checkpoint-resume exactly-once, the row-rewriting-commit
+    guard, and skip_change_commits are pinned by
+    tests/test_acid_datasource.py.
+
+    Scale shape: per micro-batch, offset resolution is a driver-side
+    O(new commits) log read; data flows as one executor task per added
+    file (the same Arrow path as the batch source) — tailing cost is
+    proportional to the DELTA, never to table size."""
+    import shutil as _shutil
+
+    from pkg2_spark.acid_datasource import register_acid_source
+    from pkg2_spark.streaming.harness import run_to_memory
+
+    path = fixture_path("acid_cdc_src", sf_dir)
+    if os.path.isdir(path):
+        _shutil.rmtree(path)
+    o = load_tables(spark, sf_dir)["orders"]
+    t = Table(
+        spark, path, stats_cols=["o_orderkey"], cluster_by="o_orderkey",
+        num_files=4,
+    )
+    t.create(o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")))
+    t.append(
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+        )
+    )
+    t.append(o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")))
+    register_acid_source(spark)
+    rows = run_to_memory(
+        spark.readStream.format("pkg2acid")
+        .load(path)
+        .select("o_orderstatus", "o_totalprice"),
+        "acid_cdc",
+        mode="append",
+    )
+    return rows.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_price_e2"),
+    )

@@ -167,6 +167,44 @@ def test_python_writer_schema_rules(spark, tmp_path):
     assert rows[0] is None and rows[15] == "x"
 
 
+def test_stream_tail_exactly_once_and_rewrite_guard(spark, tmp_path):
+    # The CDC stream source's protocol properties: (a) checkpoint resume
+    # emits only the delta (exactly-once across drains), (b) a
+    # row-rewriting commit fails the tail by default, (c)
+    # skip_change_commits skips it without re-emitting rewritten rows.
+    path = str(tmp_path / "cdc")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    t = Table(spark, path, stats_cols=["id"])
+    t.create(spark.range(0, 50).select("id", (F.col("id") * 2).alias("v")))
+    t.append(spark.range(50, 80).select("id", (F.col("id") * 2).alias("v")))
+    register_acid_source(spark)
+
+    def drain(**opts):
+        q = (
+            spark.readStream.format("pkg2acid").options(**opts).load(path)
+            .writeStream.format("parquet").option("path", sink)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(sink).count() == 80
+    # offline append, resume from checkpoint: only the delta arrives
+    t.append(spark.range(80, 90).select("id", (F.col("id") * 2).alias("v")))
+    drain()
+    got = spark.read.parquet(sink)
+    assert got.count() == 90 and got.distinct().count() == 90
+    # a merge commit rewrites rows: the tail must refuse...
+    t.merge(spark.range(0, 5).select("id", (F.col("id") * 3).alias("v")), key="id")
+    with pytest.raises(Exception, match="skip_change_commits"):
+        drain()
+    # ...and skip_change_commits skips it without re-emitting
+    drain(skip_change_commits="true")
+    assert spark.read.parquet(sink).count() == 90
+
+
 def test_schema_evolution_null_fill(spark, tmp_path):
     path = str(tmp_path / "evolved")
     t = Table(spark, path, stats_cols=["id"])
