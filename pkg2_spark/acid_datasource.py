@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     GreaterThan,
@@ -368,6 +369,73 @@ class AcidDataSourceWriter(DataSourceArrowWriter):
         shutil.rmtree(os.path.join(self.path, self.commit_dir), ignore_errors=True)
 
 
+class AcidStreamWriter(DataSourceStreamArrowWriter):
+    """EXACTLY-ONCE streaming sink — ``df.writeStream.format("pkg2acid")``.
+    Tasks write per-epoch files exactly like the batch writer; the
+    driver's per-epoch commit records the epoch's ``batchId`` in the
+    commit meta and SKIPS epochs already in the log — the same ledger
+    Table.append_batch keeps (shared meta key, so foreachBatch sinks and
+    this sink dedup against each other), which upgrades Structured
+    Streaming's at-least-once epoch delivery to exactly-once across
+    restarts: a crash between file write and log commit replays
+    harmlessly (the orphan files are never referenced)."""
+
+    def __init__(self, schema, options, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "pkg2acid streaming sink is append-only (outputMode append)"
+            )
+        self._w = AcidDataSourceWriter(schema, options, overwrite=False)
+
+    def write(self, iterator) -> AcidCommitMessage:
+        return self._w.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        from pkg2_spark.tableformat import (
+            ConcurrentCommitError,
+            _commit,
+            _file_stats,
+            _read_commit,
+            _versions,
+        )
+
+        w = self._w
+        written = [m for m in messages if m is not None and m.rel]
+        metas = _file_stats(
+            [os.path.join(w.path, m.rel) for m in written], w.stats_cols
+        )
+        add = [
+            {"path": m.rel, "rows": meta["rows"], "stats": meta["stats"]}
+            for m, meta in zip(written, metas)
+        ]
+        for _ in range(20):
+            seen = {
+                _read_commit(w.path, v).get("meta", {}).get("batchId")
+                for v in _versions(w.path)
+            }
+            if batchId in seen:
+                return  # epoch already landed: exactly-once skip
+            v = latest_version(w.path) + 1
+            try:
+                _commit(
+                    w.path, v, "append", add, [],
+                    meta={
+                        "writer": "pkg2acid-python-datasource",
+                        "batchId": batchId,
+                    },
+                    schema=w.schema_json,
+                )
+                return
+            except ConcurrentCommitError:
+                continue  # refold: maybe the winner WAS this epoch
+        raise ConcurrentCommitError(
+            f"pkg2acid stream append to {w.path} kept losing commit races"
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        self._w.abort(messages)
+
+
 class AcidDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -398,6 +466,9 @@ class AcidDataSource(DataSource):
 
     def streamReader(self, schema) -> AcidStreamReader:
         return AcidStreamReader(schema, self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> AcidStreamWriter:
+        return AcidStreamWriter(schema, self.options, overwrite)
 
 
 def register_acid_source(spark) -> None:

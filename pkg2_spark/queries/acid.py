@@ -741,3 +741,74 @@ def q_stream_acid_cdc(spark, sf_dir):
         .cast("long")
         .alias("sum_price_e2"),
     )
+
+
+@query(
+    "q_stream_acid_pyds_sink",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2
+FROM events
+GROUP BY event_type
+""",
+)
+def q_stream_acid_pyds_sink(spark, sf_dir):
+    """EXACTLY-ONCE streaming ingestion through the Python Data Source
+    STREAM WRITER — ``writeStream.format("pkg2acid")``
+    (acid_datasource.AcidStreamWriter), the declarative sibling of
+    q_stream_acid_sink's foreachBatch form: the table is created from
+    the user_id < 10 events, the rest arrive through an availableNow
+    replay of the event stream, and each epoch lands as ONE atomic log
+    commit carrying its batchId (the same ledger key
+    Table.append_batch records, so both sink forms dedup against each
+    other). The final table must equal the whole events file — the
+    per-type rollup hash-matches the batch oracle, so a dropped epoch,
+    a double-committed replay, or a torn multi-task epoch all fail the
+    gate. Epoch re-delivery being a no-op is pinned directly in
+    tests/test_acid_datasource.py.
+
+    Scale shape: per epoch, |tasks| parallel Arrow file writes + one
+    O(1) driver log commit; the ledger check is the O(commits) log read
+    the sink already pays."""
+    import shutil as _shutil
+
+    from pkg2_spark.acid_datasource import register_acid_source
+    from pkg2_spark.streaming.harness import events_stream
+
+    path = fixture_path("acid_pyds_stream_sink", sf_dir)
+    ckpt = path + "_ckpt"
+    for d in (path, ckpt):
+        if os.path.isdir(d):
+            _shutil.rmtree(d)
+    ev = load_tables(spark, sf_dir)["events"]
+    cols = ["event_id", "event_type", "user_id", "value"]
+    t = Table(spark, path, stats_cols=["event_id"])
+    t.create(ev.filter(F.col("user_id") < 10).select(*cols))
+    register_acid_source(spark)
+    old = spark.conf.get("spark.sql.shuffle.partitions", None)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            events_stream(spark, sf_dir)
+            .filter(F.col("user_id") >= 10)
+            .select(*cols)
+            .writeStream.format("pkg2acid")
+            .option("path", path)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+    return t.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.floor(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_value_e2"),
+    )

@@ -205,6 +205,50 @@ def test_stream_tail_exactly_once_and_rewrite_guard(spark, tmp_path):
     assert spark.read.parquet(sink).count() == 90
 
 
+def test_stream_writer_epoch_ledger_exactly_once(spark, tmp_path):
+    # The streaming sink's per-epoch ledger: a re-delivered epoch
+    # (same batchId) must be a no-op — no new version, no new rows —
+    # and the ledger is SHARED with Table.append_batch (same meta key),
+    # so the foreachBatch sink and the DS stream sink dedup against
+    # each other.
+    import pyarrow as pa
+
+    from pkg2_spark.acid_datasource import AcidStreamWriter
+    from pkg2_spark.tableformat import latest_version
+
+    path = str(tmp_path / "sw")
+    t = Table(spark, path, stats_cols=["id"])
+    t.create(spark.range(0, 10).select("id", (F.col("id") * 2).alias("v")))
+    w = AcidStreamWriter(t.read().schema, {"path": path}, overwrite=False)
+
+    batch = pa.record_batch(
+        {"id": pa.array([100, 101], pa.int64()),
+         "v": pa.array([200, 202], pa.int64())}
+    )
+    msg = w.write(iter([batch]))
+    w.commit([msg], batchId=7)
+    assert latest_version(path) == 1
+    assert t.read().count() == 12
+    # exact re-delivery of epoch 7: ledger skip, nothing changes
+    msg2 = w.write(iter([batch]))
+    w.commit([msg2], batchId=7)
+    assert latest_version(path) == 1
+    assert t.read().count() == 12
+    # the foreachBatch sink consults the same ledger
+    assert t.append_batch(
+        spark.range(300, 310).select("id", (F.col("id") * 2).alias("v")), 7
+    ) is None
+    assert t.read().count() == 12
+    # a NEW epoch lands
+    w.commit([w.write(iter([batch]))], batchId=8)
+    assert latest_version(path) == 2
+    assert t.read().count() == 14
+    assert t.history()[-1]["meta"]["batchId"] == 8
+    # overwrite mode refused
+    with pytest.raises(ValueError, match="append-only"):
+        AcidStreamWriter(t.read().schema, {"path": path}, overwrite=True)
+
+
 def test_schema_evolution_null_fill(spark, tmp_path):
     path = str(tmp_path / "evolved")
     t = Table(spark, path, stats_cols=["id"])
