@@ -84,12 +84,15 @@ class QueryService:
             "table": self._table,
             "ann_search": self._ann_search,
             "quality_gate": self._quality_gate,
+            "bpe_encode": self._bpe_encode,
         }
         # Corpus-derived serving state memoized per service instance
-        # (unigram LM counts for quality_gate) — a real deployment would
-        # precompute these; here they are built on first request and
-        # materialized so later requests pay plan + execute only.
+        # (unigram LM counts for quality_gate, the trained BPE merge
+        # table for bpe_encode) — a real deployment would precompute
+        # these; here they are built on first request and materialized
+        # so later requests pay plan + execute only.
         self._lm_state: tuple[DataFrame, int] | None = None
+        self._bpe_merges: list[tuple[str, str]] | None = None
 
     # ------------------------------------------------------------ dispatch
     def endpoints(self) -> list[str]:
@@ -346,23 +349,10 @@ class QueryService:
             }
         }
 
-    def _quality_gate(self, p: dict) -> DataFrame:
-        """Per-document quality-gate verdicts for request docs, judged by
-        the SAME predicates and constants as the corpus funnel
-        (queries.llm.q_llm_filter_funnel): token-count band, alpha ratio,
-        char-entropy band, and the unigram-LM surprisal band scored
-        against the REGISTERED corpus's token counts (memoized per
-        service instance; out-of-vocabulary tokens take the max-surprisal
-        c=1 convention). A doc passes the gate only if every stage
-        passes — the response shows each stage verdict so callers see
-        which gate killed a rejected doc."""
-        from pkg2_spark.queries.llm import (
-            _ENT_HI_MILLI,
-            _ENT_LO_MILLI,
-            _LM_HEAD_MILLI,
-            _LM_TAIL_MILLI,
-        )
-
+    @staticmethod
+    def _docs_param(p: dict) -> list[tuple[int, str]]:
+        """Validated (doc_id, text) rows from a request's ``docs`` list —
+        shared by quality_gate and bpe_encode."""
         docs = p.get("docs")
         if not isinstance(docs, list) or not (1 <= len(docs) <= 64):
             raise ServiceError(
@@ -386,6 +376,84 @@ class QueryService:
             rows.append((did, text))
         if len({r[0] for r in rows}) != len(rows):
             raise ServiceError("doc_id values must be distinct")
+        return rows
+
+    def _bpe_encode(self, p: dict) -> DataFrame:
+        """Tokenize request docs under the CORPUS-TRAINED BPE merges —
+        real tokenizer inference: the k=8 merge table is trained once per
+        service instance on the registered documents corpus
+        (queries.training.bpe_train_merges, memoized), then each
+        request's distinct words are segmented to characters and the
+        merge sequence replayed in training order (bpe_apply — the same
+        greedy left-to-right rewrite, so corpus words encode exactly as
+        q_llm_bpe_encode reports and OOV words fall back toward
+        characters, merging only where trained pairs occur). Returns per
+        doc the word/token/char counts and the chars-per-token
+        compression (e3)."""
+        from pkg2_spark.queries.training import (
+            _BPE_TRAIN_K,
+            bpe_apply,
+            bpe_train_merges,
+        )
+
+        rows = self._docs_param(p)
+        spark = self.engine.spark
+        if self._bpe_merges is None:
+            corpus = self._corpus_table("documents")
+            merges, _seg = bpe_train_merges(corpus, _BPE_TRAIN_K)
+            self._bpe_merges = [tuple(m[1].split("+", 1)) for m in merges]
+        req = spark.createDataFrame(rows, "doc_id long, text string")
+        toks = req.select(
+            "doc_id",
+            F.explode(
+                F.expr("filter(split(lower(text), ' '), x -> x != '')")
+            ).alias("w"),
+        )
+        seg = (
+            toks.select("w")
+            .distinct()
+            .select("w", F.lit(1).alias("freq"), F.expr("split(w, '(?!$)')").alias("syms"))
+            .withColumn("n", F.size("syms"))
+        )
+        for ma, mb in self._bpe_merges:
+            seg = bpe_apply(seg, ma, mb)
+        return (
+            toks.join(seg.select("w", F.col("n").alias("n_bpe")), "w")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_words"),
+                F.sum("n_bpe").cast("long").alias("n_bpe_tokens"),
+                F.sum(F.length("w")).cast("long").alias("n_word_chars"),
+            )
+            .select(
+                "doc_id",
+                "n_words",
+                "n_bpe_tokens",
+                "n_word_chars",
+                F.expr("CAST(n_word_chars * 1000 DIV n_bpe_tokens AS BIGINT)")
+                .alias("compress_e3"),
+            )
+            .orderBy("doc_id")
+        )
+
+    def _quality_gate(self, p: dict) -> DataFrame:
+        """Per-document quality-gate verdicts for request docs, judged by
+        the SAME predicates and constants as the corpus funnel
+        (queries.llm.q_llm_filter_funnel): token-count band, alpha ratio,
+        char-entropy band, and the unigram-LM surprisal band scored
+        against the REGISTERED corpus's token counts (memoized per
+        service instance; out-of-vocabulary tokens take the max-surprisal
+        c=1 convention). A doc passes the gate only if every stage
+        passes — the response shows each stage verdict so callers see
+        which gate killed a rejected doc."""
+        from pkg2_spark.queries.llm import (
+            _ENT_HI_MILLI,
+            _ENT_LO_MILLI,
+            _LM_HEAD_MILLI,
+            _LM_TAIL_MILLI,
+        )
+
+        rows = self._docs_param(p)
         spark = self.engine.spark
         req = spark.createDataFrame(rows, "doc_id long, text string")
         if self._lm_state is None:

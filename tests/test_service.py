@@ -267,6 +267,36 @@ def test_quality_gate_endpoint_verdicts(spark, llm_svc):
         )
 
 
+def test_bpe_encode_endpoint_inference(spark, llm_svc):
+    # Tokenizer INFERENCE over the service: request docs are encoded
+    # under the corpus-trained k=8 merge table (memoized per instance).
+    # Corpus-like text compresses (trained pairs fire); an OOV word made
+    # of untrained pairs stays at character granularity; responses are
+    # deterministic across calls.
+    corpus_text = (
+        llm_svc.engine.table("documents").orderBy("doc_id").first()["text"]
+    )
+    resp = llm_svc.handle("bpe_encode", {"docs": [
+        {"doc_id": 1, "text": corpus_text},
+        {"doc_id": 2, "text": "zzqx"},
+    ]})
+    assert json.loads(json.dumps(resp)) == resp
+    rows = {r["doc_id"]: r for r in resp["rows"]}
+    r1 = rows[1]
+    assert r1["n_words"] <= r1["n_bpe_tokens"] <= r1["n_word_chars"]
+    assert r1["n_bpe_tokens"] < r1["n_word_chars"]  # trained merges fired
+    assert r1["compress_e3"] == r1["n_word_chars"] * 1000 // r1["n_bpe_tokens"]
+    r2 = rows[2]
+    assert r2["n_words"] == 1 and r2["n_word_chars"] == 4
+    assert r2["n_bpe_tokens"] == 4  # no trained pair occurs in 'zzqx'
+    resp2 = llm_svc.handle(
+        "bpe_encode", {"docs": [{"doc_id": 1, "text": corpus_text}]}
+    )
+    assert resp2["rows"][0] == r1
+    with pytest.raises(ServiceError):
+        llm_svc.handle("bpe_encode", {"docs": []})
+
+
 def test_llm_endpoints_reject_bad_requests(spark, llm_svc):
     vec = [0.1] * 4
     for ep, params in [
