@@ -717,3 +717,51 @@ def q_sql_ctas(spark, sf_dir):
         FROM {name} GROUP BY o_orderstatus
         """
     )
+
+
+@query(
+    "q_sql_variables",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_e2
+FROM lineitem
+WHERE l_quantity < 25 AND l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag
+""",
+)
+def q_sql_variables(spark, sf_dir):
+    """Spark 4 SQL-surface trio in one pinned query: SESSION VARIABLES
+    (DECLARE/SET VAR — the quantity cap enters the WHERE as a variable,
+    set AFTER declaration so the SET path is exercised), a SQL-macro
+    FUNCTION (CREATE TEMPORARY FUNCTION ... RETURNS ... RETURN expr —
+    the discounted-revenue e2 arithmetic), and a PARAMETERIZED query
+    (named marker :cut bound to a Python date via spark.sql(args=...)).
+    All three are resolution-time features: the physical plan shows the
+    macro INLINED into whole-stage codegen (a plain FLOOR expression —
+    no Python/UDF node) and both predicates PUSHED to the parquet scan
+    (PushedFilters: LessThan(l_quantity, 25), LessThanOrEqual
+    (l_shipdate, ...)), so the SQL conveniences cost nothing at 100 TB.
+    The oracle replays the same constants literally."""
+    import datetime
+
+    load_tables(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE qty_cap INT DEFAULT 24")
+    spark.sql("SET VAR qty_cap = 25")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_e2(p DOUBLE, d DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(floor(p * (1 - d) * 100) AS BIGINT)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(sum(disc_e2(l_extendedprice, l_discount)) AS BIGINT)
+                 AS revenue_e2
+        FROM lineitem
+        WHERE l_quantity < qty_cap AND l_shipdate <= :cut
+        GROUP BY l_returnflag
+        """,
+        args={"cut": datetime.date(1998, 9, 2)},
+    )

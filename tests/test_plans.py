@@ -653,3 +653,17 @@ def test_winnow_dup_prunes_single_member_fingerprints_shuffle_free(spark, sf_dir
         f"fingerprint pruning added exchanges: {fp_exchanges}"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_sql_variables_macro_inlines_and_pushes_down(spark, sf_dir):
+    # The Spark 4 SQL-surface trio must be free at scale: the SQL-macro
+    # function is INLINED (no Python node anywhere), and both the
+    # session-variable predicate and the named-parameter predicate reach
+    # the parquet scan as pushed filters.
+    plan = _plan(spark, sf_dir, "q_sql_variables")
+    assert "PushedFilters" in plan
+    assert "LessThan(l_quantity,25" in plan.replace(" ", "")
+    assert "LessThanOrEqual(l_shipdate" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "FLOOR" in plan  # the macro body, inlined into codegen
