@@ -745,6 +745,52 @@ def test_bpe_train_merges_nonincreasing_and_apply_idempotent(spark, sf_dir):
     assert stats["vocab_symbols"] > 0 and stats["word_types_merged"] > 0
 
 
+def test_bpe_apply_matches_greedy_reference_adversarially(spark):
+    # The run-offset decomposition inside bpe_apply (odd offset = merge
+    # start, even = consumed, for a = b; adjacency + predecessor check
+    # for a != b) against a straight-line Python greedy scanner, over
+    # words built to hit every edge: odd/even a-runs, interleaved abab
+    # chains, pair chars at word boundaries, multi-char merged symbols
+    # (second round), and non-ASCII symbols.
+    import itertools
+
+    def greedy(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    alphabet = ["a", "b", "c", "é"]
+    words = [
+        "".join(w)
+        for n in (1, 2, 3, 4, 5)
+        for w in itertools.product(alphabet, repeat=n)
+    ]  # every word over the alphabet up to length 5 (1364 words)
+    pairs = [("a", "b"), ("a", "a"), ("b", "a"), ("é", "é"), ("c", "a")]
+    from pkg2_spark.queries.training import bpe_apply
+
+    df = spark.createDataFrame(
+        [(w, 1) for w in words], "w string, freq long"
+    ).select("w", "freq", F.expr("split(w, '(?!$)')").alias("syms"))
+    df = df.withColumn("n", F.size("syms")).localCheckpoint()
+    for ma, mb in pairs:
+        got = {
+            r["w"]: r["syms"] for r in bpe_apply(df, ma, mb).collect()
+        }
+        for w in words:
+            assert got[w] == greedy(list(w), ma, mb), (w, ma, mb)
+    # second-round shape: multi-char symbols from a prior merge
+    two = bpe_apply(df, "a", "b")
+    got = {r["w"]: r["syms"] for r in bpe_apply(two, "ab", "c").collect()}
+    for w in words:
+        assert got[w] == greedy(greedy(list(w), "a", "b"), "ab", "c"), w
+
+
 def test_bpe_encode_compression_bounds(spark, sf_dir):
     # Encoding under the trained vocab can only SHRINK a word (merges
     # replace two symbols with one): per doc, n_bpe_tokens <= n_word_chars
