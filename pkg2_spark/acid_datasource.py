@@ -69,6 +69,29 @@ class AcidFilePartition(InputPartition):
         self.rows = rows
 
 
+class AcidCdfInsertPartition(InputPartition):
+    """One ADDED file of a create/append commit in change-feed mode —
+    pure inserts, so the data path stays one distributed Arrow scan task
+    per file (no diff needed)."""
+
+    def __init__(self, path: str, version: int):
+        self.path = path
+        self.version = version
+
+
+class AcidCdfDiffPartition(InputPartition):
+    """One REWRITING commit (merge/delete/restore/compact) in change-feed
+    mode: carries the commit's full add/remove file lists so the row-level
+    insert/delete images can be derived executor-side by multiset
+    cancellation — the same file-set-difference semantics as
+    Table.changes (tableformat.py), which is the batch oracle."""
+
+    def __init__(self, add_paths: list, remove_paths: list, version: int):
+        self.add_paths = add_paths
+        self.remove_paths = remove_paths
+        self.version = version
+
+
 def _stat_comparable(value, lo):
     """Convert a pushed-filter literal to the logged-stats domain, or None
     when the pair is not safely comparable (prune only on same-type
@@ -91,6 +114,11 @@ class AcidDataSourceReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("pkg2acid requires load(<table path>)")
+        if str(options.get("change_feed", "")).lower() == "true":
+            raise ValueError(
+                "change_feed is a STREAMING option (readStream); for a "
+                "batch change set use Table.changes(v_from, v_to)"
+            )
         v = options.get("version")
         self.version = int(v) if v is not None else None
         self.pushed: list = []
@@ -162,14 +190,126 @@ def _read_file_as_arrow(partition: AcidFilePartition, read_schema) -> Iterator:
     from pyspark.sql.pandas.types import to_arrow_schema
 
     target = to_arrow_schema(read_schema)
-    tbl = pq.read_table(partition.path)
-    cols = []
-    for field in target:
-        if field.name in tbl.column_names:
-            cols.append(tbl.column(field.name).cast(field.type))
-        else:
-            cols.append(pa.nulls(len(tbl), field.type))
-    yield from pa.table(cols, schema=target).to_batches()
+    # Peak-memory contract: stream the file ONE BATCH AT A TIME
+    # (iter_batches caps a batch at a row group), harmonizing each batch
+    # as it passes — a task holds one row group, never the whole file,
+    # so a large data file costs the same task memory as a small one
+    # (r13 verdict #4; matches the docstring's RecordBatch posture).
+    pf = pq.ParquetFile(partition.path)
+    present = set(pf.schema_arrow.names)
+    read_cols = [f.name for f in target if f.name in present]
+    for batch in pf.iter_batches(columns=read_cols or None):
+        cols = []
+        for field in target:
+            if field.name in present:
+                cols.append(batch.column(field.name).cast(field.type))
+            else:
+                cols.append(pa.nulls(batch.num_rows, field.type))
+        yield pa.RecordBatch.from_arrays(cols, schema=target)
+
+
+CDF_TYPE_COL = "change_type"
+CDF_VERSION_COL = "_commit_version"
+
+
+def _cdf_base_schema(read_schema):
+    """The table schema under a change-feed read schema (the reader is
+    handed the FULL CDF schema — base columns plus the two appended
+    change columns; files on disk hold only the base columns)."""
+    from pyspark.sql.types import StructType
+
+    return StructType(
+        [
+            f
+            for f in read_schema.fields
+            if f.name not in (CDF_TYPE_COL, CDF_VERSION_COL)
+        ]
+    )
+
+
+def _row_key(v):
+    """Hashable canonical form of one row value for multiset diffing
+    (lists/maps/structs arrive as Python lists/dicts off Arrow)."""
+    if isinstance(v, list):
+        return tuple(_row_key(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _row_key(x)) for k, x in v.items()))
+    return v
+
+
+def _cdf_diff_batches(partition: AcidCdfDiffPartition, read_schema):
+    """Row-level change images for one rewriting commit, executor-side:
+    read the commit's added and removed files (each harmonized to the
+    logged base schema, one row-group batch at a time), cancel identical
+    rows by MULTISET difference, and emit the survivors tagged
+    insert/delete — exactly Table.changes' exceptAll semantics, so the
+    batch change-set replay is the oracle. Rows re-added unchanged by a
+    rewrite (merge's untouched rows in touched files, compaction's whole
+    point) cancel to nothing.
+
+    Memory posture: one task holds the commit's REWRITE REGION as row
+    counters — the bounded merge/delete footprint (stats-pruned touched
+    files), never table size; a compaction commit's region is larger but
+    cancels to zero output. For bulk historical rewrites beyond task
+    memory, replay that commit through batch Table.changes instead —
+    the streamed feed targets the incremental tail."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    base = _cdf_base_schema(read_schema)
+    counts: Counter = Counter()
+    rep: dict = {}
+
+    def fold(paths, sign):
+        for p in paths:
+            for batch in _read_file_as_arrow(AcidFilePartition(p, None), base):
+                for row in batch.to_pylist():
+                    k = tuple(_row_key(row[f.name]) for f in base.fields)
+                    counts[k] += sign
+                    if k not in rep:
+                        rep[k] = row
+
+    fold(partition.add_paths, +1)
+    fold(partition.remove_paths, -1)
+    target = to_arrow_schema(read_schema)
+    out = []
+    for k, c in counts.items():
+        if c == 0:
+            continue
+        row = dict(rep[k])
+        row[CDF_TYPE_COL] = "insert" if c > 0 else "delete"
+        row[CDF_VERSION_COL] = partition.version
+        out.extend([row] * abs(c))
+        if len(out) >= 65536:
+            yield from pa.Table.from_pylist(out, schema=target).to_batches()
+            out = []
+    if out:
+        yield from pa.Table.from_pylist(out, schema=target).to_batches()
+
+
+def _cdf_insert_batches(partition: AcidCdfInsertPartition, read_schema):
+    """Change-feed rows for one ADDED file of an append/create commit:
+    the file's rows pass through tagged insert — constant-column append
+    on the streamed Arrow batches, no diff, no buffering."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    base = _cdf_base_schema(read_schema)
+    target = to_arrow_schema(read_schema)
+    for batch in _read_file_as_arrow(
+        AcidFilePartition(partition.path, None), base
+    ):
+        n = batch.num_rows
+        cols = list(batch.columns)
+        cols.append(pa.array(["insert"] * n, target.field(CDF_TYPE_COL).type))
+        cols.append(
+            pa.array([partition.version] * n, target.field(CDF_VERSION_COL).type)
+        )
+        yield pa.RecordBatch.from_arrays(cols, schema=target)
 
 
 class AcidStreamReader(DataSourceStreamReader):
@@ -190,9 +330,24 @@ class AcidStreamReader(DataSourceStreamReader):
     ``skipChangeCommits`` posture) when downstream tolerates missing
     the rewritten rows' new images.
 
+    CHANGE FEED mode — ``option("change_feed", "true")`` (the Delta
+    ``readChangeFeed`` surface): instead of raw appended rows, every
+    commit emits ROW-LEVEL CHANGE IMAGES with two extra columns —
+    ``change_type`` ('insert'/'delete'; an update under merge = delete
+    of the old image + insert of the new) and ``_commit_version``.
+    Appends/creates stream their files through tagged insert (still one
+    task per file); rewriting commits derive their net images by
+    multiset cancellation over the commit's add/remove file sets —
+    byte-equal to batch ``Table.changes(v-1, v)`` replayed per commit,
+    which is exactly the oracle q_stream_acid_cdf checks. This is what
+    lets an incremental view (q_acid_ivm's dataflow) maintain itself
+    from the stream: + on insert, - on delete, exactly once per commit.
+
     Scale shape: offset resolution is a driver-side O(new commits) log
     read per micro-batch; the data path is one task per added file on
-    the executors (the same Arrow read as the batch source)."""
+    the executors (the same Arrow read as the batch source), plus one
+    task per REWRITING commit holding that commit's bounded rewrite
+    region (see _cdf_diff_batches)."""
 
     def __init__(self, schema, options):
         self.read_schema = schema
@@ -201,6 +356,9 @@ class AcidStreamReader(DataSourceStreamReader):
             raise ValueError("pkg2acid requires load(<table path>)")
         self.skip_change = (
             str(options.get("skip_change_commits", "")).lower() == "true"
+        )
+        self.change_feed = (
+            str(options.get("change_feed", "")).lower() == "true"
         )
 
     def initialOffset(self) -> dict:
@@ -212,32 +370,98 @@ class AcidStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         from pkg2_spark.tableformat import _read_commit
 
-        parts: list[AcidFilePartition] = []
+        parts: list[InputPartition] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             rec = _read_commit(self.path, v)
             op = rec.get("op")
             if op in ("create", "append"):
-                parts.extend(
-                    AcidFilePartition(
-                        os.path.join(self.path, e["path"]), e.get("rows")
+                if self.change_feed:
+                    parts.extend(
+                        AcidCdfInsertPartition(
+                            os.path.join(self.path, e["path"]), v
+                        )
+                        for e in rec.get("add", [])
                     )
-                    for e in rec.get("add", [])
-                )
+                else:
+                    parts.extend(
+                        AcidFilePartition(
+                            os.path.join(self.path, e["path"]), e.get("rows")
+                        )
+                        for e in rec.get("add", [])
+                    )
             elif rec.get("add") or rec.get("remove"):
-                if not self.skip_change:
+                if self.change_feed:
+                    parts.append(
+                        AcidCdfDiffPartition(
+                            [
+                                os.path.join(self.path, e["path"])
+                                for e in rec.get("add", [])
+                            ],
+                            [
+                                os.path.join(self.path, rel)
+                                for rel in rec.get("remove", [])
+                            ],
+                            v,
+                        )
+                    )
+                elif not self.skip_change:
                     raise ValueError(
                         f"streaming tail of {self.path} hit a "
                         f"row-rewriting '{op}' commit at version {v}; set "
                         'option("skip_change_commits", "true") to skip '
-                        "rewrites (their rows will not be re-emitted)"
+                        "rewrites (their rows will not be re-emitted), or "
+                        'option("change_feed", "true") to stream their '
+                        "row-level insert/delete images"
                     )
         return parts or [AcidFilePartition("", 0)]
 
-    def read(self, partition: AcidFilePartition):
+    def read(self, partition):
+        if isinstance(partition, AcidCdfInsertPartition):
+            return _cdf_insert_batches(partition, self.read_schema)
+        if isinstance(partition, AcidCdfDiffPartition):
+            return _cdf_diff_batches(partition, self.read_schema)
         return _read_file_as_arrow(partition, self.read_schema)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the log itself; nothing to reap
+
+
+def _commit_schema_json(path: str, plan_schema_json: dict) -> dict:
+    """The schema to RECORD for a commit that was planned under
+    ``plan_schema_json`` but is landing NOW: re-read the current log
+    schema and merge, instead of blindly recording the plan-time
+    snapshot. A concurrent allow_schema_evolution append can land during
+    the (potentially long) plan -> execute -> commit window; recording
+    the stale plan-time schema would silently REVERT that evolution in
+    the log_schema fold (the fold resolves to the latest schema record —
+    r13 advice). Merge rules mirror append's: the evolved current schema
+    wins for every column it has (types must agree with the plan's, else
+    the table was retyped under us — refuse loudly), and columns only
+    the plan has (this writer's own validated evolution) append after.
+    Call INSIDE the commit retry loop — each attempt re-reads the log."""
+    from pyspark.sql.types import StructField, StructType
+
+    current = log_schema(path)
+    if current is None:
+        return plan_schema_json
+    plan = StructType.fromJson(plan_schema_json)
+    plan_by_name = {f.name: f for f in plan.fields}
+    retyped = sorted(
+        f.name
+        for f in current.fields
+        if f.name in plan_by_name and plan_by_name[f.name].dataType != f.dataType
+    )
+    if retyped:
+        raise ValueError(
+            f"append to {path} hit concurrent schema drift: columns "
+            f"{retyped} were retyped between plan time and commit time"
+        )
+    merged = list(current.fields) + [
+        StructField(f.name, f.dataType, True)
+        for f in plan.fields
+        if f.name not in {c.name for c in current.fields}
+    ]
+    return StructType(merged).jsonValue()
 
 
 class AcidCommitMessage(WriterCommitMessage):
@@ -352,7 +576,11 @@ class AcidDataSourceWriter(DataSourceArrowWriter):
                 _commit(
                     self.path, v, "append", add, [],
                     meta={"writer": "pkg2acid-python-datasource"},
-                    schema=self.schema_json,
+                    # Re-resolved per attempt: a concurrent evolution
+                    # landing in the plan->commit window must survive
+                    # into the recorded schema, not be reverted by the
+                    # stale plan-time snapshot.
+                    schema=_commit_schema_json(self.path, self.schema_json),
                 )
                 return
             except ConcurrentCommitError:
@@ -423,7 +651,9 @@ class AcidStreamWriter(DataSourceStreamArrowWriter):
                         "writer": "pkg2acid-python-datasource",
                         "batchId": batchId,
                     },
-                    schema=w.schema_json,
+                    # Same drift rule as the batch writer: merge against
+                    # the log's CURRENT schema per attempt.
+                    schema=_commit_schema_json(w.path, w.schema_json),
                 )
                 return
             except ConcurrentCommitError:
@@ -456,7 +686,14 @@ class AcidDataSource(DataSource):
         # writer's frame was), but files written before it existed read
         # it as null — a non-null declaration would let codegen NPE on
         # exactly those rows.
-        return _nullable(sch)
+        sch = _nullable(sch)
+        if str(self.options.get("change_feed", "")).lower() == "true":
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            sch = sch.add(StructField(CDF_TYPE_COL, StringType(), True)).add(
+                StructField(CDF_VERSION_COL, LongType(), True)
+            )
+        return sch
 
     def reader(self, schema) -> AcidDataSourceReader:
         return AcidDataSourceReader(schema, self.options)

@@ -73,12 +73,31 @@ def apply_delta(
     dim: int = 64,
     rows_per_band: int = 8,
     cap: int = 64,
+    deletes: DataFrame | None = None,
 ) -> DataFrame:
-    """One increment: dedup ``delta`` against the index at ``state_dir``.
+    """One increment: dedup ``delta`` against the index at ``state_dir``,
+    optionally RETRACTING ``deletes`` (a vec_id frame — e.g. a table-CDC
+    delete set or a compliance key list) in the same step.
 
     Returns the verified pair frame (id_a, id_b, cos) for the MERGED
-    corpus — feed it to resolve_components for cluster labels. ``vectors``
-    must cover every id that can appear in a pair (corpus + delta).
+    post-increment corpus — feed it to resolve_components for cluster
+    labels. ``vectors`` must cover every id that can appear in a pair
+    (surviving corpus + delta).
+
+    Retraction semantics (r13 verdict #2): a deleted id's band rows are
+    removed, and every bucket it was a member of counts as TOUCHED —
+    capped pairs re-derive there over the post-delete membership (the
+    md5-ranked cap depends only on bucket membership, so survivors that
+    were previously crowded out by the cap can lawfully surface), while
+    untouched buckets' pairs and cosines are reused verbatim. Any bucket
+    holding a deleted member is by definition touched, so no reused pair
+    can reference a deleted id; stored cosines for retracted pairs
+    become unreachable garbage that compact_state's provenance GC reaps.
+    An id present in BOTH deletes and delta is an UPDATE: old bands out,
+    new bands in, its buckets (old and new) re-derive. Incremental with
+    deletes stays EXACTLY equal to the one-shot batch on the post-delete
+    corpus — pinned by q_llm_dedup_retract's full-recompute oracle and
+    the extended chain test (build → delta → delete → compact ≡ batch).
 
     With ``commit_dir`` set, the merged state (bands, pair provenance,
     verified cosines) is also written there, so the next shard's
@@ -89,8 +108,22 @@ def apply_delta(
     st = read_state(spark, state_dir)
     bands_c, prov_c, ver_c = st[BANDS], st[PROV], st[VERIFIED]
 
+    if deletes is not None:
+        dead = deletes.select("vec_id").distinct()
+        # Buckets losing a member must re-derive; drop the member rows.
+        touched_del = (
+            bands_c.join(dead, "vec_id", "leftsemi")
+            .select("band_id", "band_key")
+            .distinct()
+        )
+        bands_c = bands_c.join(dead, "vec_id", "left_anti")
+    else:
+        touched_del = None
+
     bands_d = sign_lsh_bands(delta, dim=dim, rows_per_band=rows_per_band)
     touched = bands_d.select("band_id", "band_key").distinct()
+    if touched_del is not None:
+        touched = touched.union(touched_del).distinct()
     bands_touched = bands_c.join(
         touched, ["band_id", "band_key"], "leftsemi"
     ).unionByName(bands_d)

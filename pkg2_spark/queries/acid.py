@@ -744,6 +744,100 @@ def q_stream_acid_cdc(spark, sf_dir):
 
 
 @query(
+    "q_stream_acid_cdf",
+    oracle=f"""
+WITH upd_old AS (
+  SELECT o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey BETWEEN {_UPD_LO} AND {_UPD_HI}
+),
+ins AS (
+  SELECT o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey BETWEEN {_INS_LO} AND {_INS_HI}
+),
+chg AS (
+  SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version,
+         o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderdate < DATE '1997-01-01'
+  UNION ALL
+  SELECT 'insert', CAST(1 AS BIGINT), o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+  UNION ALL
+  SELECT 'insert', CAST(2 AS BIGINT), o_orderstatus, o_totalprice + 100000.0
+  FROM upd_old
+  UNION ALL
+  SELECT 'insert', CAST(2 AS BIGINT), o_orderstatus, o_totalprice FROM ins
+  UNION ALL
+  SELECT 'delete', CAST(2 AS BIGINT), o_orderstatus, o_totalprice FROM upd_old
+)
+SELECT change_type, commit_version, o_orderstatus, count(*) AS n,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_e2
+FROM chg GROUP BY change_type, commit_version, o_orderstatus
+""",
+)
+def q_stream_acid_cdf(spark, sf_dir):
+    """STREAMING CHANGE FEED of the logged table — ``readStream.format(
+    "pkg2acid").option("change_feed", "true")`` (the Delta readChangeFeed
+    surface over this format's log): a three-commit fixture (create
+    pre-1997 / append the rest / MERGE with updates + inserts) drains
+    through availableNow, and every commit lands as row-level change
+    images — appends as tagged inserts (one task per added file), the
+    merge as delete(old image) + insert(new image) derived executor-side
+    by multiset cancellation over the commit's add/remove file sets
+    (acid_datasource._cdf_diff_batches) — byte-equal to replaying batch
+    Table.changes(v-1, v) per commit, which is exactly what the oracle
+    reconstructs from the fixture recipe: rows re-added UNCHANGED by the
+    merge's copy-on-write rewrite must cancel to nothing, so a single
+    spurious or missing image hash-mismatches. Grouped by (change_type,
+    commit_version, status) so the feed's version attribution is checked,
+    not just its net row images. Checkpoint-resume exactly-once and the
+    downstream IVM consumption of this feed are pinned by
+    tests/test_acid_datasource.py.
+
+    Scale shape: per micro-batch, offset resolution is a driver-side
+    O(new commits) log read; appended data flows one Arrow task per
+    file, and each rewriting commit costs one task holding its bounded
+    stats-pruned rewrite region — tailing cost tracks the DELTA, never
+    table size."""
+    import shutil as _shutil
+
+    from pkg2_spark.acid_datasource import register_acid_source
+    from pkg2_spark.streaming.harness import run_to_memory
+
+    path = fixture_path("acid_cdf_src", sf_dir)
+    if os.path.isdir(path):
+        _shutil.rmtree(path)
+    o = load_tables(spark, sf_dir)["orders"]
+    t = Table(
+        spark, path, stats_cols=["o_orderkey"], cluster_by="o_orderkey",
+        num_files=4,
+    )
+    t.create(o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")))
+    t.append(o.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date")))
+    t.merge(_updates(o), key="o_orderkey")
+    register_acid_source(spark)
+    rows = run_to_memory(
+        spark.readStream.format("pkg2acid")
+        .option("change_feed", "true")
+        .load(path)
+        .select(
+            "change_type",
+            F.col("_commit_version").alias("commit_version"),
+            "o_orderstatus",
+            "o_totalprice",
+        ),
+        "acid_cdf",
+        mode="append",
+    )
+    return rows.groupBy("change_type", "commit_version", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("sum_price_e2"),
+    )
+
+
+@query(
     "q_stream_acid_pyds_sink",
     oracle="""
 SELECT event_type,

@@ -2332,6 +2332,82 @@ def q_llm_dedup_incr(spark, sf_dir):
 
 
 @query(
+    "q_llm_dedup_retract",
+    oracle=f"""
+WITH RECURSIVE emb_live AS (
+  SELECT * FROM embeddings WHERE vec_id % 10 <> 5
+),
+{_sign_cand_sql().replace("FROM embeddings", "FROM emb_live")},
+pairs AS (
+  SELECT id_a AS x, id_b AS y FROM (
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 4) AS cos
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = cand.id_a
+    JOIN embeddings eb ON eb.vec_id = cand.id_b
+  ) WHERE cos >= 0.3
+),
+edges AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
+reach(v, u) AS (
+  SELECT x AS v, x AS u FROM edges
+  UNION
+  SELECT r.v, e.y FROM reach r JOIN edges e ON r.u = e.x
+),
+comp AS (SELECT v AS node, min(u) AS component FROM reach GROUP BY v)
+SELECT component,
+       count(*) AS n_members,
+       max(node) AS max_member
+FROM comp
+GROUP BY component
+""",
+)
+def q_llm_dedup_retract(spark, sf_dir):
+    """RETRACTION through the incremental dedup index (r13 verdict #2) —
+    the compliance/right-to-be-forgotten arm the pure-append increment
+    can't express: one apply_delta step both ADDS a shard (vec_id % 10
+    == 0) and DELETES a key set (vec_id % 10 == 5, a table-CDC delete
+    feed or a takedown list) against the persisted index built on the
+    90% corpus (the q_llm_dedup_incr fixture, shared). Deleted ids'
+    band rows drop out and every bucket they belonged to re-derives its
+    capped pairs over the post-delete membership — survivors previously
+    crowded out by the md5-ranked bucket cap lawfully SURFACE when a
+    deleted member vacates a full bucket, which is exactly why deletes
+    must touch their buckets rather than just filter pairs. Untouched
+    buckets reuse pairs + cosines verbatim.
+
+    The checked contract is the strongest available: the oracle is the
+    ONE-SHOT BATCH recompute over the final live corpus (all ids except
+    the deleted 10%), so incremental-with-deletes ≡ batch — a stale
+    reused pair referencing a deleted id, a missed bucket re-derive, or
+    a cap re-rank error all hash-mismatch. Scale: delete cost ∝ deleted
+    members' buckets (+ the shard's, as before), never corpus size."""
+    import shutil
+
+    from pkg2_spark.operators.dedup import resolve_components
+    from pkg2_spark.operators.dedup_index import VERIFIED, apply_delta, build_state
+    from pkg2_spark.queries.relational import fixture_path, fixture_ready
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    delta = e.filter(F.col("vec_id") % 10 == 0)
+    dead = e.filter(F.col("vec_id") % 10 == 5).select("vec_id")
+
+    state = fixture_path("dedup_incr_state", sf_dir)
+    if not fixture_ready(os.path.join(state, VERIFIED), sf_dir):
+        shutil.rmtree(state, ignore_errors=True)
+        build_state(corpus, state, cap=_BUCKET_CAP)
+
+    ver_all = apply_delta(state, delta, e, cap=_BUCKET_CAP, deletes=dead)
+    edges = ver_all.filter(F.col("cos") >= 0.3)
+    comp = resolve_components(edges, src="id_a", dst="id_b")
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("node").alias("max_member"),
+    )
+
+
+@query(
     "q_llm_dedup_compact",
     oracle=f"""
 WITH RECURSIVE {_sign_cand_sql()},

@@ -2061,11 +2061,16 @@ def bpe_apply(seg, ma: str, mb: str):
 
 def bpe_train_merges(docs, k: int = _BPE_TRAIN_K):
     """Run k BPE merge rounds over a documents frame; returns the ordered
-    merge table ([(round, 'ma+mb', cnt), ...]) and the final seg state.
-    The per-round argmax is a 1-row driver collect (it IS the
-    loop-carried scalar, the q_kmeans_step shape) and the rewritten state
-    is lineage-truncated every round, so the logical plan stays
-    constant-size at any k."""
+    merge table ([(round, ma, mb, cnt), ...]) and the final seg state.
+    The pair is returned as SEPARATE (ma, mb) fields — whitespace
+    tokenization keeps punctuation, so a consumer that re-split a joined
+    'ma+mb' display string on '+' would mis-parse any symbol containing
+    '+' (the exact ambiguity bpe_pair_counts' separate-column design
+    exists to prevent; r13 advice). Callers that want the display form
+    concat it themselves. The per-round argmax is a 1-row driver collect
+    (it IS the loop-carried scalar, the q_kmeans_step shape) and the
+    rewritten state is lineage-truncated every round, so the logical
+    plan stays constant-size at any k."""
     seg = bpe_seg0(docs).transform(truncate_lineage)
     merges = []
     for r in range(1, k + 1):
@@ -2081,7 +2086,7 @@ def bpe_train_merges(docs, k: int = _BPE_TRAIN_K):
         if not top:
             break
         ma, mb, cnt = top[0]["ma"], top[0]["mb"], top[0]["cnt"]
-        merges.append((r, f"{ma}+{mb}", cnt))
+        merges.append((r, ma, mb, cnt))
         seg = bpe_apply(seg, ma, mb).transform(truncate_lineage)
     return merges, seg
 
@@ -2179,8 +2184,13 @@ def q_llm_bpe_train(spark, sf_dir):
     d = load_tables(spark, sf_dir)["documents"]
     merges, seg = bpe_train_merges(d, _BPE_TRAIN_K)
     merge_df = spark.createDataFrame(
-        merges, "rnd int, item string, cnt long"
-    ).select(F.lit("merge").alias("phase"), "rnd", "item", "cnt")
+        merges, "rnd int, ma string, mb string, cnt long"
+    ).select(
+        F.lit("merge").alias("phase"),
+        "rnd",
+        F.concat("ma", F.lit("+"), "mb").alias("item"),
+        "cnt",
+    )
     k1 = F.lit(_BPE_TRAIN_K + 1).cast("int")
     corpus_symbols = seg.agg(
         F.sum(F.col("freq") * F.col("n")).cast("long").alias("cnt")
@@ -2912,6 +2922,213 @@ def q_vec_ivf_incr(spark, sf_dir):
             F.col("tb").alias("n_base"),
             F.col("td").alias("n_delta"),
             F.expr("(1000 * td) div tb").cast("long").alias("growth_milli"),
+        )
+    )
+    return cells.unionAll(summary)
+
+
+def _ivf_retract_oracle() -> str:
+    from pkg2_spark.queries.llm import _IVF_ASSIGN_CTE, _IVF_SLOT_BASE
+
+    base_cte = _IVF_ASSIGN_CTE.replace("embeddings", "base")
+    return f"""
+WITH base AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 0),
+delta AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+{base_cte},
+d1 AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT d.vec_id, d.embedding, c.cid,
+           round(list_cosine_similarity(CAST(d.embedding AS DOUBLE[]),
+                                        CAST(c.cemb AS DOUBLE[])), 4) AS ccos
+    FROM delta d CROSS JOIN cent c
+    QUALIFY row_number() OVER (
+      PARTITION BY d.vec_id ORDER BY ccos DESC NULLS LAST, c.cid ASC NULLS LAST
+    ) = 1
+  )
+),
+d2 AS (
+  SELECT vec_id, embedding, scid FROM (
+    SELECT a.vec_id, a.embedding, c2.scid,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(c2.semb AS DOUBLE[])), 4) AS scos
+    FROM d1 a JOIN cent2 c2 ON c2.c2id = a.cid
+    QUALIFY row_number() OVER (
+      PARTITION BY a.vec_id ORDER BY scos DESC NULLS LAST, scid ASC NULLS LAST
+    ) = 1
+  )
+),
+d3 AS (
+  SELECT vec_id, sscid AS cid FROM (
+    SELECT a.vec_id, c3.sscid,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(c3.ssemb AS DOUBLE[])), 4) AS sscos
+    FROM d2 a JOIN cent3 c3 ON c3.c3id = a.scid
+    QUALIFY row_number() OVER (
+      PARTITION BY a.vec_id ORDER BY sscos DESC NULLS LAST, sscid ASC NULLS LAST
+    ) = 1
+  )
+),
+bc AS (SELECT cid // {_IVF_SLOT_BASE} AS cid, CAST(count(*) AS BIGINT) AS n_live
+       FROM assign WHERE vec_id % 10 <> 5 GROUP BY 1),
+rc AS (SELECT cid // {_IVF_SLOT_BASE} AS cid, CAST(count(*) AS BIGINT) AS n_removed
+       FROM assign WHERE vec_id % 10 = 5 GROUP BY 1),
+dc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_delta FROM d3 GROUP BY cid),
+churn AS (
+  SELECT coalesce(dc.cid, rc.cid) AS cid,
+         coalesce(dc.n_delta, 0) AS n_delta,
+         coalesce(rc.n_removed, 0) AS n_removed
+  FROM dc FULL OUTER JOIN rc ON rc.cid = dc.cid
+),
+cells AS (
+  SELECT 'cell' AS phase,
+         CAST(row_number() OVER (
+           ORDER BY ch.n_delta + ch.n_removed DESC, ch.cid ASC
+         ) AS INTEGER) AS rank,
+         CAST(ch.cid AS BIGINT) AS cid,
+         coalesce(bc.n_live, 0) AS n_live, ch.n_delta, ch.n_removed,
+         CAST((1000 * ch.n_delta)
+                // greatest(coalesce(bc.n_live, 0) + ch.n_removed, 1)
+              - (1000 * ch.n_removed)
+                // greatest(coalesce(bc.n_live, 0) + ch.n_removed, 1)
+              AS BIGINT) AS net_milli
+  FROM churn ch LEFT JOIN bc ON bc.cid = ch.cid
+  QUALIFY row_number() OVER (
+    ORDER BY ch.n_delta + ch.n_removed DESC, ch.cid ASC
+  ) <= 20
+),
+summary AS (
+  SELECT 'summary' AS phase, CAST(1 AS INTEGER) AS rank, CAST(-1 AS BIGINT) AS cid,
+         (SELECT CAST(count(*) AS BIGINT) FROM base)
+           - (SELECT CAST(count(*) AS BIGINT) FROM base WHERE vec_id % 10 = 5)
+           AS n_live,
+         (SELECT CAST(count(*) AS BIGINT) FROM delta) AS n_delta,
+         (SELECT CAST(count(*) AS BIGINT) FROM base WHERE vec_id % 10 = 5)
+           AS n_removed,
+         CAST((1000 * (SELECT count(*) FROM delta))
+                // (SELECT count(*) FROM base)
+              - (1000 * (SELECT count(*) FROM base WHERE vec_id % 10 = 5))
+                // (SELECT count(*) FROM base) AS BIGINT) AS net_milli
+)
+SELECT * FROM cells UNION ALL SELECT * FROM summary
+"""
+
+
+@query("q_vec_ivf_retract", oracle=_ivf_retract_oracle())
+def q_vec_ivf_retract(spark, sf_dir):
+    """IVF index maintenance with RETRACTIONS (r13 verdict #2) — the
+    delete arm of q_vec_ivf_incr: alongside the delta batch descending
+    the existing centroid tree, a delete set (vec_id % 10 == 5 of the
+    base, standing in for a table-CDC delete feed or takedown list) is
+    anti-joined out of the cell membership — no rebuild, no descent for
+    deletes (a member's cell is already known; removal is an anti-join
+    on the posting lists, the Faiss remove_ids shape). The report is the
+    maintainer's churn view: top-20 cells by (arrivals + removals), each
+    with post-delete live occupancy, arrivals, removals, and the NET
+    growth-milli against the pre-delete size — negative for shrinking
+    cells, the signal that schedules cell merges rather than splits.
+
+    Incremental-with-deletes ≡ batch on the post-delete corpus holds
+    trivially per vector (descent is row-local; removal never moves
+    survivors), and the oracle pins it the strong way: a full SQL
+    recompute of the tree descent with the deleted members filtered at
+    count time. Scale: the anti-join touches only cells holding deleted
+    members (posting-list locality); delta cost as q_vec_ivf_incr;
+    occupancy is three hash-aggs on cid."""
+    from pkg2_spark.queries.llm import (
+        _IVF_BCAST_ROWS,
+        _IVF_SLOT_BASE,
+        _ivf_sizes,
+        _ivf_tree,
+        _nearest_wide,
+    )
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    base = e.filter(F.col("vec_id") % 10 != 0)
+    delta = e.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    dead = base.filter(F.col("vec_id") % 10 == 5).select("vec_id")
+    cents, _a1, cent2, _a2, cent3, assign = _ivf_tree(base)
+    n2, n3 = _ivf_sizes(base)
+    d1 = delta.join(
+        _nearest_wide(delta, cents, out_id="cid", cand_id="cid", cand_vec="cemb"),
+        "vec_id",
+    )
+    d2 = delta.join(
+        _nearest_wide(
+            d1.withColumnRenamed("cid", "c2id"), cent2, out_id="scid",
+            cand_id="scid", cand_vec="semb", join_on="c2id",
+            broadcast_cands=n2 <= _IVF_BCAST_ROWS,
+        ),
+        "vec_id",
+    )
+    d3 = _nearest_wide(
+        d2.withColumnRenamed("scid", "c3id"), cent3, out_id="cid",
+        cand_id="sscid", cand_vec="ssemb", join_on="c3id",
+        broadcast_cands=n3 <= _IVF_BCAST_ROWS,
+    )
+    cell = F.expr(f"cid div {_IVF_SLOT_BASE}").alias("cid")
+    live = (
+        assign.join(dead, "vec_id", "left_anti")
+        .groupBy(cell)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_live"))
+    )
+    removed = (
+        assign.join(dead, "vec_id", "leftsemi")
+        .groupBy(cell)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_removed"))
+    )
+    dc = d3.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_delta"))
+    churn = (
+        dc.join(removed, "cid", "full_outer")
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            F.coalesce("n_delta", F.lit(0)).cast("long").alias("n_delta"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )
+    w20 = Window.orderBy(
+        (F.col("n_delta") + F.col("n_removed")).desc(), F.col("cid").asc()
+    )
+    cells = (
+        churn.join(live, "cid", "left")
+        .select(
+            "cid",
+            F.coalesce("n_live", F.lit(0)).cast("long").alias("n_live"),
+            "n_delta",
+            "n_removed",
+        )
+        .orderBy((F.col("n_delta") + F.col("n_removed")).desc(), F.col("cid").asc())
+        .limit(20)
+        .select(
+            F.lit("cell").alias("phase"),
+            F.row_number().over(w20).cast("int").alias("rank"),
+            "cid",
+            "n_live",
+            "n_delta",
+            "n_removed",
+            # two NONNEGATIVE divisions, not one signed one: integer
+            # division truncates in Spark but floors in DuckDB — they
+            # only agree on nonnegative operands (house rule).
+            F.expr(
+                "(1000 * n_delta) div greatest(n_live + n_removed, 1) "
+                "- (1000 * n_removed) div greatest(n_live + n_removed, 1)"
+            ).cast("long").alias("net_milli"),
+        )
+    )
+    nb = base.agg(F.count(F.lit(1)).cast("long").alias("tb"))
+    nr = dead.agg(F.count(F.lit(1)).cast("long").alias("tr"))
+    nd = delta.agg(F.count(F.lit(1)).cast("long").alias("td"))
+    summary = (
+        nb.crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.lit("summary").alias("phase"),
+            F.lit(1).cast("int").alias("rank"),
+            F.lit(-1).cast("long").alias("cid"),
+            (F.col("tb") - F.col("tr")).cast("long").alias("n_live"),
+            F.col("td").alias("n_delta"),
+            F.col("tr").alias("n_removed"),
+            F.expr("(1000 * td) div tb - (1000 * tr) div tb")
+            .cast("long").alias("net_milli"),
         )
     )
     return cells.unionAll(summary)

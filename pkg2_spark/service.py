@@ -65,6 +65,7 @@ class QueryService:
         engine: Engine,
         max_rows: int = DEFAULT_MAX_ROWS,
         allow_unsafe_sql: bool = False,
+        artifact_dir: str | None = None,
     ):
         self.engine = engine
         self.max_rows = max_rows
@@ -88,11 +89,19 @@ class QueryService:
         }
         # Corpus-derived serving state memoized per service instance
         # (unigram LM counts for quality_gate, the trained BPE merge
-        # table for bpe_encode) — a real deployment would precompute
-        # these; here they are built on first request and materialized
-        # so later requests pay plan + execute only.
+        # table for bpe_encode). Lifecycle (r13 verdict #5): train once
+        # with warmup() — at deploy time, NOT on the first request —
+        # persist with save_artifacts(dir), and construct later service
+        # instances with artifact_dir to LOAD the small parquet/JSON
+        # artifacts instead of re-running the training jobs; a service
+        # booted from artifacts serves bpe_encode/quality_gate with no
+        # corpus table registered at all (pinned by test_service.py).
+        # Lazy first-request training remains the fallback when neither
+        # happened.
         self._lm_state: tuple[DataFrame, int] | None = None
         self._bpe_merges: list[tuple[str, str]] | None = None
+        if artifact_dir is not None:
+            self.load_artifacts(artifact_dir)
 
     # ------------------------------------------------------------ dispatch
     def endpoints(self) -> list[str]:
@@ -283,6 +292,86 @@ class QueryService:
             )
         return self.engine.table(name)
 
+    # ------------------------------------------- serving-state lifecycle
+    def _ensure_bpe_merges(self) -> list[tuple[str, str]]:
+        if self._bpe_merges is None:
+            from pkg2_spark.queries.training import (
+                _BPE_TRAIN_K,
+                bpe_train_merges,
+            )
+
+            corpus = self._corpus_table("documents")
+            merges, _seg = bpe_train_merges(corpus, _BPE_TRAIN_K)
+            # (ma, mb) consumed as the SEPARATE fields the trainer
+            # returns — never re-parsed from a joined display string,
+            # which mis-splits any symbol containing '+' (r13 advice).
+            self._bpe_merges = [(m[1], m[2]) for m in merges]
+        return self._bpe_merges
+
+    def _ensure_lm_state(self) -> tuple[DataFrame, int]:
+        if self._lm_state is None:
+            from pkg2_spark.operators.text import tokenize
+
+            corpus = self._corpus_table("documents")
+            cnt = (
+                tokenize(corpus)
+                .groupBy("token")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .localCheckpoint()
+            )
+            self._lm_state = (cnt, cnt.agg(F.sum("c")).collect()[0][0])
+        return self._lm_state
+
+    def warmup(self) -> dict:
+        """Train the corpus-derived serving state NOW (deploy-time), so no
+        request ever pays a training job: the k-round BPE merge table and
+        the unigram-LM token counts. Returns a summary for ops logs."""
+        merges = self._ensure_bpe_merges()
+        _cnt, ntot = self._ensure_lm_state()
+        return {"bpe_merges": len(merges), "lm_total_tokens": int(ntot)}
+
+    def save_artifacts(self, artifact_dir: str) -> None:
+        """Persist the trained serving state as small, portable artifacts:
+        the ordered merge table as parquet with SEPARATE (ma, mb) columns
+        (the unambiguous form — a joined 'ma+mb' string cannot round-trip
+        symbols containing '+'), the LM counts as parquet, and the LM
+        total in a JSON sidecar. A later service instance constructed
+        with ``artifact_dir`` boots from these with zero training jobs —
+        it does not even need the corpus table registered."""
+        import json as _json
+        import os as _os
+
+        merges = self._ensure_bpe_merges()
+        cnt, ntot = self._ensure_lm_state()
+        spark = self.engine.spark
+        spark.createDataFrame(
+            [(i + 1, ma, mb) for i, (ma, mb) in enumerate(merges)],
+            "rnd int, ma string, mb string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(artifact_dir, "bpe_merges")
+        )
+        cnt.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(artifact_dir, "lm_counts")
+        )
+        with open(_os.path.join(artifact_dir, "meta.json"), "w") as f:
+            _json.dump(
+                {"lm_total_tokens": int(ntot), "bpe_merges": len(merges)}, f
+            )
+
+    def load_artifacts(self, artifact_dir: str) -> None:
+        import json as _json
+        import os as _os
+
+        spark = self.engine.spark
+        merges = spark.read.parquet(
+            _os.path.join(artifact_dir, "bpe_merges")
+        ).orderBy("rnd").collect()
+        self._bpe_merges = [(r["ma"], r["mb"]) for r in merges]
+        with open(_os.path.join(artifact_dir, "meta.json")) as f:
+            meta = _json.load(f)
+        cnt = spark.read.parquet(_os.path.join(artifact_dir, "lm_counts"))
+        self._lm_state = (cnt, int(meta["lm_total_tokens"]))
+
     def _ann_search(self, p: dict):
         """ANN top-k over the registered embeddings corpus for request
         probes (r12 verdict #6). The engine's recall audit runs on every
@@ -390,18 +479,11 @@ class QueryService:
         characters, merging only where trained pairs occur). Returns per
         doc the word/token/char counts and the chars-per-token
         compression (e3)."""
-        from pkg2_spark.queries.training import (
-            _BPE_TRAIN_K,
-            bpe_apply,
-            bpe_train_merges,
-        )
+        from pkg2_spark.queries.training import bpe_apply
 
         rows = self._docs_param(p)
         spark = self.engine.spark
-        if self._bpe_merges is None:
-            corpus = self._corpus_table("documents")
-            merges, _seg = bpe_train_merges(corpus, _BPE_TRAIN_K)
-            self._bpe_merges = [tuple(m[1].split("+", 1)) for m in merges]
+        merges = self._ensure_bpe_merges()
         req = spark.createDataFrame(rows, "doc_id long, text string")
         toks = req.select(
             "doc_id",
@@ -415,7 +497,7 @@ class QueryService:
             .select("w", F.lit(1).alias("freq"), F.expr("split(w, '(?!$)')").alias("syms"))
             .withColumn("n", F.size("syms"))
         )
-        for ma, mb in self._bpe_merges:
+        for ma, mb in merges:
             seg = bpe_apply(seg, ma, mb)
         return (
             toks.join(seg.select("w", F.col("n").alias("n_bpe")), "w")
@@ -456,18 +538,7 @@ class QueryService:
         rows = self._docs_param(p)
         spark = self.engine.spark
         req = spark.createDataFrame(rows, "doc_id long, text string")
-        if self._lm_state is None:
-            from pkg2_spark.operators.text import tokenize
-
-            corpus = self._corpus_table("documents")
-            cnt = (
-                tokenize(corpus)
-                .groupBy("token")
-                .agg(F.count(F.lit(1)).alias("c"))
-                .localCheckpoint()
-            )
-            self._lm_state = (cnt, cnt.agg(F.sum("c")).collect()[0][0])
-        cnt, ntot = self._lm_state
+        cnt, ntot = self._ensure_lm_state()
 
         toks = req.select("doc_id", F.explode(
             F.expr("filter(split(lower(text), ' '), x -> x != '')")

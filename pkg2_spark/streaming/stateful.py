@@ -22,8 +22,9 @@ Spark 4's successor API ``transformWithStateInPandas`` was probed in this
 environment and crashes at Python-worker init (`ImportError: cannot import
 name 'descriptor' from 'google.protobuf'` — its runner needs the protobuf
 package, absent in this container and not installable here). Re-probed
-rounds 5, 7, 8, 9, 10, 11, and 13 (latest 2026-08-16): ``import google.protobuf``
-still raises ModuleNotFoundError, so the blocker stands unchanged. The implementation
+rounds 5, 7, 8, 9, 10, 11, 13, and 14 (latest 2026-08-16): ``import
+google.protobuf`` still raises ModuleNotFoundError, so the blocker stands
+unchanged. The implementation
 below sticks to ``applyInPandasWithState``, which shares the same
 state-store execution path; swapping to the new API is a mechanical port
 once protobuf is available — re-run this probe at every Spark/container

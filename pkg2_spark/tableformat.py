@@ -720,7 +720,27 @@ class Table:
                 )
                 if gone:
                     comp: int | None = None
-                    if latest_version(self.path) == head + 1:
+                    # The compensating commit re-adds the pre-restore
+                    # snapshot BY REFERENCE — but a second vacuum racing
+                    # in this same window (after the poisoned restore
+                    # became the retained head) can have reaped files
+                    # that only the pre-restore snapshot referenced.
+                    # Committing a reference to a missing file would
+                    # recreate the exact condition this mechanism exists
+                    # to prevent (an unreadable head), so re-verify the
+                    # WHOLE pre-restore snapshot (re-added entries plus
+                    # the files shared with the target) first and fall
+                    # through to the manual-remedy path if any are gone
+                    # (r13 advice).
+                    comp_gone = sorted(
+                        rel
+                        for rel in cur
+                        if not os.path.exists(os.path.join(self.path, rel))
+                    )
+                    if (
+                        not comp_gone
+                        and latest_version(self.path) == head + 1
+                    ):
                         pre_sch = self.schema_at(head)
                         try:
                             _commit(
@@ -755,8 +775,17 @@ class Table:
                             f"; auto-committed compensating restore to the "
                             f"pre-restore state as v{comp}"
                             if comp is not None
-                            else f"; compensation lost the head — restore "
-                            f"back to version {head} manually to recover"
+                            else (
+                                f"; the pre-restore snapshot lost "
+                                f"{len(comp_gone)} data file(s) to the "
+                                "same vacuum — compensation skipped; "
+                                "restore to an intact version manually "
+                                "to recover"
+                                if comp_gone
+                                else f"; compensation lost the head — "
+                                f"restore back to version {head} "
+                                "manually to recover"
+                            )
                         ),
                         poisoned_version=head + 1,
                         compensated_version=comp,

@@ -71,6 +71,9 @@ NLJ_WHITELIST = {
     "q_vec_ivf_incr": "the IVF-family derived-k codebook broadcast crosses "
     "(base-tree construction + the delta level-1 descent) + a 1-row "
     "2-scalar summary cross; levels 2/3 are cell-keyed equi-joins",
+    "q_vec_ivf_retract": "the q_vec_ivf_incr shapes plus one more 1-row "
+    "scalar summary cross (base/removed/delta totals); the delete "
+    "anti-join and occupancy counts are cid-keyed equi-joins/hash-aggs",
     "q_vec_ivfpq": "1-row residual codebook broadcast over the PQ encode "
     "scan + the same for the 5-probe LUT build (the q_vec_adc shape); the "
     "ADC scan itself is the cell-keyed equi-join",
@@ -179,6 +182,8 @@ GLOBAL_WINDOW_BOUNDED = {
                       "argmax-merge results",
     "q_vec_ivf_incr": "rank attach over the orderBy().limit(20) "
                       "most-touched-cell report",
+    "q_vec_ivf_retract": "rank attach over the orderBy().limit(20) "
+                         "churn-report result (the q_vec_ivf_incr shape)",
     "q_sort_multi": "contract op: total-order rank over the <=1000-key "
                     "filtered customer slice",
     "q_scan_dpp": "no-op rank==1 filter over the orderBy().limit(1) "

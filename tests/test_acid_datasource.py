@@ -270,3 +270,183 @@ def test_schema_evolution_null_fill(spark, tmp_path):
     # parity with the JVM reader on the evolved table
     want = {r["id"]: r for r in t.read().collect()}
     assert rows == want
+
+
+def test_change_feed_matches_batch_changes_and_resumes(spark, tmp_path):
+    # change_feed mode: every commit's row-level images must equal the
+    # batch Table.changes(v-1, v) replay — appends as inserts, a merge
+    # as delete(old)+insert(new) with unchanged rewritten rows cancelled,
+    # a delete_where as deletes, a compact as NOTHING (logical no-op).
+    # Checkpoint resume then emits only post-checkpoint commits.
+    path = str(tmp_path / "cdf")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    t = Table(spark, path, stats_cols=["id"], cluster_by="id", num_files=4)
+    t.create(spark.range(0, 50).select("id", (F.col("id") * 2).alias("v")))
+    t.append(spark.range(50, 80).select("id", (F.col("id") * 2).alias("v")))
+    t.merge(spark.range(0, 5).select("id", (F.col("id") * 3).alias("v")), key="id")
+    t.delete_where("id >= 70")
+    t.compact(max_files=2)
+    register_acid_source(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("pkg2acid")
+            .option("change_feed", "true").load(path)
+            .writeStream.format("parquet").option("path", sink)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got = spark.read.parquet(sink)
+    # batch replay oracle: union of Table.changes per commit version
+    from pkg2_spark.tableformat import latest_version
+
+    head = latest_version(path)
+    parts = []
+    first = t.read(0).withColumn("change_type", F.lit("insert")).withColumn(
+        "_commit_version", F.lit(0).cast("long")
+    )
+    parts.append(first)
+    for v in range(1, head + 1):
+        parts.append(
+            t.changes(v - 1, v).withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            )
+        )
+    expect = parts[0]
+    for p in parts[1:]:
+        expect = expect.unionByName(p)
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+    # the compact commit contributed no rows
+    assert got.filter(F.col("_commit_version") == head).count() == 0
+    # resume: one more append emits exactly its delta
+    t.append(spark.range(200, 210).select("id", (F.col("id") * 2).alias("v")))
+    drain()
+    got2 = spark.read.parquet(sink)
+    assert got2.count() == got.count() + 10
+    fresh = got2.filter(F.col("_commit_version") == head + 1)
+    assert fresh.count() == 10
+    assert fresh.agg(F.min("id"), F.max("id")).collect()[0] == (200, 209)
+
+
+def test_change_feed_drives_incremental_view_maintenance(spark, tmp_path):
+    # r13 verdict #1 "done" clause: the q_acid_ivm dataflow re-based on
+    # the STREAMED change feed — a foreachBatch consumer folds each
+    # micro-batch's signed deltas (+ for insert, - for delete) into a
+    # maintained aggregate view, which must equal the batch aggregate of
+    # the final table (inserts and deletes each applied exactly once).
+    path = str(tmp_path / "ivm")
+    ckpt = str(tmp_path / "ckpt")
+    t = Table(spark, path, stats_cols=["id"], cluster_by="id", num_files=4)
+    t.create(
+        spark.range(0, 60).select(
+            "id", (F.col("id") % 3).alias("g"), (F.col("id") * 2).alias("v")
+        )
+    )
+    t.merge(
+        spark.range(0, 10).select(
+            "id", (F.col("id") % 3).alias("g"), (F.col("id") * 5).alias("v")
+        ),
+        key="id",
+    )
+    t.delete_where("id >= 50")
+    register_acid_source(spark)
+
+    view: dict = {}
+
+    def fold(batch_df, _bid):
+        deltas = (
+            batch_df.withColumn(
+                "s", F.when(F.col("change_type") == "insert", 1).otherwise(-1)
+            )
+            .groupBy("g")
+            .agg(
+                F.sum(F.col("s")).alias("dn"),
+                F.sum(F.col("s") * F.col("v")).alias("dv"),
+            )
+            .collect()
+        )
+        for r in deltas:
+            n, sv = view.get(r["g"], (0, 0))
+            view[r["g"]] = (n + r["dn"], sv + r["dv"])
+
+    q = (
+        spark.readStream.format("pkg2acid")
+        .option("change_feed", "true").load(path)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    expect = {
+        r["g"]: (r["n"], r["sv"])
+        for r in t.read()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        .collect()
+    }
+    assert view == expect
+
+
+def test_batch_reader_rejects_change_feed_option(spark, tmp_path):
+    path = str(tmp_path / "t")
+    Table(spark, path).create(spark.range(3).select("id"))
+    register_acid_source(spark)
+    with pytest.raises(Exception, match="STREAMING option"):
+        spark.read.format("pkg2acid").option("change_feed", "true").load(
+            path
+        ).collect()
+
+
+def test_commit_time_schema_merges_concurrent_evolution(spark, tmp_path):
+    # r13 advice: the Python DS writer validates schema at PLAN time but
+    # commits later — an allow_schema_evolution append landing in that
+    # window must survive into the recorded schema (merged), not be
+    # silently reverted by the stale plan-time snapshot.
+    import pyarrow as pa
+
+    from pkg2_spark.acid_datasource import (
+        AcidDataSourceWriter,
+        _commit_schema_json,
+    )
+    from pkg2_spark.tableformat import log_schema
+
+    path = str(tmp_path / "drift")
+    t = Table(spark, path, stats_cols=["id"])
+    t.create(spark.range(0, 10).select("id", (F.col("id") * 2).alias("v")))
+    w = AcidDataSourceWriter(t.read().schema, {"path": path}, overwrite=False)
+    msg = w.write(
+        iter(
+            [
+                pa.record_batch(
+                    {"id": pa.array([100], pa.int64()),
+                     "v": pa.array([200], pa.int64())}
+                )
+            ]
+        )
+    )
+    # concurrent evolution lands between plan and commit
+    t.append(
+        spark.range(10, 12).select(
+            "id", (F.col("id") * 2).alias("v"), F.lit("t").alias("tag")
+        ),
+        allow_schema_evolution=True,
+    )
+    w.commit([msg])
+    names = [f.name for f in log_schema(path).fields]
+    assert "tag" in names  # evolution survived the stale-plan commit
+    # and the table reads coherently: the DS-written row has tag=null
+    row = t.read().filter(F.col("id") == 100).collect()[0]
+    assert row["v"] == 200 and row["tag"] is None
+    # a RETYPE between plan and commit is refused loudly
+    import pytest as _pytest
+
+    bad = t.read().select(
+        "id", F.col("v").cast("string").alias("v"), "tag"
+    ).schema
+    with _pytest.raises(ValueError, match="retyped"):
+        _commit_schema_json(path, bad.jsonValue())

@@ -461,3 +461,49 @@ class TestCli:
         assert rc == 0
         names = out.split()
         assert "q_llm_bm25" in names and len(names) >= 250
+
+
+def test_artifact_lifecycle_serves_without_corpus_or_training(
+    spark, llm_svc, tmp_path_factory
+):
+    # r13 verdict #5: the corpus-derived serving state (BPE merges, LM
+    # counts) is a deploy-time ARTIFACT, not a first-request job. Train
+    # once on the corpus-backed service, persist, then boot a service on
+    # an engine with NO corpus tables registered at all — training is
+    # impossible there, so serving bpe_encode/quality_gate proves the
+    # first-request path ran zero training jobs; answers must match the
+    # trained instance exactly.
+    art = str(tmp_path_factory.mktemp("svc_artifacts"))
+    info = llm_svc.warmup()
+    assert info["bpe_merges"] >= 1 and info["lm_total_tokens"] > 0
+    llm_svc.save_artifacts(art)
+
+    corpus_text = (
+        llm_svc.engine.table("documents").orderBy("doc_id").first()["text"]
+    )
+    docs = {"docs": [{"doc_id": 1, "text": corpus_text}]}
+    want_bpe = llm_svc.handle("bpe_encode", docs)["rows"]
+    want_gate = llm_svc.handle("quality_gate", docs)["rows"]
+
+    bare = QueryService(Engine(spark), max_rows=100, artifact_dir=art)
+    assert bare._bpe_merges is not None and bare._lm_state is not None
+    assert [tuple(m) for m in bare._bpe_merges] == [
+        tuple(m) for m in llm_svc._bpe_merges
+    ]
+    # Poison the trainers: any attempt to run a training job from the
+    # artifact-booted service's request path must fail the test loudly
+    # (the corpus views are session-global, so only this proves the
+    # serve path never trains).
+    import pkg2_spark.operators.text as _text
+    import pkg2_spark.queries.training as _training
+
+    def _boom(*a, **k):
+        raise AssertionError("request path ran a training job")
+
+    real_train, real_tok = _training.bpe_train_merges, _text.tokenize
+    _training.bpe_train_merges, _text.tokenize = _boom, _boom
+    try:
+        assert bare.handle("bpe_encode", docs)["rows"] == want_bpe
+        assert bare.handle("quality_gate", docs)["rows"] == want_gate
+    finally:
+        _training.bpe_train_merges, _text.tokenize = real_train, real_tok

@@ -539,3 +539,45 @@ def test_restore_to_head_is_noop_and_vacuumed_target_fails(spark, table):
     table.vacuum(keep_versions=1)  # v0's files die
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         table.restore(0)
+
+
+def test_restore_compensation_skipped_when_its_own_files_are_gone(
+    spark, table, monkeypatch
+):
+    # r13 advice: the compensating restore re-adds the pre-restore
+    # snapshot BY REFERENCE — if a second vacuum racing in the same
+    # window (with the poisoned restore as retained head) reaped
+    # pre-restore-only files, committing that reference would recreate
+    # the unreadable-head condition the mechanism exists to prevent.
+    # restore() must re-verify the compensation's own file set and SKIP
+    # the commit (compensated_version=None, manual-remedy message)
+    # instead of stacking a second poisoned head.
+    import pkg2_spark.tableformat as tf
+
+    table.compact(max_files=2)  # v1 rewrites the live set
+    pre_head = latest_version(table.path)  # 1
+    v0_files = snapshot_files(table.path, 0)
+    v1_files = snapshot_files(table.path, pre_head)
+    real_commit = tf._commit
+    state = {"fired": False}
+
+    def racing_commit(path, version, op, add, remove, meta=None, schema=None):
+        real_commit(path, version, op, add, remove, meta=meta, schema=schema)
+        if not state["fired"] and meta and meta.get("restored_to") == 0:
+            # The simulated vacuum reaps BOTH the restore target's files
+            # and the pre-restore head's (a keep_versions=1 vacuum with
+            # the poisoned restore as head retains neither snapshot).
+            state["fired"] = True
+            for f in v0_files + v1_files:
+                if os.path.exists(f):
+                    os.remove(f)
+
+    monkeypatch.setattr(tf, "_commit", racing_commit)
+    with pytest.raises(
+        tf.RestorePoisonedError, match="compensation skipped"
+    ) as ei:
+        table.restore(0)
+    assert ei.value.poisoned_version == pre_head + 1
+    assert ei.value.compensated_version is None
+    # No second head was stacked: the poisoned restore stays the head.
+    assert latest_version(table.path) == pre_head + 1

@@ -968,3 +968,63 @@ def test_ivf_incr_occupancy_and_summary(spark, sf_dir):
         assert r["growth_milli"] == (1000 * r["n_delta"]) // max(r["n_base"], 1)
     if len(cells) < 20:
         assert sum(r["n_delta"] for r in cells) == nd
+
+
+def test_dedup_index_retraction_chain_equals_post_delete_batch(
+    spark, sf_dir, tmp_path
+):
+    # r13 verdict #2 "done" clause: the retraction arm chained through
+    # the full lifecycle — build -> delta(commit) -> DELETE(commit) ->
+    # compact -> delta against the compacted head — must equal the
+    # one-shot batch on the POST-DELETE corpus. The delete step both
+    # retracts ids and (because their buckets re-derive over post-delete
+    # membership) may SURFACE survivor pairs the departed members had
+    # crowded out of the md5-ranked bucket cap; compaction GC then reaps
+    # the retracted pairs' now-underivable cosines; the final shard must
+    # still see exact batch equality.
+    import os
+
+    import pyspark.sql.functions as F
+
+    from pkg2_spark.catalog import load_tables
+    from pkg2_spark.operators.dedup_index import (
+        apply_delta,
+        build_state,
+        compact_state,
+        retire_versions,
+    )
+    from pkg2_spark.operators.lsh import banded_pairs
+    from pkg2_spark.operators.similarity import cosine_on_pairs, sign_lsh_bands
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    base = e.filter(F.col("vec_id") % 10 < 8)
+    shard1 = e.filter(F.col("vec_id") % 10 == 8)
+    dead = e.filter(F.col("vec_id") % 5 == 2).select("vec_id")  # hits base+shard1
+    shard2 = e.filter(F.col("vec_id") % 10 == 9)
+    live = e.join(dead, "vec_id", "left_anti")
+
+    v0 = str(tmp_path / "state_v0")
+    v1 = str(tmp_path / "state_v1")
+    v2 = str(tmp_path / "state_v2")
+    v3 = str(tmp_path / "compacted")
+    build_state(base, v0)
+    apply_delta(v0, shard1, e, commit_dir=v1)
+    # pure retraction increment: empty delta, nonempty delete set
+    empty = e.filter(F.lit(False)).select("vec_id", "embedding")
+    mid = apply_delta(v1, empty, live, commit_dir=v2, deletes=dead)
+    # no surviving pair references a deleted id
+    dead_ids = {r["vec_id"] for r in dead.collect()}
+    for r in mid.select("id_a", "id_b").collect():
+        assert r["id_a"] not in dead_ids and r["id_b"] not in dead_ids
+    compact_state(spark, v2, v3)
+    retire_versions([v0, v1, v2])
+    assert not os.path.exists(v1) and os.path.exists(v3)
+    incr = apply_delta(v3, shard2, live)
+
+    bands_all = sign_lsh_bands(live, dim=64, rows_per_band=8)
+    cand_all = banded_pairs(bands_all, "vec_id", "id_a", "id_b", cap=64)
+    batch = cosine_on_pairs(cand_all, live, "id_a", "id_b", dim=64)
+
+    got = {(r["id_a"], r["id_b"], r["cos"]) for r in incr.collect()}
+    want = {(r["id_a"], r["id_b"], r["cos"]) for r in batch.collect()}
+    assert got == want and len(want) > 0
