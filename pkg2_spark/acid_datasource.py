@@ -360,9 +360,17 @@ class AcidStreamReader(DataSourceStreamReader):
         self.change_feed = (
             str(options.get("change_feed", "")).lower() == "true"
         )
+        # starting_version (the Delta startingVersion surface): begin the
+        # tail AT commit N instead of the table's start — the handoff
+        # point for "bootstrap from a snapshot, then tail the changes"
+        # consumers (an index built on version N-1's content subscribes
+        # from N). Only consulted for a FRESH checkpoint; a resumed query
+        # keeps its committed offset.
+        sv = options.get("starting_version")
+        self.starting_version = int(sv) if sv is not None else 0
 
     def initialOffset(self) -> dict:
-        return {"version": -1}
+        return {"version": self.starting_version - 1}
 
     def latestOffset(self) -> dict:
         return {"version": latest_version(self.path)}

@@ -2408,6 +2408,112 @@ def q_llm_dedup_retract(spark, sf_dir):
 
 
 @query(
+    "q_llm_dedup_cdc",
+    oracle=f"""
+WITH RECURSIVE emb_live AS (
+  SELECT * FROM embeddings WHERE vec_id % 7 <> 3
+),
+{_sign_cand_sql().replace("FROM embeddings", "FROM emb_live")},
+pairs AS (
+  SELECT id_a AS x, id_b AS y FROM (
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 4) AS cos
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = cand.id_a
+    JOIN embeddings eb ON eb.vec_id = cand.id_b
+  ) WHERE cos >= 0.3
+),
+edges AS (SELECT x, y FROM pairs UNION SELECT y, x FROM pairs),
+reach(v, u) AS (
+  SELECT x AS v, x AS u FROM edges
+  UNION
+  SELECT r.v, e.y FROM reach r JOIN edges e ON r.u = e.x
+),
+comp AS (SELECT v AS node, min(u) AS component FROM reach GROUP BY v)
+SELECT component,
+       count(*) AS n_members,
+       max(node) AS max_member
+FROM comp
+GROUP BY component
+""",
+)
+def q_llm_dedup_cdc(spark, sf_dir):
+    """The PRODUCTION LOOP end to end: an ACID table's streamed change
+    feed MAINTAINS the incremental dedup index — no hand-built delta
+    frames anywhere. The corpus lives in a logged table (v0 create on
+    the 90%); the dedup index is built on that snapshot; then the table
+    takes an append (v1, the 10% shard) and a copy-on-write DELETE (v2,
+    ``vec_id % 7 = 3`` — a retention purge). The index subscribes to the
+    CHANGE FEED from ``starting_version`` 1 (the bootstrap-then-tail
+    handoff: the state already embodies v0), drains it, CONSOLIDATES per
+    key to net changes (a row inserted by v1 and deleted by v2 nets to
+    nothing — the standard CDC fold; apply_delta would otherwise treat
+    delta∩deletes as an update and re-add it), and applies one
+    apply_delta(delta, deletes=...) increment. Result components must
+    equal the one-shot batch on the FINAL table content — so a wrong
+    insert image, a missed delete image, an unconsolidated key, or a
+    stale reused pair all hash-mismatch the full-recompute oracle.
+
+    Scale: the feed costs the commits' delta (see q_stream_acid_cdf);
+    the increment costs touched buckets (see q_llm_dedup_retract); the
+    consolidation is one anti-join on the bounded feed."""
+    import shutil
+
+    from pkg2_spark.acid_datasource import register_acid_source
+    from pkg2_spark.operators.dedup import resolve_components
+    from pkg2_spark.operators.dedup_index import VERIFIED, apply_delta, build_state
+    from pkg2_spark.queries.relational import fixture_path, fixture_ready
+    from pkg2_spark.streaming.harness import run_to_memory
+    from pkg2_spark.tableformat import Table
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+
+    state = fixture_path("dedup_incr_state", sf_dir)
+    if not fixture_ready(os.path.join(state, VERIFIED), sf_dir):
+        shutil.rmtree(state, ignore_errors=True)
+        build_state(corpus, state, cap=_BUCKET_CAP)
+
+    path = fixture_path("dedup_cdc_table", sf_dir)
+    if os.path.isdir(path):
+        shutil.rmtree(path)
+    t = Table(spark, path, stats_cols=["vec_id"], cluster_by="vec_id", num_files=4)
+    t.create(corpus.select("vec_id", "embedding"))
+    t.append(
+        e.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    )
+    t.delete_where("vec_id % 7 = 3")
+    register_acid_source(spark)
+    feed = run_to_memory(
+        spark.readStream.format("pkg2acid")
+        .option("change_feed", "true")
+        .option("starting_version", 1)
+        .load(path),
+        "dedup_cdc",
+        mode="append",
+    )
+    dead = feed.filter(F.col("change_type") == "delete").select("vec_id")
+    # CDC fold: a key both inserted and deleted in the feed nets out.
+    # The anti-join's right side is re-keyed through a fresh attribute —
+    # both frames descend from the same memory view, and a bare
+    # self-referencing join trips Catalyst's conflicting-reference check.
+    dead_k = dead.select(F.col("vec_id").alias("__dead_id")).distinct()
+    ins = (
+        feed.filter(F.col("change_type") == "insert")
+        .select("vec_id", "embedding")
+        .join(dead_k, F.col("vec_id") == F.col("__dead_id"), "left_anti")
+    )
+    ver_all = apply_delta(state, ins, t.read(), cap=_BUCKET_CAP, deletes=dead)
+    edges = ver_all.filter(F.col("cos") >= 0.3)
+    comp = resolve_components(edges, src="id_a", dst="id_b")
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("node").alias("max_member"),
+    )
+
+
+@query(
     "q_llm_dedup_compact",
     oracle=f"""
 WITH RECURSIVE {_sign_cand_sql()},

@@ -286,6 +286,7 @@ def test_change_feed_matches_batch_changes_and_resumes(spark, tmp_path):
     t.append(spark.range(50, 80).select("id", (F.col("id") * 2).alias("v")))
     t.merge(spark.range(0, 5).select("id", (F.col("id") * 3).alias("v")), key="id")
     t.delete_where("id >= 70")
+    t.restore(2)  # un-deletes: net insert images for the id >= 70 rows
     t.compact(max_files=2)
     register_acid_source(spark)
 
@@ -450,3 +451,74 @@ def test_commit_time_schema_merges_concurrent_evolution(spark, tmp_path):
     ).schema
     with _pytest.raises(ValueError, match="retyped"):
         _commit_schema_json(path, bad.jsonValue())
+
+
+def test_stream_starting_version_skips_bootstrap(spark, tmp_path):
+    # starting_version=N (the Delta startingVersion surface) begins the
+    # tail AT commit N — the bootstrap-then-tail handoff for consumers
+    # whose state already embodies the earlier snapshot. Works in both
+    # raw-tail and change_feed modes; a fresh checkpoint honors it, and
+    # offsets beyond the head just mean "nothing yet".
+    path = str(tmp_path / "sv")
+    sink = str(tmp_path / "sink")
+    t = Table(spark, path, stats_cols=["id"])
+    t.create(spark.range(0, 40).select("id", (F.col("id") * 2).alias("v")))
+    t.append(spark.range(40, 50).select("id", (F.col("id") * 2).alias("v")))
+    register_acid_source(spark)
+
+    def drain(ck, **opts):
+        q = (
+            spark.readStream.format("pkg2acid").options(**opts).load(path)
+            .writeStream.format("parquet").option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ck))
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    drain("ck1", starting_version="1")
+    got = spark.read.parquet(sink)
+    assert got.count() == 10  # only the append commit's rows
+    assert got.agg(F.min("id")).collect()[0][0] == 40
+    # beyond-head start: empty until a new commit lands
+    drain("ck2", starting_version="5")
+    assert spark.read.parquet(sink).count() == 10  # nothing added
+
+
+def test_change_feed_null_fills_evolved_schema(spark, tmp_path):
+    # A change feed crossing a schema evolution must serve every image
+    # under the CURRENT log schema: delete images read from pre-evolution
+    # files carry the evolved column as null (the same null-fill contract
+    # as the batch reader), and the two CDF columns ride on top.
+    path = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    t = Table(spark, path, stats_cols=["id"])
+    t.create(spark.range(0, 20).select("id", (F.col("id") * 2).alias("v")))
+    t.append(
+        spark.range(20, 30).select(
+            "id", (F.col("id") * 2).alias("v"), F.lit("new").alias("tag")
+        ),
+        allow_schema_evolution=True,
+    )
+    t.delete_where("id < 5")  # rewrites pre-evolution rows -> delete images
+    register_acid_source(spark)
+    q = (
+        spark.readStream.format("pkg2acid")
+        .option("change_feed", "true").load(path)
+        .writeStream.format("parquet").option("path", sink)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(sink)
+    assert set(got.columns) == {"id", "v", "tag", "change_type", "_commit_version"}
+    dels = got.filter(F.col("change_type") == "delete")
+    assert dels.count() == 5
+    # pre-evolution delete images: evolved column null-filled
+    assert dels.filter(F.col("tag").isNull()).count() == 5
+    # evolved-commit inserts keep their value
+    assert (
+        got.filter((F.col("change_type") == "insert") & (F.col("id") >= 20))
+        .filter(F.col("tag") == "new").count() == 10
+    )
