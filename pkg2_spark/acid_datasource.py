@@ -260,34 +260,51 @@ def _cdf_diff_batches(partition: AcidCdfDiffPartition, read_schema):
     from pyspark.sql.pandas.types import to_arrow_schema
 
     base = _cdf_base_schema(read_schema)
+    names = [f.name for f in base.fields]
     counts: Counter = Counter()
     rep: dict = {}
 
     def fold(paths, sign):
         for p in paths:
             for batch in _read_file_as_arrow(AcidFilePartition(p, None), base):
-                for row in batch.to_pylist():
-                    k = tuple(_row_key(row[f.name]) for f in base.fields)
+                # columnar walk (to_pydict + zip), not per-row dicts:
+                # the key build is the hot loop of the whole diff
+                data = batch.to_pydict()
+                for vals in zip(*(data[n] for n in names)):
+                    k = tuple(_row_key(v) for v in vals)
                     counts[k] += sign
                     if k not in rep:
-                        rep[k] = row
+                        rep[k] = vals
 
     fold(partition.add_paths, +1)
     fold(partition.remove_paths, -1)
     target = to_arrow_schema(read_schema)
+
+    def emit(rows):
+        arrays = [
+            pa.array([r[0][i] for r in rows], target.field(i).type)
+            for i in range(len(names))
+        ]
+        arrays.append(pa.array([r[1] for r in rows], target.field(CDF_TYPE_COL).type))
+        arrays.append(
+            pa.array(
+                [partition.version] * len(rows),
+                target.field(CDF_VERSION_COL).type,
+            )
+        )
+        return pa.RecordBatch.from_arrays(arrays, schema=target)
+
     out = []
     for k, c in counts.items():
         if c == 0:
             continue
-        row = dict(rep[k])
-        row[CDF_TYPE_COL] = "insert" if c > 0 else "delete"
-        row[CDF_VERSION_COL] = partition.version
-        out.extend([row] * abs(c))
+        tagged = (rep[k], "insert" if c > 0 else "delete")
+        out.extend([tagged] * abs(c))
         if len(out) >= 65536:
-            yield from pa.Table.from_pylist(out, schema=target).to_batches()
+            yield emit(out)
             out = []
     if out:
-        yield from pa.Table.from_pylist(out, schema=target).to_batches()
+        yield emit(out)
 
 
 def _cdf_insert_batches(partition: AcidCdfInsertPartition, read_schema):
@@ -367,7 +384,9 @@ class AcidStreamReader(DataSourceStreamReader):
         # from N). Only consulted for a FRESH checkpoint; a resumed query
         # keeps its committed offset.
         sv = options.get("starting_version")
-        self.starting_version = int(sv) if sv is not None else 0
+        # clamped at 0: a negative start would walk the offset range into
+        # nonexistent commit files
+        self.starting_version = max(0, int(sv)) if sv is not None else 0
 
     def initialOffset(self) -> dict:
         return {"version": self.starting_version - 1}
