@@ -64,9 +64,13 @@ def _nullable(dt):
 
 
 class AcidFilePartition(InputPartition):
-    def __init__(self, path: str, rows: int | None):
+    def __init__(self, path: str, rows: int | None, dead: list | None = None):
         self.path = path
         self.rows = rows
+        # deletion-vector row indexes for THIS file (merge-on-read
+        # deletes) — resolved driver-side at planning from the folded DV
+        # state, filtered executor-side by running row offset
+        self.dead = dead
 
 
 class AcidCdfInsertPartition(InputPartition):
@@ -79,17 +83,44 @@ class AcidCdfInsertPartition(InputPartition):
         self.version = version
 
 
+class AcidCdfDvPartition(InputPartition):
+    """One DELETION-VECTOR commit in change-feed mode: carries the
+    commit's dv sidecar paths plus the table root; the executor resolves
+    the (file, row_index) positions back to full rows and emits them as
+    delete images — merge-on-read deletes reach the feed without any
+    data file having been rewritten."""
+
+    def __init__(self, dv_paths: list, table_root: str, version: int):
+        self.dv_paths = dv_paths
+        self.table_root = table_root
+        self.version = version
+
+
 class AcidCdfDiffPartition(InputPartition):
     """One REWRITING commit (merge/delete/restore/compact) in change-feed
     mode: carries the commit's full add/remove file lists so the row-level
     insert/delete images can be derived executor-side by multiset
     cancellation — the same file-set-difference semantics as
-    Table.changes (tableformat.py), which is the batch oracle."""
+    Table.changes (tableformat.py), which is the batch oracle.
 
-    def __init__(self, add_paths: list, remove_paths: list, version: int):
+    Each side reads under ITS version's deletion-vector state
+    (add = post-commit, remove = pre-commit): a row merge-on-read-deleted
+    BEFORE this commit is absent from the rewrite's output, and reading
+    the removed file raw would re-emit it as a second delete image."""
+
+    def __init__(
+        self,
+        add_paths: list,
+        remove_paths: list,
+        version: int,
+        add_dead: dict | None = None,
+        remove_dead: dict | None = None,
+    ):
         self.add_paths = add_paths
         self.remove_paths = remove_paths
         self.version = version
+        self.add_dead = add_dead or {}
+        self.remove_dead = remove_dead or {}
 
 
 def _stat_comparable(value, lo):
@@ -163,8 +194,11 @@ class AcidDataSourceReader(DataSourceReader):
             latest_version(self.path) if self.version is None else self.version
         )
         entries = _live_entries(self.path, cut)
+        dead = _dv_rows_by_file(self.path, cut)
         parts = [
-            AcidFilePartition(os.path.join(self.path, rel), e.get("rows"))
+            AcidFilePartition(
+                os.path.join(self.path, rel), e.get("rows"), dead.get(rel)
+            )
             for rel, e in sorted(entries.items())
             if self._file_matches(e.get("stats") or {})
         ]
@@ -175,6 +209,23 @@ class AcidDataSourceReader(DataSourceReader):
     # ------------------------------------------------------- execution
     def read(self, partition: AcidFilePartition) -> Iterator:
         return _read_file_as_arrow(partition, self.read_schema)
+
+
+def _dv_rows_by_file(path: str, cut: int | None) -> dict[str, list[int]]:
+    """The folded DELETION-VECTOR rows at ``cut``, grouped per data file —
+    driver-side planning metadata (the sidecars are small by the
+    merge-on-read contract), attached to each file's InputPartition so
+    the executor read skips deleted row indexes."""
+    import pyarrow.parquet as pq
+
+    from pkg2_spark.tableformat import dv_state
+
+    out: dict[str, list[int]] = {}
+    for e in dv_state(path, cut):
+        t = pq.read_table(os.path.join(path, e["path"]), columns=["file", "ri"])
+        for f, ri in zip(t.column("file").to_pylist(), t.column("ri").to_pylist()):
+            out.setdefault(f, []).append(ri)
+    return out
 
 
 def _read_file_as_arrow(partition: AcidFilePartition, read_schema) -> Iterator:
@@ -198,7 +249,17 @@ def _read_file_as_arrow(partition: AcidFilePartition, read_schema) -> Iterator:
     pf = pq.ParquetFile(partition.path)
     present = set(pf.schema_arrow.names)
     read_cols = [f.name for f in target if f.name in present]
+    dead = set(getattr(partition, "dead", None) or ())
+    offset = 0
     for batch in pf.iter_batches(columns=read_cols or None):
+        n = batch.num_rows
+        if dead:
+            keep = [i for i in range(n) if (offset + i) not in dead]
+            offset += n
+            if not keep:
+                continue
+            if len(keep) < n:
+                batch = batch.take(pa.array(keep, pa.int32()))
         cols = []
         for field in target:
             if field.name in present:
@@ -264,9 +325,10 @@ def _cdf_diff_batches(partition: AcidCdfDiffPartition, read_schema):
     counts: Counter = Counter()
     rep: dict = {}
 
-    def fold(paths, sign):
+    def fold(paths, sign, dead_by_path):
         for p in paths:
-            for batch in _read_file_as_arrow(AcidFilePartition(p, None), base):
+            part = AcidFilePartition(p, None, dead_by_path.get(p))
+            for batch in _read_file_as_arrow(part, base):
                 # columnar walk (to_pydict + zip), not per-row dicts:
                 # the key build is the hot loop of the whole diff
                 data = batch.to_pydict()
@@ -276,8 +338,8 @@ def _cdf_diff_batches(partition: AcidCdfDiffPartition, read_schema):
                     if k not in rep:
                         rep[k] = vals
 
-    fold(partition.add_paths, +1)
-    fold(partition.remove_paths, -1)
+    fold(partition.add_paths, +1, partition.add_dead)
+    fold(partition.remove_paths, -1, partition.remove_dead)
     target = to_arrow_schema(read_schema)
 
     def emit(rows):
@@ -305,6 +367,50 @@ def _cdf_diff_batches(partition: AcidCdfDiffPartition, read_schema):
             out = []
     if out:
         yield emit(out)
+
+
+def _cdf_dv_batches(partition: AcidCdfDvPartition, read_schema):
+    """Delete images for one DV commit: read the sidecars' (file, ri)
+    positions, then stream each referenced file batch-at-a-time taking
+    exactly the dead rows. Cost ∝ referenced files' size for the read,
+    sidecar size for the state — never the table."""
+    from collections import defaultdict
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    base = _cdf_base_schema(read_schema)
+    target = to_arrow_schema(read_schema)
+    wanted: dict[str, set] = defaultdict(set)
+    for dvp in partition.dv_paths:
+        t = pq.read_table(dvp, columns=["file", "ri"])
+        for f, ri in zip(t.column("file").to_pylist(), t.column("ri").to_pylist()):
+            wanted[f].add(ri)
+    for rel, idxs in sorted(wanted.items()):
+        path = os.path.join(partition.table_root, rel)
+        offset = 0
+        for batch in _read_file_as_arrow(AcidFilePartition(path, None), base):
+            n = batch.num_rows
+            local = sorted(
+                i - offset for i in idxs if offset <= i < offset + n
+            )
+            offset += n
+            if not local:
+                continue
+            taken = batch.take(pa.array(local, pa.int32()))
+            cols = list(taken.columns)
+            cols.append(
+                pa.array(["delete"] * len(local), target.field(CDF_TYPE_COL).type)
+            )
+            cols.append(
+                pa.array(
+                    [partition.version] * len(local),
+                    target.field(CDF_VERSION_COL).type,
+                )
+            )
+            yield pa.RecordBatch.from_arrays(cols, schema=target)
 
 
 def _cdf_insert_batches(partition: AcidCdfInsertPartition, read_schema):
@@ -416,21 +522,43 @@ class AcidStreamReader(DataSourceStreamReader):
                         )
                         for e in rec.get("add", [])
                     )
-            elif rec.get("add") or rec.get("remove"):
+            elif rec.get("add") or rec.get("remove") or rec.get("dv"):
                 if self.change_feed:
-                    parts.append(
-                        AcidCdfDiffPartition(
-                            [
-                                os.path.join(self.path, e["path"])
-                                for e in rec.get("add", [])
-                            ],
-                            [
-                                os.path.join(self.path, rel)
-                                for rel in rec.get("remove", [])
-                            ],
-                            v,
+                    if rec.get("add") or rec.get("remove"):
+                        def _abs_dead(cut):
+                            return {
+                                os.path.join(self.path, rel): idxs
+                                for rel, idxs in _dv_rows_by_file(
+                                    self.path, cut
+                                ).items()
+                            }
+
+                        parts.append(
+                            AcidCdfDiffPartition(
+                                [
+                                    os.path.join(self.path, e["path"])
+                                    for e in rec.get("add", [])
+                                ],
+                                [
+                                    os.path.join(self.path, rel)
+                                    for rel in rec.get("remove", [])
+                                ],
+                                v,
+                                add_dead=_abs_dead(v),
+                                remove_dead=_abs_dead(v - 1),
+                            )
                         )
-                    )
+                    if rec.get("dv"):
+                        parts.append(
+                            AcidCdfDvPartition(
+                                [
+                                    os.path.join(self.path, e["path"])
+                                    for e in rec["dv"]
+                                ],
+                                self.path,
+                                v,
+                            )
+                        )
                 elif not self.skip_change:
                     raise ValueError(
                         f"streaming tail of {self.path} hit a "
@@ -447,6 +575,8 @@ class AcidStreamReader(DataSourceStreamReader):
             return _cdf_insert_batches(partition, self.read_schema)
         if isinstance(partition, AcidCdfDiffPartition):
             return _cdf_diff_batches(partition, self.read_schema)
+        if isinstance(partition, AcidCdfDvPartition):
+            return _cdf_dv_batches(partition, self.read_schema)
         return _read_file_as_arrow(partition, self.read_schema)
 
     def commit(self, end: dict) -> None:

@@ -744,15 +744,87 @@ def q_stream_acid_cdc(spark, sf_dir):
 
 
 @query(
+    "q_acid_delete_dv",
+    oracle=f"""
+SELECT o_orderstatus,
+       count(*) AS n,
+       {_E2} AS sum_price_e2,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_orderkey % 10 < 2) AS n_deleted
+FROM orders
+WHERE o_orderkey % 10 >= 2
+GROUP BY o_orderstatus
+""",
+)
+def q_acid_delete_dv(spark, sf_dir):
+    """MERGE-ON-READ delete via DELETION VECTORS (Table.delete_where_dv —
+    the Delta DV / Iceberg positional-delete shape): the scattered 20%
+    delete (``o_orderkey % 10 < 2`` hits every file of the range-
+    clustered layout) records only (file, row_index) positions in a
+    small parquet sidecar — NO data file is rewritten, which is the only
+    affordable shape for scattered compliance deletes at 100 TB (copy-
+    on-write would rewrite the whole table; footer-stats pruning cannot
+    help a predicate that hits every file). Readers fold the DV set and
+    apply it as one broadcast anti-join on (file, row_index) resolved
+    through Spark's _metadata columns. The returned aggregate runs over
+    the DV-applied snapshot, and n_deleted is computed by the engine's
+    own CDC across the DV commit (delete images materialized from
+    positions — rows the sidecar recorded, not the predicate re-run), so
+    a miscounted position, a double-recorded row, or a reader that
+    misses the anti-join all hash-mismatch. No-rewrite, resurrection
+    safety across merge/compact, restore of DV state, and vacuum
+    retention of live sidecars are pinned by tests/test_table_format.py.
+
+    Scale: the delete costs one predicate scan + a matched-rows-sized
+    sidecar write; the read tax is a broadcast anti-join until compact()
+    materializes; CDC across the commit reads only the referenced
+    files."""
+    import shutil as _shutil
+
+    path = fixture_path("acid_dv_orders", sf_dir)
+    if os.path.isdir(path):
+        _shutil.rmtree(path)
+    o = load_tables(spark, sf_dir)["orders"]
+    t = Table(
+        spark, path, stats_cols=["o_orderkey"], cluster_by="o_orderkey",
+        num_files=4,
+    )
+    t.create(o)
+    t.delete_where_dv("o_orderkey % 10 < 2")
+    nd = t.changes(0, 1).agg(
+        F.count(F.lit(1)).cast("long").alias("n_deleted")
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_price_e2"),
+        )
+        .crossJoin(F.broadcast(nd))
+    )
+
+
+@query(
     "q_stream_acid_cdf",
     oracle=f"""
 WITH upd_old AS (
-  SELECT o_orderstatus, o_totalprice FROM orders
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
   WHERE o_orderkey BETWEEN {_UPD_LO} AND {_UPD_HI}
 ),
 ins AS (
-  SELECT o_orderstatus, o_totalprice FROM orders
-  WHERE o_orderkey BETWEEN {_INS_LO} AND {_INS_HI}
+  SELECT o_orderkey + {_INS_SHIFT} AS o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey BETWEEN {_INS_LO} AND {_INS_HI}
+),
+merged AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey NOT BETWEEN {_UPD_LO} AND {_UPD_HI}
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 100000.0 FROM upd_old
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM ins
 ),
 chg AS (
   SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version,
@@ -768,6 +840,9 @@ chg AS (
   SELECT 'insert', CAST(2 AS BIGINT), o_orderstatus, o_totalprice FROM ins
   UNION ALL
   SELECT 'delete', CAST(2 AS BIGINT), o_orderstatus, o_totalprice FROM upd_old
+  UNION ALL
+  SELECT 'delete', CAST(3 AS BIGINT), o_orderstatus, o_totalprice
+  FROM merged WHERE o_orderkey % 10 = 7
 )
 SELECT change_type, commit_version, o_orderstatus, count(*) AS n,
        CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
@@ -778,21 +853,24 @@ FROM chg GROUP BY change_type, commit_version, o_orderstatus
 def q_stream_acid_cdf(spark, sf_dir):
     """STREAMING CHANGE FEED of the logged table — ``readStream.format(
     "pkg2acid").option("change_feed", "true")`` (the Delta readChangeFeed
-    surface over this format's log): a three-commit fixture (create
-    pre-1997 / append the rest / MERGE with updates + inserts) drains
-    through availableNow, and every commit lands as row-level change
-    images — appends as tagged inserts (one task per added file), the
-    merge as delete(old image) + insert(new image) derived executor-side
-    by multiset cancellation over the commit's add/remove file sets
-    (acid_datasource._cdf_diff_batches) — byte-equal to replaying batch
-    Table.changes(v-1, v) per commit, which is exactly what the oracle
-    reconstructs from the fixture recipe: rows re-added UNCHANGED by the
-    merge's copy-on-write rewrite must cancel to nothing, so a single
-    spurious or missing image hash-mismatches. Grouped by (change_type,
-    commit_version, status) so the feed's version attribution is checked,
-    not just its net row images. Checkpoint-resume exactly-once and the
-    downstream IVM consumption of this feed are pinned by
-    tests/test_acid_datasource.py.
+    surface over this format's log): a four-commit fixture (create
+    pre-1997 / append the rest / MERGE with updates + inserts / a
+    DELETION-VECTOR delete) drains through availableNow, and every
+    commit lands as row-level change images — appends as tagged inserts
+    (one task per added file), the merge as delete(old image) +
+    insert(new image) derived executor-side by multiset cancellation
+    over the commit's add/remove file sets
+    (acid_datasource._cdf_diff_batches), and the merge-on-read delete as
+    delete images resolved from its sidecar's (file, row_index)
+    positions with NO file rewritten (_cdf_dv_batches) — byte-equal to
+    replaying batch Table.changes(v-1, v) per commit, which is exactly
+    what the oracle reconstructs from the fixture recipe: rows re-added
+    UNCHANGED by the merge's copy-on-write rewrite must cancel to
+    nothing, so a single spurious or missing image hash-mismatches.
+    Grouped by (change_type, commit_version, status) so the feed's
+    version attribution is checked, not just its net row images.
+    Checkpoint-resume exactly-once and the downstream IVM consumption of
+    this feed are pinned by tests/test_acid_datasource.py.
 
     Scale shape: per micro-batch, offset resolution is a driver-side
     O(new commits) log read; appended data flows one Arrow task per
@@ -815,6 +893,10 @@ def q_stream_acid_cdf(spark, sf_dir):
     t.create(o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("date")))
     t.append(o.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date")))
     t.merge(_updates(o), key="o_orderkey")
+    # v3: MERGE-ON-READ delete — deletion-vector positions only, no file
+    # rewritten; the feed must still emit its full delete images (one
+    # executor task resolving the sidecar positions back to rows).
+    t.delete_where_dv("o_orderkey % 10 = 7")
     register_acid_source(spark)
     rows = run_to_memory(
         spark.readStream.format("pkg2acid")

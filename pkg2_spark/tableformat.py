@@ -149,6 +149,31 @@ def _live_entries(path: str, cut: int) -> dict[str, dict]:
     return live
 
 
+def dv_state(path: str, cut: int | None = None) -> list[dict]:
+    """The DELETION-VECTOR state at version ``cut`` (default head): the
+    list of live DV entries ({"path": rel, "rows": n}), folded like the
+    file lists. DV entries ACCUMULATE across dv-delete commits; a commit
+    carrying ``dv_base`` (compact → [], restore → the target's folded
+    state) RESETS the set first. Stale DV rows referencing files a later
+    rewrite removed are harmless — the read-path anti-join keys on
+    (file, row_index) and dead files are never scanned — so merge never
+    needs to rewrite DV sidecars; compact's reset is a join-size
+    optimization, not a correctness requirement."""
+    vs = _versions(path)
+    if not vs:
+        raise FileNotFoundError(f"no table log at {path}")
+    cut = vs[-1] if cut is None else cut
+    dvs: list[dict] = []
+    for v in vs:
+        if v > cut:
+            break
+        rec = _read_commit(path, v)
+        if "dv_base" in rec:
+            dvs = list(rec["dv_base"])
+        dvs = dvs + list(rec.get("dv", []))
+    return dvs
+
+
 def _file_stats(files: list[str], stats_cols: list[str]) -> list[dict]:
     """Per-file min/max for ``stats_cols``, read from parquet footers —
     one metadata read per new file at COMMIT time (the Delta stats
@@ -239,6 +264,8 @@ def _commit(
     remove: list[str],
     meta: dict | None = None,
     schema: dict | None = None,
+    dv: list[dict] | None = None,
+    dv_base: list[dict] | None = None,
 ) -> None:
     os.makedirs(_log_dir(path), exist_ok=True)
     rec = {
@@ -250,6 +277,10 @@ def _commit(
     }
     if schema is not None:
         rec["schema"] = schema
+    if dv is not None:
+        rec["dv"] = dv
+    if dv_base is not None:
+        rec["dv_base"] = dv_base
     target = os.path.join(_log_dir(path), _LOG_FMT.format(version))
     try:
         fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -345,14 +376,20 @@ class Table:
             # so, not fail lazily inside a Spark scan. The stat walk is
             # confined to EXPLICIT time-travel reads: the latest
             # snapshot's files always exist (vacuum never touches them),
-            # so the hot path pays nothing.
-            gone = [f for f in files if not os.path.exists(f)]
+            # so the hot path pays nothing. DV sidecars are part of the
+            # snapshot: a vacuumed DV file makes the version unreadable
+            # the same way a vacuumed data file does.
+            dv_files = [
+                os.path.join(self.path, e["path"])
+                for e in dv_state(self.path, version)
+            ]
+            gone = [f for f in files + dv_files if not os.path.exists(f)]
             if gone:
                 raise FileNotFoundError(
                     f"version {version} of {self.path} is no longer "
-                    f"readable: {len(gone)}/{len(files)} of its data "
-                    "files were vacuumed (raise vacuum's keep_versions "
-                    "to retain deeper time travel)"
+                    f"readable: {len(gone)}/{len(files) + len(dv_files)} "
+                    "of its data/DV files were vacuumed (raise vacuum's "
+                    "keep_versions to retain deeper time travel)"
                 )
         if not files:
             if schema is not None:
@@ -361,10 +398,7 @@ class Table:
             first = _read_commit(self.path, _versions(self.path)[0])
             probe = [os.path.join(self.path, f["path"]) for f in first["add"]]
             return self.spark.read.parquet(*probe).limit(0)
-        reader = self.spark.read
-        if schema is not None:
-            reader = reader.schema(schema)
-        return reader.parquet(*files)
+        return self._scan(files, version)
 
     def history(self) -> list[dict]:
         """The commit log, oldest first (driver-side: O(commits))."""
@@ -386,19 +420,96 @@ class Table:
         only_a, only_b = sorted(sa - sb), sorted(sb - sa)
         import pyspark.sql.functions as F
 
-        if not only_a and not only_b:
+        dva, dvb = dv_state(self.path, v_from), dv_state(self.path, v_to)
+        dv_moved = [e["path"] for e in dva] != [e["path"] for e in dvb]
+        if not only_a and not only_b and not dv_moved:
             return self.read(v_to).limit(0).withColumn("change_type", F.lit(""))
         # Both sides read under v_to's LOG schema so an evolved column
         # aligns (nulls on the old side) instead of failing the exceptAll.
         schema = self.schema_at(v_to)
         reader = self.spark.read.schema(schema) if schema else self.spark.read
-        schema_probe = only_b[0] if only_b else only_a[0]
-        empty = reader.parquet(schema_probe).limit(0)
-        da = reader.parquet(*only_a) if only_a else empty
-        db = reader.parquet(*only_b) if only_b else empty
-        ins = db.exceptAll(da).withColumn("change_type", F.lit("insert"))
-        dele = da.exceptAll(db).withColumn("change_type", F.lit("delete"))
-        return ins.unionByName(dele)
+        schema_probe = sorted(sb or sa)[0]
+        empty = reader.parquet(schema_probe).limit(0).withColumn(
+            "change_type", F.lit("")
+        )
+        parts = [empty]
+        if only_a or only_b:
+            # Each side applies ITS OWN version's DV set, so a row
+            # merge-on-read-deleted BEFORE the window never surfaces as a
+            # change when its file is later rewritten (the rewrite's
+            # output lacks it on both sides).
+            da = (
+                self._apply_dv(reader.parquet(*only_a), dva)
+                if only_a
+                else empty.drop("change_type")
+            )
+            db = (
+                self._apply_dv(reader.parquet(*only_b), dvb)
+                if only_b
+                else empty.drop("change_type")
+            )
+            parts.append(
+                db.exceptAll(da).withColumn("change_type", F.lit("insert"))
+            )
+            parts.append(
+                da.exceptAll(db).withColumn("change_type", F.lit("delete"))
+            )
+        if dv_moved:
+            # MERGE-ON-READ deletes inside the window: DV rows present at
+            # v_to but not v_from are delete images; rows present at
+            # v_from but not v_to (a restore un-deleting) are insert
+            # images. Restricted to files live in BOTH snapshots — a
+            # rewritten file's row changes are already in the file diff
+            # above, and its stale DV rows must not double-count.
+            common_rel = {os.path.relpath(f, self.path) for f in sa & sb}
+            fa = (
+                self._dv_frame(dva).select("file", "ri")
+                if dva
+                else self.spark.createDataFrame([], "file string, ri long")
+            )
+            fb = (
+                self._dv_frame(dvb).select("file", "ri")
+                if dvb
+                else self.spark.createDataFrame([], "file string, ri long")
+            )
+            for pos, tag in (
+                (fb.exceptAll(fa), "delete"),
+                (fa.exceptAll(fb), "insert"),
+            ):
+                # O(files) driver-side intersect, not an isin literal list
+                # (plan bloat at scale); non-common files drop here and
+                # their stale pos rows can never match the scan's join key.
+                hit_files = [
+                    r["file"]
+                    for r in pos.select("file").distinct().collect()
+                    if r["file"] in common_rel
+                ]
+                if not hit_files:
+                    continue
+                scan = self._tag_positions(
+                    reader.parquet(
+                        *[os.path.join(self.path, rel) for rel in hit_files]
+                    )
+                )
+                img = (
+                    scan.join(
+                        F.broadcast(
+                            pos.select(
+                                F.col("file").alias("__file"),
+                                F.col("ri").alias("__ri"),
+                            )
+                        ),
+                        ["__file", "__ri"],
+                        "inner",
+                    )
+                    .drop("__file", "__ri")
+                    .withColumn("change_type", F.lit(tag))
+                )
+                parts.append(img)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _pinned_reader(self, version: int | None = None):
         """A reader pinned to the log's schema — EVERY rewrite must scan
@@ -408,6 +519,70 @@ class Table:
         column from a compaction/delete/merge rewrite."""
         schema = self.schema_at(version)
         return self.spark.read.schema(schema) if schema else self.spark.read
+
+    def _file_prefix(self) -> str:
+        """The _metadata.file_path prefix for this table's data files —
+        strip it to get the log's relative paths."""
+        return "file:" + os.path.abspath(self.path) + "/"
+
+    def _dv_frame(self, dv_entries: list[dict]) -> DataFrame:
+        """The folded deletion-vector rows (file, ri) as a DataFrame."""
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, e["path"]) for e in dv_entries]
+        )
+
+    def _tag_positions(self, df: DataFrame) -> DataFrame:
+        """Attach __file (log-relative path) and __ri (row index) from the
+        scan's _metadata columns — must run while df is still a bare file
+        scan (_metadata stops resolving after a join)."""
+        import pyspark.sql.functions as F
+
+        return df.withColumn(
+            "__file",
+            F.replace(
+                F.col("_metadata.file_path"),
+                F.lit(self._file_prefix()),
+                F.lit(""),
+            ),
+        ).withColumn("__ri", F.col("_metadata.row_index"))
+
+    def _apply_dv(
+        self, df: DataFrame, dv_entries: list[dict], keep_pos: bool = False
+    ) -> DataFrame:
+        """Apply a DELETION-VECTOR set to a bare file scan: one broadcast
+        anti-join on (file, row_index) against the (small — that is the
+        merge-on-read bet) folded DV rows."""
+        import pyspark.sql.functions as F
+
+        if not dv_entries and not keep_pos:
+            return df
+        tagged = self._tag_positions(df)
+        if dv_entries:
+            dv = self._dv_frame(dv_entries).select(
+                F.col("file").alias("__dv_file"), F.col("ri").alias("__dv_ri")
+            )
+            tagged = tagged.join(
+                F.broadcast(dv),
+                (F.col("__file") == F.col("__dv_file"))
+                & (F.col("__ri") == F.col("__dv_ri")),
+                "left_anti",
+            )
+        return tagged if keep_pos else tagged.drop("__file", "__ri")
+
+    def _scan(
+        self,
+        files: list[str],
+        version: int | None = None,
+        keep_pos: bool = False,
+    ):
+        """Schema-pinned scan of ``files`` with the version's DELETION
+        VECTORS applied — THE scan every reader and every rewrite must go
+        through once a table has DV commits: a rewrite reading raw files
+        would RESURRECT merge-on-read-deleted rows into its output.
+        ``keep_pos`` keeps the __file/__ri position columns for callers
+        that need them (the DV writer)."""
+        df = self._pinned_reader(version).parquet(*files)
+        return self._apply_dv(df, dv_state(self.path, version), keep_pos)
 
     # -- writers ---------------------------------------------------------
     def create(self, df: DataFrame) -> int:
@@ -506,7 +681,9 @@ class Table:
             if touched:
                 # No broadcast hint: the update delta is unbounded in
                 # general (a day's CDC feed) — AQE sizes the anti-join.
-                base = self._pinned_reader().parquet(*touched)
+                # _scan, not a raw read: a raw rewrite would RESURRECT
+                # DV-deleted rows living in the touched files.
+                base = self._scan(touched)
                 rewritten = base.join(
                     keys, key, "left_anti"
                 ).unionByName(updates)
@@ -536,7 +713,7 @@ class Table:
         for _ in range(self.max_retries):
             v = latest_version(self.path)
             live = snapshot_files(self.path, v)
-            base = self._pinned_reader().parquet(*live)
+            base = self._scan(live)  # DV-applied: never resurrect
             kept_rows = base.filter(f"NOT ({predicate})")
             rel = [os.path.relpath(f, self.path) for f in live]
             try:
@@ -547,6 +724,77 @@ class Table:
             except ConcurrentCommitError:
                 continue
         raise ConcurrentCommitError(f"delete in {self.path} kept losing races")
+
+    def delete_where_dv(self, predicate: str) -> int:
+        """MERGE-ON-READ delete — the deletion-vector arm of delete_where
+        (Delta DV / Iceberg positional-delete semantics): instead of
+        rewriting every live file minus the matching rows (copy-on-write
+        pays |table| write for a point delete), record the matching rows'
+        POSITIONS — (file, row_index) pairs, resolved through Spark's
+        _metadata columns — as a small parquet sidecar and commit it as a
+        dv entry. Readers apply the folded DV set as one broadcast
+        anti-join (Table._scan), so the delete is visible immediately;
+        compact() later MATERIALIZES the deletes (rewrites without the
+        rows, resets the DV set) — the read-amplification-vs-write-cost
+        trade every merge-on-read format schedules explicitly.
+
+        The position scan itself reads through _scan, so rows already
+        DV-deleted are never re-recorded (a second identical delete
+        writes an empty sidecar and commits 0 rows). Write cost: one
+        predicate scan (column-pruned to the predicate's needs plus two
+        metadata columns) + a sidecar proportional to MATCHED rows —
+        never a data rewrite. At 100 TB this is the only affordable
+        shape for scattered compliance deletes."""
+        import pyspark.sql.functions as F
+
+        for _ in range(self.max_retries):
+            v = latest_version(self.path)
+            live = snapshot_files(self.path, v)
+            matches = (
+                self._scan(live, version=v, keep_pos=True)
+                .filter(predicate)
+                .select(
+                    F.col("__file").alias("file"),
+                    F.col("__ri").alias("ri"),
+                )
+            )
+            rel_dir = os.path.join("dv", f"v{v + 1}-{uuid.uuid4().hex[:12]}")
+            out_dir = os.path.join(self.path, rel_dir)
+            matches.write.mode("error").parquet(out_dir)
+            files = sorted(
+                f for f in os.listdir(out_dir) if f.endswith(".parquet")
+            )
+            metas = _file_stats([os.path.join(out_dir, f) for f in files], [])
+            dv = [
+                {"path": os.path.join(rel_dir, f), "rows": m["rows"]}
+                for f, m in zip(files, metas)
+                if m["rows"] > 0
+            ]
+            try:
+                _commit(
+                    self.path,
+                    v + 1,
+                    "delete",
+                    [],
+                    [],
+                    meta={
+                        "predicate": predicate,
+                        "mode": "dv",
+                        "rows_deleted": sum(e["rows"] for e in dv),
+                    },
+                    schema=(
+                        self.schema_at(v).jsonValue()
+                        if self.schema_at(v) is not None
+                        else None
+                    ),
+                    dv=dv,
+                )
+                return v + 1
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            f"dv-delete in {self.path} kept losing races"
+        )
 
     def compact(
         self,
@@ -574,7 +822,8 @@ class Table:
         for _ in range(self.max_retries):
             v = latest_version(self.path)
             live = snapshot_files(self.path, v)
-            df = self._pinned_reader().parquet(*live)
+            df = self._scan(live)  # DV-applied: compaction MATERIALIZES
+            # merge-on-read deletes; its commit resets the DV set.
             rel = [os.path.relpath(f, self.path) for f in live]
             saved_files, saved_cluster = self.num_files, self.cluster_by
             try:
@@ -595,6 +844,9 @@ class Table:
                     meta["zorder_by"] = list(zorder_by)
                 return self._mutate(
                     "compact", df, remove=rel, base_version=v, meta=meta,
+                    # the rewrite materialized every DV delete; reset the
+                    # folded DV set so readers stop paying the anti-join
+                    dv_base=[],
                 )
             except ConcurrentCommitError:
                 continue
@@ -667,17 +919,19 @@ class Table:
             if version == head:
                 return head  # restoring to the head is a no-op
             target = _live_entries(self.path, version)
+            target_dv = dv_state(self.path, version)
+            target_all = list(target) + [e["path"] for e in target_dv]
             gone = sorted(
                 rel
-                for rel in target
+                for rel in target_all
                 if not os.path.exists(os.path.join(self.path, rel))
             )
             if gone:
                 raise FileNotFoundError(
                     f"cannot restore {self.path} to version {version}: "
-                    f"{len(gone)}/{len(target)} of its data files were "
-                    "vacuumed (raise vacuum's keep_versions to retain "
-                    "deeper restore)"
+                    f"{len(gone)}/{len(target_all)} of its data/DV files "
+                    "were vacuumed (raise vacuum's keep_versions to "
+                    "retain deeper restore)"
                 )
             cur = _live_entries(self.path, head)
             add = [e for rel, e in sorted(target.items()) if rel not in cur]
@@ -703,6 +957,8 @@ class Table:
                     schema=(
                         sch.jsonValue() if sch is not None else {"__none__": True}
                     ),
+                    # DV state is part of the snapshot: revert it too.
+                    dv_base=target_dv,
                 )
                 # Check-then-commit closes a race: a concurrent vacuum
                 # may have reaped target files between the existence walk
@@ -715,7 +971,7 @@ class Table:
                 # catch-and-retry loop (r12 advice).
                 gone = sorted(
                     rel
-                    for rel in target
+                    for rel in target_all
                     if not os.path.exists(os.path.join(self.path, rel))
                 )
                 if gone:
@@ -732,9 +988,10 @@ class Table:
                     # the files shared with the target) first and fall
                     # through to the manual-remedy path if any are gone
                     # (r13 advice).
+                    head_dv = dv_state(self.path, head)
                     comp_gone = sorted(
                         rel
-                        for rel in cur
+                        for rel in list(cur) + [e["path"] for e in head_dv]
                         if not os.path.exists(os.path.join(self.path, rel))
                     )
                     if (
@@ -761,6 +1018,7 @@ class Table:
                                     if pre_sch is not None
                                     else {"__none__": True}
                                 ),
+                                dv_base=head_dv,
                             )
                             comp = head + 2
                         except ConcurrentCommitError:
@@ -808,10 +1066,19 @@ class Table:
         referenced: set[str] = set()
         for v in keep:
             referenced.update(snapshot_files(self.path, v))
+            # DV sidecars are part of the snapshot: reaping a retained
+            # version's DV file would silently RESURRECT its deleted rows
+            referenced.update(
+                os.path.join(self.path, e["path"])
+                for e in dv_state(self.path, v)
+            )
         ever: set[str] = set()
         for v in vs:
-            for f in _read_commit(self.path, v).get("add", []):
+            rec = _read_commit(self.path, v)
+            for f in rec.get("add", []):
                 ever.add(os.path.join(self.path, f["path"]))
+            for e in list(rec.get("dv", [])) + list(rec.get("dv_base", [])):
+                ever.add(os.path.join(self.path, e["path"]))
         victims = sorted(ever - referenced)
         for f in victims:
             if os.path.exists(f):
@@ -877,6 +1144,7 @@ class Table:
         remove: list[str],
         base_version: int,
         meta: dict | None = None,
+        dv_base: list[dict] | None = None,
     ) -> int:
         version = base_version + 1
         # repartitionByRange, not hash repartition: range partitioning
@@ -900,6 +1168,6 @@ class Table:
         add = _write_data(out, self.path, version, self.stats_cols)
         _commit(
             self.path, version, op, add, remove, meta,
-            schema=df.schema.jsonValue(),
+            schema=df.schema.jsonValue(), dv_base=dv_base,
         )
         return version

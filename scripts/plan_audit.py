@@ -81,6 +81,9 @@ NLJ_WHITELIST = {
     "q_agg_mode": "1-row total cross join (broadcast)",
     "q_acid_compact": "1-row CDC-emptiness scalar broadcast cross onto the "
     "per-status aggregate (the logical-no-op proof column)",
+    "q_acid_delete_dv": "1-row CDC deleted-count scalar broadcast cross "
+    "onto the per-status aggregate (the q_acid_compact shape); the DV "
+    "application itself is the broadcast anti-join on (file, row_index)",
     "q_events_rfm_thresholds": "1-row quintile-threshold table broadcast "
     "cross over the per-user base (the q_dq_anomaly threshold-then-filter "
     "shape; replaces q_events_rfm's global ntile windows)",

@@ -287,7 +287,8 @@ def test_change_feed_matches_batch_changes_and_resumes(spark, tmp_path):
     t.merge(spark.range(0, 5).select("id", (F.col("id") * 3).alias("v")), key="id")
     t.delete_where("id >= 70")
     t.restore(2)  # un-deletes: net insert images for the id >= 70 rows
-    t.compact(max_files=2)
+    t.delete_where_dv("id % 9 = 4")  # merge-on-read: delete images, no rewrite
+    t.compact(max_files=2)  # materializes the DVs; must emit NOTHING
     register_acid_source(spark)
 
     def drain():
@@ -522,3 +523,27 @@ def test_change_feed_null_fills_evolved_schema(spark, tmp_path):
         got.filter((F.col("change_type") == "insert") & (F.col("id") >= 20))
         .filter(F.col("tag") == "new").count() == 10
     )
+
+
+def test_batch_reader_applies_deletion_vectors(spark, tmp_path):
+    # format("pkg2acid") must not serve merge-on-read-deleted rows: the
+    # planner attaches each file's folded DV row indexes to its partition
+    # and the Arrow read skips them; time travel to the pre-delete
+    # version still serves everything.
+    path = str(tmp_path / "dv")
+    t = Table(spark, path, stats_cols=["id"], cluster_by="id", num_files=4)
+    t.create(spark.range(0, 100).select("id", (F.col("id") * 2).alias("v")))
+    v0 = 0
+    t.delete_where_dv("id % 4 = 1")
+    register_acid_source(spark)
+    got = spark.read.format("pkg2acid").load(path)
+    assert got.count() == 75
+    assert got.filter("id % 4 = 1").count() == 0
+    assert got.agg(F.sum("v")).collect()[0][0] == sum(
+        2 * i for i in range(100) if i % 4 != 1
+    )
+    old = spark.read.format("pkg2acid").option("version", v0).load(path)
+    assert old.count() == 100
+    # parity with the JVM reader on the same snapshot
+    assert got.exceptAll(t.read()).count() == 0
+    assert t.read().exceptAll(got).count() == 0

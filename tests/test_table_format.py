@@ -505,8 +505,12 @@ def test_restore_vacuum_race_compensates_before_raising(spark, table, monkeypatc
     real_commit = tf._commit
     state = {"fired": False}
 
-    def racing_commit(path, version, op, add, remove, meta=None, schema=None):
-        real_commit(path, version, op, add, remove, meta=meta, schema=schema)
+    def racing_commit(
+        path, version, op, add, remove, meta=None, schema=None, **kw
+    ):
+        real_commit(
+            path, version, op, add, remove, meta=meta, schema=schema, **kw
+        )
         if not state["fired"] and meta and meta.get("restored_to") == 0:
             # Simulate the concurrent vacuum landing in the window between
             # the restore commit and its post-commit re-verify.
@@ -561,8 +565,12 @@ def test_restore_compensation_skipped_when_its_own_files_are_gone(
     real_commit = tf._commit
     state = {"fired": False}
 
-    def racing_commit(path, version, op, add, remove, meta=None, schema=None):
-        real_commit(path, version, op, add, remove, meta=meta, schema=schema)
+    def racing_commit(
+        path, version, op, add, remove, meta=None, schema=None, **kw
+    ):
+        real_commit(
+            path, version, op, add, remove, meta=meta, schema=schema, **kw
+        )
         if not state["fired"] and meta and meta.get("restored_to") == 0:
             # The simulated vacuum reaps BOTH the restore target's files
             # and the pre-restore head's (a keep_versions=1 vacuum with
@@ -581,3 +589,90 @@ def test_restore_compensation_skipped_when_its_own_files_are_gone(
     assert ei.value.compensated_version is None
     # No second head was stacked: the poisoned restore stays the head.
     assert latest_version(table.path) == pre_head + 1
+
+
+def test_dv_delete_is_merge_on_read(spark, table):
+    # delete_where_dv records POSITIONS, rewrites nothing: the live file
+    # set is unchanged, the rows disappear from read(), time travel to
+    # the pre-delete version still sees them, and a second identical
+    # delete records zero rows (the position scan reads through the DV).
+    from pkg2_spark.tableformat import dv_state
+
+    files_before = set(snapshot_files(table.path))
+    v = table.delete_where_dv("id % 10 = 3")
+    assert set(snapshot_files(table.path)) == files_before  # no rewrite
+    assert table.read().count() == 900
+    assert table.read().filter("id % 10 = 3").count() == 0
+    assert table.read(version=v - 1).count() == 1000  # time travel intact
+    hist = table.history()
+    assert hist[-1]["op"] == "delete" and hist[-1]["meta"]["mode"] == "dv"
+    assert hist[-1]["meta"]["rows_deleted"] == 100
+    assert sum(e["rows"] for e in dv_state(table.path)) == 100
+    # idempotent re-delete: positions already dead are not re-recorded
+    table.delete_where_dv("id % 10 = 3")
+    assert table.history()[-1]["meta"]["rows_deleted"] == 0
+    assert table.read().count() == 900
+
+
+def test_dv_rewrites_never_resurrect_and_compact_materializes(spark, table):
+    # The resurrection hazard: merge/compact rewrite files that still
+    # CONTAIN dv-deleted rows — the rewrite must read DV-applied. After
+    # compact the deletes are materialized and the DV set resets.
+    from pkg2_spark.tableformat import dv_state
+
+    table.delete_where_dv("id < 100")
+    assert table.read().count() == 900
+    # merge touches low-key files (where the dv'd rows live)
+    table.merge(_mk(spark, 100, 120, tag="upd"), key="id")
+    assert table.read().count() == 900  # deleted rows stayed dead
+    assert table.read().filter("id < 100").count() == 0
+    assert table.read().filter("tag = 'upd'").count() == 20
+    table.compact(max_files=2)
+    assert dv_state(table.path) == []  # reset: deletes are in the files now
+    assert table.read().count() == 900
+    assert table.read().filter("id < 100").count() == 0
+    # compact stayed a logical no-op as data: CDC across it is empty
+    assert table.changes(
+        latest_version(table.path) - 1, latest_version(table.path)
+    ).count() == 0
+
+
+def test_dv_changes_and_restore(spark, table):
+    # CDC across a dv commit = delete images of exactly the dv'd rows;
+    # restore to the pre-delete version un-deletes (dv_base reverts) and
+    # CDC across the restore shows them back as inserts.
+    import pyspark.sql.functions as F
+
+    v0 = latest_version(table.path)
+    v1 = table.delete_where_dv("id BETWEEN 200 AND 249")
+    ch = table.changes(v0, v1)
+    assert ch.count() == 50
+    assert ch.select("change_type").distinct().collect()[0][0] == "delete"
+    assert sorted(r["id"] for r in ch.collect()) == list(range(200, 250))
+    v2 = table.restore(v0)
+    assert table.read().count() == 1000
+    back = table.changes(v1, v2)
+    assert back.count() == 50
+    assert back.select("change_type").distinct().collect()[0][0] == "insert"
+    # and the un-deleted rows read back with full images
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(200, 250))
+
+
+def test_dv_vacuum_keeps_live_sidecars(spark, table):
+    import os as _os
+
+    from pkg2_spark.tableformat import dv_state
+
+    table.delete_where_dv("id >= 990")
+    dv_files = [
+        _os.path.join(table.path, e["path"]) for e in dv_state(table.path)
+    ]
+    assert dv_files
+    table.vacuum(keep_versions=1)
+    assert all(_os.path.exists(f) for f in dv_files)  # live DV survives
+    assert table.read().count() == 990
+    # after compact (DVs materialized + reset), vacuum reaps the sidecars
+    table.compact(max_files=2)
+    table.vacuum(keep_versions=1)
+    assert not any(_os.path.exists(f) for f in dv_files)
+    assert table.read().count() == 990
