@@ -676,3 +676,37 @@ def test_dv_vacuum_keeps_live_sidecars(spark, table):
     table.vacuum(keep_versions=1)
     assert not any(_os.path.exists(f) for f in dv_files)
     assert table.read().count() == 990
+
+
+def test_dv_across_schema_evolution(spark, table):
+    # DV positions recorded before a schema evolution keep applying after
+    # it (the anti-join keys on position, not content); a DV delete AFTER
+    # the evolution can match on the evolved column, and its CDC delete
+    # images read under the evolved schema with old rows null-filled.
+    import pyspark.sql.functions as F
+
+    table.delete_where_dv("id < 50")  # pre-evolution DV
+    table.append(_mk(spark, 1000, 1100).withColumn("src", F.lit("new")),
+                 allow_schema_evolution=True)
+    assert table.read().count() == 1050
+    assert table.read().filter("id < 50").count() == 0  # still dead
+    # post-evolution DV delete matching on the evolved column
+    v_before = latest_version(table.path)
+    table.delete_where_dv("src = 'new' AND id >= 1090")
+    assert table.read().count() == 1040
+    ch = table.changes(v_before, v_before + 1)
+    assert ch.count() == 10
+    assert {r["src"] for r in ch.collect()} == {"new"}
+    # the pre-evolution window's diff stays pinned to ITS schema (time
+    # travel is schema-correct): no evolved column, 50 delete images
+    ch0 = table.changes(0, 1)
+    assert "src" not in ch0.columns
+    assert ch0.count() == 50
+    assert {r["change_type"] for r in ch0.collect()} == {"delete"}
+    # a window SPANNING the evolution diffs under the evolved schema:
+    # the DV'd old rows' images carry the evolved column null-filled
+    span = table.changes(0, latest_version(table.path)).filter(
+        "change_type = 'delete' AND id < 50"
+    )
+    assert span.count() == 50
+    assert {r["src"] for r in span.collect()} == {None}
