@@ -744,6 +744,75 @@ def q_stream_acid_cdc(spark, sf_dir):
 
 
 @query(
+    "q_acid_update",
+    oracle=f"""
+SELECT o_orderstatus,
+       count(*) AS n,
+       CAST(sum(CAST(floor(
+         (CASE WHEN o_orderpriority = '1-URGENT'
+               THEN o_totalprice * 1.1 ELSE o_totalprice END) * 100
+       ) AS BIGINT)) AS BIGINT) AS sum_price_e2,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders
+        WHERE o_orderpriority = '1-URGENT') AS n_updated
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def q_acid_update(spark, sf_dir):
+    """Copy-on-write UPDATE (Table.update_where — the missing third of
+    the DML triad beside merge and the two delete shapes): ``SET
+    o_totalprice = o_totalprice * 1.1 WHERE o_orderpriority =
+    '1-URGENT'`` over a fresh logged orders table. All right-hand sides
+    evaluate against the OLD row in ONE select (SQL UPDATE semantics —
+    a swap assignment is order-independent, pinned by test), each
+    assignment casts back to the column's declared type so an update
+    can never retype the table, and the rewrite reads DV-applied so it
+    cannot resurrect merge-on-read-deleted rows. The returned aggregate
+    runs over the updated snapshot; n_updated is the engine's own CDC
+    insert-image count across the update commit (changed rows appear as
+    delete(old)+insert(new); UNCHANGED rows in rewritten files cancel in
+    the multiset diff — so an update that spuriously perturbed a
+    non-matching row, or missed a matching one, hash-mismatches). The
+    float arithmetic is IEEE-identical on both engines (one double
+    multiply, then the house floor-e2).
+
+    Scale: the rewrite covers the live set (predicate on an unclustered
+    column); a key-range-targeted update should flow through merge()'s
+    stats-pruned path instead — table history records which ran."""
+    import shutil as _shutil
+
+    path = fixture_path("acid_update_orders", sf_dir)
+    if os.path.isdir(path):
+        _shutil.rmtree(path)
+    o = load_tables(spark, sf_dir)["orders"]
+    t = Table(
+        spark, path, stats_cols=["o_orderkey"], cluster_by="o_orderkey",
+        num_files=4,
+    )
+    t.create(o)
+    t.update_where(
+        "o_orderpriority = '1-URGENT'",
+        {"o_totalprice": "o_totalprice * 1.1"},
+    )
+    nu = (
+        t.changes(0, 1)
+        .filter(F.col("change_type") == "insert")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_updated"))
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_price_e2"),
+        )
+        .crossJoin(F.broadcast(nu))
+    )
+
+
+@query(
     "q_acid_delete_dv",
     oracle=f"""
 SELECT o_orderstatus,

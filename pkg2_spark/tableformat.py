@@ -725,6 +725,64 @@ class Table:
                 continue
         raise ConcurrentCommitError(f"delete in {self.path} kept losing races")
 
+    def update_where(self, predicate: str, assignments: dict[str, str]) -> int:
+        """Copy-on-write UPDATE ... SET col = expr WHERE predicate. All
+        right-hand sides evaluate against the OLD row simultaneously
+        (one select, not chained withColumn — SQL UPDATE semantics, so
+        ``{"a": "b", "b": "a"}`` swaps). The rewrite scans DV-applied
+        (updating a merge-on-read-deleted row must not resurrect it) and
+        casts each assignment back to the column's declared type, so an
+        update can never retype the table. Like delete_where, the
+        rewrite covers the live set; a key-range-targeted upsert should
+        use merge(), whose stats pruning bounds the rewrite — noted in
+        meta so table history shows which path ran."""
+        import pyspark.sql.functions as F
+
+        for _ in range(self.max_retries):
+            v = latest_version(self.path)
+            live = snapshot_files(self.path, v)
+            base = self._scan(live)
+            missing = sorted(
+                c for c in assignments
+                if c not in {f.name for f in base.schema.fields}
+            )
+            if missing:
+                raise ValueError(
+                    f"update_where assigns unknown columns {missing}"
+                )
+            cond = F.expr(predicate)
+            cols = []
+            for f in base.schema.fields:
+                if f.name in assignments:
+                    cols.append(
+                        F.when(
+                            cond,
+                            F.expr(assignments[f.name]).cast(f.dataType),
+                        )
+                        .otherwise(F.col(f.name))
+                        .alias(f.name)
+                    )
+                else:
+                    cols.append(F.col(f.name))
+            out = base.select(*cols)
+            rel = [os.path.relpath(f, self.path) for f in live]
+            pre = self.schema_at(v)
+            try:
+                return self._mutate(
+                    "update", out, remove=rel, base_version=v,
+                    meta={
+                        "predicate": predicate,
+                        "assignments": dict(assignments),
+                    },
+                    # record the DECLARED schema, not the expression's:
+                    # when/otherwise marks outputs nullable, and an
+                    # UPDATE must not loosen the table's nullability
+                    schema_json=pre.jsonValue() if pre is not None else None,
+                )
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(f"update in {self.path} kept losing races")
+
     def delete_where_dv(self, predicate: str) -> int:
         """MERGE-ON-READ delete — the deletion-vector arm of delete_where
         (Delta DV / Iceberg positional-delete semantics): instead of
@@ -794,6 +852,53 @@ class Table:
                 continue
         raise ConcurrentCommitError(
             f"dv-delete in {self.path} kept losing races"
+        )
+
+    def compact_small(self, target_rows: int, max_files: int | None = None) -> int:
+        """PARTIAL compaction — bin-pack only files with fewer than
+        ``target_rows`` rows (the production OPTIMIZE shape: a 100 TB
+        table is never full-table-compacted; maintenance touches the
+        small-file tail each little commit leaves behind, incrementally).
+        Right-sized files carry over by reference. Returns the current
+        head unchanged when fewer than two files qualify (one small file
+        cannot be bin-packed into fewer).
+
+        DV interplay: the rewrite reads DV-applied, so it MATERIALIZES
+        the deletes of the files it touches — but unlike full compact it
+        must NOT reset the table's DV set: untouched files may still
+        depend on their DV rows. Touched files' DV rows simply go stale
+        (harmless by the (file, row_index) key design); the next FULL
+        compact reclaims the set."""
+        for _ in range(self.max_retries):
+            v = latest_version(self.path)
+            entries = _live_entries(self.path, v)
+            small = sorted(
+                rel
+                for rel, e in entries.items()
+                if e.get("rows") is not None and e["rows"] < target_rows
+            )
+            if len(small) < 2:
+                return v
+            df = self._scan([os.path.join(self.path, rel) for rel in small])
+            saved = self.num_files
+            try:
+                if max_files is not None:
+                    self.num_files = max_files
+                return self._mutate(
+                    "compact", df, remove=small, base_version=v,
+                    meta={
+                        "compacted_files": len(small),
+                        "partial": True,
+                        "target_rows": target_rows,
+                        "kept_files": len(entries) - len(small),
+                    },
+                )
+            except ConcurrentCommitError:
+                continue
+            finally:
+                self.num_files = saved
+        raise ConcurrentCommitError(
+            f"compact_small of {self.path} kept losing races"
         )
 
     def compact(
@@ -1145,6 +1250,7 @@ class Table:
         base_version: int,
         meta: dict | None = None,
         dv_base: list[dict] | None = None,
+        schema_json: dict | None = None,
     ) -> int:
         version = base_version + 1
         # repartitionByRange, not hash repartition: range partitioning
@@ -1168,6 +1274,7 @@ class Table:
         add = _write_data(out, self.path, version, self.stats_cols)
         _commit(
             self.path, version, op, add, remove, meta,
-            schema=df.schema.jsonValue(), dv_base=dv_base,
+            schema=schema_json if schema_json is not None else df.schema.jsonValue(),
+            dv_base=dv_base,
         )
         return version

@@ -84,6 +84,8 @@ NLJ_WHITELIST = {
     "q_acid_delete_dv": "1-row CDC deleted-count scalar broadcast cross "
     "onto the per-status aggregate (the q_acid_compact shape); the DV "
     "application itself is the broadcast anti-join on (file, row_index)",
+    "q_acid_update": "1-row CDC updated-count scalar broadcast cross "
+    "onto the per-status aggregate (the q_acid_compact shape)",
     "q_events_rfm_thresholds": "1-row quintile-threshold table broadcast "
     "cross over the per-user base (the q_dq_anomaly threshold-then-filter "
     "shape; replaces q_events_rfm's global ntile windows)",

@@ -710,3 +710,74 @@ def test_dv_across_schema_evolution(spark, table):
     )
     assert span.count() == 50
     assert {r["src"] for r in span.collect()} == {None}
+
+
+def test_update_where_simultaneous_assignments(spark, table):
+    # UPDATE semantics: all RHS evaluate against the OLD row (swap test),
+    # non-matching rows byte-identical, CDC across the commit shows
+    # exactly the changed rows as delete(old)+insert(new), and an
+    # assignment can never retype a column (cast back to declared type).
+    import pyspark.sql.functions as F
+
+    v0 = latest_version(table.path)
+    table.update_where("id < 10", {"id": "val", "val": "id"})
+    got = {r["id"]: r["val"] for r in table.read().filter(
+        "tag = 'a' AND (id < 10 OR val < 10)").collect()}
+    # old rows (id=i, val=2i) for i<10 became (id=2i, val=i)
+    for i in range(10):
+        assert got[2 * i] == i
+    assert table.read().count() == 1000
+    # 9, not 10: row (id=0, val=0) swaps to itself, and CDC is NET
+    # changes — the unchanged image cancels in the multiset diff
+    ch = table.changes(v0, v0 + 1)
+    assert ch.filter("change_type = 'insert'").count() == 9
+    assert ch.filter("change_type = 'delete'").count() == 9
+    # schema unchanged (val stayed its original type)
+    assert table.schema_at() == table.schema_at(v0)
+    with pytest.raises(ValueError, match="unknown columns"):
+        table.update_where("id = 0", {"nope": "1"})
+
+
+def test_update_where_does_not_resurrect_dv_rows(spark, table):
+    table.delete_where_dv("id BETWEEN 500 AND 509")
+    assert table.read().count() == 990
+    table.update_where("id >= 500", {"val": "val + 1000000"})
+    assert table.read().count() == 990  # deleted rows stayed dead
+    assert table.read().filter("id BETWEEN 500 AND 509").count() == 0
+    assert (
+        table.read().filter("id = 510").collect()[0]["val"] == 510 * 2 + 1000000
+    )
+
+
+def test_compact_small_binpacks_only_the_tail(spark, table):
+    # Partial OPTIMIZE: only sub-threshold files rewrite; right-sized
+    # files carry over BY REFERENCE; DVs on untouched files keep
+    # applying (no dv_base reset); data unchanged; idempotent when
+    # nothing qualifies.
+    from pkg2_spark.tableformat import _live_entries, dv_state
+
+    # 8 files of 125 rows from create; add small appends
+    table.num_files = 1
+    table.append(_mk(spark, 2000, 2010, tag="s1"))
+    table.append(_mk(spark, 2010, 2025, tag="s2"))
+    table.append(_mk(spark, 2025, 2030, tag="s3"))
+    table.num_files = None
+    table.delete_where_dv("id = 5")  # DV on a BIG (create-commit) file
+    v = latest_version(table.path)
+    entries = _live_entries(table.path, v)
+    big = {rel for rel, e in entries.items() if e["rows"] >= 100}
+    assert len(big) == 8 and len(entries) == 11
+    want = sorted(map(tuple, table.read().collect()))
+
+    v2 = table.compact_small(target_rows=100, max_files=1)
+    assert v2 == v + 1
+    after = _live_entries(table.path, v2)
+    assert big <= set(after)  # big files carried by reference
+    assert len(after) == len(big) + 1  # 3 small files -> 1
+    assert table.history()[-1]["meta"]["partial"] is True
+    assert dv_state(table.path) != []  # NOT reset: big-file DV still needed
+    assert sorted(map(tuple, table.read().collect())) == want
+    assert table.read().filter("id = 5").count() == 0  # DV still applies
+    # nothing small remains: idempotent no-op, no commit written
+    assert table.compact_small(target_rows=100) == v2
+    assert latest_version(table.path) == v2
