@@ -58,7 +58,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from pkg2_spark.session import truncate_lineage
+from pkg2_spark.session import truncate_lineage, truncate_lineage_counted
 
 
 # Hybrid-finish threshold: when the CONTRACTED edge set fits under this,
@@ -97,14 +97,48 @@ def resolve_components(
 ) -> DataFrame:
     """(node, component) for every node in `edges`; component = min node id
     reachable through the undirected pair graph."""
+    spark = edges.sparkSession
+    # Materialize the edge pipeline ONCE and learn its size in the same job
+    # (truncate_lineage_counted: lazy checkpoint mark + count — one action).
+    # `edges` is typically the FULL banded+cosine-verified pair pipeline, so
+    # this is the only place it is ever computed.
+    pairs_df = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    mat, n_raw = truncate_lineage_counted(pairs_df)
+    if n_raw <= _LOCAL_FINISH_EDGES:
+        # Fast path (r14 optimization): when the RAW edge list already fits
+        # the driver-local budget, the distributed contraction machinery —
+        # three eager materializations (sym / round-0 comp / contracted ec)
+        # plus a count, each a fixed-latency Spark action — buys nothing:
+        # union-find the collected edges directly. Exact same min-label
+        # fixpoint (tests/test_operators.py pins local ≡ distributed), and
+        # the threshold bounds driver memory by construction; graphs above
+        # it take the distributed rounds below, which shrink the contracted
+        # set to the same threshold before going local.
+        mapping = _local_components(
+            [(r["a"], r["b"]) for r in mat.collect()]
+        )
+        from pyspark.sql.types import StructField, StructType
+
+        node_t = (
+            pairs_df.select("a")
+            .unionByName(pairs_df.select(F.col("b").alias("a")))
+            .schema["a"]
+            .dataType
+        )
+        return spark.createDataFrame(
+            list(mapping.items()),
+            StructType(
+                [
+                    StructField("node", node_t, True),
+                    StructField("component", node_t, True),
+                ]
+            ),
+        )
     # localCheckpoint: `sym` is read three times below (round-0 labels +
-    # both sides of the edge contraction), and `edges` is typically the
-    # FULL banded+cosine-verified pair pipeline — materializing the
-    # symmetric edge list pays that pipeline once instead of per
-    # reference (same win as the incremental-dedup candidate frame).
+    # both sides of the edge contraction) — materializing the symmetric
+    # edge list pays the union+distinct once instead of per reference.
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        mat.unionByName(mat.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .transform(truncate_lineage)
     )
@@ -129,7 +163,6 @@ def resolve_components(
         .distinct()
         .transform(truncate_lineage)
     )
-    spark = edges.sparkSession
     for _ in range(max_iter):
         # Exact convergence test on the materialized checkpoint: contraction
         # is complete when no cross-component edges remain.
