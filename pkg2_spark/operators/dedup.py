@@ -92,6 +92,27 @@ def _local_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in set(parent) | {n for p in pairs for n in p}}
 
 
+def _mapping_df(spark, mapping: dict, node_type, cols: tuple[str, str]):
+    """Bounded driver mapping → DataFrame via ONE Arrow batch.
+
+    The row-list form of createDataFrame pickles every tuple and spreads a
+    few thousand rows over defaultParallelism slices (32 single-row tasks
+    locally); the pandas form crosses as one Arrow batch in one partition —
+    measured 0.43 s → 0.13 s for the fast-path finish at sf0.1. Size is
+    bounded by _LOCAL_FINISH_EDGES by construction, so one partition is the
+    right layout at any corpus scale."""
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField(cols[0], node_type, True), StructField(cols[1], node_type, True)]
+    )
+    pdf = pd.DataFrame(
+        {cols[0]: list(mapping.keys()), cols[1]: list(mapping.values())}
+    )
+    return spark.createDataFrame(pdf, schema)
+
+
 def resolve_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
 ) -> DataFrame:
@@ -117,23 +138,13 @@ def resolve_components(
         mapping = _local_components(
             [(r["a"], r["b"]) for r in mat.collect()]
         )
-        from pyspark.sql.types import StructField, StructType
-
         node_t = (
             pairs_df.select("a")
             .unionByName(pairs_df.select(F.col("b").alias("a")))
             .schema["a"]
             .dataType
         )
-        return spark.createDataFrame(
-            list(mapping.items()),
-            StructType(
-                [
-                    StructField("node", node_t, True),
-                    StructField("component", node_t, True),
-                ]
-            ),
-        )
+        return _mapping_df(spark, mapping, node_t, ("node", "component"))
     # localCheckpoint: `sym` is read three times below (round-0 labels +
     # both sides of the edge contraction) — materializing the symmetric
     # edge list pays the union+distinct once instead of per reference.
@@ -184,9 +195,11 @@ def resolve_components(
                 [(r["a"], r["b"]) for r in ec.collect()]
             )
             mdf = F.broadcast(
-                spark.createDataFrame(
-                    [(int(k), int(v)) for k, v in mapping.items()],
-                    ["node", "mnew"],
+                _mapping_df(
+                    spark,
+                    mapping,
+                    comp.schema["component"].dataType,
+                    ("node", "mnew"),
                 )
             )
             comp = comp.join(

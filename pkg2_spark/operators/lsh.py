@@ -70,14 +70,40 @@ def banded_pairs(
     incremental dedup path needs, so pairs from buckets a delta never
     touches can be reused without re-deriving them."""
     if cap is not None:
-        bands = cap_band_buckets(bands, id_col, cap)
+        # Capped path (r14, guide §2.4 "remove shuffles outright"): the cap
+        # bounds every bucket at ``cap`` members, so the bucket's member
+        # list fits in one array and pairs can be ENUMERATED per bucket —
+        # collect_list on the same (band_id, band_key) partitioning the cap
+        # window just established (zero additional Exchange), then inline
+        # the x<y combinations. The previous self-equi-join built the whole
+        # scan→band→sort→shuffle subtree TWICE (Spark's exchange-reuse rule
+        # does not fire across the two aliased sides — verified in the r14
+        # executed plan) and paid a ShuffledHashJoin on top; per-bucket work
+        # is the same O(m²) either way, but one corpus scan and one band
+        # shuffle replace two of each. Identical pair sets (r14: 61,645 of
+        # 61,645 at sf0.1) — membership, the x<y orientation, and the
+        # multi-band distinct are unchanged.
+        capped = cap_band_buckets(bands, id_col, cap)
+        grouped = capped.groupBy("band_id", "band_key").agg(
+            F.collect_list(id_col).alias("_members")
+        )
+        pair_cols = f"x AS {left_alias}, y AS {right_alias}"
+        pairs = grouped.select(
+            "band_id",
+            "band_key",
+            F.expr(
+                "inline(flatten(transform(_members, x -> "
+                f"transform(filter(_members, y -> x < y), y -> struct({pair_cols})))))"
+            ),
+        )
+        cols = [left_alias, right_alias]
+        if keep_provenance:
+            cols += ["band_id", "band_key"]
+        return pairs.select(*cols).distinct()
+    # Uncapped path: bucket membership is unbounded, so pair discovery must
+    # stay a self-equi-join (collect_list over a hot bucket would be the
+    # exact memory blow-up the cap exists to prevent).
     a = bands.select(F.col(id_col).alias(left_alias), "band_id", "band_key")
-    # shuffle_hash, not AQE's broadcast conversion: both sides are the
-    # SAME band subtree already partitioned on the band key by the cap
-    # window, so the shuffle join reuses one exchange where a broadcast
-    # would rebuild the whole signature pipeline for the build side
-    # (~15% on the sf0.1 sign-LSH stage; the same reuse argument as
-    # q_llm_winnow_dup's fingerprint self-join).
     b = bands.select(
         F.col(id_col).alias(right_alias),
         F.col("band_id").alias("_bid2"),

@@ -149,19 +149,24 @@ def sign_lsh_bands(
     Exact comparisons (x > 0) on the stored floats, so band membership is
     bit-identical across engines — the oracle can mirror it. ``rows_per_band``
     trades recall for selectivity (2^r keys per band); at real corpus scale
-    raise r (32-64 with multiprobe) so per-bucket pair counts stay bounded."""
+    raise r (32-64 with multiprobe) so per-bucket pair counts stay bounded.
+
+    The whole projection is ONE selectExpr string (one JVM-side parse): the
+    per-coordinate Column-object form paid ~0.25 s of Py4J/parse round-trips
+    per plan construction (r14 measurement, identical results), which is
+    per-query latency for every sign-LSH consumer."""
     assert dim % rows_per_band == 0
-    keys = [
-        F.concat(
-            *[
-                F.expr(f"CAST(element_at({vec_col}, {b * rows_per_band + i + 1}) > 0 AS STRING)")
-                for i in range(rows_per_band)
-            ]
+    keys = ", ".join(
+        "concat("
+        + ", ".join(
+            f"CAST(element_at({vec_col}, {b * rows_per_band + i + 1}) > 0 AS STRING)"
+            for i in range(rows_per_band)
         )
+        + ")"
         for b in range(dim // rows_per_band)
-    ]
-    return df.select(
-        id_col, F.posexplode(F.array(*keys)).alias("band_id", "band_key")
+    )
+    return df.selectExpr(
+        id_col, f"posexplode(array({keys})) AS (band_id, band_key)"
     )
 
 
