@@ -30,6 +30,7 @@ from pkg2_spark.catalog import load_tables
 from pkg2_spark.session import (
     ensure_runtime_confs,
     get_session,
+    local_rows_df,
     truncate_lineage,
     truncate_lineage_counted,
 )
@@ -846,7 +847,9 @@ class Engine:
             (nd, dd) if isinstance(nd, str) else (*nd, dd)
             for nd, dd in sorted(depth_of.items())
         ]
-        return self.spark.createDataFrame(rows, schema=schema)
+        # One Arrow batch, one partition (session.local_rows_df): the row
+        # set is bounded by the hybrid-finish threshold by construction.
+        return local_rows_df(self.spark, rows, schema)
 
     def resolve(self, package: str, max_depth: int = 10) -> DataFrame:
         """Dependency closure (BFS over depends, so:* capabilities resolved
@@ -879,8 +882,9 @@ class Engine:
         )
         if n_edges <= self._LOCAL_RESOLVE_EDGES:
             adj: dict = {}
-            for r in edges.collect():
-                adj.setdefault(r["src"], []).append(r["dst"])
+            epdf = edges.toPandas()  # Arrow collect of the bounded edge list
+            for s, d in zip(epdf["src"].tolist(), epdf["dst"].tolist()):
+                adj.setdefault(s, []).append(d)
             return self._local_bfs(
                 adj,
                 adj.get(package, ()),
@@ -1027,10 +1031,16 @@ class Engine:
             # frontier below).
             adj: dict = {}
             starts = []
-            for r in edges.collect():
-                dst = (r["dst_name"], r["dst_version"])
-                adj.setdefault((r["src_name"], r["src_version"]), []).append(dst)
-                if r["src_name"] == package:
+            epdf = edges.toPandas()  # Arrow collect of the bounded edge list
+            for sn, sv, dn, dv in zip(
+                epdf["src_name"].tolist(),
+                epdf["src_version"].tolist(),
+                epdf["dst_name"].tolist(),
+                epdf["dst_version"].tolist(),
+            ):
+                dst = (dn, dv)
+                adj.setdefault((sn, sv), []).append(dst)
+                if sn == package:
                     starts.append(dst)
             return self._local_bfs(
                 adj,

@@ -135,8 +135,12 @@ def resolve_components(
         # the threshold bounds driver memory by construction; graphs above
         # it take the distributed rounds below, which shrink the contracted
         # set to the same threshold before going local.
+        # Arrow collect (toPandas) — the bounded edge list crosses as
+        # columnar batches instead of pickled Rows; same boundedness
+        # argument as the union-find itself.
+        epdf = mat.toPandas()
         mapping = _local_components(
-            [(r["a"], r["b"]) for r in mat.collect()]
+            list(zip(epdf["a"].tolist(), epdf["b"].tolist()))
         )
         node_t = (
             pairs_df.select("a")
@@ -191,8 +195,9 @@ def resolve_components(
             # large edge set down to it. Locally: rounds 2..6 collapse
             # into one broadcast join (~2s of fixed per-round overhead on
             # the sf0.1 LSH graphs, identical fixpoints).
+            rpdf = ec.toPandas()
             mapping = _local_components(
-                [(r["a"], r["b"]) for r in ec.collect()]
+                list(zip(rpdf["a"].tolist(), rpdf["b"].tolist()))
             )
             mdf = F.broadcast(
                 _mapping_df(

@@ -23,12 +23,22 @@ def tokens_col(text_col: str = "text") -> Column:
 
 
 def tokenize(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """One row per (doc, token occurrence)."""
+    """One row per (doc, token occurrence).
+
+    fan_out_scan (r14): every consumer runs heavy per-row work (explode +
+    md5 chains) directly above this, so an under-split scan must not leave
+    it single-threaded; a no-op whenever the scan is already parallel."""
+    from pkg2_spark.session import fan_out_scan
+
+    df = fan_out_scan(df)
     return df.select(id_col, F.explode(tokens_col(text_col)).alias("token"))
 
 
 def tokenize_distinct(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """One row per (doc, distinct token) — the MinHash/Jaccard input."""
+    from pkg2_spark.session import fan_out_scan
+
+    df = fan_out_scan(df)
     return df.select(id_col, F.explode(F.array_distinct(tokens_col(text_col))).alias("token"))
 
 

