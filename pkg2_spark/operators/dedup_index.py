@@ -131,31 +131,63 @@ def apply_delta(
         bands_touched, "vec_id", "id_a", "id_b", cap=cap, keep_provenance=True
     )
     prov_keep = prov_c.join(touched, ["band_id", "band_key"], "left_anti")
-    # localCheckpoint: the candidate frame is read by the fresh-pair
-    # anti-join AND the stored-cosine semi-join (and again by the commit
-    # path) — materializing the n_pairs-row frame pays the touched-bucket
-    # band join once instead of per reference.
     cand = (
         prov_keep.select("id_a", "id_b")
         .union(prov_new.select("id_a", "id_b"))
         .distinct()
-        .transform(truncate_lineage)
     )
+    if commit_dir is None:
+        # Read-only increment (r14, guide §2.4): ONE left join against the
+        # verified store with a conditional recompute replaces the former
+        # anti-join (fresh pairs) + semi-join (kept pairs) + union — cand
+        # and ver_c are each consumed once, so cand no longer needs its own
+        # localCheckpoint action. The cosine expression sits in the
+        # otherwise() branch of a when(), so stored pairs skip the dot
+        # product exactly as the anti-join shape did; values are identical
+        # either way (the cosine is deterministic — that determinism is what
+        # makes stored-vs-recomputed indistinguishable, pinned by the
+        # incremental ≡ batch oracle).
+        from pkg2_spark.operators.similarity import unpack, wide_dot, wide_norm
+
+        stored = ver_c.withColumnRenamed("cos", "_stored")
+        wa = vectors.selectExpr("vec_id AS id_a", *unpack("embedding", dim, "_wa")).withColumn(
+            "_na", wide_norm("_wa", dim)
+        )
+        wb = vectors.selectExpr("vec_id AS id_b", *unpack("embedding", dim, "_wb")).withColumn(
+            "_nb", wide_norm("_wb", dim)
+        )
+        return (
+            cand.join(stored, ["id_a", "id_b"], "left")
+            .join(wa, "id_a")
+            .join(wb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.when(F.col("_stored").isNotNull(), F.col("_stored"))
+                .otherwise(
+                    F.round(
+                        wide_dot("_wa", "_wb", dim) / (F.col("_na") * F.col("_nb")), 4
+                    )
+                )
+                .alias("cos"),
+            )
+        )
+    # Commit path: the merged state is written, so cand and the fresh
+    # cosines are each consumed by several sinks — materialize cand once
+    # (localCheckpoint) and keep the anti-join/semi-join split that lets
+    # ver_fresh be persisted separately from the reused store.
+    cand = cand.transform(truncate_lineage)
     fresh = cand.join(ver_c, ["id_a", "id_b"], "left_anti")
     ver_fresh = cosine_on_pairs(fresh, vectors, "id_a", "id_b", dim=dim)
-    ver_all = ver_c.join(cand, ["id_a", "id_b"], "leftsemi").unionByName(ver_fresh)
-
-    if commit_dir is not None:
-        bands_c.unionByName(bands_d).write.parquet(os.path.join(commit_dir, BANDS))
-        prov_keep.unionByName(prov_new).write.parquet(os.path.join(commit_dir, PROV))
-        # keep EVERY computed cosine (not just current candidates): buckets
-        # only gain members, so a pair once discovered can be rediscovered
-        # by a later shard and its verification is then free.
-        ver_c.unionByName(ver_fresh).write.parquet(os.path.join(commit_dir, VERIFIED))
-        return spark.read.parquet(os.path.join(commit_dir, VERIFIED)).join(
-            cand, ["id_a", "id_b"], "leftsemi"
-        )
-    return ver_all
+    bands_c.unionByName(bands_d).write.parquet(os.path.join(commit_dir, BANDS))
+    prov_keep.unionByName(prov_new).write.parquet(os.path.join(commit_dir, PROV))
+    # keep EVERY computed cosine (not just current candidates): buckets
+    # only gain members, so a pair once discovered can be rediscovered
+    # by a later shard and its verification is then free.
+    ver_c.unionByName(ver_fresh).write.parquet(os.path.join(commit_dir, VERIFIED))
+    return spark.read.parquet(os.path.join(commit_dir, VERIFIED)).join(
+        cand, ["id_a", "id_b"], "leftsemi"
+    )
 
 
 def compact_state(
