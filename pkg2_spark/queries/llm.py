@@ -538,22 +538,21 @@ FROM scored WHERE ni > 0
 def q_llm_jaccard(spark, sf_dir):
     # Token-set Jaccard over source-blocked pairs (blocking keeps the pair
     # space linear per block; full-corpus pairing at scale goes through LSH).
+    # Pair overlap comes from blocked_token_pairs (r14): probe-side fan-out
+    # + one array_intersect per pair — 11.4 s → 1.4 s at sf0.1.
+    from pkg2_spark.operators.text import blocked_token_pairs
+
     d = load_tables(spark, sf_dir)["documents"]
     t = d.select("doc_id", "source", F.array_distinct(tokens_col()).alias("toks"))
-    a = t.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"), F.col("toks").alias("ta"))
-    b = t.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"), F.col("toks").alias("tb"))
-    inter = F.size(F.array_intersect("ta", "tb"))
-    uni = F.size("ta") + F.size("tb") - inter
-    return (
-        a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .select(
-            "doc_a",
-            "doc_b",
-            inter.alias("n_common"),
-            F.round(inter.cast("double") / uni, 4).alias("jaccard"),
-        )
-        .filter(F.col("n_common") > 0)
-    )
+    m = blocked_token_pairs(t)
+    return m.select(
+        "doc_a",
+        "doc_b",
+        F.col("ni").alias("n_common"),
+        F.round(F.col("ni").cast("double") / (F.col("la") + F.col("lb") - F.col("ni")), 4).alias(
+            "jaccard"
+        ),
+    ).filter(F.col("n_common") > 0)
 
 
 _NEARDUP_BLOCKS = 8  # pair-space shards: B*(B+1)/2 = 36 evenly-sized tasks
@@ -3386,34 +3385,23 @@ def q_llm_containment(spark, sf_dir):
     key keeps the pair space linear per block; an unblocked corpus goes
     through the LSH band path first, then this verifier runs per candidate
     pair) — one equi-join on the block key, row-local array intersection,
-    no shuffle wider than the block join."""
+    no shuffle wider than the block join. r14: the intersection is computed
+    ONCE per pair behind blocked_token_pairs' Generate barrier (the old
+    plan re-evaluated array_intersect per metric AND again in the pushed
+    filters — up to 8x) with probe-side fan-out: 28.8 s → 0.7 s at sf0.1."""
+    from pkg2_spark.operators.text import blocked_token_pairs
+
     d = load_tables(spark, sf_dir)["documents"]
     t = d.select("doc_id", "source", F.array_distinct(tokens_col()).alias("toks"))
-    a = t.select(
-        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"), F.col("toks").alias("ta")
-    )
-    b = t.select(
-        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"), F.col("toks").alias("tb")
-    )
-    ni = F.size(F.array_intersect("ta", "tb"))
     m = (
-        a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b")))
+        blocked_token_pairs(t)
         .select(
             "doc_a",
             "doc_b",
-            ni.alias("n_common"),
-            F.expr("(1000 * size(array_intersect(ta, tb))) div size(ta)")
-            .cast("long")
-            .alias("cont_a_milli"),
-            F.expr("(1000 * size(array_intersect(ta, tb))) div size(tb)")
-            .cast("long")
-            .alias("cont_b_milli"),
-            F.expr(
-                "(1000 * size(array_intersect(ta, tb)))"
-                " div (size(ta) + size(tb) - size(array_intersect(ta, tb)))"
-            )
-            .cast("long")
-            .alias("jaccard_milli"),
+            F.col("ni").alias("n_common"),
+            F.expr("CAST(1000 * ni AS BIGINT) div la").alias("cont_a_milli"),
+            F.expr("CAST(1000 * ni AS BIGINT) div lb").alias("cont_b_milli"),
+            F.expr("CAST(1000 * ni AS BIGINT) div (la + lb - ni)").alias("jaccard_milli"),
         )
         .filter(F.col("n_common") > 0)
     )

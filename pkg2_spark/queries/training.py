@@ -2584,21 +2584,20 @@ def q_llm_lsh_calib(spark, sf_dir):
     (band_id, band_key) equi-join; the flag join is pair-keyed; the final
     aggregate has ≤ 10 groups. Integer milli-Jaccard (1000·|∩| div |∪|)
     and integer catch rates — partitioning-independent."""
-    from pkg2_spark.operators.text import lsh_bands, minhash_signatures, tokenize_distinct
+    from pkg2_spark.operators.text import (
+        blocked_token_pairs,
+        lsh_bands,
+        minhash_signatures,
+        tokenize_distinct,
+    )
 
     d = load_tables(spark, sf_dir)["documents"]
     t = d.select("doc_id", "source", F.array_distinct(tokens_col()).alias("toks"))
-    a = t.select(
-        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"), F.col("toks").alias("ta")
-    )
-    b = t.select(
-        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"), F.col("toks").alias("tb")
-    )
-    ni = F.size(F.array_intersect("ta", "tb"))
-    denom = F.size("ta") + F.size("tb") - ni
+    # Ground truth via blocked_token_pairs (r14): probe-side fan-out + one
+    # array_intersect per pair — the q_llm_jaccard kernel fix.
     truth = (
-        a.join(b, (F.col("src_a") == F.col("src_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .select("doc_a", "doc_b", ni.alias("ni"), denom.alias("denom"))
+        blocked_token_pairs(t)
+        .select("doc_a", "doc_b", "ni", (F.col("la") + F.col("lb") - F.col("ni")).alias("denom"))
         .filter(F.col("denom") > 0)
         .select("doc_a", "doc_b", F.expr("CAST(1000 * ni AS BIGINT) div denom").alias("j_milli"))
     )
