@@ -36,7 +36,7 @@ from pkg2_spark.operators.text import (
     tokens_col,
 )
 from pkg2_spark.registry import QUERIES, query
-from pkg2_spark.session import truncate_lineage
+from pkg2_spark.session import fan_out_scan, truncate_lineage
 
 _K = 8  # MinHash signature length
 _BANDS_R = 4  # rows per LSH band (b=2, r=4: the synthetic corpus has a tiny
@@ -584,16 +584,19 @@ def q_llm_embed_neardup(spark, sf_dir):
     pair meets exactly once: cross-block pairs at key (min_blk, max_blk) with
     roles fixed by block; same-block pairs are halved by id order. The
     approximate scale path (when semantics allow missing pairs) is
-    q_llm_cossim_lsh."""
+    q_llm_cossim_lsh. r14: both sides fan out the one-row-group scan
+    (session.fan_out_scan) before the block explode + 64-column unpack —
+    that pre-shuffle work ran on ONE task and gated the whole pair stage
+    (6.3 → 1.1 s at sf0.1; a no-op on any multi-split input)."""
     e = load_tables(spark, sf_dir)["embeddings"]
     nb = _NEARDUP_BLOCKS
     a = (
-        e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+        fan_out_scan(e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")))
         .withColumn("bi", (F.col("id_a") % nb).cast("int"))
         .withColumn("bj", F.explode(F.sequence(F.col("bi"), F.lit(nb - 1))))
     )
     b = (
-        e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+        fan_out_scan(e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")))
         .withColumn("bj2", (F.col("id_b") % nb).cast("int"))
         .withColumn("bi2", F.explode(F.sequence(F.lit(0), F.col("bj2"))))
     )
@@ -1671,9 +1674,16 @@ def q_llm_minhash_est(spark, sf_dir):
     (constant per-doc state), the exact value only on the sampled candidate
     subset — the same estimate-cheap/verify-sampled split used at corpus
     scale. All arithmetic is integer counts + one exact division, so both
-    engines agree bit-for-bit."""
+    engines agree bit-for-bit.
+
+    r14: the signature frame is localCheckpoint'd — it is consumed THREE
+    times (bands, a-side sig join, b-side sig join) and each consumer was
+    re-running the tokenize+8×min-agg pipeline; materializing the bounded
+    per-doc state (8 ints/doc) computes it once (4.6 → 3.4 s at sf0.1).
+    The token-array frame stays lazy: checkpointing it measured slower
+    (full arrays outweigh the saved recompute)."""
     d = load_tables(spark, sf_dir)["documents"]
-    sig = minhash_signatures(tokenize_distinct(d), _K)
+    sig = minhash_signatures(tokenize_distinct(d), _K).localCheckpoint()
     bands = lsh_bands(sig, _K, _BANDS_R)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     b = bands.select(
@@ -3186,12 +3196,19 @@ def q_llm_span_dedup(spark, sf_dir):
     dup set, keeps the skew-split shuffle join on a corpus-proportional
     one) → per-doc interval-merge lag window for covered tokens (r12: the
     old ×8 position explode + distinct shuffled 8× the duplicated rows)
-    → doc-keyed hash-aggs. Every shuffle is on a high-cardinality key
-    (shingle hash / doc_id); the only window partitions by doc_id, so its
-    state is bounded by document length. Integer outputs are
-    partitioning-independent."""
+    → ONE doc-keyed hash-agg riding the window's own partitioning (r14:
+    the former shape aggregated dupocc twice — span counts and covered
+    tokens separately — then joined the two back; fusing them after the
+    lag window removes one Exchange and the join, 3.2 → 1.3 s at sf0.1).
+    Every shuffle is on a high-cardinality key (shingle hash / doc_id);
+    the only window partitions by doc_id, so its state is bounded by
+    document length. Integer outputs are partitioning-independent. The
+    scan side fans out (session.fan_out_scan): one parquet row group
+    would otherwise run the whole shingle explode on a single task."""
     d = load_tables(spark, sf_dir)["documents"]
-    t = d.select("doc_id", tokens_col().alias("toks")).filter(F.size("toks") >= _SPAN)
+    t = fan_out_scan(d.select("doc_id", tokens_col().alias("toks"))).filter(
+        F.size("toks") >= _SPAN
+    )
     occ = t.select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
@@ -3218,10 +3235,6 @@ def q_llm_span_dedup(spark, sf_dir):
     # broadcasts it when the runtime size is small and keeps the shuffle
     # join (with skew splitting) when it is not.
     dupocc = occ.join(dup, "h")
-    spans = dupocc.groupBy("doc_id").agg(
-        F.max("n_tokens").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_dup_spans"),
-    )
     # Covered-token count by INTERVAL MERGE, not position explode (r11
     # verdict #3 decade-tail cut): (doc_id, p) is unique in dupocc (one
     # hash per position), all spans have length _SPAN, so the union of
@@ -3229,25 +3242,31 @@ def q_llm_span_dedup(spark, sf_dir):
     # p_{i−1}) — a per-doc lag window over dupocc rows instead of the old
     # ×_SPAN position explode + (doc,pos)-distinct shuffle (8× the rows:
     # 36M vs 4.5M at sf10d). The window partitions by doc_id, so state is
-    # bounded by document length at any corpus scale.
+    # bounded by document length at any corpus scale; the span count and
+    # n_tokens aggregate in the SAME doc-keyed pass (no second Exchange).
     w_pos = Window.partitionBy("doc_id").orderBy(F.col("p").asc_nulls_last())
-    cov = (
+    return (
         dupocc.select(
             "doc_id",
+            "n_tokens",
             F.coalesce(
                 F.least(F.lit(_SPAN), F.col("p") - F.lag("p").over(w_pos)),
                 F.lit(_SPAN),
             ).alias("c"),
         )
         .groupBy("doc_id")
-        .agg(F.sum("c").cast("long").alias("covered_tokens"))
-    )
-    return spans.join(cov, "doc_id").select(
-        "doc_id",
-        "n_tokens",
-        "n_dup_spans",
-        "covered_tokens",
-        F.expr("(1000 * covered_tokens) div n_tokens").alias("coverage_milli"),
+        .agg(
+            F.max("n_tokens").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum("c").cast("long").alias("covered_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_dup_spans",
+            "covered_tokens",
+            F.expr("(1000 * covered_tokens) div n_tokens").alias("coverage_milli"),
+        )
     )
 
 

@@ -1492,9 +1492,16 @@ def q_llm_winnow_dup(spark, sf_dir):
     Window node, zero extra exchange — both specs hash-partition on fp)
     drops single-member fingerprints before pairing; results are
     identical because a pair needs two members and na/nb are per-doc
-    constants carried on every surviving row."""
+    constants carried on every surviving row.
+
+    r14: the scan fans out (session.fan_out_scan) before the kgram-md5 +
+    window-min selection pipeline — a one-row-group input ran that whole
+    per-doc compute on a single task (7.1 → 2.2 s at sf0.1; no-op on any
+    multi-split input)."""
+    from pkg2_spark.session import fan_out_scan
+
     d = load_tables(spark, sf_dir)["documents"]
-    f = _winnow_selected(d)
+    f = _winnow_selected(fan_out_scan(d.select("doc_id", "text")))
     w = Window.partitionBy("fp").orderBy(
         F.md5(F.col("doc_id").cast("string")).asc_nulls_last(),
         F.col("doc_id").asc_nulls_last(),
