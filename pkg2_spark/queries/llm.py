@@ -721,7 +721,17 @@ _IVF_MEMO_MAX = 4
 
 
 def _ivf_memo(e) -> dict:
-    key = id(e._jdf) if hasattr(e, "_jdf") else id(e)
+    # Keyed by the CANONICALIZED analyzed plan, not the Py4J object id
+    # (r14): callers that derive the corpus per invocation (base =
+    # e.filter(...)) get a fresh _jdf every call, so an id() key missed
+    # the memo and re-ran the full n·(k1+k2+2·k3) tree construction each
+    # time — q_vec_ivf_incr warm was 12s instead of ~3s. Same-session
+    # identical plans read identical data (deterministic sources), which
+    # is exactly the sharing the memo exists for.
+    try:
+        key = e._jdf.queryExecution().analyzed().canonicalized().toString()
+    except Exception:
+        key = id(e._jdf) if hasattr(e, "_jdf") else id(e)
     ent = _IVF_MEMO.get(key)
     if ent is None:
         ent = {"frame": e}
