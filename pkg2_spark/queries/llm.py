@@ -726,10 +726,15 @@ def _ivf_memo(e) -> dict:
     # e.filter(...)) get a fresh _jdf every call, so an id() key missed
     # the memo and re-ran the full n·(k1+k2+2·k3) tree construction each
     # time — q_vec_ivf_incr warm was 12s instead of ~3s. Same-session
-    # identical plans read identical data (deterministic sources), which
-    # is exactly the sharing the memo exists for.
+    # identical FILE-BACKED plans read identical data (deterministic
+    # sources), which is exactly the sharing the memo exists for.
+    # In-memory frames keep the id() key: a LocalRelation/RDD plan string
+    # does NOT embed the rows, so two different createDataFrame corpora
+    # would canonicalize identically and collide.
     try:
         key = e._jdf.queryExecution().analyzed().canonicalized().toString()
+        if "LocalRelation" in key or "LogicalRDD" in key or "ExistingRDD" in key:
+            key = id(e._jdf)
     except Exception:
         key = id(e._jdf) if hasattr(e, "_jdf") else id(e)
     ent = _IVF_MEMO.get(key)
