@@ -152,24 +152,86 @@ def q_llm_neardup_pairs(spark, sf_dir):
     # LSH candidate discovery: docs sharing any (band_id, band_key) bucket.
     # Output is the per-doc candidate degree (the raw pair set is quadratic
     # on this tiny-vocab synthetic corpus; q_llm_jaccard emits raw pairs).
+    #
+    # r14 (guide §2.5 skew / §1.2 fix the algorithm): the declared result is
+    # a per-doc AGGREGATE of the distinct pair set, so the quadratic pair
+    # materialization can be avoided entirely. With b = 2 bands the distinct
+    # candidate degree follows from inclusion-exclusion over per-bucket
+    # window counts — for each doc, partners-with-larger-id sharing band 0
+    # plus those sharing band 1, minus those sharing BOTH (= same full
+    # signature group); min/max partner need no dedup at all (min/max over a
+    # multiset union). Every term is an O(m log m) sort per bucket instead
+    # of O(m²) emitted pairs: the sweep corpus's two ~2.4k-member hot
+    # buckets were emitting ~5.6M pairs on ONE AQE-coalesced task. The
+    # uncapped self-join remains the general path for b ≠ 2.
     d = load_tables(spark, sf_dir)["documents"]
-    bands = lsh_bands(minhash_signatures(tokenize_distinct(d), _K), _K, _BANDS_R)
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
-    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("band_id").alias("bid2"), F.col("band_key").alias("bkey2"))
-    pairs = (
-        a.join(
-            b,
-            (F.col("band_id") == F.col("bid2"))
-            & (F.col("band_key") == F.col("bkey2"))
-            & (F.col("doc_a") < F.col("doc_b")),
+    sig = minhash_signatures(tokenize_distinct(d), _K)
+    bands = lsh_bands(sig, _K, _BANDS_R)
+    if _K // _BANDS_R != 2:  # pragma: no cover — b=2 pinned by module consts
+        a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+        b = bands.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("band_id").alias("bid2"),
+            F.col("band_key").alias("bkey2"),
         )
-        .select("doc_a", "doc_b")
-        .distinct()
+        pairs = (
+            a.join(
+                b,
+                (F.col("band_id") == F.col("bid2"))
+                & (F.col("band_key") == F.col("bkey2"))
+                & (F.col("doc_a") < F.col("doc_b")),
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        return pairs.groupBy("doc_a").agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.min("doc_b").alias("min_cand"),
+            F.max("doc_b").alias("max_cand"),
+        )
+    w = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
+    w_after = w.rowsBetween(1, Window.unboundedFollowing)
+    bucket = Window.partitionBy("band_id", "band_key")
+    per_band = bands.select(
+        "doc_id",
+        F.count(F.lit(1)).over(w_after).alias("_gt"),
+        F.lead("doc_id").over(w).alias("_next"),
+        F.max("doc_id").over(bucket).alias("_bmax"),
+    ).select(
+        "doc_id",
+        "_gt",
+        "_next",
+        F.when(F.col("_bmax") > F.col("doc_id"), F.col("_bmax")).alias("_maxgt"),
     )
-    return pairs.groupBy("doc_a").agg(
-        F.count(F.lit(1)).alias("n_candidates"),
-        F.min("doc_b").alias("min_cand"),
-        F.max("doc_b").alias("max_cand"),
+    per_doc = per_band.groupBy("doc_id").agg(
+        F.sum("_gt").alias("_cnt_ab"),
+        F.min("_next").alias("min_cand"),
+        F.max("_maxgt").alias("max_cand"),
+    )
+    # Partners sharing BOTH bands = same (band0_key, band1_key) signature
+    # group: the double-counted term of the inclusion-exclusion.
+    both_key = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh{b * _BANDS_R + r}") for r in range(_BANDS_R)])
+        ).alias(f"_k{b}")
+        for b in range(2)
+    ]
+    wb = Window.partitionBy("_k0", "_k1").orderBy("doc_id")
+    both = sig.select("doc_id", *both_key).select(
+        "doc_id",
+        F.count(F.lit(1))
+        .over(wb.rowsBetween(1, Window.unboundedFollowing))
+        .alias("_cnt_both"),
+    )
+    return (
+        per_doc.join(both, "doc_id")
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("_cnt_ab") - F.col("_cnt_both")).alias("n_candidates"),
+            "min_cand",
+            "max_cand",
+        )
+        .filter(F.col("n_candidates") > 0)
     )
 
 
@@ -1727,6 +1789,16 @@ def q_llm_minhash_est(spark, sf_dir):
         .filter((F.col("doc_a") % 5 == 0) & (F.col("doc_b") % 2 == 0))
         .select("doc_a", "doc_b")
         .distinct()
+    )
+    # r14 (guide §2.5): AQE coalesces the distinct's exchange by BYTES, but
+    # each surviving pair row fans into an array_intersect over the full
+    # token sets downstream — ~480k verifications were landing on 2 tasks
+    # (the 16-byte pair rows total ~3 MB). A keyed repartition to the
+    # session's parallelism floor re-spreads the compute-dense verify stage;
+    # at cluster scale the attach joins re-exchange the pairs anyway, so
+    # this costs one extra skinny-pair shuffle and changes nothing else.
+    cand = cand.repartition(
+        spark.sparkContext.defaultParallelism, "doc_a", "doc_b"
     )
     siga = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(_K)])
     sigb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(_K)])

@@ -2608,25 +2608,35 @@ def q_llm_lsh_calib(spark, sf_dir):
         .filter(F.col("denom") > 0)
         .select("doc_a", "doc_b", F.expr("CAST(1000 * ni AS BIGINT) div denom").alias("j_milli"))
     )
-    bands = lsh_bands(minhash_signatures(tokenize_distinct(d), 8), 8, 4)
-    ba = bands.select(F.col("doc_id").alias("la"), "band_id", "band_key")
-    bb = bands.select(
-        F.col("doc_id").alias("lb"), F.col("band_id").alias("bid2"), F.col("band_key").alias("bkey2")
-    )
-    lshp = (
-        ba.join(
-            bb,
-            (F.col("band_id") == F.col("bid2"))
-            & (F.col("band_key") == F.col("bkey2"))
-            & (F.col("la") < F.col("lb")),
+    # r14 (guide §8 "decide with small rows"): the flag only asks "do the
+    # two docs share any (band_id, band_key) bucket" — a per-pair predicate
+    # over each doc's b-entry band set, so the UNCAPPED LSH pair set never
+    # needs materializing. The former band self-join emitted ~6M pairs from
+    # two ~2.4k-member hot buckets on ONE AQE-coalesced task (5.2 s of the
+    # 8.4 s total), then distinct'd them only to left-join against truth.
+    # Now: two id-keyed joins attach each side's band array (b strings,
+    # "band_id|band_key") to the truth pairs and arrays_overlap answers
+    # membership — identical caught bit (pair ∈ band equi-join ⟺ band sets
+    # intersect), zero quadratic work, skew-proof at any corpus size.
+    sig = minhash_signatures(tokenize_distinct(d), 8)
+    band_entries = [
+        F.concat(
+            F.lit(f"{b}|"),
+            F.md5(F.concat_ws("|", *[F.col(f"mh{b * 4 + r}") for r in range(4)])),
         )
-        .select("la", "lb")
-        .distinct()
-        .withColumn("hit", F.lit(1))
+        for b in range(2)
+    ]
+    docbands = sig.select("doc_id", F.array(*band_entries).alias("_bset"))
+    ba = docbands.select(F.col("doc_id").alias("doc_a"), F.col("_bset").alias("_bsa"))
+    bb = docbands.select(F.col("doc_id").alias("doc_b"), F.col("_bset").alias("_bsb"))
+    flagged = (
+        truth.join(ba, "doc_a")
+        .join(bb, "doc_b")
+        .select(
+            "j_milli",
+            F.arrays_overlap("_bsa", "_bsb").cast("int").alias("caught"),
+        )
     )
-    flagged = truth.join(
-        lshp, (F.col("doc_a") == F.col("la")) & (F.col("doc_b") == F.col("lb")), "left"
-    ).select("j_milli", F.coalesce("hit", F.lit(0)).alias("caught"))
     return flagged.groupBy(
         F.expr("CAST(least(j_milli div 100, 9) AS INT)").alias("bucket")
     ).agg(
