@@ -1977,6 +1977,12 @@ def q_llm_ivf_refine(spark, sf_dir):
         lambda x: F.floor(x * F.lit(1000000.0)).cast("long"),
     )
     q = e.select("vec_id", qe.alias("qe"))
+    # r14 negative result (recorded in OPTIMIZATION_r14.md): replacing this
+    # explode + (cid,pos) agg + collect_list repack with ONE wide hash agg
+    # of 64 per-dimension sums measured SLOWER end-to-end (2.6-3.8 s →
+    # 4.5 s full query, stage-alone equal) — `refined` is consumed twice
+    # (broadcast re-assignment + component projection) and the wide-agg
+    # subtree recomputes worse than the narrow explode shape. Kept as-is.
     dims = (
         a1.join(q, "vec_id")
         .select("cid", F.posexplode("qe").alias("pos", "v"))
@@ -2815,7 +2821,8 @@ def q_llm_ann_mprobe(spark, sf_dir):
 
 
 def ann_multiprobe(e, n_probe: int = 3, descent: int | None = None,
-                   n_queries: int = 5, k: int = 5, probes=None):
+                   n_queries: int = 5, k: int = 5, probes=None,
+                   return_cell_rank: bool = False):
     """Parameterized multi-probe IVF search — q_llm_ann_mprobe's engine
     with the beam width exposed as THE recall/latency knob (r9 verdict
     task #1: n_probe was hard-coded at 3; a user tuning an index needs
@@ -2956,6 +2963,16 @@ def ann_multiprobe(e, n_probe: int = 3, descent: int | None = None,
         F.when(F.col("slot") == F.col("pslot"), F.lit(0)).otherwise(F.lit(1)).asc(),
         F.col("slot").asc_nulls_last(),
     )
+    # Tuning entry (r14): when asked, carry each candidate's slot-cell
+    # beam rank (own cell = 0, beam cells = 1..n_probe-1 in w_slot order;
+    # external probes = 1..n_probe). With descent pinned, a narrower
+    # width n's candidate set is exactly _crank < n (self-probe) — a
+    # recall sweep can score every width from ONE descent + ONE
+    # cell-keyed candidate join instead of re-running the pipeline per
+    # width. The column is added only on request: the serving path keeps
+    # its leaner plan (adding it unconditionally measured +0.7 s on
+    # q_llm_ann_mprobe).
+    rank_cols = [F.col("srn").alias("_crank")] if return_cell_rank else []
     if probes is None:
         beam2 = (
             slotted.join(
@@ -2965,9 +2982,12 @@ def ann_multiprobe(e, n_probe: int = 3, descent: int | None = None,
             )
             .withColumn("srn", F.row_number().over(w_slot))
             .filter(F.col("srn") <= n_probe - 1)
-            .select("probe_id", "pe", "cell")
+            .select("probe_id", "pe", "cell", *rank_cols)
         )
-        pcands = own.unionByName(beam2)
+        own_side = (
+            own.withColumn("_crank", F.lit(0)) if return_cell_rank else own
+        )
+        pcands = own_side.unionByName(beam2)
         cand_cond = (F.col("cid") == F.col("cell")) & (
             F.col("vec_id") != F.col("probe_id")
         )
@@ -2979,13 +2999,16 @@ def ann_multiprobe(e, n_probe: int = 3, descent: int | None = None,
         pcands = (
             slotted.withColumn("srn", F.row_number().over(w_slot))
             .filter(F.col("srn") <= n_probe)
-            .select("probe_id", "pe", "cell")
+            .select("probe_id", "pe", "cell", *rank_cols)
         )
         cand_cond = F.col("cid") == F.col("cell")
     cands = pcands.join(assign, cand_cond).select(
         "probe_id", "cell", "vec_id",
         cosine4(F.col("pe"), F.col("embedding")).alias("cos"),
+        *(["_crank"] if return_cell_rank else []),
     )
+    if return_cell_rank:
+        return cands
     w_rank = Window.partitionBy("probe_id").orderBy(
         F.col("cos").desc_nulls_last(), F.col("vec_id").asc_nulls_last()
     )
@@ -3131,10 +3154,26 @@ def q_llm_ann_tune(spark, sf_dir):
     exact = knn_bruteforce(
         e.select("vec_id", "embedding"), probes, k=5, dim=64
     ).select("probe_id", "vec_id")
+    # r14 (guide §2.4 / §1.2): with descent PINNED at 8 the three widths'
+    # candidate sets are prefixes of ONE ranked slot-cell list, so the
+    # descent + cell-keyed candidate join runs ONCE (return_cell_rank) and
+    # each width reduces to a _crank < n filter + its own bounded top-5
+    # window — the former loop re-ran the whole multiprobe pipeline three
+    # times (3× tree descents, 3× candidate joins, identical inputs).
+    # The candidate frame is bounded (n_queries × 8 slot-cells × capped
+    # cell occupancy), so materializing it once is safe at any scale.
+    cands = ann_multiprobe(
+        e, n_probe=8, descent=8, return_cell_rank=True
+    ).localCheckpoint()
+    w_rank = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc_nulls_last(), F.col("vec_id").asc_nulls_last()
+    )
     parts = []
     for n in (1, 3, 8):
         got = (
-            ann_multiprobe(e, n_probe=n, descent=8)
+            cands.filter(F.col("_crank") < n)
+            .withColumn("rn", F.row_number().over(w_rank))
+            .filter(F.col("rn") <= 5)
             .select("probe_id", "vec_id")
             .withColumn("__hit", F.lit(1))
         )
