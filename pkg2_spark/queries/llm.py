@@ -2589,14 +2589,25 @@ def q_llm_dedup_cdc(spark, sf_dir):
         build_state(corpus, state, cap=_BUCKET_CAP)
 
     path = fixture_path("dedup_cdc_table", sf_dir)
-    if os.path.isdir(path):
-        shutil.rmtree(path)
     t = Table(spark, path, stats_cols=["vec_id"], cluster_by="vec_id", num_files=4)
-    t.create(corpus.select("vec_id", "embedding"))
-    t.append(
-        e.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
-    )
-    t.delete_where("vec_id % 7 = 3")
+    # r14: the three-commit table (v0 create / v1 append / v2 delete) is a
+    # deterministic function of sf_dir — marker-gate it like
+    # acid_orders_table instead of rmtree+rebuild per invocation (the
+    # marker is written only after the delete commit, so a partial build
+    # rebuilds). The MEASURED operation — draining the change feed,
+    # consolidating it, applying the increment, resolving components —
+    # still computes fully every invocation.
+    _marker = "_DEDUP_CDC_DONE"
+    if not fixture_ready(path, sf_dir, marker=_marker):
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        t.create(corpus.select("vec_id", "embedding"))
+        t.append(
+            e.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+        )
+        t.delete_where("vec_id % 7 = 3")
+        with open(os.path.join(path, _marker), "w") as fh:
+            fh.write("ok\n")
     register_acid_source(spark)
     feed = run_to_memory(
         spark.readStream.format("pkg2acid")
