@@ -29,15 +29,22 @@ def _pos_expr(col: str, j: int, m: int) -> str:
 
 def bloom_build(elements: DataFrame, col: str, m: int = DEFAULT_M,
                 k: int = DEFAULT_K) -> DataFrame:
-    """Distinct bit positions (column ``pos``) set by ``elements[col]``."""
-    parts = [
-        elements.select(F.expr(_pos_expr(col, j, m)).alias("pos"))
-        for j in range(k)
-    ]
-    bits = parts[0]
-    for p in parts[1:]:
-        bits = bits.unionByName(p)
-    return bits.distinct()
+    """Distinct bit positions (column ``pos``) set by ``elements[col]``.
+
+    One explode over the k position expressions (r14, guide §2.4): the
+    former k-way union evaluated the ``elements`` subtree k times — for
+    the decontamination queries that subtree is the whole corpus scan +
+    hash-split + md5 pipeline. explode(array(...)) is the same multiset
+    of positions from ONE evaluation (the Generate node is a barrier no
+    downstream rule re-inlines)."""
+    return (
+        elements.select(
+            F.explode(
+                F.array(*[F.expr(_pos_expr(col, j, m)) for j in range(k)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
 
 
 def bloom_probe(df: DataFrame, bits: DataFrame, col: str, m: int = DEFAULT_M,
@@ -53,13 +60,15 @@ def bloom_probe(df: DataFrame, bits: DataFrame, col: str, m: int = DEFAULT_M,
     positions once per duplicate and silently drop true members,
     breaking the zero-false-negative guarantee."""
     values = df.select(col).distinct()
-    parts = [
-        values.select(col, F.expr(_pos_expr(col, j, m)).alias("pos"))
-        for j in range(k)
-    ]
-    probe = parts[0]
-    for p in parts[1:]:
-        probe = probe.unionByName(p)
+    # Same single-evaluation explode as bloom_build: the k-way union
+    # re-ran the distinct-values subtree (a corpus scan pipeline for the
+    # decontamination consumers) once per hash function.
+    probe = values.select(
+        col,
+        F.explode(
+            F.array(*[F.expr(_pos_expr(col, j, m)) for j in range(k)])
+        ).alias("pos"),
+    )
     present = (
         probe.join(F.broadcast(bits), "pos", "leftsemi")
         .groupBy(col)

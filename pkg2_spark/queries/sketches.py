@@ -280,18 +280,24 @@ def q_sketch_countmin(spark, sf_dir):
         ).alias("token")
     )
     cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    rows = []
-    for j in range(_CM_D):
-        rows.append(
-            cnt.select(
-                F.lit(j).alias("j"),
-                F.expr(_cm_bucket_spark("token", str(j))).alias("bucket"),
-                "c",
+    # r14 (guide §2.4): one explode over the d row-hashes — the former
+    # d-way union evaluated the tokenize+count subtree once per hash row.
+    # explode(array(struct(j, bucket_j))) yields the same (j, bucket, c)
+    # multiset from ONE evaluation of cnt.
+    cells = cnt.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(_cm_bucket_spark("token", str(j))).alias("bucket"),
+                    )
+                    for j in range(_CM_D)
+                ]
             )
-        )
-    cells = rows[0]
-    for r in rows[1:]:
-        cells = cells.unionByName(r)
+        ).alias("_jb"),
+        "c",
+    ).select(F.col("_jb.j").alias("j"), F.col("_jb.bucket").alias("bucket"), "c")
     cm = cells.groupBy("j", "bucket").agg(F.sum("c").alias("cell"))
     # Probe selection is top-5 under the md5 total order — a bounded
     # TakeOrderedAndProject (per-partition top-k + driver merge), never a
