@@ -1129,3 +1129,50 @@ def test_blast_radius_contains_and_exceeds_direct_vulnerable(spark, sf_dir):
     # at least one advisory's radius must be strictly transitive (the
     # sample index has dependents of vulnerable packages)
     assert any(radius[c] > direct[c] for c in direct)
+
+
+class TestNeardupDegreeInclusionExclusion:
+    """q_llm_neardup_pairs' r14 rewrite: the per-doc distinct candidate
+    degree (+ min/max partner) via inclusion-exclusion over per-bucket
+    windows must equal the join-based DISTINCT pair enumeration on the
+    same band table — including multi-band collisions (pairs sharing
+    BOTH bands must not double-count) and hot buckets."""
+
+    def test_matches_pair_join_on_synthetic_corpus(self, spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        from pkg2_spark.queries.llm import _BANDS_R, _K, q_llm_neardup_pairs
+        from pkg2_spark.catalog import load_tables
+        from pkg2_spark.operators.text import lsh_bands, minhash_signatures, tokenize_distinct
+
+        assert _K // _BANDS_R == 2  # the rewrite's precondition
+        got = {
+            r["doc_a"]: (r["n_candidates"], r["min_cand"], r["max_cand"])
+            for r in q_llm_neardup_pairs(spark, sf_dir).collect()
+        }
+        d = load_tables(spark, sf_dir)["documents"]
+        bands = lsh_bands(minhash_signatures(tokenize_distinct(d), _K), _K, _BANDS_R)
+        a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+        b = bands.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("band_id").alias("bid2"),
+            F.col("band_key").alias("bkey2"),
+        )
+        ref = (
+            a.join(
+                b,
+                (F.col("band_id") == F.col("bid2"))
+                & (F.col("band_key") == F.col("bkey2"))
+                & (F.col("doc_a") < F.col("doc_b")),
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+            .groupBy("doc_a")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("doc_b").alias("mn"),
+                F.max("doc_b").alias("mx"),
+            )
+        )
+        want = {r["doc_a"]: (r["n"], r["mn"], r["mx"]) for r in ref.collect()}
+        assert got == want
