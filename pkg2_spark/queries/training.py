@@ -171,8 +171,19 @@ def q_llm_boiler(spark, sf_dir):
     # smaller than the stream; if a real corpus ever outgrows the
     # broadcast threshold, drop the broadcast hint and AQE reverts this
     # to the shuffle join with skew splitting.
+    from pkg2_spark.session import fan_out_scan
+
     d = load_tables(spark, sf_dir)["documents"]
-    toks = d.select("doc_id", tokens_col("text").alias("toks")).filter(F.size("toks") >= 5)
+    # r14 (guide §2.5 input skew): the shingle pipeline (tokenize + 5-gram
+    # transform + array_join explode) is evaluated TWICE (doc-frequency agg
+    # + the flagging join's probe side) and ran single-threaded off the
+    # one-row-group scan; fan the scan out so both evaluations parallelize
+    # (no-op on any multi-split input).
+    toks = (
+        fan_out_scan(d.select("doc_id", "text"))
+        .select("doc_id", tokens_col("text").alias("toks"))
+        .filter(F.size("toks") >= 5)
+    )
     shingles = toks.select(
         "doc_id",
         F.explode(
