@@ -57,14 +57,23 @@ def minhash_signatures(
     return tok.groupBy(id_col).agg(*aggs)
 
 
+def band_key_expr(band: int, rows_per_band: int) -> Column:
+    """THE band-key derivation: md5 over the band's r consecutive signature
+    columns joined with '|'. Single source of truth shared by ``lsh_bands``
+    and the band-set rewrites (q_llm_lsh_calib, q_llm_neardup_pairs) so the
+    key formula cannot silently desynchronize from the pair-join semantics
+    or the oracle CTEs (ADVICE r14)."""
+    cols = [F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)]
+    return F.md5(F.concat_ws("|", *cols))
+
+
 def lsh_bands(sig: DataFrame, num_hashes: int, rows_per_band: int, id_col: str = "doc_id") -> DataFrame:
     """Band the signature: band_key = md5(concat of r consecutive hashes).
     Docs sharing any band key are near-dup candidates (equi-join, no O(n²))."""
     assert num_hashes % rows_per_band == 0
-    bands = []
-    for b in range(num_hashes // rows_per_band):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(F.md5(F.concat_ws("|", *cols)))
+    bands = [
+        band_key_expr(b, rows_per_band) for b in range(num_hashes // rows_per_band)
+    ]
     return sig.select(
         id_col,
         F.posexplode(F.array(*bands)).alias("band_id", "band_key"),

@@ -28,7 +28,7 @@ import shutil
 import pyspark.sql.functions as F
 
 from pkg2_spark.catalog import load_tables
-from pkg2_spark.queries.relational import fixture_path, fixture_ready
+from pkg2_spark.queries.relational import fixture_mark, fixture_path, fixture_ready
 from pkg2_spark.registry import query
 from pkg2_spark.tableformat import Table
 
@@ -718,7 +718,10 @@ def q_stream_acid_cdc(spark, sf_dir):
     # instead of rebuilt per invocation; the stream replay itself still
     # runs fully every call (fresh checkpoint per run_to_memory).
     _cdc_marker = "_ACID_CDC_SRC_DONE"
-    if not fixture_ready(path, sf_dir, marker=_cdc_marker):
+    # Recipe version (ADVICE r14): bump when the commit filters / num_files
+    # below change, so a stale table can't outlive its recipe.
+    _cdc_version = "v1:3commits-orderdate-splits-nf4"
+    if not fixture_ready(path, sf_dir, marker=_cdc_marker, version=_cdc_version):
         if os.path.isdir(path):
             _shutil.rmtree(path)
         o = load_tables(spark, sf_dir)["orders"]
@@ -734,8 +737,7 @@ def q_stream_acid_cdc(spark, sf_dir):
             )
         )
         t.append(o.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("date")))
-        with open(os.path.join(path, _cdc_marker), "w") as fh:
-            fh.write("ok\n")
+        fixture_mark(path, _cdc_marker, _cdc_version)
     register_acid_source(spark)
     rows = run_to_memory(
         spark.readStream.format("pkg2acid")
@@ -966,7 +968,8 @@ def q_stream_acid_cdf(spark, sf_dir):
     # measured operation is the change-feed tail, which replays fully
     # every invocation from a fresh checkpoint.
     _cdf_marker = "_ACID_CDF_SRC_DONE"
-    if not fixture_ready(path, sf_dir, marker=_cdf_marker):
+    _cdf_version = "v1:4commits-merge-dvdelete-mod10eq7-nf4"
+    if not fixture_ready(path, sf_dir, marker=_cdf_marker, version=_cdf_version):
         if os.path.isdir(path):
             _shutil.rmtree(path)
         o = load_tables(spark, sf_dir)["orders"]
@@ -981,8 +984,7 @@ def q_stream_acid_cdf(spark, sf_dir):
         # rewritten; the feed must still emit its full delete images (one
         # executor task resolving the sidecar positions back to rows).
         t.delete_where_dv("o_orderkey % 10 = 7")
-        with open(os.path.join(path, _cdf_marker), "w") as fh:
-            fh.write("ok\n")
+        fixture_mark(path, _cdf_marker, _cdf_version)
     register_acid_source(spark)
     rows = run_to_memory(
         spark.readStream.format("pkg2acid")

@@ -27,6 +27,7 @@ from pkg2_spark.operators.lsh import banded_pairs, capped_bands_sql
 from pkg2_spark.operators.sampling import hash_sample, hash_split
 from pkg2_spark.operators.similarity import cosine4, cosine_pairs_wide, knn_bruteforce
 from pkg2_spark.operators.text import (
+    band_key_expr,
     lsh_bands,
     minhash_signatures,
     rolling_fingerprint,
@@ -210,12 +211,10 @@ def q_llm_neardup_pairs(spark, sf_dir):
     )
     # Partners sharing BOTH bands = same (band0_key, band1_key) signature
     # group: the double-counted term of the inclusion-exclusion.
-    both_key = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"mh{b * _BANDS_R + r}") for r in range(_BANDS_R)])
-        ).alias(f"_k{b}")
-        for b in range(2)
-    ]
+    # Shared key derivation (operators/text.py::band_key_expr) — the same
+    # expression lsh_bands uses, so the "both bands" signature group can't
+    # desynchronize from the band equi-join semantics (ADVICE r14).
+    both_key = [band_key_expr(b, _BANDS_R).alias(f"_k{b}") for b in range(2)]
     wb = Window.partitionBy("_k0", "_k1").orderBy("doc_id")
     both = sig.select("doc_id", *both_key).select(
         "doc_id",
@@ -1771,7 +1770,7 @@ def q_llm_minhash_est(spark, sf_dir):
     The token-array frame stays lazy: checkpointing it measured slower
     (full arrays outweigh the saved recompute)."""
     d = load_tables(spark, sf_dir)["documents"]
-    sig = minhash_signatures(tokenize_distinct(d), _K).localCheckpoint()
+    sig = minhash_signatures(tokenize_distinct(d), _K).transform(truncate_lineage)
     bands = lsh_bands(sig, _K, _BANDS_R)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     b = bands.select(
@@ -2598,7 +2597,9 @@ def q_llm_dedup_cdc(spark, sf_dir):
     # consolidating it, applying the increment, resolving components —
     # still computes fully every invocation.
     _marker = "_DEDUP_CDC_DONE"
-    if not fixture_ready(path, sf_dir, marker=_marker):
+    # Recipe version (ADVICE r14): bump when the commit recipe changes.
+    _version = "v1:create90-append10-delete-mod7eq3-nf4"
+    if not fixture_ready(path, sf_dir, marker=_marker, version=_version):
         if os.path.isdir(path):
             shutil.rmtree(path)
         t.create(corpus.select("vec_id", "embedding"))
@@ -2606,8 +2607,9 @@ def q_llm_dedup_cdc(spark, sf_dir):
             e.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
         )
         t.delete_where("vec_id % 7 = 3")
-        with open(os.path.join(path, _marker), "w") as fh:
-            fh.write("ok\n")
+        from pkg2_spark.queries.relational import fixture_mark
+
+        fixture_mark(path, _marker, _version)
     register_acid_source(spark)
     feed = run_to_memory(
         spark.readStream.format("pkg2acid")
@@ -3173,9 +3175,11 @@ def q_llm_ann_tune(spark, sf_dir):
     # times (3× tree descents, 3× candidate joins, identical inputs).
     # The candidate frame is bounded (n_queries × 8 slot-cells × capped
     # cell occupancy), so materializing it once is safe at any scale.
+    # truncate_lineage, not bare localCheckpoint (ADVICE r14): on a cluster
+    # with a checkpoint dir the reliable path survives executor loss.
     cands = ann_multiprobe(
         e, n_probe=8, descent=8, return_cell_rank=True
-    ).localCheckpoint()
+    ).transform(truncate_lineage)
     w_rank = Window.partitionBy("probe_id").orderBy(
         F.col("cos").desc_nulls_last(), F.col("vec_id").asc_nulls_last()
     )

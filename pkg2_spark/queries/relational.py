@@ -45,7 +45,9 @@ def fixture_path(name: str, sf_dir: str) -> str:
 _BUCKETED_DONE: set[tuple[int, str]] = set()
 
 
-def fixture_ready(path: str, sf_dir: str, marker: str = "_SUCCESS") -> bool:
+def fixture_ready(
+    path: str, sf_dir: str, marker: str = "_SUCCESS", version: str | None = None
+) -> bool:
     """True when a completed write already sits at ``path`` (_SUCCESS marker
     for Spark writers; multi-batch sinks pass their own run-level marker,
     written only after the WHOLE run finished — a per-batch _SUCCESS can't
@@ -58,10 +60,24 @@ def fixture_ready(path: str, sf_dir: str, marker: str = "_SUCCESS") -> bool:
     between rounds (round 3: events.ts changed parquet type); a fixture older
     than its source tables would silently serve stale rows. An unreadable
     source dir counts as not-ready (regenerate rather than trust a cache
-    whose freshness can't be established)."""
+    whose freshness can't be established).
+
+    ``version`` (ADVICE r14): recipe-gated fixtures (commit filters,
+    num_files, DV predicates baked into the builder code) additionally
+    embed a recipe-version string in the marker CONTENT; a marker whose
+    content does not match counts as not-ready, so editing the fixture
+    recipe invalidates the cache without waiting for a testdata
+    regeneration. Writers pass the same string to ``fixture_mark``."""
     marker = os.path.join(path, marker)
     if not os.path.exists(marker):
         return False
+    if version is not None:
+        try:
+            with open(marker) as fh:
+                if fh.read().strip() != version:
+                    return False
+        except OSError:
+            return False
     try:
         newest_src = max(
             os.path.getmtime(os.path.join(sf_dir, f))
@@ -71,6 +87,13 @@ def fixture_ready(path: str, sf_dir: str, marker: str = "_SUCCESS") -> bool:
     except (OSError, ValueError):
         return False
     return os.path.getmtime(marker) >= newest_src
+
+
+def fixture_mark(path: str, marker: str, version: str = "ok") -> None:
+    """Write a fixture completion marker with its recipe-version content
+    (the check side is fixture_ready's ``version`` parameter)."""
+    with open(os.path.join(path, marker), "w") as fh:
+        fh.write(version + "\n")
 
 
 # ---------------------------------------------------------------- §2.1 scans

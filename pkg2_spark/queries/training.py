@@ -30,7 +30,7 @@ from pyspark.sql import Window
 from pkg2_spark.catalog import load_tables
 from pkg2_spark.operators.text import tokens_col
 from pkg2_spark.registry import query
-from pkg2_spark.session import truncate_lineage
+from pkg2_spark.session import truncate_lineage_lazy
 
 _CHUNK = 30  # tokens per chunk
 _STRIDE = 25  # chunk start stride (5-token overlap)
@@ -2094,8 +2094,16 @@ def bpe_train_merges(docs, k: int = _BPE_TRAIN_K):
     concat it themselves. The per-round argmax is a 1-row driver collect
     (it IS the loop-carried scalar, the q_kmeans_step shape) and the
     rewritten state is lineage-truncated every round, so the logical
-    plan stays constant-size at any k."""
-    seg = bpe_seg0(docs).transform(truncate_lineage)
+    plan stays constant-size at any k.
+
+    r15 (guide §1.5 / §2 job count): the per-round checkpoint is LAZY
+    (truncate_lineage_lazy) — the round's own argmax is an ordered limit
+    whose TakeOrderedAndProject scans every partition of the state, so
+    the checkpoint blocks are populated by the same job. One driver
+    action per round instead of two (eager checkpoint + collect); the
+    final state's blocks ride the caller's first consuming action the
+    same way. Identical merge table (golden-merges tests)."""
+    seg = bpe_seg0(docs).transform(truncate_lineage_lazy)
     merges = []
     for r in range(1, k + 1):
         top = (
@@ -2111,7 +2119,7 @@ def bpe_train_merges(docs, k: int = _BPE_TRAIN_K):
             break
         ma, mb, cnt = top[0]["ma"], top[0]["mb"], top[0]["cnt"]
         merges.append((r, ma, mb, cnt))
-        seg = bpe_apply(seg, ma, mb).transform(truncate_lineage)
+        seg = bpe_apply(seg, ma, mb).transform(truncate_lineage_lazy)
     return merges, seg
 
 
@@ -2603,8 +2611,8 @@ def q_llm_lsh_calib(spark, sf_dir):
     aggregate has ≤ 10 groups. Integer milli-Jaccard (1000·|∩| div |∪|)
     and integer catch rates — partitioning-independent."""
     from pkg2_spark.operators.text import (
+        band_key_expr,
         blocked_token_pairs,
-        lsh_bands,
         minhash_signatures,
         tokenize_distinct,
     )
@@ -2631,21 +2639,23 @@ def q_llm_lsh_calib(spark, sf_dir):
     # intersect), zero quadratic work, skew-proof at any corpus size.
     sig = minhash_signatures(tokenize_distinct(d), 8)
     band_entries = [
-        F.concat(
-            F.lit(f"{b}|"),
-            F.md5(F.concat_ws("|", *[F.col(f"mh{b * 4 + r}") for r in range(4)])),
-        )
-        for b in range(2)
+        F.concat(F.lit(f"{b}|"), band_key_expr(b, 4)) for b in range(2)
     ]
     docbands = sig.select("doc_id", F.array(*band_entries).alias("_bset"))
     ba = docbands.select(F.col("doc_id").alias("doc_a"), F.col("_bset").alias("_bsa"))
     bb = docbands.select(F.col("doc_id").alias("doc_b"), F.col("_bset").alias("_bsb"))
+    # LEFT joins (ADVICE r14, medium): a zero-token doc has no signature row,
+    # so an inner join would DROP its truth pairs where the oracle's LEFT
+    # JOIN counts them as caught=0. coalesce(overlap, 0) preserves the old
+    # null→0 semantics for any corpus containing an empty/whitespace doc.
     flagged = (
-        truth.join(ba, "doc_a")
-        .join(bb, "doc_b")
+        truth.join(ba, "doc_a", "left")
+        .join(bb, "doc_b", "left")
         .select(
             "j_milli",
-            F.arrays_overlap("_bsa", "_bsb").cast("int").alias("caught"),
+            F.coalesce(
+                F.arrays_overlap("_bsa", "_bsb").cast("int"), F.lit(0)
+            ).alias("caught"),
         )
     )
     return flagged.groupBy(

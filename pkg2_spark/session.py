@@ -214,6 +214,32 @@ def _warn_if_checkpoints_unreaped(spark: SparkSession) -> None:
         )
 
 
+def truncate_lineage_lazy(df):
+    """truncate_lineage with LAZY materialization (no action of its own) —
+    for loop states whose NEXT Spark action provably computes EVERY
+    partition, e.g. an ordered-limit argmax or a full aggregate over the
+    state (the BPE train loop: the round's TakeOrderedAndProject scans all
+    partitions, populating the checkpoint blocks in the same job). Saves
+    one eager action per round vs truncate_lineage. Do NOT use when the
+    next action may compute only a partition subset (isEmpty, unordered
+    limit): the missing-partition repair job makes lazy SLOWER — that trap
+    is why truncate_lineage_counted pairs the lazy mark with count().
+    Posture seam (local vs reliable checkpoint) identical to
+    truncate_lineage."""
+    spark = df.sparkSession
+    mode = spark.conf.get("spark.pkg2_spark.lineageTruncate", "auto")
+    has_dir = spark.sparkContext.getCheckpointDir() is not None
+    if mode == "reliable" and not has_dir:
+        raise ValueError(
+            "spark.pkg2_spark.lineageTruncate=reliable requires "
+            "sc.setCheckpointDir(<reliable storage path>)"
+        )
+    use_reliable = has_dir and mode != "local"
+    if use_reliable and mode != "reliable":
+        _warn_if_checkpoints_unreaped(spark)
+    return df.checkpoint(eager=False) if use_reliable else df.localCheckpoint(eager=False)
+
+
 def truncate_lineage_counted(df):
     """truncate_lineage + row count in ONE Spark job — for fixpoint loops
     whose round boundary is an emptiness test (Engine.resolve /
@@ -232,16 +258,5 @@ def truncate_lineage_counted(df):
     durable files (standard reliable-checkpoint behavior); the cluster
     trades that latency for executor-loss recovery.
     """
-    spark = df.sparkSession
-    mode = spark.conf.get("spark.pkg2_spark.lineageTruncate", "auto")
-    has_dir = spark.sparkContext.getCheckpointDir() is not None
-    if mode == "reliable" and not has_dir:
-        raise ValueError(
-            "spark.pkg2_spark.lineageTruncate=reliable requires "
-            "sc.setCheckpointDir(<reliable storage path>)"
-        )
-    use_reliable = has_dir and mode != "local"
-    if use_reliable and mode != "reliable":
-        _warn_if_checkpoints_unreaped(spark)
-    out = df.checkpoint(eager=False) if use_reliable else df.localCheckpoint(eager=False)
+    out = truncate_lineage_lazy(df)
     return out, out.count()
