@@ -142,9 +142,14 @@ def resolve_components(
         mapping = _local_components(
             list(zip(epdf["a"].tolist(), epdf["b"].tolist()))
         )
+        # Node type = common type of the two endpoint columns. Derive it
+        # from the CHECKPOINTED frame (flat LogicalRDD — analysis is free);
+        # the former union over pairs_df re-analyzed the entire upstream
+        # pair pipeline a second time just to read one dataType (r15,
+        # ~0.1-0.3 s of driver latency on the dedup increments).
         node_t = (
-            pairs_df.select("a")
-            .unionByName(pairs_df.select(F.col("b").alias("a")))
+            mat.select("a")
+            .unionByName(mat.select(F.col("b").alias("a")))
             .schema["a"]
             .dataType
         )

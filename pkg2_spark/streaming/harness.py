@@ -24,6 +24,28 @@ from pkg2_spark.queries.relational import IO_DIR
 from pkg2_spark.session import ensure_runtime_confs
 
 
+# Schema memo for events_stream, keyed by the source file's identity
+# (path, size, mtime): every streaming query calls events_stream at least
+# once per INVOCATION (the stream-stream joins twice), and each call paid a
+# batch parquet footer read (~0.1 s of driver latency) to recover a schema
+# that cannot change unless the file itself does. Metadata only — no rows,
+# no results — and the mtime/size key re-reads after any testdata
+# regeneration.
+_SCHEMA_MEMO: dict[tuple[str, int, float], object] = {}
+
+
+def _events_schema(spark: SparkSession, src: str):
+    try:
+        key = (src, os.path.getsize(src), os.path.getmtime(src))
+    except OSError:
+        return spark.read.parquet(src).schema
+    if key not in _SCHEMA_MEMO:
+        if len(_SCHEMA_MEMO) >= 8:  # bounded: a handful of scales per run
+            _SCHEMA_MEMO.clear()
+        _SCHEMA_MEMO[key] = spark.read.parquet(src).schema
+    return _SCHEMA_MEMO[key]
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events table (file source, availableNow-ready).
 
@@ -50,7 +72,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             or os.path.getmtime(dst) < os.path.getmtime(src)
         ):
             shutil.copyfile(src, dst)
-    schema = spark.read.parquet(src).schema
+    schema = _events_schema(spark, src)
     raw = spark.readStream.schema(schema).parquet(src_dir)
     dtypes = {f.name: f.dataType.simpleString() for f in schema.fields}
     if dtypes.get("ts") == "bigint":
