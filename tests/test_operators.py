@@ -1081,6 +1081,66 @@ def test_avro_wire_format_golden_and_roundtrip(spark, tmp_path):
             {"name": "a", "type": ["string", "long"]}]})
 
 
+def test_avro_codegen_decoder_matches_closure_walk(tmp_path):
+    # r15: the schema-compiled whole-record decoder must be byte-identical
+    # to the per-field closure walk (and thus to _decode_value, the golden
+    # reference) across every supported type, including both null-union
+    # orders, negative varints, empty strings/bytes and multi-block files.
+    import random
+
+    from pkg2_spark import avroio as A
+
+    schema = {
+        "type": "record", "name": "t",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "i", "type": "int"},
+            {"name": "s", "type": "string"},
+            {"name": "x", "type": "double"},
+            {"name": "f", "type": "float"},
+            {"name": "m", "type": ["null", "string"]},
+            {"name": "rn", "type": ["long", "null"]},
+            {"name": "b", "type": "boolean"},
+            {"name": "by", "type": "bytes"},
+        ],
+    }
+    rng = random.Random(11)
+    rows = [
+        (
+            rng.randint(-2**62, 2**62),
+            rng.randint(-2**31, 2**31 - 1),
+            "s" * (i % 33),
+            rng.random() * 1e9 - 5e8,
+            float(i) * 0.5,
+            None if i % 3 == 0 else f"m{i}",
+            None if i % 5 == 0 else -i * 7,
+            i % 2 == 0,
+            bytes([i % 256]) * (i % 5),
+        )
+        for i in range(700)
+    ]
+    p = str(tmp_path / "cg.avro")
+    A.write_avro(p, schema, rows, codec="deflate", block_rows=128)
+    blob = open(p, "rb").read()
+    ftypes = A._field_types(A.read_header(blob)[0])
+    rec_dec = A._compile_record_decoder(ftypes)
+    assert rec_dec is not None
+    got = [r for block in A.decode_blocks(blob) for r in block]
+    # closure-walk reference on the same bytes
+    ref = []
+    for _s, n, raw in A._iter_raw_blocks(blob):
+        pos = 0
+        for _ in range(n):
+            row = []
+            for _n2, t in ftypes:
+                v, pos = A._decode_value(raw, pos, t)
+                row.append(v)
+            ref.append(tuple(row))
+    assert got == ref == rows
+    # uncovered construct -> generator declines, closure walk still used
+    assert A._compile_record_decoder([("a", ["null", "string", "long"])]) is None
+
+
 def test_weighted_sample_oversamples_heavy_docs(spark, sf_dir):
     from pkg2_spark.registry import all_queries
 
