@@ -58,6 +58,7 @@ def banded_pairs(
     right_alias: str,
     cap: int | None = None,
     keep_provenance: bool = False,
+    distinct_pairs: bool = True,
 ) -> DataFrame:
     """Distinct candidate pairs (left < right) from a band table, optionally
     bucket-capped. The join is a pure equi-join on (band_id, band_key) —
@@ -68,7 +69,14 @@ def banded_pairs(
     With ``keep_provenance`` the originating (band_id, band_key) stays on
     each pair row (distinct over the 4-tuple): the persisted shape the
     incremental dedup path needs, so pairs from buckets a delta never
-    touches can be reused without re-deriving them."""
+    touches can be reused without re-deriving them.
+
+    ``distinct_pairs=False`` (r15, guide §2.4 "a distinct on data that is
+    already unique"): when the band table has a SINGLE band per id (e.g.
+    the IVF-cell blocking key in q_llm_semdedup), a pair can only arise in
+    one bucket, so the multi-band distinct is a no-op that still costs one
+    pair-keyed Exchange + two hash aggregates. Callers assert the
+    single-band property; multi-band tables must keep the default."""
     if cap is not None:
         # Capped path (r14, guide §2.4 "remove shuffles outright"): the cap
         # bounds every bucket at ``cap`` members, so the bucket's member
@@ -99,7 +107,8 @@ def banded_pairs(
         cols = [left_alias, right_alias]
         if keep_provenance:
             cols += ["band_id", "band_key"]
-        return pairs.select(*cols).distinct()
+        out = pairs.select(*cols)
+        return out.distinct() if distinct_pairs else out
     # Uncapped path: bucket membership is unbounded, so pair discovery must
     # stay a self-equi-join (collect_list over a hot bucket would be the
     # exact memory blow-up the cap exists to prevent).
@@ -112,16 +121,13 @@ def banded_pairs(
     cols = [left_alias, right_alias]
     if keep_provenance:
         cols += ["band_id", "band_key"]
-    return (
-        a.join(
-            b,
-            (F.col("band_id") == F.col("_bid2"))
-            & (F.col("band_key") == F.col("_bkey2"))
-            & (F.col(left_alias) < F.col(right_alias)),
-        )
-        .select(*cols)
-        .distinct()
-    )
+    out = a.join(
+        b,
+        (F.col("band_id") == F.col("_bid2"))
+        & (F.col("band_key") == F.col("_bkey2"))
+        & (F.col(left_alias) < F.col(right_alias)),
+    ).select(*cols)
+    return out.distinct() if distinct_pairs else out
 
 
 def capped_bands_sql(id_col: str, cap: int, source: str = "bands") -> str:

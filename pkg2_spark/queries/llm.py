@@ -1365,7 +1365,12 @@ def q_llm_semdedup(spark, sf_dir):
         F.lit(0).alias("band_id"),
         F.col("cid").cast("string").alias("band_key"),
     )
-    cand = banded_pairs(bands, "vec_id", "id_a", "id_b", cap=_BUCKET_CAP)
+    # distinct_pairs=False (r15): each vector sits in exactly ONE cell
+    # (single band), so a pair can only be discovered once — the
+    # multi-band distinct would be a no-op costing one pair Exchange.
+    cand = banded_pairs(
+        bands, "vec_id", "id_a", "id_b", cap=_BUCKET_CAP, distinct_pairs=False
+    )
     pairs = cosine_on_pairs(cand, e, "id_a", "id_b", dim=64).filter(
         F.col("cos") >= 0.3
     )
